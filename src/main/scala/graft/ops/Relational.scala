@@ -1,0 +1,278 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.ColumnOps._
+
+/** Core relational surface (SURVEY.md §2.4 rows: joins, aggregation, set
+  * ops): scan → filter → project → join → group → sort, all declarative
+  * DataFrame API so Catalyst owns pushdown, pruning, join selection and
+  * whole-stage codegen.
+  *
+  * Scale notes (100 TB design intent):
+  *   - dimension tables (region/nation/customer at low cardinality) are joined
+  *     with explicit `broadcast()` — no shuffle of the fact side;
+  *   - fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  *     reuse that partitioning for the following aggregate where possible;
+  *   - aggregates are expressed groupBy().agg() so Catalyst plans
+  *     partial (map-side) aggregation before the exchange.
+  */
+object Relational {
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q01_pricing_summary",
+      "TPC-H Q1-style scan+aggregate: group lineitem by flag/status with exact-cents money sums (reference op R10 count + G aggregation).",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge_cents"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    GraftQuery(
+      "q02_filter_project",
+      "Selective filter + narrow projection; predicate and column pruning reach the parquet scan (reference ops R6/R8 generalized).",
+      """SELECT p_partkey, p_name, p_brand, p_size,
+        |  CAST(floor(p_retailprice*100) AS BIGINT) AS price_cents
+        |FROM part
+        |WHERE p_size BETWEEN 5 AND 20 AND p_type IN ('ECONOMY','PROMO')
+        |  AND p_retailprice > 900.0
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_size").between(5, 20) &&
+          col("p_type").isin("ECONOMY", "PROMO") &&
+          col("p_retailprice") > 900.0)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
+          cents(col("p_retailprice")).as("price_cents"))
+        .orderBy(col("p_partkey"))
+    },
+
+    GraftQuery(
+      "q03_join_agg",
+      "Inner equi-join customer⋈orders then aggregate by segment/year. Customer side broadcast below the AQE threshold at test SF; shuffles on o_custkey at scale.",
+      """SELECT c_mktsegment, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  count(*) AS n_orders
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment, o_year
+        |ORDER BY c_mktsegment, o_year""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"), col("o_year"))
+    },
+
+    GraftQuery(
+      "q04_join_left",
+      "Left outer join preserving customers with zero orders; null-aware count/sum semantics.",
+      """SELECT c_custkey, c_mktsegment,
+        |  count(o_orderkey) AS n_orders,
+        |  CAST(coalesce(sum(CAST(floor(o_totalprice*100) AS BIGINT)), 0) AS BIGINT) AS spent_cents
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(cents(col("o_totalprice"))), lit(0L)).as("spent_cents"))
+        .orderBy(col("c_custkey"))
+    },
+
+    GraftQuery(
+      "q05_join_semi",
+      "Left-semi join (EXISTS): orders having at least one heavy lineitem. Semi-join avoids materializing the probe side — the watermark delta of the reference is the same shape (SURVEY §2.4 joins).",
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 48),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    GraftQuery(
+      "q06_join_anti",
+      "Left-anti join (NOT EXISTS): customers with no orders since 2000, counted per nation; nation dimension explicitly broadcast.",
+      """SELECT n_name, count(*) AS n_customers
+        |FROM customer c JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_name"))
+    },
+
+    GraftQuery(
+      "q07_regional_revenue",
+      "TPC-H Q5-style 5-way join: region→nation→customer→orders→lineitem with small dims broadcast; only the orders⋈lineitem edge shuffles.",
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  count(*) AS n_lines
+        |FROM region
+        |JOIN nation   ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders   ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, d) =>
+      val asiaNations = broadcast(
+        Tables.region(s, d).filter(col("r_name") === "ASIA")
+          .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey")))
+      val cust = broadcast(
+        asiaNations.join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey")))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      cust.join(ord, col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_cents"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"))
+    },
+
+    GraftQuery(
+      "q08_count_distinct",
+      "Exact distinct aggregation (expand+two-phase under the hood).",
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS uniq_cust,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("uniq_cust"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    GraftQuery.noOracle(
+      "q09_approx_distinct",
+      "HyperLogLog++ approximate distinct — the 100 TB path where exact distinct would shuffle every key. No SQL oracle (sketch internals differ); bounded-error property is ScalaTest-checked vs exact counts.") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    GraftQuery(
+      "q10_rollup",
+      "ROLLUP hierarchy totals (flag → flag+status → grand total); NULLS FIRST pinned on both engines.",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    GraftQuery(
+      "q11_cube",
+      "CUBE over status×priority with exact-cents revenue.",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  count(*) AS cnt
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    GraftQuery(
+      "q12_union_distinct",
+      "Set op: UNION (distinct) of two key sets.",
+      """SELECT id FROM (
+        |  SELECT c_custkey AS id FROM customer
+        |  UNION
+        |  SELECT o_custkey AS id FROM orders
+        |) ORDER BY id""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("id"))
+        .union(Tables.orders(s, d).select(col("o_custkey").as("id")))
+        .distinct()
+        .orderBy(col("id"))
+    },
+
+    GraftQuery(
+      "q13_intersect",
+      "Set op: INTERSECT — customers that both exist and have ordered.",
+      """SELECT c_custkey AS id FROM customer
+        |INTERSECT
+        |SELECT o_custkey AS id FROM orders
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("id"))
+        .intersect(Tables.orders(s, d).select(col("o_custkey").as("id")))
+        .orderBy(col("id"))
+    },
+
+    GraftQuery(
+      "q14_except",
+      "Set op: EXCEPT — customer keys with no urgent-priority order.",
+      """SELECT c_custkey AS id FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS id FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("id"))
+        .except(Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("id")))
+        .orderBy(col("id"))
+    },
+
+    GraftQuery(
+      "q15_distinct_pairs",
+      "dropDuplicates as declarative DISTINCT on a projection.",
+      """SELECT DISTINCT o_custkey, o_orderstatus
+        |FROM orders
+        |ORDER BY o_custkey, o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderstatus"))
+        .distinct()
+        .orderBy(col("o_custkey"), col("o_orderstatus"))
+    }
+  )
+}
