@@ -10,7 +10,11 @@ object SparkEntry {
 
   /** All registered operator pipelines, by module. */
   def registry: Seq[GraftQuery] =
-    ops.Relational.queries
+    ops.Relational.queries ++
+      ops.Windows.queries ++
+      ops.Scalars.queries ++
+      ops.AdvancedJoins.queries ++
+      etl.EtlQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's incremental watermark ETL re-expressed Spark-first

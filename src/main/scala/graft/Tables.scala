@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Readers for the driver-generated parquet tables (TESTDATA.md). All access
   * goes through `spark.read.parquet` so Catalyst owns column pruning,
@@ -25,7 +27,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+  /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects natively; read it as a long (legacy conf) and convert to a
+    * microsecond timestamp. The driver data is µs-aligned (verified:
+    * epoch_ns % 1000 == 0 for every row), so `div 1000` is lossless and the
+    * DuckDB oracle — which reads the nanos directly — sees identical values.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -1,0 +1,125 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.ColumnOps._
+
+/** The reference-parity surface as verifiable queries (SURVEY.md §2.1-2.3,
+  * §7 M0/M1): the watermark incremental pipeline in both its filter and
+  * anti-join formulations, static amount routing, label-resolved projection,
+  * and JSON raw-ingest extraction.
+  */
+object EtlQueries {
+
+  private val sqlFeed =
+    """SELECT o_orderkey,
+      |  CAST(o_custkey AS VARCHAR) AS vendor,
+      |  o_orderpriority AS description,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS picker_erk,
+      |  o_orderstatus AS charge_code,
+      |  printf('U%09dD', o_orderkey) AS po_number
+      |FROM orders""".stripMargin
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q32_incremental_watermark",
+      "The reference's flagship pipeline (R3+R6-R9): MAX(po) watermark over the sink, strictly-newer filter on the source, 5-column reordered projection, ascending PO sort. Lexicographic string compare throughout (SURVEY §1.2).",
+      s"""WITH src AS ($sqlFeed),
+        |wm AS (SELECT max(po_number) AS wm FROM src WHERE o_orderkey <= ${WatermarkEtl.DefaultSinkCutoff})
+        |SELECT vendor, description, picker_erk, charge_code, po_number
+        |FROM src, wm WHERE po_number > wm
+        |ORDER BY po_number""".stripMargin) { (s, d) =>
+      WatermarkEtl.delta(s, d)
+    },
+
+    GraftQuery(
+      "q33_incremental_antijoin",
+      "The same delta as a left-anti join against the sink's PO set — the reformulation SURVEY §2.4 notes (R6 ≡ items ANTI JOIN sink ON po); equivalent output to q32 on prefix-shaped sinks.",
+      s"""WITH src AS ($sqlFeed),
+        |sink AS (SELECT po_number FROM src WHERE o_orderkey <= ${WatermarkEtl.DefaultSinkCutoff})
+        |SELECT vendor, description, picker_erk, charge_code, po_number
+        |FROM src WHERE NOT EXISTS (SELECT 1 FROM sink WHERE sink.po_number = src.po_number)
+        |ORDER BY po_number""".stripMargin) { (s, d) =>
+      val src = WatermarkEtl.sourceFeed(s, d)
+      val sink = src.filter(col("o_orderkey") <= WatermarkEtl.DefaultSinkCutoff)
+        .select(col("po_number").as("sink_po"))
+      src.join(sink, col("po_number") === col("sink_po"), "left_anti")
+        .select(col("vendor"), col("description"), col("picker_erk"),
+          col("charge_code"), col("po_number"))
+        .orderBy(col("po_number"))
+    },
+
+    GraftQuery(
+      "q34_static_routing",
+      "The over/under-$1500 split (reference R11): two byte-identical cron scripts bound to different forms, subsumed by one derived bucket column — the partition key a real deployment would write by.",
+      """SELECT CASE WHEN o_totalprice >= 150000.0 THEN 'over' ELSE 'under' END AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          when(col("o_totalprice") >= 150000.0, "over").otherwise("under"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy(col("bucket"))
+    },
+
+    GraftQuery(
+      "q35_label_projection",
+      "R8: label→column resolution through StructField metadata (first-match-wins / fatal-on-missing semantics unit-tested in SchemaResolverSpec); projection emitted in label order.",
+      """SELECT CAST(o_custkey AS VARCHAR) AS vendor,
+        |  o_orderpriority AS description,
+        |  o_orderstatus AS charge_code,
+        |  printf('U%09dD', o_orderkey) AS po_number
+        |FROM orders
+        |ORDER BY po_number""".stripMargin) { (s, d) =>
+      val raw = Tables.orders(s, d).select(
+        col("o_custkey").cast("string").as("col_vendor_x1"),
+        col("o_orderpriority").as("col_desc_x2"),
+        col("o_orderstatus").as("col_cc_x3"),
+        WatermarkEtl.poNumber(col("o_orderkey")).as("col_po_x4"))
+      val labeled = SchemaResolver.withLabels(raw, Seq(
+        "col_vendor_x1" -> "vendor",
+        "col_desc_x2" -> "description",
+        "col_cc_x3" -> "charge_code",
+        "col_po_x4" -> "po_number"))
+      SchemaResolver.select(labeled,
+        Seq("vendor", "description", "charge_code", "po_number"))
+        .orderBy(col("po_number"))
+    },
+
+    GraftQuery(
+      "q36_json_ingest",
+      "§1.1 raw-ingest model: rows as self-describing JSON documents; field extraction is null-on-missing at the value level (R9 semantics) while label resolution stays fatal (R8).",
+      """WITH raw AS (
+        |  SELECT json_object(
+        |    'vendor', CAST(o_custkey AS VARCHAR),
+        |    'description', o_orderpriority,
+        |    'po', printf('U%09dD', o_orderkey)) AS doc
+        |  FROM orders WHERE o_orderkey < 3000)
+        |SELECT
+        |  json_extract_string(doc, '$.vendor') AS vendor,
+        |  json_extract_string(doc, '$.description') AS description,
+        |  json_extract_string(doc, '$.po') AS po_number,
+        |  json_extract_string(doc, '$.absent_column') AS absent_column
+        |FROM raw
+        |ORDER BY po_number""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 3000)
+        .select(to_json(struct(
+          col("o_custkey").cast("string").as("vendor"),
+          col("o_orderpriority").as("description"),
+          WatermarkEtl.poNumber(col("o_orderkey")).as("po"))).as("doc"))
+        .select(
+          get_json_object(col("doc"), "$.vendor").as("vendor"),
+          get_json_object(col("doc"), "$.description").as("description"),
+          get_json_object(col("doc"), "$.po").as("po_number"),
+          get_json_object(col("doc"), "$.absent_column").as("absent_column"))
+        .orderBy(col("po_number"))
+    }
+  )
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.ColumnOps._
+
+/** Non-equi join surface (SURVEY.md §2.4 joins: theta/range, as-of).
+  *
+  * Scale notes:
+  *   - range joins anchor on an equi key (user_id / p_brand) so Spark plans
+  *     a shuffled hash/sort-merge join on the anchor and evaluates the range
+  *     predicate as a post-join filter — never a broadcast-nested-loop over
+  *     the whole fact table;
+  *   - the as-of join is the union+ordered-window formulation: O(n log n)
+  *     single shuffle by (user), no join blow-up at all — the formulation
+  *     that survives 100 TB, vs. the naive range-join + dedup.
+  */
+object AdvancedJoins {
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q29_range_join",
+      "Range join anchored on an equi key: pairs of events by the same user within a 5-minute window.",
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts
+        | AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |GROUP BY a.user_id
+        |ORDER BY a.user_id""".stripMargin) { (s, d) =>
+      val a = Tables.events(s, d).select(col("user_id"), col("ts").as("ts_a"))
+      val b = Tables.events(s, d).select(col("user_id").as("user_b"), col("ts").as("ts_b"))
+      a.join(b,
+        col("user_id") === col("user_b") &&
+          col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTE"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    },
+
+    GraftQuery(
+      "q30_asof_join",
+      "As-of join via union + ordered window (scalable formulation): for every purchase, the most recent view at-or-before it by the same user.",
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type = 'view' THEN ts END AS view_ts
+        |  FROM events WHERE event_type IN ('view','purchase')),
+        |w AS (
+        |  SELECT *, max(view_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+        |  FROM u)
+        |SELECT event_id, user_id, ts, last_view_ts
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          when(col("event_type") === "view", col("ts")).as("view_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("last_view_ts", max(col("view_ts")).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_view_ts"))
+        .orderBy(col("event_id"))
+    },
+
+    GraftQuery(
+      "q31_theta_join",
+      "Theta join with equi anchor + inequality residuals: near-size high-price part pairs within a brand.",
+      """SELECT a.p_brand, count(*) AS n_pairs
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand
+        | AND a.p_partkey < b.p_partkey
+        | AND abs(a.p_size - b.p_size) <= 2
+        |WHERE a.p_retailprice > 990.0 AND b.p_retailprice > 990.0
+        |GROUP BY a.p_brand
+        |ORDER BY a.p_brand""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d).filter(col("p_retailprice") > 990.0)
+        .select(col("p_brand"), col("p_partkey"), col("p_size"))
+      val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_size").as("size_a"))
+      val b = p.select(col("p_brand").as("brand_b"), col("p_partkey").as("key_b"), col("p_size").as("size_b"))
+      a.join(b,
+        col("p_brand") === col("brand_b") &&
+          col("key_a") < col("key_b") &&
+          abs(col("size_a") - col("size_b")) <= 2)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("p_brand"))
+    }
+  )
+}

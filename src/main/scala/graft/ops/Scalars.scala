@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+
+/** Scalar function families (SURVEY.md §2.4 "scalar fns"): string, date,
+  * math, conditional, JSON, array/higher-order. All per-row, codegen'd
+  * `functions._` — embarrassingly parallel at any scale; the only shuffle in
+  * these queries is the deterministic presentation sort.
+  *
+  * Cross-engine determinism rules: only IEEE-exact math (abs/floor/ceil/
+  * sqrt/x*x/pmod — no libm-dependent exp/ln), regex patterns restricted to
+  * the Java∩RE2 common subset, DATE-typed outputs emitted as 'yyyy-MM-dd'
+  * strings.
+  */
+object Scalars {
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q23_string_funcs",
+      "String family: case, length, substring, concat, pad, regexp_extract, replace, trim.",
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  lower(c_name) AS name_lower,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  substring(c_name, 10, 9) AS id_part,
+        |  c_name || ':' || c_mktsegment AS name_seg,
+        |  lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_padded,
+        |  regexp_extract(c_name, '[0-9]+') AS digits,
+        |  replace(c_name, 'Customer#', 'C-') AS short_name,
+        |  trim('  ' || c_mktsegment || ' ') AS trimmed
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 10, 9).as("id_part"),
+        concat(col("c_name"), lit(":"), col("c_mktsegment")).as("name_seg"),
+        lpad(col("c_nationkey").cast("string"), 4, "0").as("nation_padded"),
+        regexp_extract(col("c_name"), "[0-9]+", 0).as("digits"),
+        regexp_replace(col("c_name"), "Customer#", "C-").as("short_name"),
+        trim(concat(lit("  "), col("c_mktsegment"), lit(" "))).as("trimmed"))
+        .orderBy(col("c_custkey"))
+    },
+
+    GraftQuery(
+      "q24_date_funcs",
+      "Date/time family: extract parts, truncate, diff, interval arithmetic, last_day (dates emitted as strings for cross-engine stability).",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER)    AS yr,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(month(o_orderdate) AS INTEGER)   AS mon,
+        |  CAST(day(o_orderdate) AS INTEGER)     AS dom,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  o_orderdate + INTERVAL 30 DAY AS due_ts,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+        |FROM orders
+        |WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          month(col("o_orderdate")).as("mon"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since_95"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("due_ts"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    GraftQuery(
+      "q25_math_funcs",
+      "Math family restricted to IEEE-exact ops: abs, floor, ceil, sqrt, square, modulo, sign, greatest/least.",
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_extendedprice - 50000.0) AS abs_dev,
+        |  CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
+        |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_batches,
+        |  sqrt(l_extendedprice) AS price_sqrt,
+        |  l_tax * l_tax AS tax_sq,
+        |  l_orderkey % 7 AS key_mod7,
+        |  CAST(sign(l_extendedprice - 50000.0) AS DOUBLE) AS dev_sign,
+        |  greatest(l_quantity, 25.0) AS qty_floor25,
+        |  least(l_quantity, 25.0) AS qty_cap25
+        |FROM lineitem
+        |WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 500)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_extendedprice") - 50000.0).as("abs_dev"),
+          floor(col("l_discount") * 100).cast("long").as("disc_pct"),
+          ceil(col("l_quantity") / 7.0).cast("long").as("qty_batches"),
+          sqrt(col("l_extendedprice")).as("price_sqrt"),
+          (col("l_tax") * col("l_tax")).as("tax_sq"),
+          (col("l_orderkey") % 7).as("key_mod7"),
+          signum(col("l_extendedprice") - 50000.0).as("dev_sign"),
+          greatest(col("l_quantity"), lit(25.0)).as("qty_floor25"),
+          least(col("l_quantity"), lit(25.0)).as("qty_cap25"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    GraftQuery(
+      "q26_conditional_agg",
+      "CASE WHEN inside aggregates (pivot-style conditional counting) per order year.",
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |       THEN CAST(floor(o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS urgent_cents
+        |FROM orders
+        |GROUP BY yr
+        |ORDER BY yr""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"),
+          sum(when(col("o_orderpriority") === "1-URGENT",
+            floor(col("o_totalprice") * 100).cast("long")).otherwise(0L)).as("urgent_cents"))
+        .orderBy(col("yr"))
+    },
+
+    GraftQuery(
+      "q27_json_funcs",
+      "JSON extraction from the events.props string column (generalizes the reference's JSON ingestion, SURVEY §1.1) + aggregate over the extracted value.",
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(k).as("n_with_k"),
+          sum(k).as("sum_k"),
+          min(k).as("min_k"),
+          max(k).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+
+    GraftQuery(
+      "q28_array_funcs",
+      "Array/higher-order family over tokenized documents: size, distinct, element access, containment — no UDFs, pure codegen lambdas.",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique,
+        |  toks[1] AS first_token,
+        |  toks[-1] AS last_token,
+        |  list_contains(toks, 'spark') AS has_spark
+        |FROM t
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.ColumnOps.tokens
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_unique"),
+          element_at(col("toks"), 1).as("first_token"),
+          element_at(col("toks"), -1).as("last_token"),
+          array_contains(col("toks"), "spark").as("has_spark"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.ColumnOps._
+
+/** Window-function surface (SURVEY.md §2.4 "window"): ranking, lag/lead,
+  * running frames, moving windows, numeric RANGE frames, per-group top-k.
+  *
+  * Scale notes: every window here partitions by a real key (nation, user,
+  * customer) so state is distributed; none uses a global
+  * `Window.orderBy`-without-partition (which would single-task the job).
+  * The only global sorts are the final presentation ORDER BYs required for
+  * deterministic oracle comparison.
+  */
+object Windows {
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q16_window_rank",
+      "rank/dense_rank/row_number per nation by account balance; ties resolved identically on both engines.",
+      """SELECT c_custkey, c_nationkey,
+        |  rank()       OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  row_number() OVER (PARTITION BY c_nationkey
+        |                     ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+        |ORDER BY c_nationkey, rn, c_custkey""".stripMargin) { (s, d) =>
+      val byBal = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
+      val stable = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d).select(
+        col("c_custkey"), col("c_nationkey"),
+        rank().over(byBal).as("rnk"),
+        dense_rank().over(byBal).as("drnk"),
+        row_number().over(stable).as("rn"))
+        .orderBy(col("c_nationkey"), col("rn"), col("c_custkey"))
+    },
+
+    GraftQuery(
+      "q17_window_lag",
+      "lag/lead along each user's event timeline; per-row double delta emitted as exact cents.",
+      """SELECT event_id, user_id,
+        |  CAST(floor((value - lag(value)  OVER w) * 100) AS BIGINT) AS delta_prev_cents,
+        |  CAST(floor((lead(value) OVER w - value) * 100) AS BIGINT) AS delta_next_cents
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        floor((col("value") - lag(col("value"), 1).over(w)) * 100).cast("long")
+          .as("delta_prev_cents"),
+        floor((lead(col("value"), 1).over(w) - col("value")) * 100).cast("long")
+          .as("delta_next_cents"))
+        .orderBy(col("event_id"))
+    },
+
+    GraftQuery(
+      "q18_window_running",
+      "Running totals per customer: cumulative order count and exact-cents spend (ROWS UNBOUNDED PRECEDING frame).",
+      """SELECT o_orderkey, o_custkey,
+        |  count(*) OVER w AS n_so_far,
+        |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) OVER w AS BIGINT) AS spent_so_far_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        count(lit(1)).over(w).as("n_so_far"),
+        sum(cents(col("o_totalprice"))).over(w).as("spent_so_far_cents"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    GraftQuery(
+      "q19_topk_per_group",
+      "Top-3 orders by price per priority class via row_number — the distributed top-k-per-group pattern (no global sort of the fact table).",
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(floor(o_totalprice*100) AS BIGINT) AS price_cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderpriority"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"),
+        row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_orderpriority"), col("rn"))
+    },
+
+    GraftQuery(
+      "q20_topk_global",
+      "Global top-100 by price with unique tiebreak; orderBy+limit lets Spark run a distributed TakeOrdered instead of a full sort.",
+      """SELECT o_orderkey, CAST(floor(o_totalprice*100) AS BIGINT) AS price_cents
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+    },
+
+    GraftQuery(
+      "q21_moving_window",
+      "Two-level plan: daily revenue aggregate, then a 7-row moving sum over the day series (agg feeding a window without re-shuffle of the fact table).",
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM orders GROUP BY day)
+        |SELECT day, day_cents,
+        |  CAST(sum(day_cents) OVER (ORDER BY day
+        |       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma7_cents
+        |FROM daily
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("day_cents"))
+      // the day series is small post-aggregation; a single-partition window
+      // over it is fine at any SF (cardinality = calendar days)
+      val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+      daily.select(col("day"), col("day_cents"),
+        sum(col("day_cents")).over(w).as("ma7_cents"))
+        .orderBy(col("day"))
+    },
+
+    GraftQuery(
+      "q22_range_frame",
+      "Numeric RANGE frame: per nation, how many customers sit within ±100.00 of each customer's balance (frame on exact cents).",
+      """SELECT c_custkey,
+        |  count(*) OVER (PARTITION BY c_nationkey ORDER BY CAST(floor(c_acctbal*100) AS BIGINT)
+        |                 RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_within_100
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(cents(col("c_acctbal")))
+        .rangeBetween(-10000L, 10000L)
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        count(lit(1)).over(w).as("n_within_100"))
+        .orderBy(col("c_custkey"))
+    }
+  )
+}
