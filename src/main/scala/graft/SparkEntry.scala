@@ -14,6 +14,7 @@ object SparkEntry {
       ops.Windows.queries ++
       ops.Scalars.queries ++
       ops.AdvancedJoins.queries ++
+      ops.Dedup.queries ++
       etl.EtlQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -30,11 +30,11 @@ object ColumnOps {
     */
   def shingles(toks: Column, n: Int): Column = {
     require(n >= 1)
-    // positions 0 .. size-n; transform over a sequence of start indices
-    val starts = sequence(lit(0), greatest(size(toks) - lit(n), lit(-1)))
-    filter(
-      transform(starts, i => array_join(slice(toks, i + 1, lit(n)), " ")),
-      s => s.isNotNull)
+    // 1-based start positions 1 .. size-n+1; guard the short-doc case
+    // explicitly (sequence(1, k) with k < 1 would generate DESCENDING).
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - lit(n - 1)), i =>
+        array_join(slice(toks, i, lit(n)), " ")))
   }
 
   /** Dot product of two ArrayType(Float/Double) columns, computed in double.

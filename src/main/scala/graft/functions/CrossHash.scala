@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** A 60-bit hash computable bit-identically in Spark AND in the DuckDB
+  * oracle: the first 15 hex digits of md5(utf8 bytes), parsed base-16.
+  * 15 hex digits = 60 bits < 63, so the value always fits a signed long
+  * and is non-negative on both engines.
+  *
+  * This is the determinism backbone of every hash-based operator with a SQL
+  * oracle (MinHash, SimHash, fingerprinting): engine-native hashes
+  * (xxhash64 / murmur / DuckDB `hash()`) differ across engines, while md5 is
+  * standardized. At 100 TB the md5-per-shingle cost is real but embarrassingly
+  * parallel and stays inside whole-stage codegen; swap for `xxhash64` when no
+  * cross-engine oracle is needed.
+  */
+object CrossHash {
+
+  /** Spark side: `conv(substr(md5(c),1,15),16,10)` as a long. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB side of the same value, as a SQL fragment over `expr`. */
+  def h60Sql(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+}

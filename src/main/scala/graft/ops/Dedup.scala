@@ -1,0 +1,232 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.ColumnOps._
+import graft.functions.CrossHash.{h60, h60Sql}
+
+/** Deduplication family over `documents` (the LLM-training-data surface the
+  * engine adds beyond the reference): exact hash-groupBy, n-gram Jaccard via
+  * inverted index, MinHash signatures + LSH banding, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Every hash that crosses the oracle boundary is [[graft.functions.CrossHash]]
+  * (md5-derived) so DuckDB computes the identical 60-bit value; every
+  * similarity score is quantized to integer parts-per-million before the
+  * result surface, so float summation order can never flip a comparison.
+  *
+  * Scale notes (100 TB design intent):
+  *   - exact dedup shuffles 16-byte md5 keys, never full documents;
+  *   - the all-pairs stages (q38 inverted-index join, q42 brute-force cosine)
+  *     are the *verification* tier — at corpus scale you run q39/q40's
+  *     LSH banding first and only exact-verify colliding candidates. The
+  *     banding itself is one explode + one groupBy — linear shuffle volume,
+  *     `spark.sql.shuffle.partitions` sized to the corpus;
+  *   - MinHash aggregation is a plain groupBy.agg(min×k) — map-side partial
+  *     aggregation halves the shuffle for free.
+  */
+object Dedup {
+
+  // ---- shared MinHash parameters (single source for Spark AND oracle SQL) --
+  /** Mersenne-ish modulus; small enough that a*h+b stays far from Long.Max. */
+  val P = 1000000007L
+  /** (a_i, b_i) of the 32 affine hash functions h_i(x) = (a_i*x + b_i) mod P. */
+  val hashParams: Seq[(Long, Long)] =
+    (0 until 32).map(i => ((2 * i + 1).toLong, 7919L * i + 13L))
+  /** LSH banding: 8 bands × 4 rows over the 32-signature. */
+  val NumBands = 8
+  val RowsPerBand = 4
+
+  // ---- shared DuckDB CTE fragments ----------------------------------------
+  /** tokens per doc, mirroring ColumnOps.tokens. */
+  private val tokCte =
+    """t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents)""".stripMargin
+  /** distinct 3-gram shingles per doc, mirroring ColumnOps.shingles(_, 3). */
+  private val shCte =
+    """sh AS (SELECT DISTINCT doc_id,
+      |  unnest(list_transform(generate_series(1, len(toks)-2),
+      |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM t WHERE len(toks) >= 3)""".stripMargin
+
+  /** MinHash signature frame: doc_id, mh00..mh31 (exact longs). */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val sh = docs
+      .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 3))).as("sh"))
+      .withColumn("hs", pmod(h60(col("sh")), lit(P)))
+    val aggs = hashParams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("hs") * a + b, lit(P))).as(f"mh$i%02d")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The oracle twin of [[minhashSignatures]], built from the same params. */
+  private def minhashSql: String = {
+    val hs = s"${h60Sql("sh")} % $P"
+    val mins = hashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a*hs + $b) % $P) AS mh" + f"$i%02d"
+    }.mkString(",\n  ")
+    s"""WITH $tokCte,
+       |$shCte,
+       |h AS (SELECT doc_id, $hs AS hs FROM sh)
+       |SELECT doc_id,
+       |  $mins
+       |FROM h GROUP BY doc_id""".stripMargin
+  }
+
+  /** Cosine similarity in double with sequential fold — mirrored by the
+    * list_sum/list_transform oracle fragment (bit-identical fold order). */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))"
+    def norm(x: String) =
+      s"sqrt(list_sum(list_transform($x, e -> CAST(e AS DOUBLE)*CAST(e AS DOUBLE))))"
+    s"CASE WHEN ${norm(a)} * ${norm(b)} = 0 THEN 0.0 ELSE ${dot(a, b)} / (${norm(a)} * ${norm(b)}) END"
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q37_exact_dedup",
+      "Exact dedup as hash-groupBy: normalize whitespace/case, group by md5 of the normalized text (16-byte shuffle keys, not documents), keep min(doc_id) as canonical.",
+      """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |ORDER BY canonical_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select(col("canonical_id"), col("n_copies"))
+        .orderBy(col("canonical_id"))
+    },
+
+    GraftQuery(
+      "q38_ngram_jaccard",
+      "Top-50 most similar doc pairs by exact 3-gram Jaccard, via shingle inverted-index join (|A∩B| from the index, |A∪B| = |A|+|B|−|A∩B|); similarity as integer ppm.",
+      s"""WITH $tokCte,
+         |$shCte,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(floor(1000000.0 * inter / (x.sz + y.sz - inter)) AS BIGINT) AS jaccard_ppm
+         |FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+         |ORDER BY jaccard_ppm DESC, doc_a, doc_b LIMIT 50""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          floor(lit(1000000.0) * col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+            .cast("long").as("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("doc_a"), col("doc_b"))
+        .limit(50)
+    },
+
+    GraftQuery(
+      "q39_minhash_signatures",
+      "MinHash signature matrix: 32 affine hashes over md5-derived 60-bit shingle hashes; one groupBy.agg(min×32) — map-side partial aggregation, exact-long output.",
+      minhashSql + "\nORDER BY doc_id") { (s, d) =>
+      minhashSignatures(s, d).orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
+      "q40_lsh_bucket_stats",
+      "LSH banding over the MinHash signatures (8 bands × 4 rows): per band, bucket count, max bucket size, and candidate-pair count — the linear-cost candidate generator that replaces all-pairs comparison at corpus scale.",
+      {
+        val bandSelects = (0 until NumBands).map { b =>
+          val key = (0 until RowsPerBand)
+            .map(r => f"mh${b * RowsPerBand + r}%02d").mkString(" || ',' || ")
+          s"SELECT $b AS band, $key AS key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH sig AS (
+           |$minhashSql
+           |),
+           |bands AS (
+           |  $bandSelects),
+           |buckets AS (SELECT band, key, count(*) AS c FROM bands GROUP BY 1, 2)
+           |SELECT band,
+           |  count(*) AS n_buckets,
+           |  CAST(max(c) AS BIGINT) AS max_bucket,
+           |  CAST(sum((c*(c-1))/2) AS BIGINT) AS n_candidate_pairs
+           |FROM buckets GROUP BY band ORDER BY band""".stripMargin
+      }) { (s, d) =>
+      val sig = minhashSignatures(s, d)
+      val bandCols = (0 until NumBands).map { b =>
+        val key = concat_ws(",",
+          (0 until RowsPerBand).map(r => col(f"mh${b * RowsPerBand + r}%02d")): _*)
+        struct(lit(b).as("band"), key.as("key"))
+      }
+      sig.select(explode(array(bandCols: _*)).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.key").as("key"))
+        .groupBy(col("band"), col("key")).agg(count(lit(1)).as("c"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_buckets"),
+          max(col("c")).as("max_bucket"),
+          sum((col("c") * (col("c") - 1)) / 2).cast("long").as("n_candidate_pairs"))
+        .orderBy(col("band"))
+    },
+
+    GraftQuery(
+      "q41_simhash",
+      "64→32-bit SimHash per document: term-frequency-weighted sign-sum over md5-derived token-hash bits; near-dup docs land at small hamming distance.",
+      {
+        val sums = (0 until 32).map(j =>
+          s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN c ELSE -c END) AS s$j").mkString(",\n  ")
+        val bits = (0 until 32).map(j =>
+          s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        s"""WITH $tokCte,
+           |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+           |tf AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+           |h AS (SELECT doc_id, c, ${h60Sql("tok")} AS hv FROM tf),
+           |s AS (SELECT doc_id,
+           |  $sums
+           |FROM h GROUP BY doc_id)
+           |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+           |FROM s ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .withColumn("hv", h60(col("tok")))
+      val sums = (0 until 32).map(j =>
+        sum(when(shiftright(col("hv"), j).bitwiseAND(lit(1L)) === 1L, col("c"))
+          .otherwise(-col("c"))).as(s"s$j"))
+      val simhash = (0 until 32).map(j =>
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      tf.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), simhash.cast("long").as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
+      "q42_embedding_neardup",
+      "Embedding-cosine near-duplicate pairs (sim ≥ 0.40), brute-force verification tier; double-precision sequential fold, ppm-quantized. The scale path generates candidates with q44's hyperplane LSH first.",
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  CAST(floor(1000000.0 * (${cosSql("a.embedding", "b.embedding")})) AS BIGINT) AS cos_ppm
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.40
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      val sim = cosineSim(col("emb_a"), col("emb_b"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .filter(sim >= 0.40)
+        .select(col("vec_a"), col("vec_b"),
+          floor(lit(1000000.0) * sim).cast("long").as("cos_ppm"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }
+  )
+}
