@@ -10,7 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev-loop filter: SPARK_GRAFT_ONLY=q42,q38 benches just those queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(f => f.exists(name.startsWith))
+    }
+    // Untimed warmup: initialize codegen/JIT, the Hadoop FS layer and the
+    // vectorized parquet reader once, so the first timed query measures the
+    // query rather than JVM startup (standard benchmark methodology).
+    try {
+      spark.range(1 << 20).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case _: Throwable => () }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{GraftShim, Tokenize, VectorDot, VectorNorm, WordNGrams}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+
+/** DataFrame + SQL surface for the engine's native Catalyst expressions.
+  *
+  * Two integration paths, both offered because a real deployment uses both:
+  *   - [[vecDot]]/[[vecNorm]] Column builders for DataFrame pipelines
+  *     (wrap the expression directly — no function-registry round trip);
+  *   - [[GraftExtensions]] (`spark.sql.extensions=graft.functions.GraftExtensions`)
+  *     or [[GraftFunctions.register]] for SQL users, exposing `vec_dot` /
+  *     `vec_norm` / `h60` to `spark.sql(...)`.
+  */
+object GraftFunctions {
+
+  private def column(e: Expression): Column   = GraftShim.column(e)
+  private def expression(c: Column): Expression = GraftShim.expression(c)
+
+  /** Dot product of two `array<float>` columns in double (codegen). */
+  def vecDot(a: Column, b: Column): Column =
+    column(VectorDot(expression(a), expression(b)))
+
+  /** L2 norm of an `array<float>` column in double (codegen). */
+  def vecNorm(a: Column): Column =
+    column(VectorNorm(expression(a)))
+
+  /** Whitespace tokenizer (codegen kernel, ASCII `\s` class). */
+  def tokenize(text: Column): Column =
+    column(Tokenize(expression(text)))
+
+  /** n-gram shingles of a token array, space-joined (codegen kernel). */
+  def wordNGrams(toks: Column, n: Int): Column =
+    column(WordNGrams(expression(toks), n))
+
+  /** (name, info, builder) triples for SQL registration. */
+  val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vec_dot(a, b) takes two arguments")
+        VectorDot(children(0), children(1))
+      }),
+    (FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VectorNorm].getName, "vec_norm"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "vec_norm(a) takes one argument")
+        VectorNorm(children.head)
+      }))
+
+  /** Idempotent per-session SQL registration (for sessions not built with
+    * `spark.sql.extensions`). */
+  def register(spark: SparkSession): Unit = {
+    val fr = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    registry.foreach { case (id, info, builder) =>
+      fr.registerFunction(id, info, builder)
+    }
+  }
+}
+
+/** `SparkSessionExtensions` entry point: registers the engine's native
+  * expressions at session build time —
+  * `SparkSession.builder.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registry.foreach(ext.injectFunction)
+}
