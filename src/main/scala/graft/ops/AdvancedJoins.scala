@@ -76,10 +76,10 @@ object AdvancedJoins {
         |  ON a.p_brand = b.p_brand
         | AND a.p_partkey < b.p_partkey
         | AND abs(a.p_size - b.p_size) <= 2
-        |WHERE a.p_retailprice > 990.0 AND b.p_retailprice > 990.0
+        |WHERE a.p_retailprice > 905.0 AND b.p_retailprice > 905.0
         |GROUP BY a.p_brand
         |ORDER BY a.p_brand""".stripMargin) { (s, d) =>
-      val p = Tables.part(s, d).filter(col("p_retailprice") > 990.0)
+      val p = Tables.part(s, d).filter(col("p_retailprice") > 905.0)
         .select(col("p_brand"), col("p_partkey"), col("p_size"))
       val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_size").as("size_a"))
       val b = p.select(col("p_brand").as("brand_b"), col("p_partkey").as("key_b"), col("p_size").as("size_b"))

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnOps._
+
+/** Native codegen kernels (Tokenize, WordNGrams, VectorDot, VectorNorm) must
+  * be element-identical to their HOF twins — the formulations the DuckDB
+  * oracle mirrors. Checked on the driver fixture corpus plus adversarial and
+  * seeded-random inputs.
+  */
+class KernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenize/ngrams kernels match HOF twins on the documents corpus") {
+    val mismatches = Tables.documents(spark, sf)
+      .select(
+        tokens(col("text")).as("tk"), tokensHof(col("text")).as("th"),
+        shingles(tokens(col("text")), 3).as("sk"),
+        shinglesHof(tokensHof(col("text")), 3).as("sh"))
+      .filter(not(col("tk") === col("th")) || not(col("sk") === col("sh")))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("tokenize edge cases: empty, all-whitespace, leading/trailing, runs") {
+    val cases = Seq("", "   ", "\t\n\r\f", "a", " a ", "a  b",
+      "\ta\nb\r", "héllo wörld", "a b" /* NBSP is NOT \s */)
+    val rows = cases.toDF("s")
+      .select(tokens(col("s")).as("k"), tokensHof(col("s")).as("h"))
+      .collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), s"input '$c'")
+    }
+    // NBSP-joined stays one token (ASCII \s class, same as Java/RE2 default)
+    val nbsp = Seq("a b").toDF("s").select(tokens(col("s"))).as[Seq[String]].head()
+    assert(nbsp === Seq("a b"))
+  }
+
+  test("tokenize/ngrams property: kernel == HOF on random whitespace soup") {
+    val rng = new scala.util.Random(42) // seeded: deterministic test corpus
+    val tokenChars = "abcXYZ019éß中.,"
+    val wsChars = " \t\n\r\f"
+    def soup(): String = Seq.fill(rng.nextInt(60))(
+      if (rng.nextInt(4) == 0) wsChars(rng.nextInt(wsChars.length))
+      else tokenChars(rng.nextInt(tokenChars.length))).mkString
+    val strs = Seq.fill(500)(soup())
+    val bad = strs.toDF("s")
+      .select(tokens(col("s")).as("tk"), tokensHof(col("s")).as("th"),
+        shingles(tokens(col("s")), 2).as("sk"),
+        shinglesHof(tokensHof(col("s")), 2).as("sh"))
+      .filter(not(col("tk") === col("th")) || not(col("sk") === col("sh")))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("ngrams shorter than n yield empty array; n=1 yields tokens") {
+    val df = Seq("one two", "a b c d").toDF("s")
+    val r3 = df.select(shingles(tokens(col("s")), 3).as("g")).as[Seq[String]].collect()
+    assert(r3(0) === Seq.empty)
+    assert(r3(1) === Seq("a b c", "b c d"))
+    val r1 = df.select(shingles(tokens(col("s")), 1).as("g")).as[Seq[String]].collect()
+    assert(r1(0) === Seq("one", "two"))
+  }
+
+  test("vec_dot/vec_norm match HOF fold on the embeddings fixture") {
+    val hofDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val hofNorm = (a: org.apache.spark.sql.Column) =>
+      sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val e = Tables.embeddings(spark, sf).limit(200)
+    val bad = e.select(
+      dotProduct(col("embedding"), col("embedding")).as("kd"),
+      hofDot(col("embedding"), col("embedding")).as("hd"),
+      l2Norm(col("embedding")).as("kn"),
+      hofNorm(col("embedding")).as("hn"))
+      // bit-identical contract, so exact equality — no epsilon
+      .filter(col("kd") =!= col("hd") || col("kn") =!= col("hn"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("cosineSim: zero vector maps to 0.0, self-similarity is ~1") {
+    val df = Seq(
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f)),
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f))).toDF("a", "b")
+    val r = df.select(cosineSim(col("a"), col("b"))).as[Double].collect()
+    assert(r(0) === 0.0)
+    assert(math.abs(r(1) - 1.0) < 1e-12)
+  }
+
+  test("null inputs propagate null through the kernels") {
+    val df = Seq(Tuple1(Option.empty[String])).toDF("s")
+    assert(df.select(tokens(col("s"))).collect()(0).isNullAt(0))
+    val dv = Seq(Tuple1(Option.empty[Array[Float]])).toDF("v")
+    assert(dv.select(l2Norm(col("v"))).collect()(0).isNullAt(0))
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+/** Every registered query must build and return rows on the smallest fixture
+  * tier — the cheap local twin of the driver's smoke + correctness gates.
+  * (Value-level correctness is the DuckDB differential gate's job.) */
+class QueryRegistrySpec extends SparkSpec {
+
+  test("registry names are unique and well-formed") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size === names.size)
+    assert(names.forall(_.matches("q\\d+[a-z0-9_]*")))
+  }
+
+  test("every query has a doc string; oracles are non-empty SQL") {
+    SparkEntry.registry.foreach { q =>
+      assert(q.doc.trim.nonEmpty, q.name)
+      q.oracle.foreach(sql => assert(sql.toUpperCase.contains("SELECT"), q.name))
+    }
+  }
+
+  test("flagship entry returns rows (driver t1 contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for (q <- SparkEntry.registry) {
+    test(s"${q.name} builds and returns rows on sf0.001") {
+      val df = q.build(spark, sf)
+      assert(df.count() > 0, s"${q.name} returned no rows")
+    }
+  }
+}
