@@ -15,6 +15,8 @@ object SparkEntry {
       ops.Scalars.queries ++
       ops.AdvancedJoins.queries ++
       ops.Dedup.queries ++
+      ops.Similarity.queries ++
+      ops.TextAnalysis.queries ++
       etl.EtlQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

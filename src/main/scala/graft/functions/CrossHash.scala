@@ -24,4 +24,14 @@ object CrossHash {
   /** DuckDB side of the same value, as a SQL fragment over `expr`. */
   def h60Sql(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Driver-side (plain Scala) twin of [[h60]] — used to precompute literal
+    * constants (e.g. LSH hyperplane components) that both the Spark plan and
+    * the DuckDB oracle re-derive from the same md5 formula. */
+  def h60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
 }

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.ColumnOps._
+import graft.functions.CrossHash.{h60, h60Sql}
+
+/** Text-analysis surface over `documents` (SURVEY §2.4 "text analysis" +
+  * the training-data-pipeline ops): language-ID by stopword profile,
+  * quality scoring, token statistics with a BPE-ish regex tokenizer, and
+  * rolling-hash document fingerprinting.
+  *
+  * Determinism rules: every ratio is ppm-quantized (`floor(1e6*x/y)` on
+  * exact integer counts), every hash is the cross-engine md5-derived h60,
+  * argmax tie-breaks are total (score desc, language asc). All per-doc maps
+  * are embarrassingly parallel — no shuffle until the final small
+  * aggregation, which is the shape that scales to 100 TB.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language common-word profiles (public knowledge, ASCII-safe).
+    * Single source for the Spark plan AND the oracle SQL. */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "los", "que", "y", "una", "por"),
+    "fr" -> Seq("le", "et", "les", "des", "une", "dans"),
+    "zh" -> Seq("de", "shi", "le", "wo", "zai", "you"))
+
+  /** BPE-ish tokenizer regex: letter runs | digit runs | single symbol.
+    * ASCII classes only, so Java (Spark) and RE2 (DuckDB) agree exactly. */
+  val bpeRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]"
+
+  private val stopwords = profiles.flatMap(_._2).distinct.sorted
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q45_language_id",
+      "Language-ID by stopword-profile scoring: per doc, count profile hits per language, argmax with total tie-break (score desc, lang asc); output the actual-vs-predicted confusion matrix.",
+      {
+        val scoreRows = profiles.map { case (lang, words) =>
+          val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"SELECT doc_id, '$lang' AS pred, len(list_filter(toks, t -> list_contains($arr, t))) AS score FROM t"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH t AS (SELECT doc_id,
+           |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+           |  FROM documents),
+           |s AS (
+           |  $scoreRows),
+           |r AS (SELECT doc_id, pred, score,
+           |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pred) AS rk
+           |      FROM s)
+           |SELECT d.lang AS actual, r.pred AS predicted, count(*) AS n_docs
+           |FROM r JOIN documents d USING (doc_id)
+           |WHERE r.rk = 1
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      // one scan: all 5 profile scores in a single projection, then stacked
+      // (the oracle's UNION ALL re-reads; Spark shouldn't)
+      val scoreCols = profiles.map { case (lang, words) =>
+        struct(lit(lang).as("pred"),
+          size(filter(col("toks"), t => t.isInCollection(words))).as("score"))
+      }
+      val scored = docs
+        .select(col("doc_id"), col("lang"), explode(array(scoreCols: _*)).as("s"))
+        .select(col("doc_id"), col("lang"),
+          col("s.pred").as("pred"), col("s.score").as("score"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("pred"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("lang").as("actual"), col("pred").as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("actual"), col("predicted"))
+    },
+
+    GraftQuery(
+      "q46_quality_score",
+      "Document quality scoring: exact char/token counts, mean token length and stopword ratio in ppm, and a 3-bucket quality label from threshold rules — the length/punct/stopword heuristics of a pretraining-data filter.",
+      {
+        val arr = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, text,
+           |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+           |  FROM documents),
+           |m AS (SELECT doc_id,
+           |        CAST(len(text) AS BIGINT) AS n_chars,
+           |        CAST(len(toks) AS BIGINT) AS n_tokens,
+           |        CAST(len(list_filter(toks, t -> list_contains($arr, t))) AS BIGINT) AS n_stop
+           |      FROM t)
+           |SELECT doc_id, n_chars, n_tokens,
+           |  CAST(floor(1000000.0 * (n_chars - n_tokens + 1) / n_tokens) AS BIGINT) AS mean_tok_len_ppm,
+           |  CAST(floor(1000000.0 * n_stop / n_tokens) AS BIGINT) AS stop_ratio_ppm,
+           |  CASE WHEN n_tokens < 20 THEN 'short'
+           |       WHEN n_stop * 5 >= n_tokens THEN 'stopword_heavy'
+           |       ELSE 'ok' END AS quality
+           |FROM m WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      val m = t.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), w => w.isInCollection(stopwords))).cast("long").as("n_stop"))
+      m.filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          floor(lit(1000000.0) * (col("n_chars") - col("n_tokens") + 1) / col("n_tokens"))
+            .cast("long").as("mean_tok_len_ppm"),
+          floor(lit(1000000.0) * col("n_stop") / col("n_tokens"))
+            .cast("long").as("stop_ratio_ppm"),
+          when(col("n_tokens") < 20, "short")
+            .when(col("n_stop") * 5 >= col("n_tokens"), "stopword_heavy")
+            .otherwise("ok").as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
+      "q47_token_stats",
+      "Per-source token statistics with two tokenizers: whitespace tokens and a BPE-ish regex (letter runs | digit runs | single symbol); exact counts plus type-token ratio in ppm.",
+      s"""WITH t AS (SELECT doc_id, source,
+         |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws,
+         |  regexp_extract_all(text, '$bpeRegex') AS bpe
+         |  FROM documents)
+         |SELECT source,
+         |  CAST(sum(len(ws)) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(len(bpe)) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(len(list_distinct(ws))) AS BIGINT) AS ws_types,
+         |  CAST(floor(1000000.0 * sum(len(list_distinct(ws))) / sum(len(ws))) AS BIGINT) AS ttr_ppm
+         |FROM t GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        tokens(col("text")).as("ws"),
+        regexp_extract_all(col("text"), lit(bpeRegex), lit(0)).as("bpe"))
+      t.groupBy(col("source"))
+        .agg(sum(size(col("ws"))).as("ws_tokens"),
+          sum(size(col("bpe"))).as("bpe_tokens"),
+          sum(size(array_distinct(col("ws")))).as("ws_types"))
+        .select(col("source"), col("ws_tokens"), col("bpe_tokens"), col("ws_types"),
+          floor(lit(1000000.0) * col("ws_types") / col("ws_tokens"))
+            .cast("long").as("ttr_ppm"))
+        .orderBy(col("source"))
+    },
+
+    GraftQuery(
+      "q48_doc_fingerprint",
+      "Rolling-hash document fingerprints: h60 over every char 8-gram (position explode, native substr — no per-row lambda), then per-doc min-hash fingerprint, max, and distinct-gram count. Equal fingerprints are near-dup candidates.",
+      s"""WITH g AS (SELECT doc_id, ${h60Sql("substr(text, CAST(i AS INTEGER), 8)")} AS h
+         |  FROM documents, LATERAL unnest(generate_series(1, len(text) - 7)) AS u(i)
+         |  WHERE len(text) >= 8)
+         |SELECT doc_id,
+         |  min(h) AS fp_min, max(h) AS fp_max,
+         |  count(DISTINCT h) AS n_grams
+         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+        .select(col("doc_id"),
+          h60(col("text").substr(col("i"), lit(8))).as("h"))
+      g.groupBy(col("doc_id"))
+        .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max"),
+          countDistinct(col("h")).as("n_grams"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}
