@@ -17,6 +17,7 @@ object SparkEntry {
       ops.Dedup.queries ++
       ops.Similarity.queries ++
       ops.TextAnalysis.queries ++
+      ops.Analytics.queries ++
       etl.EtlQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,273 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.ColumnOps._
+
+/** Advanced analytics surface: grouping sets, pivot, exact rank-based
+  * percentiles, moment statistics from exact integer sums, skew-salted and
+  * broadcast join patterns, and event-time sessionization / tumbling /
+  * sliding / session windows (the batch twins of the streaming operators).
+  *
+  * Determinism doctrine (SURVEY §5): every floating aggregate is reduced to
+  * exact integer arithmetic first — money as cents longs, moments as
+  * decimal(38) sums, percentiles by rank selection rather than
+  * interpolation — so no result depends on float summation order.
+  */
+object Analytics {
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q49_grouping_sets",
+      "GROUPING SETS ((status, priority), (status), ()) over orders with grouping_id to label levels — the generalization of rollup/cube (q10/q11).",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    GraftQuery(
+      "q50_pivot",
+      "Pivot events by event_type (explicit value list — no extra pass to discover values, and deterministic column order) with per-user cents sums.",
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click'    THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error'    THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup'   THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view'     THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(cents(col("value"))))
+        .orderBy(col("user_id"))
+    },
+
+    GraftQuery(
+      "q51_percentiles",
+      "Exact rank-based percentiles per order priority: median as the sum of the two middle cents values (x2 — integer-exact, no interpolation), p90 as the discrete quantile at ceil(0.9 n).",
+      """WITH r AS (SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY floor(o_totalprice * 100)) AS rn,
+        |    count(*)     OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN cents END)
+        |       * (CASE WHEN max(n) % 2 = 0 THEN 1 ELSE 2 END) AS BIGINT) AS median_x2_cents,
+        |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS BIGINT) AS p90_cents,
+        |  max(n) AS n
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val w  = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents"))
+      val wn = Window.partitionBy(col("o_orderpriority"))
+      val r = Tables.orders(s, d)
+        .select(col("o_orderpriority"), cents(col("o_totalprice")).as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+      // rn is integral: floor((n+k)/2) == integer division (n << 2^53)
+      val lo  = floor((col("n") + 1) / 2)
+      val hi  = floor((col("n") + 2) / 2)
+      val p90 = floor((col("n") * 9 + 9) / 10)
+      r.groupBy(col("o_orderpriority"))
+        .agg(
+          (sum(when(col("rn") === lo || col("rn") === hi, col("cents")))
+            * when(max(col("n")) % 2 === 0, 1).otherwise(2)).cast("long")
+            .as("median_x2_cents"),
+          max(when(col("rn") === p90, col("cents"))).cast("long")
+            .as("p90_cents"),
+          max(col("n")).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    GraftQuery(
+      "q52_stats_from_sums",
+      "Moment statistics from exact integer sums (decimal(38) — no float summation order anywhere): per-returnflag stddev of price cents and corr(quantity, price) in ppm, derived from n, Sx, Sy, Sxx, Syy, Sxy.",
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(floor(sqrt(CAST(n * syy - sy * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))) AS BIGINT) AS stddev_price_cents,
+        |  CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) AS corr_ppm
+        |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val dec = "decimal(38,0)"
+      val x = col("l_quantity").cast("long")
+      val y = cents(col("l_extendedprice"))
+      // products go decimal BEFORE the sum: sum(y*y) overflows long at scale
+      // (price-cents² ~1e14 per row), and ANSI mode would make that an error
+      val sums = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), x.as("x"), y.as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x").cast(dec)).cast(dec).as("sx"),
+          sum(col("y").cast(dec)).cast(dec).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).cast(dec).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).cast(dec).as("syy"),
+          sum((col("x") * col("y")).cast(dec)).cast(dec).as("sxy"))
+      sums.select(col("l_returnflag"), col("n").cast("long").as("n"),
+        floor(sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+          / (col("n") * (col("n") - 1)).cast("double"))).cast("long")
+          .as("stddev_price_cents"),
+        floor(lit(1000000.0) * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .cast("long").as("corr_ppm"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    GraftQuery(
+      "q53_salted_skew_join",
+      "Skew-salted fact-dim join: the dim side is replicated across 8 salt values and the fact side joins on (key, deterministic salt), spreading one hot key over 8 tasks; result identical to the plain join the oracle runs.",
+      """SELECT c.c_nationkey, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin) { (s, d) =>
+      val salts = 8
+      val fact = Tables.events(s, d)
+        .select(col("user_id"), col("value"),
+          pmod(col("event_id"), lit(salts)).cast("int").as("salt"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          explode(array((0 until salts).map(lit): _*)).as("salt"))
+      fact.join(dim,
+        fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    GraftQuery(
+      "q54_broadcast_dim_join",
+      "Star-schema chain with explicit broadcast hints on both dims (nation, region): the fact table never shuffles for the join — the default plan for dim tables that fit in memory.",
+      """SELECT r.r_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+        .orderBy(col("r_name"))
+    },
+
+    GraftQuery(
+      "q55_sessionization",
+      "Gaps-and-islands sessionization (30-min inactivity gap) via lag + running sum — one shuffle by user, no join: per-session bounds, event count, and value cents.",
+      """WITH g AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, sid,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin) { (s, d) =>
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run  = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("new_s",
+          when(col("ts") - lag(col("ts"), 1).over(byTs) > expr("INTERVAL 30 MINUTE")
+            || lag(col("ts"), 1).over(byTs).isNull, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(unix_timestamp(min(col("ts"))).as("start_s"),
+          unix_timestamp(max(col("ts"))).as("end_s"),
+          count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"))
+        .orderBy(col("user_id"), col("sid"))
+    },
+
+    GraftQuery(
+      "q56_tumbling_window",
+      "Tumbling 15-minute event-time windows per event type (batch twin of the streaming aggregation): window start as epoch seconds.",
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS window_start_s,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .select(unix_timestamp(col("window.start")).as("window_start_s"),
+          col("event_type"), col("n"), col("value_cents"))
+        .orderBy(col("window_start_s"), col("event_type"))
+    },
+
+    GraftQuery(
+      "q57_sliding_window",
+      "Sliding windows (10-min length, 5-min slide): every event lands in exactly two windows; the oracle derives both window starts arithmetically.",
+      """WITH w AS (SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 300) - u.k) * 300 AS window_start_s,
+        |    event_type, value
+        |  FROM events, LATERAL unnest([0, 1]) AS u(k))
+        |SELECT window_start_s, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .select(unix_timestamp(col("window.start")).as("window_start_s"),
+          col("n"), col("value_cents"))
+        .orderBy(col("window_start_s"))
+    },
+
+    GraftQuery(
+      "q58_session_window",
+      "Native session_window (10-min gap) per user — Spark's merging session windows in batch mode; the oracle is the equivalent gaps-and-islands rewrite (session end = last event + gap).",
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 10 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) + 600 AS session_end_s,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_s""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("session_start_s"),
+          unix_timestamp(col("session_window.end")).as("session_end_s"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start_s"))
+    }
+  )
+}
