@@ -18,6 +18,8 @@ object SparkEntry {
       ops.Similarity.queries ++
       ops.TextAnalysis.queries ++
       ops.Analytics.queries ++
+      ops.Multimodal.queries ++
+      streaming.StreamingOps.queries ++
       etl.EtlQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

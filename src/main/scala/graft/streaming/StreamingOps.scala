@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StructType}
+import graft.{GraftQuery, Tables}
+import graft.functions.ColumnOps._
+
+/** Structured Streaming surface (SURVEY §2.4 "streaming", §7 M3): real
+  * `readStream` pipelines over the events table — tumbling/sliding
+  * event-time windows with watermarks, streaming deduplication — executed
+  * with `Trigger.AvailableNow` into an in-memory sink so each run processes
+  * the full fixture deterministically and the result is a plain DataFrame
+  * the driver's DuckDB gate can hash.
+  *
+  * Scale/semantics notes:
+  *   - the file source is the same parquet the batch twin reads; in
+  *     production the source would be Kafka/files-in-arrival-order, and the
+  *     `withWatermark` bound controls state eviction — state per key/window
+  *     is dropped once the watermark passes, which is what keeps unbounded
+  *     streams in bounded memory at 100 TB/day;
+  *   - aggregations run in COMPLETE output mode here so the one-batch
+  *     AvailableNow run emits every window (append mode would hold back
+  *     windows newer than watermark — correct for unbounded streams,
+  *     unhelpful for a finite verification corpus). Late-data *dropping*
+  *     semantics are exercised in StreamingSpec with a two-batch
+  *     MemoryStream instead, where the watermark actually advances.
+  */
+object StreamingOps {
+
+  /** The events table as a file-source stream (schema from the batch
+    * reader; nanosecond timestamps normalized identically). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val raw = spark.readStream
+      .schema(batch.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Run a streaming frame to completion (AvailableNow) into a memory sink
+    * and return the materialized result. */
+  def runToMemory(df: DataFrame, name: String,
+                  outputMode: String): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q59_stream_tumbling",
+      "Structured Streaming tumbling 30-min windows per event type over the events file stream (readStream -> withWatermark -> window -> memory sink, AvailableNow): identical result to the batch twin, verified against the batch-arithmetic oracle.",
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 AS window_start_s,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      runToMemory(agg, s"q59_sink_${System.nanoTime()}", "complete")
+        .select(unix_timestamp(col("window.start")).as("window_start_s"),
+          col("event_type"), col("n"), col("value_cents"))
+        .orderBy(col("window_start_s"), col("event_type"))
+    },
+
+    GraftQuery(
+      "q60_stream_dedup",
+      "Streaming deduplication: dropDuplicates on (user_id, event_type) over the event stream (append mode — each first-seen pair emits once; state bounded by key cardinality), then distinct-user counts per type.",
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dedup = eventsStream(s, d)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      runToMemory(dedup, s"q60_sink_${System.nanoTime()}", "append")
+        .groupBy(col("event_type"))
+        .agg(count(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    },
+
+    GraftQuery(
+      "q61_stream_sliding",
+      "Structured Streaming sliding windows (20-min length / 10-min slide) with watermark over the event stream; every event contributes to two windows — same arithmetic oracle as the batch sliding twin.",
+      """WITH w AS (SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 600) - u.k) * 600 AS window_start_s,
+        |    value
+        |  FROM events, LATERAL unnest([0, 1]) AS u(k))
+        |SELECT window_start_s, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "20 minutes", "10 minutes"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      runToMemory(agg, s"q61_sink_${System.nanoTime()}", "complete")
+        .select(unix_timestamp(col("window.start")).as("window_start_s"),
+          col("n"), col("value_cents"))
+        .orderBy(col("window_start_s"))
+    }
+  )
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.streaming.StreamingOps
+
+/** Streaming semantics that the one-batch AvailableNow registry queries
+  * cannot show: watermark-driven late-data dropping across batches,
+  * within-watermark streaming dedup, and arbitrary stateful processing
+  * (mapGroupsWithState) — driven through MemoryStream so batch boundaries
+  * are explicit.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def classicCtx =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+
+  test("append-mode window agg drops late rows once the watermark passes") {
+    implicit val ctx = classicCtx
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("start"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late_drop")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two rows in [10:00,10:10) plus one at 12:00 that will pull
+      // the watermark to 11:50
+      in.addData((ts("10:00"), "a"), (ts("10:05"), "b"), (ts("12:00"), "c"))
+      q.processAllAvailable()
+      // batch 2: a late row for the already-finalized 10:00 window (dropped)
+      in.addData((ts("10:07"), "late"))
+      q.processAllAvailable()
+      val rows = spark.table("late_drop")
+        .select(col("start").cast("string"), col("n")).as[(String, Long)]
+        .collect().toMap
+      // the 10:00 window was emitted with 2 rows — the late third never counted
+      assert(rows("2026-01-01 10:00:00") === 2L)
+      // the 12:00 window is still open (watermark 11:50 < 12:10) — not emitted
+      assert(!rows.contains("2026-01-01 12:00:00"))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses cross-batch duplicates") {
+    implicit val ctx = classicCtx
+    val in = MemoryStream[(Timestamp, String)]
+    val dedup = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+    val q = dedup.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts("10:00"), "A"), (ts("10:01"), "B"))
+      q.processAllAvailable()
+      in.addData((ts("10:03"), "A"), (ts("10:04"), "C")) // A is a dup
+      q.processAllAvailable()
+      val keys = spark.table("stream_dedup").select("k").as[String].collect().sorted
+      assert(keys.toSeq === Seq("A", "B", "C"))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState maintains running per-key state across batches") {
+    implicit val ctx = classicCtx
+    val in = MemoryStream[(String, Long)]
+    val counts = in.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + rows.map(_._2).sum
+          state.update(next)
+          (key, next)
+      }
+    val q = counts.toDF("k", "total").writeStream.format("memory")
+      .queryName("state_counts").outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(("u1", 2L), ("u2", 3L))
+      q.processAllAvailable()
+      in.addData(("u1", 5L))
+      q.processAllAvailable()
+      val last = spark.table("state_counts").groupBy("k")
+        .agg(max("total").as("total")).as[(String, Long)].collect().toMap
+      assert(last === Map("u1" -> 7L, "u2" -> 3L))
+    } finally q.stop()
+  }
+
+  test("registry streaming queries equal their batch twins") {
+    // q59's streaming tumbling windows == the same aggregation done in batch
+    val streamed = SparkEntry.queries("q59_stream_tumbling")(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.ColumnOps.cents(col("value"))).as("value_cents"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("event_type"), col("n"), col("value_cents"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+}
