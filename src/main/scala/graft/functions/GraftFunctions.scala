@@ -48,6 +48,23 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "vec_norm(a) takes one argument")
         VectorNorm(children.head)
+      }),
+    (FunctionIdentifier("tokenize"),
+      new ExpressionInfo(classOf[Tokenize].getName, "tokenize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "tokenize(text) takes one argument")
+        Tokenize(children.head)
+      }),
+    (FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "word_ngrams(tokens, n) takes two arguments")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams n must be an integer literal, got $other")
+        }
+        WordNGrams(children.head, n)
       }))
 
   /** Idempotent per-session SQL registration (for sessions not built with

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.ColumnOps._
+
+/** Source-format breadth (SURVEY §2.1 G2: CSV/JSON scans, schema inference
+  * vs explicit StructType) and the engine's user-extension surface
+  * (SURVEY §2.4 "UDF surface": scalar `udf`, typed `Aggregator` via
+  * `functions.udaf`, and a generator — an array-returning UDF exploded).
+  *
+  * The CSV/JSON queries materialize a derived copy of a driver table under
+  * java.io.tmpdir (overwrite-idempotent), then read it back through the
+  * respective source — so the scan path, schema handling and row decode of
+  * each format are genuinely exercised while the oracle still checks values
+  * against the original parquet.
+  *
+  * Scale note: UDFs here exist to prove the extension surface. The engine's
+  * own operators deliberately use native expressions instead (ColumnOps,
+  * graft kernels) — a scalar Scala UDF breaks codegen and serializes per
+  * row, which is exactly why the hot paths don't use one.
+  */
+object SourcesAndUdfs {
+
+  private def stage(d: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_stage_${math.abs(d.hashCode)}/$name"
+
+  /** Exact integer average: (100 * Σcents) / n with long floor division —
+    * a typed Aggregator registered through functions.udaf. */
+  object CentsAvgX100 extends Aggregator[Long, (Long, Long), Long] {
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), a: Long): (Long, Long) = (b._1 + a, b._2 + 1)
+    override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    override def finish(r: (Long, Long)): Long =
+      if (r._2 == 0) 0L else (100L * r._1) / r._2
+    override def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q64_csv_source",
+      "CSV scan with explicit StructType: customer staged as headered CSV, read back with the declared schema (no inference pass), aggregated per nation — values must round-trip the text format exactly.",
+      """SELECT c_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      val path = stage(d, "customer_csv")
+      val src = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          // cents as long BEFORE the text round-trip: doubles through CSV
+          // re-parse exactly, but integer text is beyond doubt
+          cents(col("c_acctbal")).as("acctbal_cents"))
+      src.write.mode("overwrite").option("header", "true").csv(path)
+      s.read
+        .schema("c_custkey LONG, c_nationkey LONG, acctbal_cents LONG")
+        .option("header", "true")
+        .csv(path)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("acctbal_cents")).as("acctbal_cents"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    GraftQuery(
+      "q65_json_source",
+      "JSON-lines scan with schema inference: supplier staged as JSONL, read back letting the source infer types (ints -> bigint), then filtered and projected — the self-describing-schema generalization of the reference's JSON catalog (SURVEY §1.3).",
+      """SELECT s_suppkey, s_nationkey,
+        |  CAST(floor(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |FROM supplier WHERE s_nationkey < 10
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val path = stage(d, "supplier_json")
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"),
+          cents(col("s_acctbal")).as("acctbal_cents"))
+        .write.mode("overwrite").json(path)
+      s.read.json(path) // schema inferred from the data
+        .filter(col("s_nationkey") < 10)
+        .select(col("s_suppkey"), col("s_nationkey"),
+          col("acctbal_cents").as("acctbal_cents"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    GraftQuery(
+      "q66_udf_surface",
+      "User-extension surface: a scalar Scala UDF (digit sum of the order key) and a typed Aggregator UDAF (exact integer average cents, (100*sum)/n floor division) — registered via udf()/functions.udaf and verified against arithmetic oracle equivalents.",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  (100 * sum(CAST(floor(o_totalprice * 100) AS BIGINT))) // count(*) AS avg_cents_x100,
+        |  CAST(sum((SELECT sum(CAST(substr(CAST(o_orderkey AS VARCHAR), CAST(i AS INTEGER), 1) AS BIGINT))
+        |            FROM unnest(generate_series(1, length(CAST(o_orderkey AS VARCHAR)))) AS u(i))) AS BIGINT) AS digit_sum
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val digitSum = udf((k: Long) => k.toString.map(_ - '0').sum.toLong)
+      val avgX100  = udaf(CentsAvgX100, Encoders.scalaLong)
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          avgX100(cents(col("o_totalprice"))).as("avg_cents_x100"),
+          sum(digitSum(col("o_orderkey"))).as("digit_sum"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    GraftQuery(
+      "q68_rest_source_pushdown",
+      "The reference's REST form pipeline as a DataSource V2 connector: watermark filter AND under-$1500 static routing pushed INTO the source (server-side, like the reference's filter query params), columns pruned at the source; oracle regenerates the deterministic row model arithmetically.",
+      """WITH src AS (
+        |  SELECT i,
+        |    'V' || (i % 97) AS vendor,
+        |    CAST(DATE '2020-01-01' + CAST(i % 365 AS INTEGER) AS VARCHAR) AS picker_erk,
+        |    'C' || (i % 7) AS charge_code,
+        |    printf('U%09dD', i) AS po_number,
+        |    (i * 137903) % 300000 AS amount_cents
+        |  FROM unnest(generate_series(0, 4999)) AS t(i))
+        |SELECT vendor, picker_erk, charge_code, po_number,
+        |  CAST(amount_cents AS BIGINT) AS amount_cents
+        |FROM src
+        |WHERE po_number > 'U000002500D' AND amount_cents < 150000
+        |ORDER BY po_number""".stripMargin) { (s, d) =>
+      s.read.format("graft.sources.FormPipelineSource")
+        .option("rows", 5000).option("partitions", 8).load()
+        .filter(col("po_number") > "U000002500D" && col("amount_cents") < 150000L)
+        .select(col("vendor"), col("picker_erk"), col("charge_code"),
+          col("po_number"), col("amount_cents"))
+        .orderBy(col("po_number"))
+    },
+
+    GraftQuery(
+      "q67_generator_udf",
+      "Generator (UDTF-style): an array-returning UDF exploded into rows — order priority split into its components, counted corpus-wide.",
+      """SELECT u.part AS part, count(*) AS n
+        |FROM orders, LATERAL unnest(string_split(o_orderpriority, '-')) AS u(part)
+        |GROUP BY u.part ORDER BY u.part""".stripMargin) { (s, d) =>
+      val splitter = udf((p: String) => p.split("-").toSeq)
+      Tables.orders(s, d)
+        .select(explode(splitter(col("o_orderpriority"))).as("part"))
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("part"))
+    }
+  )
+}

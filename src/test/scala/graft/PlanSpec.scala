@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Physical-plan shape assertions: the properties that make these pipelines
+  * scale are visible in the plan, so pin them — filters reaching the parquet
+  * scan, column pruning, broadcast joins where a side is dim-sized, and
+  * whole-stage codegen over the native kernels.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("filters are pushed into the parquet scan (q02)") {
+    val plan = planOf(SparkEntry.queries("q02_filter_project")(spark, sf))
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(!plan.matches("(?s).*PushedFilters: \\[\\].*"), "no filter pushed:\n" + plan.take(2000))
+  }
+
+  test("scans prune to the referenced columns only (q02 reads 4 of 16 cols)") {
+    val df = SparkEntry.queries("q02_filter_project")(spark, sf)
+    val read = planOf(df)
+    // lineitem has 16 columns; the projection must not read l_comment
+    assert(!read.contains("l_comment"), "unpruned scan:\n" + read.take(2000))
+  }
+
+  test("dim joins broadcast (q54) — no shuffle on the fact side") {
+    val plan = planOf(SparkEntry.queries("q54_broadcast_dim_join")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("semi/anti joins plan as joins, not subquery re-scans (q05/q06)") {
+    assert(planOf(SparkEntry.queries("q05_join_semi")(spark, sf))
+      .toLowerCase.contains("semi"))
+    assert(planOf(SparkEntry.queries("q06_join_anti")(spark, sf))
+      .toLowerCase.contains("anti"))
+  }
+
+  test("native kernels stay inside whole-stage codegen") {
+    val df = Tables.embeddings(spark, sf)
+      .select(graft.functions.ColumnOps.dotProduct(col("embedding"), col("embedding")).as("d"))
+    val plan = planOf(df)
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    assert(plan.contains("*(1)"), plan.take(2000))
+    // and the kernel expression itself supports codegen (no fallback marker)
+    assert(!plan.contains("CodegenFallback"), plan.take(2000))
+  }
+
+  test("watermark delta pushes the PO filter to the source scan") {
+    val df = etl.WatermarkEtl.delta(spark, sf)
+    val plan = planOf(df)
+    // the broadcast single-row watermark keeps the pipeline one lazy plan
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(3000))
+  }
+
+  test("DSv2 form source: filters and projection are pushed into the source") {
+    val df = spark.read.format("graft.sources.FormPipelineSource")
+      .option("rows", 1000).load()
+      .filter(col("po_number") > "U000000900D")
+      .select(col("po_number"), col("amount_cents"))
+    val plan = planOf(df)
+    assert(plan.contains("FormPipelineScan"), plan.take(2000))
+    assert(plan.contains("GreaterThan(po_number,U000000900D)"), plan.take(2000))
+    // pruned read schema: only the two referenced columns reach the source
+    assert(plan.contains("ReadSchema: struct<po_number:string,amount_cents:bigint>"),
+      plan.take(2000))
+    // and the source applied the filter itself (99 remaining of 1000)
+    assert(df.count() === 99)
+  }
+
+  test("DSv2 form source values match the declared row model") {
+    val row = spark.read.format("graft.sources.FormPipelineSource")
+      .option("rows", 10).load()
+      .filter(col("submission_id") === 7).collect()(0)
+    assert(row.getAs[String]("vendor") === "V7")
+    assert(row.getAs[String]("po_number") === "U000000007D")
+    assert(row.getAs[Long]("amount_cents") === (7L * 137903L) % 300000L)
+  }
+
+  test("SQL registration exposes the native functions to spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |       vec_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
+        |       tokenize('  a b  c ') AS t,
+        |       word_ngrams(array('x','y','z'), 2) AS g""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 5.0)
+    assert(r.getSeq[String](2) === Seq("a", "b", "c"))
+    assert(r.getSeq[String](3) === Seq("x y", "y z"))
+  }
+}
