@@ -35,6 +35,13 @@ object GraftFunctions {
   def wordNGrams(toks: Column, n: Int): Column =
     column(WordNGrams(expression(toks), n))
 
+  /** Banded-LSH bucket codes from a constant hyperplane matrix (codegen):
+    * one long code `t * 2^bits + bucket` per table. */
+  def hyperplaneBuckets(v: Column, planes: Array[Float],
+                        numTables: Int, bits: Int): Column =
+    column(org.apache.spark.sql.graft.HyperplaneBuckets(
+      expression(v), planes, numTables, bits))
+
   /** (name, info, builder) triples for SQL registration. */
   val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),

@@ -53,19 +53,19 @@ object Similarity {
   private def normSql(x: String) =
     s"sqrt(list_sum(list_transform($x, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))"
 
-  /** Spark side: array of (table, bucket) structs for one embedding — sign
-    * bits of the per-plane codegen dots, planes as literal float arrays
-    * (ints ≤ 1000 are exact in float32, so the double fold matches the SQL
-    * twin bit-for-bit). */
-  def lshBuckets(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    array((0 until NumTables).map { t =>
-      val bucket = (0 until BitsPerTable).map { b =>
-        val p = t * BitsPerTable + b
-        val plane = array((0 until Dim).map(i => lit(planeComponent(p, i).toFloat)): _*)
-        when(dotProduct(emb, plane) > 0d, lit(1 << b)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), bucket.as("bkt"))
-    }: _*)
+  /** The full plane matrix, row-major (plane p × dim i); integer components
+    * ≤ 1000 are exact in float32, so the kernel's double fold matches the
+    * SQL twin bit-for-bit. */
+  lazy val planeMatrix: Array[Float] =
+    (0 until NumTables * BitsPerTable).flatMap(p =>
+      (0 until Dim).map(i => planeComponent(p, i).toFloat)).toArray
+
+  /** Spark side: one long bucket code per table (`t * 2^bits + bucket`) via
+    * the single-pass [[org.apache.spark.sql.graft.HyperplaneBuckets]] codegen
+    * kernel — one expression instead of 64 per-plane dot expressions. */
+  def lshBucketCodes(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.hyperplaneBuckets(
+      emb, planeMatrix, NumTables, BitsPerTable)
 
   def queries: Seq[GraftQuery] = Seq(
 
@@ -126,13 +126,15 @@ object Similarity {
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
       val n = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
-      val bk = n.select(col("vec_id"), explode(lshBuckets(col("embedding"))).as("b"))
-        .select(col("vec_id"), col("b.t").as("t"), col("b.bkt").as("bkt"))
-      // candidate generation on ids only (no vectors through the shuffle)
+      // (table, bucket) is joined as the single encoded code column
+      val bk = n.select(col("vec_id"),
+        explode(lshBucketCodes(col("embedding"))).as("code"))
+      // candidate generation on ids only (no vectors through the shuffle);
+      // the bucket index is (corpus × tables) id-sized rows — broadcastable
+      // far beyond this corpus (hash join, no sort/shuffle of the probe side)
       val cand = bk.as("a")
-        .join(bk.as("b"),
-          col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
-            col("a.vec_id") < col("b.vec_id"))
+        .join(broadcast(bk.as("b")),
+          col("a.code") === col("b.code") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()
       // exact verification tier: fetch vectors, codegen cosine
@@ -143,6 +145,9 @@ object Similarity {
       val nn  = col("nrm_a") * col("nrm_b")
       val sim = when(nn === 0d, 0d)
         .otherwise(dotProduct(col("emb_a"), col("emb_b")) / nn)
+      // verification joins stay unhinted: AQE broadcasts them at this scale,
+      // and at corpus scale they become shuffled hash joins on vec_id —
+      // forcing broadcast here would OOM a 100 TB embedding table
       cand.join(x, "vec_a").join(y, "vec_b")
         .select(col("vec_a"), col("vec_b"), sim.as("sim"))
         .filter(col("sim") >= 0.40)

@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.functions.ColumnOps._
@@ -69,10 +68,12 @@ object TextAnalysis {
         .select(col("doc_id"), col("lang"), explode(array(scoreCols: _*)).as("s"))
         .select(col("doc_id"), col("lang"),
           col("s.pred").as("pred"), col("s.score").as("score"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("pred"))
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .groupBy(col("lang").as("actual"), col("pred").as("predicted"))
+      // argmax as min(struct(-score, pred)): same total order as the
+      // oracle's row_number (score DESC, pred ASC), but a plain aggregate —
+      // map-side partial aggregation instead of a per-doc window sort.
+      scored.groupBy(col("doc_id"), col("lang"))
+        .agg(min(struct((-col("score")).as("ns"), col("pred").as("pred"))).as("m"))
+        .groupBy(col("lang").as("actual"), col("m.pred").as("predicted"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("actual"), col("predicted"))
     },
