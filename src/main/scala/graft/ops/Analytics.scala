@@ -243,6 +243,74 @@ object Analytics {
     },
 
     GraftQuery(
+      "q69_map_funcs",
+      "Map-typed column surface: events.props parsed to map<string,int> (from_json), element_at value extraction and map_keys enumeration — the MapType generalization of the reference's application_data row maps (SURVEY §1.4).",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  array_to_string(json_keys(props), ',') AS keys
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType))
+      Tables.events(s, d)
+        .select(col("event_id"),
+          element_at(m, "k").cast("long").as("k_val"),
+          array_join(map_keys(m), ",").as("keys"))
+        .filter(col("k_val") > 50)
+        .orderBy(col("event_id"))
+    },
+
+    GraftQuery(
+      "q70_sql_subqueries",
+      "SQL entry point with subqueries: scalar subquery (above-average filter via exact integer cross-multiplication — no float average in a predicate), uncorrelated IN, and correlated NOT EXISTS, run through spark.sql over temp views.",
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders o
+        |WHERE CAST(floor(o_totalprice * 100) AS BIGINT) * (SELECT count(*) FROM orders)
+        |      > (SELECT CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) FROM orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 10)
+        |  AND NOT EXISTS (SELECT 1 FROM customer c
+        |                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders_v o
+          |WHERE CAST(floor(o_totalprice * 100) AS BIGINT) * (SELECT count(*) FROM orders_v)
+          |      > (SELECT sum(CAST(floor(o_totalprice * 100) AS BIGINT)) FROM orders_v)
+          |  AND o_custkey IN (SELECT c_custkey FROM customer_v WHERE c_nationkey < 10)
+          |  AND NOT EXISTS (SELECT 1 FROM customer_v c
+          |                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    GraftQuery(
+      "q71_upsert_merge",
+      "Snapshot upsert (MERGE semantics on immutable storage): current snapshot full-outer-joined with an update batch on the key, update wins via coalesce — inserts, updates and carried-over rows labeled.",
+      """WITH cur AS (SELECT o_orderkey AS k, 'OLD' AS payload FROM orders WHERE o_orderkey <= 1000),
+        |upd AS (SELECT o_orderkey AS k, o_orderstatus AS payload FROM orders
+        |        WHERE o_orderkey > 500 AND o_orderkey <= 1500)
+        |SELECT COALESCE(u.k, c.k) AS k,
+        |  COALESCE(u.payload, c.payload) AS payload,
+        |  CASE WHEN c.k IS NULL THEN 'insert'
+        |       WHEN u.k IS NULL THEN 'carry' ELSE 'update' END AS action
+        |FROM cur c FULL OUTER JOIN upd u ON c.k = u.k
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val cur = orders.filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey").as("ck"), lit("OLD").as("cpayload"))
+      val upd = orders.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1500)
+        .select(col("o_orderkey").as("uk"), col("o_orderstatus").as("upayload"))
+      cur.join(upd, col("ck") === col("uk"), "full_outer")
+        .select(coalesce(col("uk"), col("ck")).as("k"),
+          coalesce(col("upayload"), col("cpayload")).as("payload"),
+          when(col("ck").isNull, "insert")
+            .when(col("uk").isNull, "carry").otherwise("update").as("action"))
+        .orderBy(col("k"))
+    },
+
+    GraftQuery(
       "q58_session_window",
       "Native session_window (10-min gap) per user — Spark's merging session windows in batch mode; the oracle is the equivalent gaps-and-islands rewrite (session end = last event + gap).",
       """WITH g AS (SELECT user_id, ts, event_id,

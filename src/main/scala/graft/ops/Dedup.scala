@@ -118,9 +118,13 @@ object Dedup {
          |FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
          |ORDER BY jaccard_ppm DESC, doc_a, doc_b LIMIT 50""".stripMargin) { (s, d) =>
       // The shingle frame feeds three consumers (both self-join sides + the
-      // per-doc size agg). Tokenize/shingle are higher-order-function
-      // lambdas — the most expensive part of the pipeline — so materialize
-      // once instead of recomputing per consumer (3× speedup measured).
+      // per-doc size agg); materialize once — tokenize/shingle is the
+      // expensive part of the pipeline. The equi-join on the shingle key
+      // measured faster than the collect_list inverted-index formulation
+      // (list-buffer aggregation dominates at this posting-length profile);
+      // at corpus scale both shuffle O(postings), and stop-shingles would
+      // move discovery to the MinHash/LSH tier (q39/q40) with this exact
+      // pass as the verification tier.
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
         .persist()
