@@ -243,6 +243,24 @@ object Analytics {
     },
 
     GraftQuery(
+      "q72_hash_sample",
+      "Deterministic hash sampling: a 5% sample selected by md5-hash residue of the row key — reproducible across runs, engines and cluster sizes (unlike TABLESAMPLE/rand), the pattern for exploring a 100 TB table at fixed cost.",
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+         |FROM lineitem
+         |WHERE ${graft.functions.CrossHash.h60Sql(
+             "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)")} % 20 = 0
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      import graft.functions.CrossHash.h60
+      Tables.lineitem(s, d)
+        .filter(pmod(h60(concat(col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string"))), lit(20)) === 0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("l_extendedprice"))).as("price_cents"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    GraftQuery(
       "q69_map_funcs",
       "Map-typed column surface: events.props parsed to map<string,int> (from_json), element_at value extraction and map_keys enumeration — the MapType generalization of the reference's application_data row maps (SURVEY §1.4).",
       """SELECT event_id,
