@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.CrossHash
+import graft.ops.{Dedup, Similarity, SourcesAndUdfs}
+
+/** Pure (no SparkSession) property checks of the engine's kernels and
+  * aggregator laws — SURVEY §5.3's property tier. */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private val soup: Gen[String] = Gen.listOf(Gen.frequency(
+    4 -> Gen.alphaNumChar,
+    1 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f'),
+    1 -> Gen.oneOf('é', 'ß', '中', '.', '-'))).map(_.mkString)
+
+  private def kernelTokens(s: String): Seq[String] = {
+    val arr = org.apache.spark.sql.graft.TextKernels
+      .tokenize(UTF8String.fromString(s))
+    (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+  }
+
+  property("tokenize == regex split reference") = forAll(soup) { s =>
+    kernelTokens(s) == s.split("\\s+").toSeq.filter(_.nonEmpty)
+  }
+
+  property("ngrams == sliding windows reference") =
+    forAll(Gen.listOf(Gen.identifier.suchThat(_.nonEmpty)), Gen.choose(1, 4)) {
+      (toks, n) =>
+        val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.map(t => UTF8String.fromString(t)).toArray[Any])
+        val out = org.apache.spark.sql.graft.TextKernels.ngrams(in, n)
+        val got = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+        val want = if (toks.size < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+        got == want
+    }
+
+  property("h60 is non-negative, < 2^60, and stable") = forAll(soup) { s =>
+    val h = CrossHash.h60Local(s)
+    h >= 0L && h < (1L << 60) && h == CrossHash.h60Local(s)
+  }
+
+  property("LSH plane components lie in [-1000, 1000]") =
+    forAll(Gen.choose(0, Similarity.NumTables * Similarity.BitsPerTable - 1),
+      Gen.choose(0, Similarity.Dim - 1)) { (p, i) =>
+      val r = Similarity.planeComponent(p, i)
+      r >= -1000L && r <= 1000L
+    }
+
+  property("minhash params: odd multipliers (bijective mod 2^k), distinct") =
+    Prop(Dedup.hashParams.forall(_._1 % 2 == 1) &&
+      Dedup.hashParams.distinct.size == Dedup.hashParams.size)
+
+  // Aggregator laws for the UDAF: identity, and merge-order invariance
+  // (partial aggregation may combine buffers in any grouping/order).
+  private val agg = SourcesAndUdfs.CentsAvgX100
+
+  property("aggregator: zero is identity under merge") =
+    forAll(Gen.listOf(Gen.choose(-100000L, 100000L))) { xs =>
+      val b = xs.foldLeft(agg.zero)(agg.reduce)
+      agg.merge(b, agg.zero) == b && agg.merge(agg.zero, b) == b
+    }
+
+  property("aggregator: any split/merge order gives the batch result") =
+    forAll(Gen.listOf(Gen.choose(-100000L, 100000L)), Gen.choose(1, 5)) {
+      (xs, parts) =>
+        val whole = xs.foldLeft(agg.zero)(agg.reduce)
+        val grouped = xs.grouped(math.max(1, xs.size / parts))
+          .map(_.foldLeft(agg.zero)(agg.reduce))
+          .foldLeft(agg.zero)(agg.merge)
+        agg.finish(grouped) == agg.finish(whole) && grouped == whole
+    }
+}
