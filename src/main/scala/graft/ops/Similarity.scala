@@ -105,6 +105,68 @@ object Similarity {
     },
 
     GraftQuery(
+      "q73_ivf_ann_topk",
+      "IVF-style ANN: 16 deterministic seed centroids (first vectors), every vector assigned to its nearest centroid (exact L2, total tie-break), probes search only their nprobe=2 nearest inverted lists, exact cosine top-5 within candidates. Assignment and search are both linear passes — the coarse-quantizer shape of a billion-vector index.",
+      s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id < 16),
+         |dists AS (SELECT v.vec_id, c.cid,
+         |    v.nrm * v.nrm + c.cnrm * c.cnrm - 2 * ${dotSql("v.embedding", "c.cemb")} AS d2
+         |  FROM n v, cent c),
+         |asgn AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         |    FROM dists) WHERE rk = 1),
+         |probes AS (SELECT vec_id AS probe_id FROM n WHERE vec_id >= 16 AND vec_id < 26),
+         |plists AS (SELECT p.probe_id, d.cid FROM probes p
+         |  JOIN dists d ON d.vec_id = p.probe_id
+         |  QUALIFY row_number() OVER (PARTITION BY p.probe_id ORDER BY d.d2, d.cid) <= 2),
+         |cand AS (SELECT pl.probe_id, a.vec_id
+         |  FROM plists pl JOIN asgn a ON a.cid = pl.cid
+         |  WHERE a.vec_id <> pl.probe_id),
+         |scored AS (SELECT c.probe_id, c.vec_id,
+         |    CASE WHEN p.nrm * v.nrm = 0 THEN 0.0
+         |         ELSE ${dotSql("p.embedding", "v.embedding")} / (p.nrm * v.nrm) END AS sim
+         |  FROM cand c JOIN n p ON p.vec_id = c.probe_id
+         |              JOIN n v ON v.vec_id = c.vec_id)
+         |SELECT probe_id, vec_id, rk, CAST(floor(1000000.0 * sim) AS BIGINT) AS cos_ppm
+         |FROM (SELECT probe_id, vec_id, sim,
+         |        row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM scored)
+         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin) { (s, d) =>
+      val n = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      val cent = n.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+      // exact L2² to every centroid: one broadcast pass over the corpus
+      val d2 = col("nrm") * col("nrm") + col("cnrm") * col("cnrm") -
+        lit(2) * dotProduct(col("embedding"), col("cemb"))
+      val dists = n.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), d2.as("d2"),
+          col("embedding"), col("nrm"))
+      val byDist = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      val ranked = dists.withColumn("rk", row_number().over(byDist))
+      val asgn = ranked.filter(col("rk") === 1).select(col("vec_id"), col("cid"))
+      val plists = ranked.filter(col("vec_id") >= 16 && col("vec_id") < 26 && col("rk") <= 2)
+        .select(col("vec_id").as("probe_id"), col("cid"))
+      val cand = plists.join(asgn, "cid")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"))
+      val p = n.select(col("vec_id").as("probe_id"), col("embedding").as("pemb"),
+        col("nrm").as("pnrm"))
+      val v = n.select(col("vec_id"), col("embedding").as("vemb"), col("nrm").as("vnrm"))
+      val nn  = col("pnrm") * col("vnrm")
+      val sim = when(nn === 0d, 0d)
+        .otherwise(dotProduct(col("pemb"), col("vemb")) / nn)
+      val bySim = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+      cand.join(p, "probe_id").join(v, "vec_id")
+        .select(col("probe_id"), col("vec_id"), sim.as("sim"))
+        .withColumn("rk", row_number().over(bySim))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("vec_id"), col("rk"),
+          floor(lit(1000000.0) * col("sim")).cast("long").as("cos_ppm"))
+        .orderBy(col("probe_id"), col("rk"))
+    },
+
+    GraftQuery(
       "q44_lsh_ann_pairs",
       "Banded hyperplane-LSH ANN (16 tables x 4 sign bits, md5-derived planes): candidates are distinct id-pairs sharing any (table, bucket) — linear shuffle volume, the 100 TB path — then exact-verified at cosine >= 0.40 by joining the vectors back. ~92% recall of the brute-force q42 pairs at a fraction of the comparisons.",
       s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
