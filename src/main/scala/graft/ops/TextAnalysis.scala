@@ -144,6 +144,68 @@ object TextAnalysis {
     },
 
     GraftQuery(
+      "q74_text_cleaning",
+      "Pretraining-style cleaning pass: lowercase, strip non-alphanumerics, collapse whitespace, drop docs that end up under 10 tokens; emits per-doc cleaned stats plus a stable md5 of the cleaned text (the cache key of a cleaning stage).",
+      """WITH c AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         ' +', ' ', 'g')) AS cleaned
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(cleaned) AS BIGINT) AS n_chars,
+        |  CAST(len(list_filter(regexp_split_to_array(cleaned, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  md5(cleaned) AS content_key
+        |FROM c
+        |WHERE len(list_filter(regexp_split_to_array(cleaned, ' '), x -> x <> '')) >= 10
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val cleaned = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), cleaned.as("cleaned"))
+        .select(col("doc_id"),
+          length(col("cleaned")).cast("long").as("n_chars"),
+          size(tokens(col("cleaned"))).cast("long").as("n_tokens"),
+          md5(col("cleaned")).as("content_key"))
+        .filter(col("n_tokens") >= 10)
+        .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
+      "q75_tfidf_topterms",
+      "TF-IDF-style term ranking in exact integer arithmetic: per (source, term) total tf, document frequency across the corpus, score = floor(1e6 * tf * N / df) — no floating log, so the ranking is bit-stable; top-10 terms per source.",
+      """WITH t AS (SELECT doc_id, source,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.source, tf.term,
+        |    CAST((1000000 * tf.tf * n.n) // df.df AS BIGINT) AS score
+        |  FROM tf JOIN df USING (term), n),
+        |r AS (SELECT source, term, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rk
+        |  FROM s)
+        |SELECT source, rk, term, score FROM r WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("term"))
+        .persist() // feeds tf, df and N — three consumers of one tokenize pass
+      val tf = t.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = t.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val n  = Tables.documents(s, d).count() // tiny scalar; plan stays lazy below
+      val w  = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("score").desc, col("term"))
+      tf.join(df, "term")
+        .select(col("source"), col("term"),
+          // `div` = exact integer division, matching DuckDB's `//` — a
+          // double `/` could round a near-integer quotient the other way
+          expr(s"(1000000L * tf * ${n}L) div df").cast("long").as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("source"), col("rk"), col("term"), col("score"))
+        .orderBy(col("source"), col("rk"))
+    },
+
+    GraftQuery(
       "q48_doc_fingerprint",
       "Rolling-hash document fingerprints: h60 over every char 8-gram (position explode, native substr — no per-row lambda), then per-doc min-hash fingerprint, max, and distinct-gram count. Equal fingerprints are near-dup candidates.",
       s"""WITH g AS (SELECT doc_id, ${h60Sql("substr(text, CAST(i AS INTEGER), 8)")} AS h
