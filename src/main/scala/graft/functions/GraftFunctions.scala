@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{GraftShim, Tokenize, VectorDot, VectorNorm, WordNGrams}
+import org.apache.spark.sql.graft.{AsciiClean, GraftShim, Tokenize, VectorDot, VectorNorm, WordNGrams}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 /** DataFrame + SQL surface for the engine's native Catalyst expressions.
@@ -30,6 +30,10 @@ object GraftFunctions {
   /** Whitespace tokenizer (codegen kernel, ASCII `\s` class). */
   def tokenize(text: Column): Column =
     column(Tokenize(expression(text)))
+
+  /** One-pass normalize/collapse/trim of pre-lowercased text (codegen). */
+  def asciiClean(text: Column): Column =
+    column(AsciiClean(expression(text)))
 
   /** n-gram shingles of a token array, space-joined (codegen kernel). */
   def wordNGrams(toks: Column, n: Int): Column =

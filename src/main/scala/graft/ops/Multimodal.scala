@@ -45,7 +45,55 @@ object Multimodal {
         height = (fp % 1016L + 64L).toInt)
     }
 
+  /** Frame-sampling stub: treat the payload as fixed-size 16-byte "frames"
+    * (trailing partial dropped), sample every 4th, fingerprint each sampled
+    * frame. A real video decoder replaces frame extraction; the sampling
+    * cadence, per-doc aggregation and feature schema are the real contract. */
+  final case class FrameFeatures(doc_id: Long, n_frames: Long, n_sampled: Long,
+                                 fp_first: Long, fp_sum_mod: Long)
+  val FrameBytes = 16
+  val SampleEvery = 4
+  val FpMod = 1000000007L
+
+  def frameSampleBatch(batch: Seq[MediaRecord]): Seq[FrameFeatures] =
+    batch.flatMap { r =>
+      val nFrames = r.payload.length / FrameBytes
+      if (nFrames == 0) None
+      else {
+        val sampled = (0 until nFrames by SampleEvery).map { i =>
+          h60Local(new String(r.payload, i * FrameBytes, FrameBytes, "UTF-8"))
+        }
+        Some(FrameFeatures(r.doc_id, nFrames.toLong, sampled.size.toLong,
+          sampled.head, sampled.map(_ % FpMod).sum % FpMod))
+      }
+    }
+
   def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q76_frame_sample",
+      "Video-style frame sampling over binary payloads: 16-byte frames, every 4th sampled and fingerprinted in the batched decode stub; per-doc frame counts and fingerprint digest. Oracle regenerates frames arithmetically (corpus is ASCII, so char and byte offsets agree).",
+      s"""WITH f AS (SELECT doc_id, u.i AS i,
+         |    ${h60Sql("substr(text, CAST(u.i * 16 + 1 AS INTEGER), 16)")} AS fp
+         |  FROM documents,
+         |    LATERAL unnest(generate_series(0, len(text) // 16 - 1)) AS u(i)
+         |  WHERE len(text) >= 16 AND u.i % 4 = 0)
+         |SELECT doc_id,
+         |  (SELECT len(text) // 16 FROM documents d2 WHERE d2.doc_id = f.doc_id) AS n_frames,
+         |  count(*) AS n_sampled,
+         |  max(CASE WHEN i = 0 THEN fp END) AS fp_first,
+         |  CAST(sum(fp % 1000000007) % 1000000007 AS BIGINT) AS fp_sum_mod
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val records = Tables.documents(s, d)
+        .select(col("doc_id"), lit("video").as("media_type"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .as[MediaRecord]
+      records
+        .mapPartitions(_.grouped(DecodeBatchSize).flatMap(frameSampleBatch))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
 
     GraftQuery(
       "q62_multimodal_features",

@@ -157,8 +157,9 @@ object TextAnalysis {
         |FROM c
         |WHERE len(list_filter(regexp_split_to_array(cleaned, ' '), x -> x <> '')) >= 10
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val cleaned = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      // fused normalize/collapse/trim kernel over the lowercased text —
+      // differentially equal to the two-regex formulation (KernelSpec)
+      val cleaned = graft.functions.GraftFunctions.asciiClean(lower(col("text")))
       Tables.documents(s, d)
         .select(col("doc_id"), cleaned.as("cleaned"))
         .select(col("doc_id"),

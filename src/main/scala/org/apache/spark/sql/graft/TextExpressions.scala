@@ -39,6 +39,31 @@ object TextKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** One-pass cleaning: every byte outside [a-z0-9 ] becomes a separator,
+    * runs collapse to one space, ends trimmed. Equals
+    * `trim(regexp_replace(regexp_replace(s, "[^a-z0-9 ]", " "), " +", " "))`
+    * — a multi-byte code point maps to one space per byte here vs one per
+    * char in the regex, but the collapse step makes both a single space, so
+    * the results agree on ANY UTF-8 input (checked differentially). */
+  def asciiClean(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val out = new Array[Byte](bytes.length)
+    var n = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val keep = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+      if (keep) {
+        if (pendingSpace && n > 0) { out(n) = ' '; n += 1 }
+        pendingSpace = false
+        out(n) = b; n += 1
+      } else pendingSpace = true
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, n)
+  }
+
   /** Contiguous n-token windows joined by a single space; empty when the
     * input has fewer than n tokens. Mirrors `ColumnOps.shingles` /
     * DuckDB `array_to_string(toks[i:i+n-1], ' ')`. */
@@ -76,6 +101,26 @@ case class Tokenize(child: Expression)
       s"org.apache.spark.sql.graft.TextKernels.tokenize($s)")
 
   override protected def withNewChildInternal(newChild: Expression): Tokenize =
+    copy(child = newChild)
+}
+
+/** `ascii_clean(text)` — one-pass normalize/collapse/trim kernel; input is
+  * expected pre-lowercased (the kernel itself never changes case). */
+case class AsciiClean(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ascii_clean"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.asciiClean(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"org.apache.spark.sql.graft.TextKernels.asciiClean($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiClean =
     copy(child = newChild)
 }
 

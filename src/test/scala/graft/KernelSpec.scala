@@ -54,6 +54,22 @@ class KernelSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("ascii_clean kernel == two-regex normalize on corpus and soup") {
+    import graft.functions.GraftFunctions.asciiClean
+    def regexClean(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+    val corpusBad = Tables.documents(spark, sf)
+      .filter(asciiClean(lower(col("text"))) =!= regexClean(col("text"))).count()
+    assert(corpusBad === 0)
+    val rng = new scala.util.Random(7)
+    val chars = "abzAZ019 .,-_\t\néß中 "
+    val soup = Seq.fill(300)(Seq.fill(rng.nextInt(50))(
+      chars(rng.nextInt(chars.length))).mkString)
+    val soupBad = soup.toDF("s")
+      .filter(asciiClean(lower(col("s"))) =!= regexClean(col("s"))).count()
+    assert(soupBad === 0)
+  }
+
   test("ngrams shorter than n yield empty array; n=1 yields tokens") {
     val df = Seq("one two", "a b c d").toDF("s")
     val r3 = df.select(shingles(tokens(col("s")), 3).as("g")).as[Seq[String]].collect()
