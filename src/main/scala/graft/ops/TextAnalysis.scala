@@ -207,6 +207,41 @@ object TextAnalysis {
     },
 
     GraftQuery(
+      "q77_editdist_dedup",
+      "Fingerprint-candidate near-dup verification by edit distance: docs sharing a min-hash fingerprint (q48's rolling 8-gram min) become candidate pairs on an id-sized broadcastable frame; texts join back only for candidates, levenshtein <= 20 confirms — the candidates->verify tier pattern with an integer-exact verifier.",
+      s"""WITH g AS (SELECT doc_id,
+         |    ${h60Sql("substr(text, CAST(i AS INTEGER), 8)")} AS h
+         |  FROM documents, LATERAL unnest(generate_series(1, len(text) - 7)) AS u(i)
+         |  WHERE len(text) >= 8),
+         |fp AS (SELECT doc_id, min(h) AS fp_min FROM g GROUP BY doc_id),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM fp a JOIN fp b ON a.fp_min = b.fp_min AND a.doc_id < b.doc_id),
+         |v AS (SELECT c.doc_a, c.doc_b,
+         |        levenshtein(x.text, y.text) AS dist
+         |      FROM cand c JOIN documents x ON x.doc_id = c.doc_a
+         |                  JOIN documents y ON y.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist
+         |FROM v WHERE dist <= 20 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(length(col("text")) >= 8)
+      val fp = docs
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+        .select(col("doc_id"), h60(col("text").substr(col("i"), lit(8))).as("h"))
+        .groupBy(col("doc_id")).agg(min(col("h")).as("fp_min"))
+      val cand = fp.as("a")
+        .join(broadcast(fp.as("b")),
+          col("a.fp_min") === col("b.fp_min") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val x = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+      val y = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+      cand.join(x, "doc_a").join(y, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("text_a"), col("text_b")).cast("long").as("dist"))
+        .filter(col("dist") <= 20)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    GraftQuery(
       "q48_doc_fingerprint",
       "Rolling-hash document fingerprints: h60 over every char 8-gram (position explode, native substr — no per-row lambda), then per-doc min-hash fingerprint, max, and distinct-gram count. Equal fingerprints are near-dup candidates.",
       s"""WITH g AS (SELECT doc_id, ${h60Sql("substr(text, CAST(i AS INTEGER), 8)")} AS h
