@@ -167,6 +167,45 @@ object Similarity {
     },
 
     GraftQuery(
+      "q78_label_embedding_stats",
+      "Per-label embedding statistics: count, min/max/avg vector norm in ppm (per-row norms are bit-identical doubles, quantized before the exact integer aggregate), and the label's dominant first LSH-table bucket (argmax with total tie-break) — the class-profile pass of an embedding corpus.",
+      s"""WITH n AS (SELECT label, ${normSql("embedding")} AS nrm,
+         |    (SELECT sum(CASE WHEN ${dotSql("planes.rv", "embedding")} > 0
+         |                     THEN 1 << (planes.p % ${BitsPerTable}) ELSE 0 END)
+         |       FROM $planesSql WHERE planes.p < ${BitsPerTable}) AS b0
+         |  FROM embeddings),
+         |q AS (SELECT label, CAST(floor(1000000.0 * nrm) AS BIGINT) AS nrm_ppm, b0 FROM n),
+         |bc AS (SELECT label, b0, count(*) AS c FROM q GROUP BY 1, 2),
+         |dom AS (SELECT label, b0 AS dom_bucket FROM (
+         |    SELECT label, b0, row_number() OVER (PARTITION BY label ORDER BY c DESC, b0) AS rk
+         |    FROM bc) WHERE rk = 1)
+         |SELECT q.label, count(*) AS n,
+         |  min(nrm_ppm) AS min_norm_ppm, max(nrm_ppm) AS max_norm_ppm,
+         |  CAST(sum(nrm_ppm) // count(*) AS BIGINT) AS avg_norm_ppm,
+         |  max(dom.dom_bucket) AS dom_bucket
+         |FROM q JOIN dom ON dom.label = q.label
+         |GROUP BY q.label ORDER BY q.label""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("label"),
+        floor(lit(1000000.0) * l2Norm(col("embedding"))).cast("long").as("nrm_ppm"),
+        // first LSH table's bucket = low BitsPerTable bits of code 0
+        (element_at(lshBucketCodes(col("embedding")), 1) % (1 << BitsPerTable))
+          .as("b0"))
+      val bc = e.groupBy(col("label"), col("b0")).agg(count(lit(1)).as("c"))
+      val dom = bc.groupBy(col("label"))
+        .agg(min(struct((-col("c")).as("nc"), col("b0").as("b0"))).as("m"))
+        .select(col("label"), col("m.b0").as("dom_bucket"))
+      e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("nrm_ppm")).as("min_norm_ppm"),
+          max(col("nrm_ppm")).as("max_norm_ppm"),
+          expr("sum(nrm_ppm) div count(1)").cast("long").as("avg_norm_ppm"))
+        .join(dom, "label")
+        .select(col("label"), col("n"), col("min_norm_ppm"), col("max_norm_ppm"),
+          col("avg_norm_ppm"), col("dom_bucket"))
+        .orderBy(col("label"))
+    },
+
+    GraftQuery(
       "q44_lsh_ann_pairs",
       "Banded hyperplane-LSH ANN (16 tables x 4 sign bits, md5-derived planes): candidates are distinct id-pairs sharing any (table, bucket) — linear shuffle volume, the 100 TB path — then exact-verified at cosine >= 0.40 by joining the vectors back. ~92% recall of the brute-force q42 pairs at a fraction of the comparisons.",
       s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
