@@ -27,6 +27,12 @@ object SourcesAndUdfs {
   private def stage(d: String, name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_stage_${math.abs(d.hashCode)}/$name"
 
+  /** Stage a derived frame once per (sfdir, name): the fixture data is
+    * immutable, so a completed staging (_SUCCESS marker) is reused — the
+    * operator under test is the format's scan path, not the setup write. */
+  private def stageOnce(path: String)(write: => Unit): Unit =
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) write
+
   /** Exact integer average: (100 * Σcents) / n with long floor division —
     * a typed Aggregator registered through functions.udaf. */
   object CentsAvgX100 extends Aggregator[Long, (Long, Long), Long] {
@@ -55,7 +61,9 @@ object SourcesAndUdfs {
           // cents as long BEFORE the text round-trip: doubles through CSV
           // re-parse exactly, but integer text is beyond doubt
           cents(col("c_acctbal")).as("acctbal_cents"))
-      src.write.mode("overwrite").option("header", "true").csv(path)
+      stageOnce(path) {
+        src.write.mode("overwrite").option("header", "true").csv(path)
+      }
       s.read
         .schema("c_custkey LONG, c_nationkey LONG, acctbal_cents LONG")
         .option("header", "true")
@@ -73,10 +81,12 @@ object SourcesAndUdfs {
         |FROM supplier WHERE s_nationkey < 10
         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
       val path = stage(d, "supplier_json")
-      Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_nationkey"),
-          cents(col("s_acctbal")).as("acctbal_cents"))
-        .write.mode("overwrite").json(path)
+      stageOnce(path) {
+        Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"),
+            cents(col("s_acctbal")).as("acctbal_cents"))
+          .write.mode("overwrite").json(path)
+      }
       s.read.json(path) // schema inferred from the data
         .filter(col("s_nationkey") < 10)
         .select(col("s_suppkey"), col("s_nationkey"),
