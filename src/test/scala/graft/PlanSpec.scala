@@ -82,6 +82,65 @@ class PlanSpec extends SparkSpec {
     assert(row.getAs[Long]("amount_cents") === (7L * 137903L) % 300000L)
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    // Bucket both sides on the join key; Spark reads the bucket layout and
+    // plans the join without any Exchange — the pre-partitioning strategy
+    // for repeatedly-joined 100 TB fact tables.
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+    // the in-memory catalog forgets tables across JVMs but their warehouse
+    // directories persist — clear them or CTAS fails LOCATION_ALREADY_EXISTS
+    for (t <- Seq("graft_b_orders", "graft_b_lineitem")) {
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_b_orders")
+    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_b_lineitem")
+    // disable broadcast so the plan shows the bucketed SMJ path (at real
+    // fact×fact scale neither side broadcasts anyway)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_b_orders")
+        .join(spark.table("graft_b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = planOf(joined)
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        "bucketed join still shuffles:\n" + plan.take(3000))
+      assert(plan.contains("SortMergeJoin"), plan.take(3000))
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("dynamic partition pruning fires on a partitioned fact scan") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_dpp_orders"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(dir)
+    }
+    val dim = Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("p")).distinct()
+      .filter(col("p") < "3")
+    val fact = spark.read.parquet(dir)
+    val joined = fact.join(dim, col("o_orderpriority") === col("p"))
+      .groupBy(col("o_orderpriority")).count()
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "no DPP in plan:\n" + plan.take(3000))
+    assert(joined.count() === 2)
+  }
+
   test("SQL registration exposes the native functions to spark.sql") {
     GraftFunctions.register(spark)
     val r = spark.sql(
