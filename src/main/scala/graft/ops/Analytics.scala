@@ -243,6 +243,37 @@ object Analytics {
     },
 
     GraftQuery(
+      "q79_union_by_name",
+      "Schema-evolving union: an old-schema batch (no discount column) and a new-schema batch union BY NAME with missing columns null-padded — the append path when a 100 TB table's schema grows; per-epoch aggregate keeps nulls observable.",
+      """WITH old_b AS (SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(NULL AS BIGINT) AS discount_cents, 'v1' AS epoch
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |new_b AS (SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(o_orderkey % 500 AS BIGINT) AS discount_cents, 'v2' AS epoch
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |u AS (SELECT * FROM old_b UNION ALL SELECT * FROM new_b)
+        |SELECT epoch, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(discount_cents) AS BIGINT) AS discount_cents,
+        |  count(discount_cents) AS n_with_discount
+        |FROM u GROUP BY epoch ORDER BY epoch""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val oldB = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("cents"),
+          lit("v1").as("epoch"))
+      val newB = orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("cents"),
+          (col("o_orderkey") % 500).cast("long").as("discount_cents"),
+          lit("v2").as("epoch"))
+      oldB.unionByName(newB, allowMissingColumns = true)
+        .groupBy(col("epoch"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(col("discount_cents")).as("discount_cents"),
+          count(col("discount_cents")).as("n_with_discount"))
+        .orderBy(col("epoch"))
+    },
+
+    GraftQuery(
       "q72_hash_sample",
       "Deterministic hash sampling: a 5% sample selected by md5-hash residue of the row key — reproducible across runs, engines and cluster sizes (unlike TABLESAMPLE/rand), the pattern for exploring a 100 TB table at fixed cost.",
       s"""SELECT l_returnflag, count(*) AS n,
