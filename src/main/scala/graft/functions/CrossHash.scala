@@ -17,8 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object CrossHash {
 
-  /** Spark side: `conv(substr(md5(c),1,15),16,10)` as a long. */
+  /** Spark side: native digest-to-long kernel ([[org.apache.spark.sql.graft.H60]]);
+    * value-identical to `conv(substr(md5(c),1,15),16,10)` (differential-tested). */
   def h60(c: Column): Column =
+    org.apache.spark.sql.graft.GraftShim.column(
+      org.apache.spark.sql.graft.H60(
+        org.apache.spark.sql.graft.GraftShim.expression(c)))
+
+  /** The hex-string formulation of [[h60]] — differential-test twin. */
+  def h60Hex(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** DuckDB side of the same value, as a SQL fragment over `expr`. */

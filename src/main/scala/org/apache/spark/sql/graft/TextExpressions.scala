@@ -24,6 +24,23 @@ object TextKernels {
   @inline private def isWs(b: Byte): Boolean =
     b == 0x20 || (b >= 0x09 && b <= 0x0d)
 
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** The cross-engine h60 hash (first 15 hex digits of md5, parsed base 16)
+    * computed without the hex-string detour: 15 hex digits are the first
+    * 7.5 digest bytes, i.e. the big-endian long of bytes 0..7 shifted right
+    * by one nibble. Value-identical to
+    * `conv(substring(md5(c), 1, 15), 16, 10)` and the DuckDB twin. */
+  def h60(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(s.getBytes)
+    (((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) | ((h(2) & 0xffL) << 40) |
+      ((h(3) & 0xffL) << 32) | ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+      ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)) >>> 4
+  }
+
   /** Maximal non-whitespace runs of `s` as an array of UTF8Strings. */
   def tokenize(s: UTF8String): ArrayData = {
     val bytes = s.getBytes // one copy; token slices wrap this array
@@ -101,6 +118,27 @@ case class Tokenize(child: Expression)
       s"org.apache.spark.sql.graft.TextKernels.tokenize($s)")
 
   override protected def withNewChildInternal(newChild: Expression): Tokenize =
+    copy(child = newChild)
+}
+
+/** `h60(text)` — the engine's cross-engine 60-bit md5 hash as one digest
+  * call straight to a long (no hex-string round trip; ~2× the hashing
+  * throughput of the conv(substring(md5)) formulation it equals). */
+case class H60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "h60"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.h60(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"org.apache.spark.sql.graft.TextKernels.h60($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): H60 =
     copy(child = newChild)
 }
 

@@ -54,6 +54,21 @@ class KernelSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("h60 digest kernel == hex-parse formulation on corpus and soup") {
+    import graft.functions.CrossHash.{h60, h60Hex, h60Local}
+    val corpusBad = Tables.documents(spark, sf)
+      .filter(h60(col("text")) =!= h60Hex(col("text"))).count()
+    assert(corpusBad === 0)
+    val rng = new scala.util.Random(11)
+    val soup = Seq.fill(500)(rng.nextString(rng.nextInt(30)))
+    val soupBad = soup.toDF("s")
+      .filter(h60(col("s")) =!= h60Hex(col("s"))).count()
+    assert(soupBad === 0)
+    // and the driver-side twin agrees
+    assert(Seq("", "a", "hello world").forall(s =>
+      Seq(s).toDF("s").select(h60(col("s"))).as[Long].head() == h60Local(s)))
+  }
+
   test("ascii_clean kernel == two-regex normalize on corpus and soup") {
     import graft.functions.GraftFunctions.asciiClean
     def regexClean(c: org.apache.spark.sql.Column) =
