@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{AsciiClean, GraftShim, Tokenize, VectorDot, VectorNorm, WordNGrams}
+import org.apache.spark.sql.graft.{AsciiClean, GraftShim, H60, Tokenize, VectorDot, VectorNorm, WordNGrams}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 /** DataFrame + SQL surface for the engine's native Catalyst expressions.
@@ -65,6 +65,18 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "tokenize(text) takes one argument")
         Tokenize(children.head)
+      }),
+    (FunctionIdentifier("h60"),
+      new ExpressionInfo(classOf[H60].getName, "h60"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "h60(text) takes one argument")
+        H60(children.head)
+      }),
+    (FunctionIdentifier("ascii_clean"),
+      new ExpressionInfo(classOf[AsciiClean].getName, "ascii_clean"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "ascii_clean(text) takes one argument")
+        AsciiClean(children.head)
       }),
     (FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),

@@ -148,11 +148,15 @@ class PlanSpec extends SparkSpec {
         |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
         |       vec_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
         |       tokenize('  a b  c ') AS t,
-        |       word_ngrams(array('x','y','z'), 2) AS g""".stripMargin)
+        |       word_ngrams(array('x','y','z'), 2) AS g,
+        |       h60('hello world') AS h,
+        |       ascii_clean('a,, b!!') AS c""".stripMargin)
       .collect()(0)
     assert(r.getDouble(0) === 11.0)
     assert(r.getDouble(1) === 5.0)
     assert(r.getSeq[String](2) === Seq("a", "b", "c"))
     assert(r.getSeq[String](3) === Seq("x y", "y z"))
+    assert(r.getLong(4) === graft.functions.CrossHash.h60Local("hello world"))
+    assert(r.getString(5) === "a b")
   }
 }
