@@ -44,16 +44,26 @@ object StreamingOps {
   }
 
   /** Run a streaming frame to completion (AvailableNow) into a memory sink
-    * and return the materialized result. */
+    * and return the materialized result.
+    *
+    * State partitioning: a streaming aggregation creates one state store
+    * per shuffle partition per micro-batch; at this corpus size 32 stores
+    * are pure overhead, so the stream runs with 8 (a real deployment sizes
+    * this to state volume — it is fixed at first checkpoint, so it's an
+    * explicit knob here, not an inherited default). */
   def runToMemory(df: DataFrame, name: String,
                   outputMode: String): DataFrame = {
     val spark = df.sparkSession
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     q.awaitTermination()
     spark.table(name)
   }
