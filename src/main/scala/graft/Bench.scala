@@ -22,6 +22,17 @@ object Bench {
     try {
       spark.range(1 << 20).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
+      // spin up the Structured Streaming machinery once (state store,
+      // checkpoint plumbing, micro-batch planner) so the first timed
+      // streaming query measures the query
+      val q = spark.readStream.format("rate").option("numPartitions", "1").load()
+        .groupBy().count()
+        .writeStream.format("memory").queryName("bench_warmup")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(15000)
+      q.stop()
     } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
