@@ -144,6 +144,42 @@ object TextAnalysis {
     },
 
     GraftQuery(
+      "q80_pipeline_end2end",
+      "The full training-data pipeline as one declarative plan: clean (fused kernel) -> quality filter (>= 10 tokens) -> exact dedup on the cleaned content key (min doc_id canonical) -> deterministic 50% hash sample -> per-language corpus stats. Every stage is an operator proven on its own; chained, Catalyst still plans it as two shuffles (dedup + final agg).",
+      """WITH c AS (SELECT doc_id, lang,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         ' +', ' ', 'g')) AS cleaned
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang, cleaned,
+        |    len(list_filter(regexp_split_to_array(cleaned, ' '), x -> x <> '')) AS n_tokens
+        |  FROM c
+        |  WHERE len(list_filter(regexp_split_to_array(cleaned, ' '), x -> x <> '')) >= 10),
+        |d AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+        |    min(n_tokens) AS n_tokens, md5(cleaned) AS ck
+        |  FROM q GROUP BY md5(cleaned)),
+        |s AS (SELECT * FROM d
+        |  WHERE CAST(('0x' || substr(md5(ck), 1, 15)) AS BIGINT) % 2 = 0)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import graft.functions.CrossHash.h60
+      val cleaned = graft.functions.GraftFunctions.asciiClean(lower(col("text")))
+      val q = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), cleaned.as("cleaned"))
+        .withColumn("n_tokens", size(tokens(col("cleaned"))))
+        .filter(col("n_tokens") >= 10)
+      val dedup = q.groupBy(md5(col("cleaned")).as("ck"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+          min(col("n_tokens")).as("n_tokens"))
+      dedup
+        .filter(pmod(h60(col("ck")), lit(2)) === 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy(col("lang"))
+    },
+
+    GraftQuery(
       "q74_text_cleaning",
       "Pretraining-style cleaning pass: lowercase, strip non-alphanumerics, collapse whitespace, drop docs that end up under 10 tokens; emits per-doc cleaned stats plus a stable md5 of the cleaned text (the cache key of a cleaning stage).",
       """WITH c AS (SELECT doc_id,
