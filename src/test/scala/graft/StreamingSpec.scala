@@ -93,6 +93,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window merges events within the gap across batches") {
+    implicit val ctx = classicCtx
+    val in = MemoryStream[(Timestamp, String)]
+    val sessions = in.toDF().toDF("ts", "user")
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), col("session_window.start").cast("string").as("start"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("stream_sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData((ts("10:00"), "u"), (ts("10:05"), "u"))
+      q.processAllAvailable()
+      in.addData((ts("10:12"), "u"), (ts("11:00"), "u")) // first extends, second opens new
+      q.processAllAvailable()
+      val rows = spark.table("stream_sessions")
+        .as[(String, String, Long)].collect().map(r => (r._2, r._3)).toMap
+      assert(rows("2026-01-01 10:00:00") === 3L) // 10:00,10:05,10:12 merged
+      assert(rows("2026-01-01 11:00:00") === 1L)
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink receives each micro-batch with its id") {
+    implicit val ctx = classicCtx
+    val in = MemoryStream[Long]
+    val seen = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val q = in.toDF().toDF("v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        seen.put(id, batch.count())
+        ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(1L, 2L, 3L); q.processAllAvailable()
+      in.addData(4L); q.processAllAvailable()
+      assert(seen.values.sum === 4L)
+      assert(seen.size >= 2)
+    } finally q.stop()
+  }
+
   test("registry streaming queries equal their batch twins") {
     // q59's streaming tumbling windows == the same aggregation done in batch
     val streamed = SparkEntry.queries("q59_stream_tumbling")(spark, sf)
