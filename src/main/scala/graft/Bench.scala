@@ -31,18 +31,29 @@ object Bench {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(15000)
-      q.stop()
+      // stop() in finally: an awaitTermination timeout must not leave the
+      // warmup stream running under the first timed queries
+      try q.awaitTermination(15000) finally q.stop()
     } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // cache hygiene between queries: a query's persisted frames must not
+      // occupy (or LRU-evict into) the storage memory of the queries after it
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also persist the JSON to a file: a truncated captured stdout must not
+    // lose the round's numbers (the env var lets the driver redirect it)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -26,6 +26,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally
+        // cache hygiene: no query's persisted frames outlive its own action
+        // in this shared ~80-query session (VerifySpec asserts empty after)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }

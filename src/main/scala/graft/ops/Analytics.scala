@@ -185,8 +185,8 @@ object Analytics {
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events),
         |s AS (SELECT user_id, ts, value,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
         |  FROM g)
         |SELECT user_id, sid,
         |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
@@ -195,7 +195,10 @@ object Analytics {
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin) { (s, d) =>
       val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val run  = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      // event_id tie-break keeps the frame total-ordered like the oracle's
+      // ORDER BY ts, event_id: with ROWS frames, a ts tie straddling a
+      // session boundary would otherwise be summed in nondeterministic order.
+      val run  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
         .withColumn("new_s",

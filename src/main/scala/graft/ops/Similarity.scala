@@ -170,9 +170,9 @@ object Similarity {
       "q78_label_embedding_stats",
       "Per-label embedding statistics: count, min/max/avg vector norm in ppm (per-row norms are bit-identical doubles, quantized before the exact integer aggregate), and the label's dominant first LSH-table bucket (argmax with total tie-break) — the class-profile pass of an embedding corpus.",
       s"""WITH n AS (SELECT label, ${normSql("embedding")} AS nrm,
-         |    (SELECT sum(CASE WHEN ${dotSql("planes.rv", "embedding")} > 0
+         |    CAST((SELECT sum(CASE WHEN ${dotSql("planes.rv", "embedding")} > 0
          |                     THEN 1 << (planes.p % ${BitsPerTable}) ELSE 0 END)
-         |       FROM $planesSql WHERE planes.p < ${BitsPerTable}) AS b0
+         |       FROM $planesSql WHERE planes.p < ${BitsPerTable}) AS BIGINT) AS b0
          |  FROM embeddings),
          |q AS (SELECT label, CAST(floor(1000000.0 * nrm) AS BIGINT) AS nrm_ppm, b0 FROM n),
          |bc AS (SELECT label, b0, count(*) AS c FROM q GROUP BY 1, 2),
@@ -182,7 +182,7 @@ object Similarity {
          |SELECT q.label, count(*) AS n,
          |  min(nrm_ppm) AS min_norm_ppm, max(nrm_ppm) AS max_norm_ppm,
          |  CAST(sum(nrm_ppm) // count(*) AS BIGINT) AS avg_norm_ppm,
-         |  max(dom.dom_bucket) AS dom_bucket
+         |  CAST(max(dom.dom_bucket) AS BIGINT) AS dom_bucket
          |FROM q JOIN dom ON dom.label = q.label
          |GROUP BY q.label ORDER BY q.label""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d).select(col("label"),
@@ -231,10 +231,12 @@ object Similarity {
       val bk = n.select(col("vec_id"),
         explode(lshBucketCodes(col("embedding"))).as("code"))
       // candidate generation on ids only (no vectors through the shuffle);
-      // the bucket index is (corpus × tables) id-sized rows — broadcastable
-      // far beyond this corpus (hash join, no sort/shuffle of the probe side)
+      // the bucket index is (corpus × tables) rows — it SCALES WITH THE
+      // CORPUS, so no broadcast hint: AQE broadcasts it at small SF and
+      // falls back to a shuffled join on `code` at 100 TB (a forced
+      // broadcast of a corpus-sized frame would OOM the driver/executors)
       val cand = bk.as("a")
-        .join(broadcast(bk.as("b")),
+        .join(bk.as("b"),
           col("a.code") === col("b.code") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()

@@ -24,12 +24,26 @@ import graft.functions.ColumnOps._
   */
 object SourcesAndUdfs {
 
-  private def stage(d: String, name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_stage_${math.abs(d.hashCode)}/$name"
+  /** Stage path keyed on a CONTENT fingerprint of the fixture dir (every
+    * file's path+length+mtime), not just its path: regenerated testdata at
+    * the same location gets a fresh stage dir instead of silently reusing
+    * stale staged rows — a wrong correctness verdict costs far more than a
+    * re-stage. */
+  private def stage(d: String, name: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(d))
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft_stage_$key/$name"
+  }
 
-  /** Stage a derived frame once per (sfdir, name): the fixture data is
-    * immutable, so a completed staging (_SUCCESS marker) is reused — the
-    * operator under test is the format's scan path, not the setup write. */
+  /** Stage a derived frame once per (fixture-fingerprint, name): a completed
+    * staging (_SUCCESS marker) is reused — the operator under test is the
+    * format's scan path, not the setup write. */
   private def stageOnce(path: String)(write: => Unit): Unit =
     if (!new java.io.File(s"$path/_SUCCESS").exists()) write
 
@@ -98,7 +112,7 @@ object SourcesAndUdfs {
       "q66_udf_surface",
       "User-extension surface: a scalar Scala UDF (digit sum of the order key) and a typed Aggregator UDAF (exact integer average cents, (100*sum)/n floor division) — registered via udf()/functions.udaf and verified against arithmetic oracle equivalents.",
       """SELECT o_orderpriority, count(*) AS n,
-        |  (100 * sum(CAST(floor(o_totalprice * 100) AS BIGINT))) // count(*) AS avg_cents_x100,
+        |  CAST((100 * sum(CAST(floor(o_totalprice * 100) AS BIGINT))) // count(*) AS BIGINT) AS avg_cents_x100,
         |  CAST(sum((SELECT sum(CAST(substr(CAST(o_orderkey AS VARCHAR), CAST(i AS INTEGER), 1) AS BIGINT))
         |            FROM unnest(generate_series(1, length(CAST(o_orderkey AS VARCHAR)))) AS u(i))) AS BIGINT) AS digit_sum
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>

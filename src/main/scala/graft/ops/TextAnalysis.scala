@@ -223,19 +223,27 @@ object TextAnalysis {
         |  FROM s)
         |SELECT source, rk, term, score FROM r WHERE rk <= 10
         |ORDER BY source, rk""".stripMargin) { (s, d) =>
-      val t = Tables.documents(s, d)
+      // One tokenize pass, no persist: tf and df both derive from a single
+      // (source, term) pre-aggregation — each doc has exactly one source, so
+      // df(term) = Σ_source countDistinct(doc_id | source, term). The exploded
+      // corpus-sized frame is shuffled once; the df rollup runs over the
+      // already-aggregated (small) frame.
+      val per = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("term"))
-        .persist() // feeds tf, df and N — three consumers of one tokenize pass
-      val tf = t.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = t.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-      val n  = Tables.documents(s, d).count() // tiny scalar; plan stays lazy below
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("ddocs"))
+      val df = per.groupBy(col("term")).agg(sum(col("ddocs")).as("df"))
+      // corpus size as a 1-row broadcast frame, not a driver-side count():
+      // the whole query stays one lazy plan with no eager job
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w  = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("score").desc, col("term"))
-      tf.join(df, "term")
+      per.join(df, "term")
+        .crossJoin(broadcast(nDocs))
         .select(col("source"), col("term"),
           // `div` = exact integer division, matching DuckDB's `//` — a
           // double `/` could round a near-integer quotient the other way
-          expr(s"(1000000L * tf * ${n}L) div df").cast("long").as("score"))
+          expr("(1000000L * tf * n_docs) div df").cast("long").as("score"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 10)
         .select(col("source"), col("rk"), col("term"), col("score"))
@@ -270,8 +278,11 @@ object TextAnalysis {
       // dist ≤ 20 filter — it removed 91% of fingerprint collisions at
       // sf0.1. Verification then uses the banded threshold levenshtein
       // (O(L·k) with early exit, −1 when > k) instead of full O(L²).
+      // fp is one row per document — it scales with the corpus, so no
+      // broadcast hint: AQE broadcasts at small SF and shuffles on fp_min
+      // at 100 TB (a forced broadcast would OOM on a corpus-sized frame)
       val cand = fp.as("a")
-        .join(broadcast(fp.as("b")),
+        .join(fp.as("b"),
           col("a.fp_min") === col("b.fp_min") && col("a.doc_id") < col("b.doc_id") &&
             abs(col("a.len") - col("b.len")) <= 20)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
