@@ -150,6 +150,21 @@ object SourcesAndUdfs {
         .orderBy(col("po_number"))
     },
 
+    GraftQuery.noOracle(
+      "q81_request_signing",
+      "R12 HMAC request signing, distributed: every row's pipeline request URI signed with the reference's StringToSign (verb+path-sans-/api+ts) and HMAC-SHA256 — built from codegen'd sha2/concat/unhex (no UDF). No SQL oracle (DuckDB 1.0 sha256 is VARCHAR-only, HMAC needs raw-byte intermediates); RFC 4231 known-answer + javax.crypto differential in AuthAndLoggingSpec.") { (s, d) =>
+      val po = graft.etl.WatermarkEtl.sourceFeed(s, d)
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("po_number"))
+      val data = graft.functions.RequestSigning.stringToSignColumn(
+        lit("GET"),
+        concat(lit("/api/form/"), col("po_number"), lit("/pipeline")),
+        lit("1596240000"))
+      po.select(col("po_number"),
+          lower(graft.functions.RequestSigning.signColumn("graft-demo-secret", data)).as("sig"))
+        .orderBy(col("po_number"))
+    },
+
     GraftQuery(
       "q67_generator_udf",
       "Generator (UDTF-style): an array-returning UDF exploded into rows — order priority split into its components, counted corpus-wide.",
