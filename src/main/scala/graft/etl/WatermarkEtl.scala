@@ -76,19 +76,33 @@ object WatermarkEtl {
         col("charge_code"), col("po_number"))
       .orderBy(col("po_number"))
 
-  /** Full run: compute the delta vs the parquet sink at `sinkPath` and append
-    * it (R4). Parquet-append per tick is atomic enough for tests; the
-    * reference's partial-POST duplication gap is documented in SURVEY §3.4.
+  /** Full run: compute the delta vs the sink at `sinkPath` and append it
+    * (R4). Two sink transports behind `viaConnector`:
+    *
+    *   - `false`: parquet via `DataFrameWriter` — the lake-table shape;
+    *   - `true`: the [[graft.sources.FormSinkSource]] DSv2 connector — the
+    *     reference's remote-table shape (Graph append POST, bin:111-123),
+    *     with the watermark read (R3) AND the append (R4) both through the
+    *     connector's two-phase-commit write path.
+    *
     * Returns the number of appended rows (the reference logs this, R10). */
-  def runIncrement(spark: SparkSession, source: DataFrame,
-                   sinkPath: String): Long = {
+  def runIncrement(spark: SparkSession, source: DataFrame, sinkPath: String,
+                   viaConnector: Boolean = false): Long = {
     val sink =
-      if (new java.io.File(sinkPath).exists) spark.read.parquet(sinkPath)
+      if (viaConnector)
+        spark.read.format(graft.sources.FormSinkSource.Format)
+          .option("path", sinkPath).load()
+      else if (new java.io.File(sinkPath).exists) spark.read.parquet(sinkPath)
       else spark.emptyDataFrame.withColumn("po_number", lit(null).cast("string"))
     val d = deltaAgainst(source, sink.select(col("po_number"))).cache()
     try {
       val n = d.count()
-      if (n > 0) d.write.mode(SaveMode.Append).parquet(sinkPath)
+      if (n > 0) {
+        if (viaConnector)
+          d.write.format(graft.sources.FormSinkSource.Format)
+            .mode(SaveMode.Append).option("path", sinkPath).save()
+        else d.write.mode(SaveMode.Append).parquet(sinkPath)
+      }
       n
     } finally d.unpersist()
   }

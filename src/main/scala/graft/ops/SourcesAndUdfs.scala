@@ -150,6 +150,21 @@ object SourcesAndUdfs {
         .orderBy(col("po_number"))
     },
 
+    GraftQuery(
+      "q82_source_agg_pushdown",
+      "R3 end-to-end through the connector: the watermark MAX (and row count) computed INSIDE the DSv2 source via complete aggregate pushdown — no aggregate exec in the plan, like the reference's sink-side last-row read; composes with the pushed under-$1500 filter.",
+      """WITH src AS (
+        |  SELECT printf('U%09dD', i) AS po_number,
+        |    (i * 137903) % 300000 AS amount_cents
+        |  FROM unnest(generate_series(0, 4999)) AS t(i))
+        |SELECT max(po_number) AS wm, CAST(count(*) AS BIGINT) AS n
+        |FROM src WHERE amount_cents < 150000""".stripMargin) { (s, d) =>
+      s.read.format("graft.sources.FormPipelineSource")
+        .option("rows", 5000).option("partitions", 8).load()
+        .filter(col("amount_cents") < 150000L)
+        .agg(max(col("po_number")).as("wm"), count(lit(1)).as("n"))
+    },
+
     GraftQuery.noOracle(
       "q81_request_signing",
       "R12 HMAC request signing, distributed: every row's pipeline request URI signed with the reference's StringToSign (verb+path-sans-/api+ts) and HMAC-SHA256 — built from codegen'd sha2/concat/unhex (no UDF). No SQL oracle (DuckDB 1.0 sha256 is VARCHAR-only, HMAC needs raw-byte intermediates); RFC 4231 known-answer + javax.crypto differential in AuthAndLoggingSpec.") { (s, d) =>

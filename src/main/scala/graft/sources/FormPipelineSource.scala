@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -110,9 +111,11 @@ private class FormTable(rows: Long, partitions: Int) extends Table with Supports
 }
 
 private class FormScanBuilder(rows: Long, partitions: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = FormPipelineSource.schema
+  private var aggs: Seq[PushedAgg] = Seq.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition(FormPipelineSource.supported)
@@ -122,28 +125,121 @@ private class FormScanBuilder(rows: Long, partitions: Int)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new FormScan(rows, partitions, pushed, required)
+
+  /** R3 end-to-end: the reference computes the watermark at the remote side
+    * (last-row read of the sink table, bin:53-69); here an ungrouped
+    * MAX/MIN/COUNT(*) is evaluated inside the source over the post-filter
+    * rows, and Spark plans NO aggregate exec at all (complete pushdown —
+    * the scan's single partition returns the one final row). */
+  private def translate(f: AggregateFunc): Option[PushedAgg] = f match {
+    case m: Max => fieldOf(m.column).map(PushedAgg("MAX", _))
+    case m: Min => fieldOf(m.column).map(PushedAgg("MIN", _))
+    case _: CountStar => Some(PushedAgg("COUNT_STAR", ""))
+    case _ => None
+  }
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      Some(nr.fieldNames.head)
+    case _ => None
+  }
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    a.groupByExpressions.isEmpty &&
+      a.aggregateExpressions.forall(translate(_).isDefined)
+  override def pushAggregation(a: Aggregation): Boolean = {
+    if (!supportCompletePushDown(a)) return false
+    aggs = a.aggregateExpressions.toSeq.map(translate(_).get)
+    true
+  }
+
+  override def build(): Scan = new FormScan(rows, partitions, pushed, required, aggs)
+}
+
+/** One accepted source-side aggregate: MAX/MIN over a column, or COUNT(*). */
+private case class PushedAgg(fn: String, field: String) {
+  override def toString: String = if (fn == "COUNT_STAR") "COUNT(*)" else s"$fn($field)"
 }
 
 private class FormScan(rows: Long, partitions: Int,
-                       pushed: Array[Filter], required: StructType)
-    extends Scan with Batch {
-  override def readSchema(): StructType = required
+                       pushed: Array[Filter], required: StructType,
+                       aggs: Seq[PushedAgg]) extends Scan with Batch {
+  /** With a complete aggregate pushdown the scan's output row IS the final
+    * result: one field per aggregate (MAX/MIN keep the column's type,
+    * COUNT(*) is a long), exactly the schema Spark's pushdown rule expects. */
+  override def readSchema(): StructType =
+    if (aggs.isEmpty) required
+    else StructType(aggs.map {
+      case PushedAgg("COUNT_STAR", _) =>
+        StructField("count(*)", LongType, nullable = false)
+      case PushedAgg(fn, field) =>
+        val src = FormPipelineSource.schema(field)
+        StructField(s"$fn($field)", src.dataType, nullable = true)
+    })
   override def toBatch: Batch = this
   override def description(): String =
     s"FormPipelineScan rows=$rows PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.simpleString}"
+      s"PushedAggregates: [${aggs.mkString(", ")}], " +
+      s"ReadSchema: ${readSchema().simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val per = math.max(1L, (rows + partitions - 1) / partitions)
+    // complete pushdown → exactly one final row → exactly one partition
+    val parts = if (aggs.nonEmpty) 1 else partitions
+    val per = math.max(1L, (rows + parts - 1) / parts)
     (0L until rows by per).map(s =>
       FormRange(s, math.min(s + per, rows)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new FormReaderFactory(pushed, required)
+    if (aggs.isEmpty) new FormReaderFactory(pushed, required)
+    else new FormAggReaderFactory(pushed, aggs)
 }
 
 private case class FormRange(start: Long, end: Long) extends InputPartition
+
+/** Evaluates the pushed ungrouped aggregates "server-side": one pass over
+  * the post-filter row model, one output row. MAX/MIN over strings compare
+  * lexicographically — same semantics the filter path already pins (§1.2). */
+private class FormAggReaderFactory(pushed: Array[Filter], aggs: Seq[PushedAgg])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[FormRange]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = !done
+      override def get(): InternalRow = {
+        done = true
+        var count = 0L
+        val acc = Array.fill[Any](aggs.length)(null)
+        var i = r.start
+        while (i < r.end) {
+          if (pushed.forall(FormPipelineSource.evaluate(_, i))) {
+            count += 1
+            aggs.zipWithIndex.foreach { case (a, j) =>
+              if (a.fn != "COUNT_STAR") {
+                val v = FormPipelineSource.value(i, a.field)
+                val better = acc(j) == null || ((v, acc(j)) match {
+                  case (x: Long, cur: Long) =>
+                    if (a.fn == "MAX") x > cur else x < cur
+                  case (x: String, cur: String) =>
+                    if (a.fn == "MAX") x > cur else x < cur
+                  case _ => false // unreachable: a field's type is stable
+                })
+                if (better) acc(j) = v
+              }
+            }
+          }
+          i += 1
+        }
+        InternalRow.fromSeq(aggs.zipWithIndex.map {
+          case (PushedAgg("COUNT_STAR", _), _) => count
+          case (_, j) => acc(j) match {
+            case s: String => UTF8String.fromString(s)
+            case other     => other // Long or null (zero matching rows)
+          }
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
 
 private class FormReaderFactory(pushed: Array[Filter], required: StructType)
     extends PartitionReaderFactory {

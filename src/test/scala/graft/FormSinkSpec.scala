@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.etl.WatermarkEtl
+import graft.sources.FormSinkSource
+
+/** The DSv2 write path (SURVEY §2.1 R4 as a connector): append and truncate
+  * through FormSinkSource's two-phase commit, read-back with pruning, and
+  * the flagship ETL invariants re-run with BOTH the watermark read (R3) and
+  * the append (R4) routed through the connector. */
+class FormSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sink").toString
+
+  private def feed(lo: Int, hi: Int) =
+    WatermarkEtl.sourceFeed(spark, sf)
+      .filter(col("o_orderkey").between(lo, hi))
+      .drop("o_orderkey")
+
+  test("append writes through two-phase commit and reads back exactly") {
+    val dir = tmp()
+    val df = feed(1, 200)
+    df.write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    val back = spark.read.format(FormSinkSource.Format)
+      .option("path", dir).load()
+    assert(back.schema.fieldNames.toSeq ===
+      Seq("vendor", "description", "picker_erk", "charge_code", "po_number"))
+    assert(back.orderBy("po_number").collect().toSeq ===
+      df.orderBy("po_number").collect().toSeq)
+    // nothing left staged after the driver commit published the files
+    assert(!new java.io.File(s"$dir/_staging").exists() ||
+      new java.io.File(s"$dir/_staging").listFiles().isEmpty)
+  }
+
+  test("second append is additive; overwrite truncates first") {
+    val dir = tmp()
+    val a = feed(1, 100)
+    val b = feed(101, 150)
+    a.write.format(FormSinkSource.Format).mode(SaveMode.Append).option("path", dir).save()
+    b.write.format(FormSinkSource.Format).mode(SaveMode.Append).option("path", dir).save()
+    val read = () => spark.read.format(FormSinkSource.Format).option("path", dir).load()
+    assert(read().count() === a.count() + b.count())
+    b.write.format(FormSinkSource.Format).mode(SaveMode.Overwrite).option("path", dir).save()
+    assert(read().count() === b.count())
+  }
+
+  test("reading an empty sink yields zero rows with the declared schema") {
+    val back = spark.read.format(FormSinkSource.Format).option("path", tmp()).load()
+    assert(back.count() === 0)
+    assert(back.schema === FormSinkSource.schema)
+  }
+
+  test("read path prunes columns at the scan") {
+    val dir = tmp()
+    feed(1, 50).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    val df = spark.read.format(FormSinkSource.Format).option("path", dir).load()
+      .select(col("po_number"))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReadSchema: struct<po_number:string>"), plan.take(1500))
+    assert(df.as[String].collect().length === 50)
+  }
+
+  test("null cells round-trip") {
+    val dir = tmp()
+    Seq(("v1", null: String)).toDF("vendor", "po_number")
+      .write.format(FormSinkSource.Format).mode(SaveMode.Append).option("path", dir).save()
+    val row = spark.read.format(FormSinkSource.Format).option("path", dir).load()
+      .select("vendor", "description", "po_number").collect().head
+    assert(row.getString(0) === "v1")
+    assert(row.isNullAt(1) && row.isNullAt(2)) // unwritten + explicit null
+  }
+
+  test("non-string input coerces to the table's string cells (reference §1.2)") {
+    // Spark's output resolver casts input to the table schema by name, so a
+    // long column lands as its string cell — the Seamless cells-are-strings
+    // model; the write builder's string-only guard stays as the backstop for
+    // direct connector use.
+    val dir = tmp()
+    Seq(42L).toDF("vendor").write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    val row = spark.read.format(FormSinkSource.Format).option("path", dir).load()
+      .select("vendor").collect().head
+    assert(row.getString(0) === "42")
+  }
+
+  test("runIncrement via the connector: idempotent, additive, watermark read through the sink") {
+    val dir = tmp()
+    val full = WatermarkEtl.sourceFeed(spark, sf)
+    val first = full.filter(col("o_orderkey") <= 500)
+    val n1 = WatermarkEtl.runIncrement(spark, first, dir, viaConnector = true)
+    assert(n1 > 0)
+    // idempotence: unchanged source appends nothing
+    assert(WatermarkEtl.runIncrement(spark, first, dir, viaConnector = true) === 0)
+    // additivity: the growing source appends exactly the new rows
+    val n2 = WatermarkEtl.runIncrement(spark, full, dir, viaConnector = true)
+    assert(n1 + n2 === full.count())
+    assert(spark.read.format(FormSinkSource.Format).option("path", dir).load()
+      .count() === n1 + n2)
+  }
+}

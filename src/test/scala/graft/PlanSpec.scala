@@ -73,6 +73,58 @@ class PlanSpec extends SparkSpec {
     assert(df.count() === 99)
   }
 
+  test("DSv2 form source: ungrouped MAX/COUNT(*) execute inside the source") {
+    // R3 end-to-end: the watermark MAX runs "server-side" like the
+    // reference's sink-side last-row read (bin:53-69) — complete pushdown,
+    // so the plan has NO aggregate exec at all, and the one-row result
+    // comes straight off the scan.
+    val df = spark.read.format("graft.sources.FormPipelineSource")
+      .option("rows", 5000).load()
+      .agg(max(col("po_number")).as("wm"), count(lit(1)).as("n"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedAggregates: [MAX(po_number), COUNT(*)]"), plan.take(2500))
+    assert(!plan.contains("HashAggregate"), plan.take(2500))
+    val row = df.collect()(0)
+    assert(row.getString(0) === "U000004999D")
+    assert(row.getLong(1) === 5000L)
+  }
+
+  test("DSv2 form source: aggregate pushdown composes with filter pushdown") {
+    val df = spark.read.format("graft.sources.FormPipelineSource")
+      .option("rows", 1000).load()
+      .filter(col("po_number") <= "U000000499D")
+      .agg(min(col("amount_cents")).as("lo"), max(col("po_number")).as("hi"))
+    val plan = planOf(df)
+    assert(plan.contains("LessThanOrEqual(po_number,U000000499D)"), plan.take(2500))
+    assert(plan.contains("PushedAggregates: [MIN(amount_cents), MAX(po_number)]"),
+      plan.take(2500))
+    val row = df.collect()(0)
+    assert(row.getString(1) === "U000000499D")
+    assert(row.getLong(0) === (0L until 500L).map(i => (i * 137903L) % 300000L).min)
+  }
+
+  test("grouped aggregates are NOT claimed by the source (stay in the engine)") {
+    val df = spark.read.format("graft.sources.FormPipelineSource")
+      .option("rows", 1000).load()
+      .groupBy(col("charge_code")).agg(count(lit(1)).as("n"))
+    val plan = planOf(df)
+    assert(plan.contains("HashAggregate"), plan.take(2500))
+    assert(df.count() === 7)
+  }
+
+  test("no broadcast hint on corpus-scaling frames (q44/q77)") {
+    // Both candidate indexes are one row per corpus element — a forced
+    // broadcast would OOM at 100 TB. AQE may still *choose* to broadcast at
+    // this SF (fine: runtime decision from observed sizes); the pin is that
+    // the plan carries no hint forcing it.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (q <- Seq("q44_lsh_ann_pairs", "q77_editdist_dedup")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty, s"$q carries a forced-strategy hint: $hints")
+    }
+  }
+
   test("DSv2 form source values match the declared row model") {
     val row = spark.read.format("graft.sources.FormPipelineSource")
       .option("rows", 10).load()
