@@ -39,15 +39,21 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
-      // cache hygiene between queries: a query's persisted frames must not
-      // occupy (or LRU-evict into) the storage memory of the queries after it
+      // cache hygiene between queries: clearCache drops the CacheManager
+      // entries too (a bare RDD-unpersist leaves stale InMemoryRelations that
+      // later matching plans silently recompute through); the RDD sweep after
+      // it catches any persist that bypassed the CacheManager
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the one-line JSON short enough to survive the
+    // driver's bounded stdout-tail capture (9-decimal floats overflowed it)
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // also persist the JSON to a file: a truncated captured stdout must not
     // lose the round's numbers (the env var lets the driver redirect it)

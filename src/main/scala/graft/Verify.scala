@@ -26,10 +26,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally
+      finally {
         // cache hygiene: no query's persisted frames outlive its own action
-        // in this shared ~80-query session (VerifySpec asserts empty after)
+        // in this shared ~80-query session (VerifySpec asserts empty after).
+        // clearCache drops the CacheManager entries too — a bare RDD-unpersist
+        // leaves stale InMemoryRelations later matching plans re-route through.
+        spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }

@@ -181,9 +181,12 @@ private class FormScan(rows: Long, partitions: Int,
       s"ReadSchema: ${readSchema().simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // complete pushdown → exactly one final row → exactly one partition
-    val parts = if (aggs.nonEmpty) 1 else partitions
-    val per = math.max(1L, (rows + parts - 1) / parts)
+    // complete pushdown → exactly one final row → exactly one partition,
+    // UNCONDITIONALLY: an empty source (rows=0) must still emit its single
+    // aggregate row (count=0, null max/min) because Spark plans no aggregate
+    // exec to supply the empty-input row itself
+    if (aggs.nonEmpty) return Array(FormRange(0L, rows))
+    val per = math.max(1L, (rows + partitions - 1) / partitions)
     (0L until rows by per).map(s =>
       FormRange(s, math.min(s + per, rows)): InputPartition).toArray
   }

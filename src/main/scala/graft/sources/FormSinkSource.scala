@@ -21,12 +21,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * fixed 5-string-column table) modeled as a full `SupportsWrite` table with
   * the engine-side semantics a remote sink needs:
   *
-  *   - **two-phase commit**: each task stages its rows to a private file;
-  *     only the driver's `BatchWrite.commit` publishes staged files into the
-  *     table. A speculative or retried task attempt whose commit message
-  *     never reaches the driver leaves nothing visible — the exactly-once
-  *     contract the reference lacks (its row-by-row POSTs can duplicate on
-  *     partial failure, SURVEY §3.4);
+  *   - **two-phase commit**: each task stages its rows to a private file
+  *     under a per-job staging subdirectory (keyed by the write's queryId,
+  *     so two concurrent jobs on the same path never sweep each other's
+  *     staged files); only the driver's `BatchWrite.commit` publishes staged
+  *     files into the table. A speculative or retried task attempt whose
+  *     commit message never reaches the driver leaves nothing visible —
+  *     stronger than the reference (its row-by-row POSTs can duplicate on
+  *     partial failure, SURVEY §3.4). Known gap: publish is a per-file
+  *     ATOMIC_MOVE loop, so a driver crash mid-commit can leave a partial
+  *     publish (at-least-once on driver death, exactly-once otherwise — a
+  *     manifest-swap would close it; out of scope for the stand-in);
   *   - **append and truncate** (`SaveMode.Append` / `Overwrite`), matching
   *     the two ways a scheduled ETL runs (incremental tick / full reload);
   *   - **readable back** (`SupportsRead` with column pruning), so the
@@ -58,7 +63,10 @@ object FormSinkSource {
   val Format = "graft.sources.FormSinkSource"
 
   private[sources] def dataDir(path: String): Path = Paths.get(path)
-  private[sources] def stagingDir(path: String): Path = Paths.get(path, "_staging")
+  /** Per-job staging: keyed by the write's queryId so concurrent jobs on the
+    * same path stage — and sweep — only their own files. */
+  private[sources] def stagingDir(path: String, jobId: String): Path =
+    Paths.get(path, "_staging", jobId)
 
   /** Committed table files, deterministic order (read-partition stability). */
   private[sources] def committedFiles(path: String): Seq[Path] = {
@@ -85,31 +93,32 @@ private class FormSinkTable(path: String) extends Table
     val bad = info.schema().fields.filterNot(_.dataType == StringType)
     require(bad.isEmpty,
       s"form sink cells are strings (reference §1.2); non-string: ${bad.map(_.name).mkString(",")}")
-    new FormSinkWriteBuilder(path, info.schema())
+    new FormSinkWriteBuilder(path, info.schema(), info.queryId())
   }
 }
 
 // ---- write path: stage per task, publish on driver commit ----
 
-private class FormSinkWriteBuilder(path: String, schema: StructType)
+private class FormSinkWriteBuilder(path: String, schema: StructType, jobId: String)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new FormSinkBatchWrite(path, schema, truncateFirst)
+    override def toBatch: BatchWrite =
+      new FormSinkBatchWrite(path, schema, truncateFirst, jobId)
   }
 }
 
 private case class StagedFileMessage(fileName: String) extends WriterCommitMessage
 
 private class FormSinkBatchWrite(path: String, schema: StructType,
-                                 truncateFirst: Boolean) extends BatchWrite {
+                                 truncateFirst: Boolean, jobId: String) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new FormSinkWriterFactory(path, schema)
+    new FormSinkWriterFactory(path, schema, jobId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staging = FormSinkSource.stagingDir(path)
+    val staging = FormSinkSource.stagingDir(path, jobId)
     if (truncateFirst)
       FormSinkSource.committedFiles(path).foreach(Files.delete)
     messages.foreach { case StagedFileMessage(name) =>
@@ -117,23 +126,27 @@ private class FormSinkBatchWrite(path: String, schema: StructType,
         FormSinkSource.dataDir(path).resolve(name),
         StandardCopyOption.ATOMIC_MOVE)
     }
-    // staged leftovers are uncommitted attempts (aborted/speculative) — drop
-    if (Files.isDirectory(staging))
+    // leftovers in OUR job's staging dir are uncommitted attempts
+    // (aborted/speculative) — sweep only this job's subdirectory, never a
+    // concurrent job's still-staged files
+    if (Files.isDirectory(staging)) {
       Files.list(staging).iterator().asScala.toSeq.foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(staging)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val staging = FormSinkSource.stagingDir(path)
+    val staging = FormSinkSource.stagingDir(path, jobId)
     messages.filter(_ != null).foreach { case StagedFileMessage(name) =>
       Files.deleteIfExists(staging.resolve(name))
     }
   }
 }
 
-private class FormSinkWriterFactory(path: String, schema: StructType)
+private class FormSinkWriterFactory(path: String, schema: StructType, jobId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    val staging = FormSinkSource.stagingDir(path)
+    val staging = FormSinkSource.stagingDir(path, jobId)
     Files.createDirectories(staging)
     // uuid makes retried/speculative attempts of the same task collide-free
     val name = f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.jsonl"

@@ -91,6 +91,23 @@ class FormSinkSpec extends SparkSpec {
     assert(row.getString(0) === "42")
   }
 
+  test("commit sweeps only its own job's staging dir, not a concurrent job's") {
+    // Two jobs writing the same path stage under per-queryId subdirectories;
+    // one job's commit must not delete the other's still-staged files.
+    val dir = tmp()
+    val otherJob = Files.createDirectories(
+      java.nio.file.Paths.get(dir, "_staging", "concurrent-job"))
+    val stagedByOther = otherJob.resolve("part-00000-staged.jsonl")
+    Files.writeString(stagedByOther, "{\"vendor\":\"in-flight\"}\n")
+    feed(1, 50).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    assert(Files.exists(stagedByOther),
+      "a concurrent job's staged file was swept by another job's commit")
+    // and the in-flight file is invisible to readers until ITS commit
+    assert(spark.read.format(FormSinkSource.Format).option("path", dir).load()
+      .filter(col("vendor") === "in-flight").count() === 0)
+  }
+
   test("runIncrement via the connector: idempotent, additive, watermark read through the sink") {
     val dir = tmp()
     val full = WatermarkEtl.sourceFeed(spark, sf)

@@ -103,6 +103,30 @@ class PlanSpec extends SparkSpec {
     assert(row.getLong(0) === (0L until 500L).map(i => (i * 137903L) % 300000L).min)
   }
 
+  test("agg pushdown over an EMPTY source still yields the single aggregate row") {
+    // With complete pushdown Spark plans no aggregate exec, so the scan
+    // itself must emit the empty-input row (count=0, null max) — a rows=0
+    // source must therefore still plan exactly one input partition.
+    val df = spark.read.format("graft.sources.FormPipelineSource")
+      .option("rows", 0).load()
+      .agg(max(col("po_number")).as("wm"), count(lit(1)).as("n"))
+    val rows = df.collect()
+    assert(rows.length === 1)
+    assert(rows(0).isNullAt(0))
+    assert(rows(0).getLong(1) === 0L)
+  }
+
+  test("agg pushdown when the filter eliminates every row: count=0, null max") {
+    val df = spark.read.format("graft.sources.FormPipelineSource")
+      .option("rows", 100).load()
+      .filter(col("po_number") > "Z") // nothing matches
+      .agg(max(col("po_number")).as("wm"), count(lit(1)).as("n"))
+    val rows = df.collect()
+    assert(rows.length === 1)
+    assert(rows(0).isNullAt(0))
+    assert(rows(0).getLong(1) === 0L)
+  }
+
   test("grouped aggregates are NOT claimed by the source (stay in the engine)") {
     val df = spark.read.format("graft.sources.FormPipelineSource")
       .option("rows", 1000).load()
