@@ -46,6 +46,13 @@ object GraftFunctions {
     column(org.apache.spark.sql.graft.HyperplaneBuckets(
       expression(v), planes, numTables, bits))
 
+  /** MinHash signature aggregate over pre-hashed shingle values: one
+    * `array<long>` of k per-function minima per group (native
+    * TypedImperativeAggregate; map-side partial merge). */
+  def minhashAgg(hs: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
+    column(org.apache.spark.sql.graft.MinHashAgg(expression(hs), as, bs, p)
+      .toAggregateExpression())
+
   /** (name, info, builder) triples for SQL registration. */
   val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),

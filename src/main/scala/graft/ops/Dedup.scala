@@ -51,17 +51,36 @@ object Dedup {
       |         i -> array_to_string(toks[i:i+2], ' '))) AS sh
       |  FROM t WHERE len(toks) >= 3)""".stripMargin
 
-  /** MinHash signature frame: doc_id, mh00..mh31 (exact longs). */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val sh = docs
-      .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 3))).as("sh"))
+  /** Pre-hashed shingle frame: (doc_id, hs) with hs = h60(shingle) mod P. */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
       .withColumn("hs", pmod(h60(col("sh")), lit(P)))
+
+  /** MinHash signature frame: doc_id, mh00..mh31 (exact longs), via the
+    * native [[org.apache.spark.sql.graft.MinHashAgg]] TypedImperativeAggregate
+    * (SURVEY §2.4's CUSTOM-aggregate tier): one k-long buffer per doc,
+    * ObjectHashAggregate with map-side partial merge. Benched at parity with
+    * the min×32 twin [[minhashSignaturesMinX32]] (~0.45s both at sf0.1),
+    * which MinHashAggSpec pins bit-identical. */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val as = hashParams.map(_._1).toArray
+    val bs = hashParams.map(_._2).toArray
+    val sig = shingleHashes(s, d).groupBy(col("doc_id"))
+      .agg(graft.functions.GraftFunctions.minhashAgg(col("hs"), as, bs, P).as("sig"))
+    val cols = col("doc_id") +:
+      hashParams.indices.map(i => col("sig").getItem(i).as(f"mh$i%02d"))
+    sig.select(cols: _*)
+  }
+
+  /** Built-in twin of [[minhashSignatures]]: 32 independent min() aggregates.
+    * Kept as the differential check for the custom aggregate (MinHashAggSpec)
+    * — same shuffle volume (k longs per doc), whole-stage-codegen path. */
+  def minhashSignaturesMinX32(s: SparkSession, d: String): DataFrame = {
     val aggs = hashParams.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("hs") * a + b, lit(P))).as(f"mh$i%02d")
     }
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    shingleHashes(s, d).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** The oracle twin of [[minhashSignatures]], built from the same params. */
@@ -145,7 +164,7 @@ object Dedup {
 
     GraftQuery(
       "q39_minhash_signatures",
-      "MinHash signature matrix: 32 affine hashes over md5-derived 60-bit shingle hashes; one groupBy.agg(min×32) — map-side partial aggregation, exact-long output.",
+      "MinHash signature matrix: 32 affine hashes over md5-derived 60-bit shingle hashes; one native TypedImperativeAggregate (k-long buffer per doc, map-side partial merge), exact-long output.",
       minhashSql + "\nORDER BY doc_id") { (s, d) =>
       minhashSignatures(s, d).orderBy(col("doc_id"))
     },
