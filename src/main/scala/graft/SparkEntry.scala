@@ -19,6 +19,7 @@ object SparkEntry {
       ops.TextAnalysis.queries ++
       ops.Analytics.queries ++
       ops.Multimodal.queries ++
+      ops.PipelineOps.queries ++
       ops.SourcesAndUdfs.queries ++
       streaming.StreamingOps.queries ++
       etl.EtlQueries.queries

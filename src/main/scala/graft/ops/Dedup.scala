@@ -83,8 +83,9 @@ object Dedup {
     shingleHashes(s, d).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** The oracle twin of [[minhashSignatures]], built from the same params. */
-  private def minhashSql: String = {
+  /** The oracle twin of [[minhashSignatures]], built from the same params.
+    * (`private[ops]`: PipelineOps' connected-components oracle embeds it.) */
+  private[ops] def minhashSql: String = {
     val hs = s"${h60Sql("sh")} % $P"
     val mins = hashParams.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a*hs + $b) % $P) AS mh" + f"$i%02d"

@@ -1,0 +1,246 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.CrossHash.{h60, h60Sql}
+
+/** Training-data pipeline operators beyond the per-document tier: duplicate-
+  * CLUSTER resolution (connected components over LSH candidate edges),
+  * deterministic stratified sampling, event funnel / cohort retention
+  * analytics, embedding quantization, and PII-pattern profiling.
+  *
+  * Scale notes (100 TB design intent):
+  *   - connected components is the iterated min-label-propagation algorithm
+  *     (the MapReduce-CC family — Kiveris et al., "Connected Components in
+  *     MapReduce and Beyond", SoCC'14): each round is one self-join + one
+  *     min-aggregate, rounds ≈ component diameter (near-dup clusters are
+  *     shallow), lineage truncated per round with `localCheckpoint` (a real
+  *     cluster checkpoints to reliable storage instead);
+  *   - stratified sampling is a stateless hash residue — no sort, no
+  *     per-stratum scan, reproducible across engines and cluster sizes;
+  *   - funnel/cohort are two-shuffle shapes (per-user agg + re-join);
+  *   - quantization is embarrassingly parallel per vector.
+  */
+object PipelineOps {
+
+  /** Candidate duplicate edges from MinHash-LSH band collisions: symmetric
+    * (src, dst) pairs of docs sharing any band bucket (same banding as q40). */
+  private def lshEdges(s: SparkSession, d: String): DataFrame = {
+    val sig = Dedup.minhashSignatures(s, d)
+    val bandCols = (0 until Dedup.NumBands).map { b =>
+      val key = concat_ws(",",
+        (0 until Dedup.RowsPerBand).map(r => col(f"mh${b * Dedup.RowsPerBand + r}%02d")): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+  }
+
+  /** Min-label propagation to fixpoint: label(n) ← min(label(n),
+    * min over neighbors' labels); converged when Σlabel stops falling
+    * (labels are monotone non-increasing with a fixed node set). */
+  private[graft] def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                                         maxIters: Int = 20): DataFrame = {
+    var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
+    val e = edges.localCheckpoint()
+    var lastSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val prop = e.join(labels, e("dst") === labels("node"))
+        .select(e("src").as("node"), labels("label"))
+      val next = labels.union(prop)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("label"))).head.getLong(0)
+      converged = s == lastSum
+      lastSum = s
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $maxIters rounds")
+    labels
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q83_dedup_components",
+      "Duplicate-cluster resolution: connected components over MinHash-LSH candidate edges (docs sharing any band bucket), iterated min-label propagation; per cluster the canonical (min) doc_id and member count. The cluster step LSH pairs alone cannot give: transitive near-dup groups.",
+      {
+        val bandSelects = (0 until Dedup.NumBands).map { b =>
+          val key = (0 until Dedup.RowsPerBand)
+            .map(r => f"mh${b * Dedup.RowsPerBand + r}%02d").mkString(" || ',' || ")
+          s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH RECURSIVE sig AS (
+           |${Dedup.minhashSql}
+           |),
+           |bands AS (
+           |  $bandSelects),
+           |e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           |      FROM bands a JOIN bands b
+           |        ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id),
+           |reach(node, label) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.src, r.label FROM reach r JOIN e ON r.node = e.dst),
+           |lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node)
+           |SELECT label AS component_id, CAST(count(*) AS BIGINT) AS n_docs
+           |FROM lab GROUP BY label ORDER BY component_id""".stripMargin
+      }) { (s, d) =>
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("node"))
+      val labels = connectedComponents(nodes, lshEdges(s, d))
+      labels.groupBy(col("label").as("component_id"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("component_id"))
+    },
+
+    GraftQuery(
+      "q84_stratified_sample",
+      "Deterministic stratified sampling: per-language rates (en 10%, others 30%) via md5-residue on doc_id — stateless, engine- and partitioning-independent, no sort or per-stratum pass.",
+      s"""SELECT doc_id, lang
+         |FROM documents
+         |WHERE ${h60Sql("'strat|' || CAST(doc_id AS VARCHAR)")} % 1000
+         |      < (CASE WHEN lang = 'en' THEN 100 ELSE 300 END)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val residue = pmod(
+        h60(concat(lit("strat|"), col("doc_id").cast("string"))), lit(1000L))
+      val rate = when(col("lang") === "en", 100L).otherwise(300L)
+      Tables.documents(s, d)
+        .filter(residue < rate)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
+      "q85_event_funnel",
+      "Ordered event funnel with per-stage time bounds: first view, then first click within 1 hour of it, then first purchase within 24 hours of that; per-stage distinct-user counts.",
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 1 HOUR
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 24 HOURS
+        |      GROUP BY e.user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |  UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+        |  UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p)
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val stage = (n: String, df: DataFrame) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(n).as("stage"), col("n_users"))
+      stage("1_view", v).union(stage("2_click", c)).union(stage("3_purchase", p))
+        .orderBy(col("stage"))
+    },
+
+    GraftQuery(
+      "q87_cohort_retention",
+      "Weekly cohort retention: cohort = week of a user's first event; per (cohort week, week offset) the distinct active-user count — the standard growth-analytics triangle.",
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+        |SELECT CAST(f.cw AS DATE) AS cohort_week,
+        |  (CAST(floor(epoch(a.w)) AS BIGINT) - CAST(floor(epoch(f.cw)) AS BIGINT)) // 604800 AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM f JOIN a ON f.user_id = a.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val f = e.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cw"))
+      val a = e.select(col("user_id"), date_trunc("week", col("ts")).as("w")).distinct()
+      f.join(a, "user_id")
+        .groupBy(col("cw").cast("date").as("cohort_week"),
+          ((unix_timestamp(col("w")) - unix_timestamp(col("cw"))) / 604800L)
+            .cast("long").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    GraftQuery(
+      "q86_embedding_quantization",
+      "Per-vector int8 scalar quantization: min/max range per embedding, elements quantized to 0..255 by floor, reconstruction error as ppm of (range x dim) — the compression pass before ANN index build; integer outputs, double arithmetic with identical fold order both engines.",
+      {
+        val mn = "CAST(list_min(embedding) AS DOUBLE)"
+        val mx = "CAST(list_max(embedding) AS DOUBLE)"
+        s"""WITH r AS (SELECT vec_id, embedding, $mn AS mn, $mx - $mn AS span,
+           |                  len(embedding) AS dim
+           |           FROM embeddings),
+           |q AS (SELECT vec_id, embedding, mn, span, dim,
+           |  CASE WHEN span = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+           |       ELSE list_transform(embedding, x ->
+           |         least(255, CAST(floor((CAST(x AS DOUBLE) - mn) * 255 / span) AS BIGINT))) END AS codes
+           |  FROM r)
+           |SELECT vec_id, CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           |  CASE WHEN span = 0 THEN 0
+           |       ELSE CAST(floor(1000000.0 *
+           |         list_sum(list_transform(list_zip(embedding, codes),
+           |           p -> abs(CAST(p[1] AS DOUBLE) - (CAST(p[2] AS DOUBLE) * span / 255 + mn))))
+           |         / (span * dim)) AS BIGINT) END AS err_ppm
+           |FROM q ORDER BY vec_id""".stripMargin
+      }) { (s, d) =>
+      val mn = array_min(col("embedding")).cast("double")
+      val mx = array_max(col("embedding")).cast("double")
+      val r = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), mn.as("mn"),
+          (mx - mn).as("span"), size(col("embedding")).as("dim"))
+      val q = r.select(col("vec_id"), col("embedding"), col("mn"), col("span"), col("dim"),
+        when(col("span") === 0.0,
+          transform(col("embedding"), _ => lit(0L)))
+          .otherwise(transform(col("embedding"), x =>
+            least(lit(255L),
+              floor((x.cast("double") - col("mn")) * 255 / col("span")).cast("long"))))
+          .as("codes"))
+      val err = aggregate(
+        zip_with(col("embedding"), col("codes"),
+          (x, c) => abs(x.cast("double") - (c.cast("double") * col("span") / 255 + col("mn")))),
+        lit(0.0), (acc, v) => acc + v)
+      q.select(col("vec_id"),
+        aggregate(col("codes"), lit(0L), (acc, v) => acc + v).as("code_sum"),
+        when(col("span") === 0.0, lit(0L))
+          .otherwise(floor(lit(1000000.0) * err / (col("span") * col("dim"))).cast("long"))
+          .as("err_ppm"))
+        .orderBy(col("vec_id"))
+    },
+
+    GraftQuery(
+      "q88_pii_patterns",
+      "PII-pattern profiling per source: counts of email-, URL- and long-digit-run-shaped matches over document text (leftmost non-overlapping, identical regex semantics both engines) — the scrubbing census before release.",
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'))) AS BIGINT) AS n_emails,
+        |  CAST(sum(len(regexp_extract_all(text, 'https?://[^ ]+'))) AS BIGINT) AS n_urls,
+        |  CAST(sum(len(regexp_extract_all(text, '[0-9][0-9][0-9][0-9][0-9][0-9]+'))) AS BIGINT) AS n_digit_runs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      def matches(pat: String) =
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(matches("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+")).as("n_emails"),
+          sum(matches("https?://[^ ]+")).as("n_urls"),
+          sum(matches("[0-9][0-9][0-9][0-9][0-9][0-9]+")).as("n_digit_runs"))
+        .orderBy(col("source"))
+    }
+  )
+}

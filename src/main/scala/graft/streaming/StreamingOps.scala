@@ -118,6 +118,34 @@ object StreamingOps {
         .select(unix_timestamp(col("window.start")).as("window_start_s"),
           col("n"), col("value_cents"))
         .orderBy(col("window_start_s"))
+    },
+
+    GraftQuery(
+      "q89_stream_stream_join",
+      "Stream-stream inner join: the view stream joined to the purchase stream per user within a 30-minute event-time range, watermarks on BOTH sides bounding the join state (each side's buffer is evicted once the other side's watermark passes the range) — per-user matched-pair counts, identical to the batch-join oracle.",
+      """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val views = eventsStream(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") > col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      runToMemory(joined.select(col("v_user").as("user_id")),
+        s"q89_sink_${System.nanoTime()}", "append")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
     }
   )
 }

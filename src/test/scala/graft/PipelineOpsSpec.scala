@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.PipelineOps
+
+/** Semantics of the pipeline-tier operators: transitive closure of the
+  * duplicate-cluster resolution, funnel ordering constraints, and the
+  * deterministic-sample invariants. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chain closes transitively, islands stay apart") {
+    // 1-2, 2-3 (chain → one component), 10-11, and isolated 20
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("node")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val labels = PipelineOps.connectedComponents(nodes, edges)
+      .orderBy("node").as[(Long, Long)].collect()
+    assert(labels.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("connected components: long chain needs multiple propagation rounds") {
+    // a 12-node path — diameter 11, so min-label propagation must iterate;
+    // the label must still reach the far end
+    val n = 12
+    val nodes = (0 until n).map(_.toLong).toDF("node")
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val labels = PipelineOps.connectedComponents(nodes, edges, maxIters = 20)
+    assert(labels.select(countDistinct(col("label"))).head.getLong(0) === 1L)
+    assert(labels.agg(max(col("label"))).head.getLong(0) === 0L)
+  }
+
+  test("q83 component sizes sum to the document count") {
+    val df = SparkEntry.queries("q83_dedup_components")(spark, sf)
+    val total = df.agg(sum(col("n_docs"))).head.getLong(0)
+    assert(total === Tables.documents(spark, sf).count())
+  }
+
+  test("q84 sample is deterministic and respects per-stratum rates loosely") {
+    val a = SparkEntry.queries("q84_stratified_sample")(spark, sf).collect()
+    val b = SparkEntry.queries("q84_stratified_sample")(spark, sf).collect()
+    assert(a.toSeq === b.toSeq) // same rows every run, any partitioning
+    val byLang = a.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val docs = Tables.documents(spark, sf)
+    val en = docs.filter(col("lang") === "en").count()
+    // md5-residue sampling: rate holds in expectation; just pin the bounds
+    assert(byLang.getOrElse("en", 0) <= en)
+    assert(byLang.values.sum === a.length)
+  }
+
+  test("q85 funnel stages are monotonically non-increasing") {
+    val rows = SparkEntry.queries("q85_event_funnel")(spark, sf)
+      .orderBy("stage").as[(String, Long)].collect()
+    assert(rows.map(_._1).toSeq === Seq("1_view", "2_click", "3_purchase"))
+    assert(rows(0)._2 >= rows(1)._2 && rows(1)._2 >= rows(2)._2)
+  }
+
+  test("q86 quantization codes stay in [0,255] and zero-span vectors are exact") {
+    val q = SparkEntry.queries("q86_embedding_quantization")(spark, sf)
+    val dim = Tables.embeddings(spark, sf)
+      .select(size(col("embedding"))).head.getInt(0)
+    val bad = q.filter(col("code_sum") < 0 || col("code_sum") > 255L * dim ||
+      col("err_ppm") < 0).count()
+    assert(bad === 0)
+  }
+
+  test("q87 cohort week offsets are non-negative and week 0 covers every user") {
+    val r = SparkEntry.queries("q87_cohort_retention")(spark, sf)
+    assert(r.filter(col("week_offset") < 0).count() === 0)
+    val week0 = r.filter(col("week_offset") === 0)
+      .agg(sum(col("n_users"))).head.getLong(0)
+    assert(week0 === Tables.events(spark, sf).select("user_id").distinct().count())
+  }
+}
