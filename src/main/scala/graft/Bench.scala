@@ -35,25 +35,53 @@ object Bench {
       // warmup stream running under the first timed queries
       try q.awaitTermination(15000) finally q.stop()
     } catch { case _: Throwable => () }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // cache hygiene between queries: clearCache drops the CacheManager
-      // entries too (a bare RDD-unpersist leaves stale InMemoryRelations that
-      // later matching plans silently recompute through); the RDD sweep after
-      // it catches any persist that bypassed the CacheManager
+    // cache hygiene between runs: clearCache drops the CacheManager entries
+    // too (a bare RDD-unpersist leaves stale InMemoryRelations that later
+    // matching plans silently recompute through); the RDD sweep after it
+    // catches any persist that bypassed the CacheManager
+    def sweepCaches(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> sec
+    }
+    // One measured execution: a noop-format write forces the FULL projection
+    // (a count() lets Catalyst prune the very columns some queries exist to
+    // compute, e.g. q02's narrowing or q81's signatures).
+    def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = selected.flatMap { case (name, fn) =>
+      // min of `reps` runs: single-shot timings proved too noisy to compare
+      // round-over-round (phantom 8× "regressions" under sandbox contention);
+      // the min is the least-contended observation of the same fixed plan
+      val times = (1 to reps).flatMap { _ =>
+        val t = try Some(runOnce(fn)) catch {
+          case e: Throwable =>
+            // a crashed query must never green-wash into a normal-looking
+            // time: record the error, emit no timing at all
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+            None
+        }
+        sweepCaches()
+        t
+      }
+      if (times.size < reps) None else Some(name -> times.min)
     }
     // ms precision keeps the one-line JSON short enough to survive the
     // driver's bounded stdout-tail capture (9-decimal floats overflowed it)
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     println(line)
     // also persist the JSON to a file: a truncated captured stdout must not
     // lose the round's numbers (the env var lets the driver redirect it)

@@ -142,8 +142,16 @@ private class FormScanBuilder(rows: Long, partitions: Int)
       Some(nr.fieldNames.head)
     case _ => None
   }
+  /** `aggregateExpressions.nonEmpty` is load-bearing: when an outer
+    * `count()` is planned on top of the already-pushed aggregate, column
+    * pruning can offer the source an Aggregation with ZERO aggregate
+    * expressions. Accepting it (`forall` on empty = true) leaves `aggs`
+    * empty, `build()` falls back to the plain row scan, and Spark's
+    * `V2ScanRelationPushDown.buildScanWithPushedAggregate` dies on the
+    * column-count mismatch. An empty aggregation carries nothing to push —
+    * refuse it and let Spark plan its own aggregate. */
   override def supportCompletePushDown(a: Aggregation): Boolean =
-    a.groupByExpressions.isEmpty &&
+    a.groupByExpressions.isEmpty && a.aggregateExpressions.nonEmpty &&
       a.aggregateExpressions.forall(translate(_).isDefined)
   override def pushAggregation(a: Aggregation): Boolean = {
     if (!supportCompletePushDown(a)) return false

@@ -103,6 +103,21 @@ class PlanSpec extends SparkSpec {
     assert(row.getLong(0) === (0L until 500L).map(i => (i * 137903L) % 300000L).min)
   }
 
+  test("count() on top of a pushed-down aggregate plans cleanly (q82 regression)") {
+    // Planning an outer count() over the completely-pushed aggregate prunes
+    // the inner aggregate's columns, and Spark then offers the source an
+    // Aggregation with ZERO aggregateExpressions. The builder must refuse it
+    // (an empty aggregation has nothing to push); accepting it used to crash
+    // V2ScanRelationPushDown with "unexpected number of columns".
+    val inner = spark.read.format("graft.sources.FormPipelineSource")
+      .option("rows", 5000).load()
+      .filter(col("amount_cents") < 150000L)
+      .agg(max(col("po_number")).as("wm"), count(lit(1)).as("n"))
+    assert(inner.count() === 1L)
+    // the registered query itself must survive the same shape
+    assert(SparkEntry.queries("q82_source_agg_pushdown")(spark, sf).count() === 1L)
+  }
+
   test("agg pushdown over an EMPTY source still yields the single aggregate row") {
     // With complete pushdown Spark plans no aggregate exec, so the scan
     // itself must emit the empty-input row (count=0, null max) — a rows=0
