@@ -24,8 +24,38 @@ import graft.functions.CrossHash.{h60, h60Sql}
   */
 object PipelineOps {
 
+  /** Default per-bucket membership cap for LSH edge generation (overridable
+    * via `spark.graft.lsh.maxBucketSize`). A band bucket with c members emits
+    * c·(c−1) edges; one degenerate mega-bucket (empty/boilerplate documents
+    * all hashing alike) would make edge generation O(c²) at corpus scale.
+    * Buckets over the cap are dropped entirely — the standard guard: a bucket
+    * that large is a degenerate-content collision, not near-dup signal, and
+    * its members still pair in any other (selective) band they share. */
+  private[graft] val DefaultMaxBucket = 64
+
+  /** Symmetric (src, dst) candidate pairs of docs sharing a band bucket,
+    * with buckets larger than `maxBucket` excluded. One window count over
+    * the (band, key) shuffle sizes every bucket without a second scan. */
+  private[graft] def bandedPairs(bands: DataFrame, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = bands
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+  }
+
   /** Candidate duplicate edges from MinHash-LSH band collisions: symmetric
-    * (src, dst) pairs of docs sharing any band bucket (same banding as q40). */
+    * (src, dst) pairs of docs sharing any band bucket (same banding as q40),
+    * bounded by the bucket-size cap above. Opt-in logging of truncated
+    * buckets (`spark.graft.lsh.logSkippedBuckets=true`) runs one extra small
+    * aggregate job, so it stays off in the timed query path. */
   private def lshEdges(s: SparkSession, d: String): DataFrame = {
     val sig = Dedup.minhashSignatures(s, d)
     val bandCols = (0 until Dedup.NumBands).map { b =>
@@ -35,12 +65,16 @@ object PipelineOps {
     }
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-      .distinct()
+    val cap = s.conf.getOption("spark.graft.lsh.maxBucketSize")
+      .map(_.toInt).getOrElse(DefaultMaxBucket)
+    if (s.conf.getOption("spark.graft.lsh.logSkippedBuckets").exists(_.toBoolean)) {
+      val skipped = bands.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > cap).count()
+      if (skipped > 0)
+        org.slf4j.LoggerFactory.getLogger("graft.lsh")
+          .warn(s"lshEdges: dropped $skipped band buckets larger than $cap members")
+    }
+    bandedPairs(bands, cap)
   }
 
   /** Min-label propagation to fixpoint: label(n) ← min(label(n),

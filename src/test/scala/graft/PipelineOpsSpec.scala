@@ -21,6 +21,23 @@ class PipelineOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("LSH edge generation drops mega-buckets, keeps selective ones") {
+    // one degenerate bucket of 200 colliding docs (would emit 200·199 edges)
+    // and one selective bucket of 3: with cap 64 only the selective bucket
+    // pairs survive — 3·2 = 6 directed edges, and the mega-bucket's members
+    // appear in none of them
+    val mega = (0L until 200L).map(i => (i, 0, "boilerplate"))
+    val small = Seq((1000L, 1, "rare"), (1001L, 1, "rare"), (1002L, 1, "rare"))
+    val bands = (mega ++ small).toDF("doc_id", "band", "key")
+    val edges = PipelineOps.bandedPairs(bands, maxBucket = 64)
+      .as[(Long, Long)].collect().toSet
+    assert(edges.size === 6)
+    assert(edges.forall { case (s, d) => s >= 1000L && d >= 1000L })
+    // and with a cap the mega-bucket fits under, all pairs come back
+    val unbounded = PipelineOps.bandedPairs(bands, maxBucket = 200)
+    assert(unbounded.count() === 200L * 199L + 6L)
+  }
+
   test("connected components: long chain needs multiple propagation rounds") {
     // a 12-node path — diameter 11, so min-label propagation must iterate;
     // the label must still reach the far end
