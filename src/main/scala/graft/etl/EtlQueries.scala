@@ -1,5 +1,6 @@
 package graft.etl
 
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.functions.ColumnOps._
@@ -89,6 +90,40 @@ object EtlQueries {
         "col_po_x4" -> "po_number"))
       SchemaResolver.select(labeled,
         Seq("vendor", "description", "charge_code", "po_number"))
+        .orderBy(col("po_number"))
+    },
+
+    GraftQuery(
+      "q90_connector_etl_roundtrip",
+      "The reference's full 5-network-hop tick (bin:125) as one DSv2 round trip: seed the sink connector, read the watermark via MAX pushed INTO the sink scan (its sink-side last-row read, R3), compute the strictly-newer delta from the form-pipeline source connector (R2/R6), append it through the sink's manifest-swap two-phase commit (R4), and return the appended delta read back through the committed manifest.",
+      """WITH src AS (
+        |  SELECT i,
+        |    'V' || (i % 97) AS vendor,
+        |    'order ' || i AS description,
+        |    CAST(DATE '2020-01-01' + CAST(i % 365 AS INTEGER) AS VARCHAR) AS picker_erk,
+        |    'C' || (i % 7) AS charge_code,
+        |    printf('U%09dD', i) AS po_number
+        |  FROM unnest(generate_series(0, 2999)) AS t(i))
+        |SELECT vendor, description, picker_erk, charge_code, po_number
+        |FROM src WHERE po_number > 'U000000999D'
+        |ORDER BY po_number""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-q90-sink").toString
+      val sinkFmt = graft.sources.FormSinkSource.Format
+      val feed = s.read.format("graft.sources.FormPipelineSource")
+        .option("rows", 3000).option("partitions", 8).load()
+      val five = feed.select(col("vendor"), col("description"),
+        col("picker_erk"), col("charge_code"), col("po_number"))
+      // seed: submissions 0..999 play the already-loaded sink table
+      // (the id filter is pushed into the source scan)
+      five.where(feed("submission_id") < 1000)
+        .write.format(sinkFmt).mode(SaveMode.Overwrite).option("path", dir).save()
+      // the incremental tick, both hops through the connector pair
+      val sink = s.read.format(sinkFmt).option("path", dir).load()
+      val delta = WatermarkEtl.deltaAgainst(five, sink.select(col("po_number")))
+      delta.write.format(sinkFmt).mode(SaveMode.Append).option("path", dir).save()
+      // read the appended delta back through the committed manifest
+      s.read.format(sinkFmt).option("path", dir).load()
+        .filter(col("po_number") > "U000000999D")
         .orderBy(col("po_number"))
     },
 

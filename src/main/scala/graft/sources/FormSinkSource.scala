@@ -21,17 +21,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * fixed 5-string-column table) modeled as a full `SupportsWrite` table with
   * the engine-side semantics a remote sink needs:
   *
-  *   - **two-phase commit**: each task stages its rows to a private file
-  *     under a per-job staging subdirectory (keyed by the write's queryId,
-  *     so two concurrent jobs on the same path never sweep each other's
-  *     staged files); only the driver's `BatchWrite.commit` publishes staged
-  *     files into the table. A speculative or retried task attempt whose
-  *     commit message never reaches the driver leaves nothing visible —
-  *     stronger than the reference (its row-by-row POSTs can duplicate on
-  *     partial failure, SURVEY §3.4). Known gap: publish is a per-file
-  *     ATOMIC_MOVE loop, so a driver crash mid-commit can leave a partial
-  *     publish (at-least-once on driver death, exactly-once otherwise — a
-  *     manifest-swap would close it; out of scope for the stand-in);
+  *   - **two-phase commit with a manifest swap**: each task stages its rows
+  *     to a private file under a per-job staging subdirectory (keyed by the
+  *     write's queryId, so two concurrent jobs on the same path never sweep
+  *     each other's staged files); the driver's `BatchWrite.commit` moves the
+  *     job's files into the table directory — where they are still INVISIBLE,
+  *     because readers only see files listed in the newest versioned manifest
+  *     (`_manifests/manifest-v<N>.json`) — and then publishes one new
+  *     manifest atomically. A driver crash anywhere before the manifest swap
+  *     leaves at most orphaned data files that no reader ever sees (a real
+  *     deployment vacuums unreferenced files); a crash after it has published
+  *     everything. Exactly-once, strictly stronger than the reference (its
+  *     row-by-row POSTs can duplicate on partial failure, SURVEY §3.4).
+  *     Concurrent commits serialize optimistically: the manifest is published
+  *     via an atomic hard-link that fails if version N+1 already exists
+  *     (POSIX rename would silently replace), and the loser re-reads and
+  *     retries on top of the winner's manifest;
   *   - **append and truncate** (`SaveMode.Append` / `Overwrite`), matching
   *     the two ways a scheduled ETL runs (incremental tick / full reload);
   *   - **readable back** (`SupportsRead` with column pruning), so the
@@ -67,15 +72,61 @@ object FormSinkSource {
     * same path stage — and sweep — only their own files. */
   private[sources] def stagingDir(path: String, jobId: String): Path =
     Paths.get(path, "_staging", jobId)
+  private[sources] def manifestDir(path: String): Path =
+    Paths.get(path, "_manifests")
 
-  /** Committed table files, deterministic order (read-partition stability). */
-  private[sources] def committedFiles(path: String): Seq[Path] = {
-    val d = dataDir(path)
-    if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala.toSeq
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".jsonl"))
-      .sortBy(_.getFileName.toString)
+  private val ManifestName = """manifest-v(\d{10})\.json""".r
+  private def manifestFile(path: String, version: Long): Path =
+    manifestDir(path).resolve(f"manifest-v$version%010d.json")
+
+  /** Newest manifest: (version, file names it makes visible). Version 0 with
+    * no files when the table has never committed. */
+  private[sources] def currentManifest(path: String): (Long, Seq[String]) = {
+    val d = manifestDir(path)
+    val newest =
+      if (!Files.isDirectory(d)) None
+      else Files.list(d).iterator().asScala
+        .flatMap(p => p.getFileName.toString match {
+          case ManifestName(v) => Some(v.toLong -> p)
+          case _               => None // tmp files mid-publish
+        }).maxByOption(_._1)
+    newest match {
+      case None => (0L, Seq.empty)
+      case Some((v, p)) =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val files = mapper.readTree(Files.readAllBytes(p)).get("files")
+        (v, (0 until files.size()).map(files.get(_).asText()))
+    }
   }
+
+  /** Publish `visible` as manifest version `version` — atomically, and only
+    * if that version does not exist yet. Returns false when another commit
+    * won the version (caller re-reads and retries on top of it). */
+  private[sources] def tryPublishManifest(path: String, version: Long,
+                                          visible: Seq[String]): Boolean = {
+    val d = manifestDir(path)
+    Files.createDirectories(d)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("files")
+    visible.foreach(arr.add)
+    val tmp = Files.createTempFile(d, "manifest-tmp-", ".tmp")
+    try {
+      Files.write(tmp, mapper.writeValueAsBytes(node))
+      // createLink is atomic and FAILS if the target exists — the collision
+      // detection ATOMIC_MOVE cannot give (POSIX rename replaces silently)
+      Files.createLink(manifestFile(path, version), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Committed table files — the newest manifest's listing, in its (sorted,
+    * deterministic) order. Files present in the directory but not in the
+    * manifest are invisible orphans from an uncommitted job. */
+  private[sources] def committedFiles(path: String): Seq[Path] =
+    currentManifest(path)._2.map(dataDir(path).resolve)
 }
 
 private class FormSinkTable(path: String) extends Table
@@ -119,12 +170,31 @@ private class FormSinkBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staging = FormSinkSource.stagingDir(path, jobId)
-    if (truncateFirst)
-      FormSinkSource.committedFiles(path).foreach(Files.delete)
-    messages.foreach { case StagedFileMessage(name) =>
+    val names = messages.map { case StagedFileMessage(name) => name }.sorted
+    // phase 1: move the job's files into the table directory. They are NOT
+    // visible yet — readers go through the manifest — so a crash anywhere in
+    // this loop publishes nothing (the moved files become unreferenced
+    // orphans a deployment's vacuum reclaims).
+    names.foreach { name =>
       Files.move(staging.resolve(name),
         FormSinkSource.dataDir(path).resolve(name),
         StandardCopyOption.ATOMIC_MOVE)
+    }
+    // phase 2: the commit point — one atomic manifest publication making all
+    // of the job's files (and none of anyone's partial state) visible at
+    // once. Optimistic retry: losing a version race re-reads the winner's
+    // manifest and stacks this job's files on top of it.
+    var published = false
+    while (!published) {
+      val (version, current) = FormSinkSource.currentManifest(path)
+      val visible = (if (truncateFirst) Seq.empty else current) ++ names
+      published = FormSinkSource.tryPublishManifest(path, version + 1, visible)
+      // truncate drops the old files from the manifest; physically delete
+      // them only AFTER the swap (readers of the old manifest mid-scan keep
+      // their snapshot on a real object store; locally best-effort)
+      if (published && truncateFirst)
+        current.foreach(n =>
+          Files.deleteIfExists(FormSinkSource.dataDir(path).resolve(n)))
     }
     // leftovers in OUR job's staging dir are uncommitted attempts
     // (aborted/speculative) — sweep only this job's subdirectory, never a
@@ -178,22 +248,113 @@ private class FormSinkDataWriter(file: Path, schema: StructType)
 // ---- read path: one partition per committed file, pruned columns ----
 
 private class FormSinkScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = FormSinkSource.schema
+  private var aggs: Seq[PushedAgg] = Seq.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new FormSinkScan(path, required)
+
+  /** R3 sink-side watermark: an ungrouped MAX/MIN/COUNT(*) evaluates inside
+    * the sink scan (the reference reads its watermark FROM the sink table,
+    * bin:53-69) — same complete-pushdown contract as [[FormPipelineSource]],
+    * including the non-empty guard (see the note there: an outer count()
+    * can offer an empty Aggregation, which must be refused). */
+  private def translate(f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc): Option[PushedAgg] = f match {
+    case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
+      fieldOf(m.column).map(PushedAgg("MAX", _))
+    case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
+      fieldOf(m.column).map(PushedAgg("MIN", _))
+    case _: org.apache.spark.sql.connector.expressions.aggregate.CountStar =>
+      Some(PushedAgg("COUNT_STAR", ""))
+    case _ => None
+  }
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+    case nr: org.apache.spark.sql.connector.expressions.NamedReference
+      if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+    case _ => None
+  }
+  override def supportCompletePushDown(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    a.groupByExpressions.isEmpty && a.aggregateExpressions.nonEmpty &&
+      a.aggregateExpressions.forall(translate(_).isDefined)
+  override def pushAggregation(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (!supportCompletePushDown(a)) return false
+    aggs = a.aggregateExpressions.toSeq.map(translate(_).get)
+    true
+  }
+
+  override def build(): Scan = new FormSinkScan(path, required, aggs)
 }
 
-private class FormSinkScan(path: String, required: StructType) extends Scan with Batch {
-  override def readSchema(): StructType = required
+private class FormSinkScan(path: String, required: StructType,
+                           aggs: Seq[PushedAgg]) extends Scan with Batch {
+  override def readSchema(): StructType =
+    if (aggs.isEmpty) required
+    else StructType(aggs.map {
+      case PushedAgg("COUNT_STAR", _) =>
+        StructField("count(*)", LongType, nullable = false)
+      case PushedAgg(fn, field) =>
+        StructField(s"$fn($field)", StringType, nullable = true)
+    })
   override def toBatch: Batch = this
   override def description(): String =
-    s"FormSinkScan path=$path ReadSchema: ${required.simpleString}"
+    s"FormSinkScan path=$path PushedAggregates: [${aggs.mkString(", ")}], " +
+      s"ReadSchema: ${readSchema().simpleString}"
   override def planInputPartitions(): Array[InputPartition] =
-    FormSinkSource.committedFiles(path)
+    // complete pushdown → exactly one partition over ALL committed files
+    // (an empty sink must still emit its single aggregate row)
+    if (aggs.nonEmpty)
+      Array(SinkAggPartition(FormSinkSource.committedFiles(path).map(_.toString)))
+    else FormSinkSource.committedFiles(path)
       .map(p => SinkFilePartition(p.toString): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new FormSinkReaderFactory(required)
+    if (aggs.isEmpty) new FormSinkReaderFactory(required)
+    else new FormSinkAggReaderFactory(aggs)
+}
+
+private case class SinkAggPartition(files: Seq[String]) extends InputPartition
+
+/** One pass over every committed file, one output row: MAX/MIN compare
+  * lexicographically (Seamless cells are strings, §1.2) and ignore nulls
+  * (SQL aggregate semantics); COUNT(*) counts all rows. */
+private class FormSinkAggReaderFactory(aggs: Seq[PushedAgg])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val files = p.asInstanceOf[SinkAggPartition].files
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = !done
+      override def get(): InternalRow = {
+        done = true
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        var count = 0L
+        val acc = Array.fill[String](aggs.length)(null)
+        files.foreach { f =>
+          Files.readAllLines(Paths.get(f)).forEach { line =>
+            val node = mapper.readTree(line)
+            count += 1
+            aggs.zipWithIndex.foreach { case (a, j) =>
+              if (a.fn != "COUNT_STAR") {
+                val v = node.get(a.field)
+                if (v != null && !v.isNull) {
+                  val s = v.asText()
+                  val better = acc(j) == null ||
+                    (if (a.fn == "MAX") s > acc(j) else s < acc(j))
+                  if (better) acc(j) = s
+                }
+              }
+            }
+          }
+        }
+        InternalRow.fromSeq(aggs.zipWithIndex.map {
+          case (PushedAgg("COUNT_STAR", _), _) => count
+          case (_, j) => if (acc(j) == null) null else UTF8String.fromString(acc(j))
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private case class SinkFilePartition(file: String) extends InputPartition

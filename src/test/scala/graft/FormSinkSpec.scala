@@ -108,6 +108,67 @@ class FormSinkSpec extends SparkSpec {
       .filter(col("vendor") === "in-flight").count() === 0)
   }
 
+  test("ungrouped MAX/COUNT(*) push into the sink scan (R3 sink-side watermark)") {
+    val dir = tmp()
+    feed(1, 200).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    val df = spark.read.format(FormSinkSource.Format).option("path", dir).load()
+      .agg(max(col("po_number")).as("wm"), count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedAggregates: [MAX(po_number), COUNT(*)]"), plan.take(2000))
+    assert(!plan.contains("HashAggregate"), plan.take(2000))
+    val row = df.collect().head
+    assert(row.getString(0) === "U000000200D")
+    assert(row.getLong(1) === 200L)
+    // empty sink: the scan itself must emit the one empty-input row
+    val empty = spark.read.format(FormSinkSource.Format).option("path", tmp()).load()
+      .agg(max(col("po_number")).as("wm"), count(lit(1)).as("n"))
+    val erow = empty.collect()
+    assert(erow.length === 1 && erow(0).isNullAt(0) && erow(0).getLong(1) === 0L)
+    // and count() on top of the pushed aggregate plans cleanly (q82's lesson)
+    assert(df.count() === 1L)
+  }
+
+  test("crash before the manifest swap publishes NOTHING (atomic commit)") {
+    // Simulate a driver that died between commit phase 1 (data files moved
+    // into the table dir) and phase 2 (manifest publication): the moved file
+    // exists on disk but no manifest references it — readers must see none
+    // of that job's rows, and a later healthy commit must not resurrect it.
+    val dir = tmp()
+    feed(1, 50).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    val orphan = java.nio.file.Paths.get(dir, "part-99999-0-deadjob.jsonl")
+    Files.writeString(orphan, "{\"vendor\":\"crashed-job\"}\n")
+    val read = () => spark.read.format(FormSinkSource.Format).option("path", dir).load()
+    assert(read().filter(col("vendor") === "crashed-job").count() === 0,
+      "a file from a crashed (unmanifested) commit became visible")
+    assert(read().count() === 50)
+    // a subsequent healthy append still exposes only manifested files
+    feed(51, 60).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    assert(read().count() === 60)
+    assert(read().filter(col("vendor") === "crashed-job").count() === 0)
+    assert(Files.exists(orphan), "orphan cleanup is a vacuum's job, not a reader's")
+  }
+
+  test("manifest versions serialize commits; truncate supersedes, not deletes, history") {
+    val dir = tmp()
+    feed(1, 100).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    feed(101, 150).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    feed(1, 20).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Overwrite).option("path", dir).save()
+    val manifests = Files.list(java.nio.file.Paths.get(dir, "_manifests"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    manifests.forEachRemaining(p => names += p.getFileName.toString)
+    assert(names.sorted === Seq("manifest-v0000000001.json",
+      "manifest-v0000000002.json", "manifest-v0000000003.json"))
+    assert(spark.read.format(FormSinkSource.Format).option("path", dir).load()
+      .count() === 20)
+  }
+
   test("runIncrement via the connector: idempotent, additive, watermark read through the sink") {
     val dir = tmp()
     val full = WatermarkEtl.sourceFeed(spark, sf)
