@@ -68,6 +68,55 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** The events corpus as a MULTI-batch file stream for APPEND-mode runs.
+    *
+    * Complete mode (q59/q61) re-emits all state every trigger — fine for a
+    * finite verification corpus, catastrophic at 100 TB/day. The production
+    * path is append mode, where a window emits exactly once, when the
+    * watermark finally passes it. A finite corpus run in append mode would
+    * hold back every window newer than (max ts − delay), so this helper
+    * stages the corpus as three files in a temp dir — two halves of the
+    * real events, then one late sentinel event 3 h past the corpus end —
+    * and streams them with `maxFilesPerTrigger=1`. The sentinel advances
+    * the final watermark beyond every real window, so append mode emits the
+    * full, once-each result; the sentinel's own (still-unfinalized) window
+    * is excluded by the caller's `event_type =!= SentinelType` filter.
+    * Micro-batch boundaries between the files make the watermark actually
+    * ADVANCE mid-run — the state-eviction path a single-batch run never
+    * exercises. */
+  val SentinelType = "zz_sentinel"
+
+  def twoBatchEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val stage = Files.createTempDirectory("graft-stream-batches")
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+    def writeOne(df: DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-stream-part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
+      Files.move(part.toPath, stage.resolve(name))
+    }
+    val cut = ev.agg(
+      min(col("ts")).as("lo"), max(col("ts")).as("hi")).collect()(0)
+    val (lo, hi) = (cut.getTimestamp(0), cut.getTimestamp(1))
+    val mid = new java.sql.Timestamp((lo.getTime + hi.getTime) / 2)
+    // halves split by event time: the second file's rows are all newer, so
+    // its micro-batch genuinely advances the watermark over the first's
+    writeOne(ev.filter(col("ts") <= mid), "batch-1.parquet")
+    writeOne(ev.filter(col("ts") > mid), "batch-2.parquet")
+    import spark.implicits._
+    val sentinel = new java.sql.Timestamp(hi.getTime + 3L * 3600 * 1000)
+    writeOne(Seq((sentinel, SentinelType, 0.0)).toDF("ts", "event_type", "value"),
+      "batch-3-sentinel.parquet")
+    spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -115,6 +164,43 @@ object StreamingOps {
         .groupBy(window(col("ts"), "20 minutes", "10 minutes"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
       runToMemory(agg, s"q61_sink_${System.nanoTime()}", "complete")
+        .select(unix_timestamp(col("window.start")).as("window_start_s"),
+          col("n"), col("value_cents"))
+        .orderBy(col("window_start_s"))
+    },
+
+    GraftQuery(
+      "q91_stream_tumbling_append",
+      "q59's tumbling windows on the PRODUCTION output path: a three-micro-batch AvailableNow run (corpus halves + late sentinel) in APPEND mode — each window emits exactly once, when the advancing watermark finalizes it, instead of complete mode's full re-emission per trigger; identical result to the batch-arithmetic oracle.",
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 AS window_start_s,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val agg = twoBatchEventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      runToMemory(agg, s"q91_sink_${System.nanoTime()}", "append")
+        .filter(col("event_type") =!= SentinelType)
+        .select(unix_timestamp(col("window.start")).as("window_start_s"),
+          col("event_type"), col("n"), col("value_cents"))
+        .orderBy(col("window_start_s"), col("event_type"))
+    },
+
+    GraftQuery(
+      "q92_stream_sliding_append",
+      "q61's sliding windows (20-min/10-min) in APPEND mode over the three-micro-batch stream: every finalized window emits once as the watermark passes it. The sentinel is NOT filtered out: a pre-aggregation filter gets pushed below the watermark collector (dropping the very row that advances it), and its own windows — 3 h past the corpus, never overlapping a real one — sit forever above the final watermark, so append mode never emits them.",
+      """WITH w AS (SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 600) - u.k) * 600 AS window_start_s,
+        |    value
+        |  FROM events, LATERAL unnest([0, 1]) AS u(k))
+        |SELECT window_start_s, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val agg = twoBatchEventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "20 minutes", "10 minutes"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      runToMemory(agg, s"q92_sink_${System.nanoTime()}", "append")
         .select(unix_timestamp(col("window.start")).as("window_start_s"),
           col("n"), col("value_cents"))
         .orderBy(col("window_start_s"))
