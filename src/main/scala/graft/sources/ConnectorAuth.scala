@@ -46,6 +46,17 @@ object ConnectorAuth {
     Token(tok, nowEpochSec + ttl)
   }
 
+  /** The reference wiring: credentials resolved from the templated settings
+    * tree (R5 → R13: settings['microsoft'] feeds the token grant —
+    * bin/copy-seamless-to-sharepoint.rb:16,41-50). Fatal on a missing key,
+    * like the reference failing at connector construction. */
+  def tokenRequestFrom(settings: Settings.Resolved,
+                       tokenUrl: String): (String, String) =
+    tokenRequest(tokenUrl,
+      settings("microsoft", "client_id"),
+      settings("microsoft", "client_secret"),
+      settings("microsoft", "scope"))
+
   /** Expiry-aware cache: returns the held token until `refreshMarginSec`
     * before expiry, then invokes `fetch` once for a replacement. Thread-safe
     * (the driver's concurrent jobs must not stampede the token endpoint). */
