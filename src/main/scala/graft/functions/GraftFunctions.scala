@@ -39,6 +39,11 @@ object GraftFunctions {
   def wordNGrams(toks: Column, n: Int): Column =
     column(WordNGrams(expression(toks), n))
 
+  /** Per-document rolling char-n-gram fingerprint: one kernel pass
+    * returning struct(fp_min, fp_max, n_grams); null below n chars. */
+  def charGramFingerprint(text: Column, n: Int): Column =
+    column(org.apache.spark.sql.graft.CharGramFingerprint(expression(text), n))
+
   /** Banded-LSH bucket codes from a constant hyperplane matrix (codegen):
     * one long code `t * 2^bits + bucket` per table. */
   def hyperplaneBuckets(v: Column, planes: Array[Float],

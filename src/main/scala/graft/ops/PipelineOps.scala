@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
+import graft.functions.ColumnOps.{shingles, tokens}
 import graft.functions.CrossHash.{h60, h60Sql}
 
 /** Training-data pipeline operators beyond the per-document tier: duplicate-
@@ -256,6 +257,102 @@ object PipelineOps {
           .otherwise(floor(lit(1000000.0) * err / (col("span") * col("dim"))).cast("long"))
           .as("err_ppm"))
         .orderBy(col("vec_id"))
+    },
+
+    GraftQuery(
+      "q93_sequence_packing",
+      "Concat-and-chunk sequence packing (the GPT-style pretraining layout): per source, documents in doc_id order are conceptually concatenated and split into 2048-token context chunks; chunk_id = floor(preceding-token-count / 2048) via one window prefix-sum — no driver loop, no UDF, deterministic across engines and partitionings. Output: per (source, chunk) the docs spanned and token totals.",
+      """WITH t AS (SELECT doc_id, source,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t)
+        |SELECT source, CAST((cum - n_tok) // 2048 AS BIGINT) AS chunk_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // the window shuffles once on source (the pack stream key); the
+      // prefix sum inside each source is a single ordered pass — at corpus
+      // scale one pack stream per (source, worker-range) shard would bound
+      // partition width, with chunk ids offset by per-shard token totals
+      val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      toks.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("chunk_id",
+          floor((col("cum") - col("n_tok")) / lit(2048L)).cast("long"))
+        .groupBy(col("source"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("chunk_id"))
+    },
+
+    GraftQuery(
+      "q94_mixture_sampling",
+      "Balanced-mixture construction: per-language accept rate min(1, T/(k*n_l)) targets an equal share per language; membership is the deterministic integer predicate residue*k*n_l < 1000*T over an md5 residue — no floating-point rates, reproducible across engines and cluster sizes. Output: per language the corpus count and the kept count.",
+      s"""WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS k FROM s),
+         |kept AS (SELECT d.lang
+         |  FROM documents d JOIN s ON d.lang = s.lang CROSS JOIN tot
+         |  WHERE (${h60Sql("'mix|' || CAST(d.doc_id AS VARCHAR)")} % 1000) * k * n_l
+         |        < 1000 * total)
+         |SELECT s.lang, s.n_l AS n_docs,
+         |  CAST(count(kept.lang) AS BIGINT) AS n_kept
+         |FROM s LEFT JOIN kept ON s.lang = kept.lang
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+      val d0 = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val stats = d0.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val tot = stats.agg(sum(col("n_l")).as("total"), count(lit(1)).as("k"))
+      val residue = pmod(
+        h60(concat(lit("mix|"), col("doc_id").cast("string"))), lit(1000L))
+      // stats/tot are per-language aggregates — genuinely tiny at any
+      // corpus size (cardinality = #languages), so broadcast is safe
+      val kept = d0.join(broadcast(stats), "lang").crossJoin(broadcast(tot))
+        .filter(residue * col("k") * col("n_l") < lit(1000L) * col("total"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("kept"))
+      stats.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_l").as("n_docs"),
+          coalesce(col("kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("lang"))
+    },
+
+    GraftQuery(
+      "q95_benchmark_decontamination",
+      "Benchmark decontamination: corpus documents sharing ANY 5-token shingle with the held-out benchmark set (stand-in: doc_id % 97 = 0) are flagged via a hash semi-join on shingle h60s — the standard n-gram-overlap contamination check before a training release. Bucketed by shingle hash: linear, no all-pairs, no broadcast hint (AQE sizes the benchmark side at runtime).",
+      s"""WITH t AS (SELECT doc_id, source,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source,
+         |    ${h60Sql("array_to_string(toks[i:i+4], ' ')")} AS h
+         |  FROM t, LATERAL unnest(generate_series(1, len(toks) - 4)) AS u(i)
+         |  WHERE len(toks) >= 5),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0),
+         |contaminated AS (
+         |  SELECT DISTINCT s.doc_id, s.source FROM sh s JOIN bench b ON s.h = b.h
+         |  WHERE s.doc_id % 97 <> 0)
+         |SELECT c.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(x.doc_id) AS BIGINT) AS n_contaminated
+         |FROM corpus c LEFT JOIN contaminated x ON c.doc_id = x.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = docs
+        .select(col("doc_id"), col("source"),
+          explode(shingles(tokens(col("text")), 5)).as("sh5"))
+        .select(col("doc_id"), col("source"), h60(col("sh5")).as("h"))
+      val bench = sh.filter(col("doc_id") % 97 === 0).select(col("h")).distinct()
+      val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
+        .join(bench, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("source")).distinct()
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val hits = contaminated.groupBy(col("source")).agg(count(lit(1)).as("hits"))
+      corpus.join(hits, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("hits"), lit(0L)).as("n_contaminated"))
+        .orderBy(col("source"))
     },
 
     GraftQuery(

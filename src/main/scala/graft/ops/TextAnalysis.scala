@@ -267,12 +267,13 @@ object TextAnalysis {
          |SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist
          |FROM v WHERE dist <= 20 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d).filter(length(col("text")) >= 8)
-      val fp = docs
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
-        .select(col("doc_id"), h60(col("text").substr(col("i"), lit(8))).as("h"))
-        .groupBy(col("doc_id")).agg(min(col("h")).as("fp_min"))
-        .join(docs.select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+      // the fingerprint is per-document, so it's ONE kernel pass per row —
+      // no gram explode, no shuffle (the old explode→groupBy(min) shape
+      // shuffled L≈doc-length rows per doc twice for a per-row statistic)
+      val fp = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.charGramFingerprint(col("text"), 8)
+          .getField("fp_min").as("fp_min"),
+        length(col("text")).as("len"))
       // Candidate pruning before any text is touched: |len_a − len_b| is a
       // lower bound on edit distance, so the length guard is sound for the
       // dist ≤ 20 filter — it removed 91% of fingerprint collisions at
@@ -297,7 +298,7 @@ object TextAnalysis {
 
     GraftQuery(
       "q48_doc_fingerprint",
-      "Rolling-hash document fingerprints: h60 over every char 8-gram (position explode, native substr — no per-row lambda), then per-doc min-hash fingerprint, max, and distinct-gram count. Equal fingerprints are near-dup candidates.",
+      "Rolling-hash document fingerprints: h60 over every char 8-gram, per-doc min/max fingerprint and distinct-gram count — computed in ONE native kernel pass per document (no gram explode, no shuffle). Equal fingerprints are near-dup candidates.",
       s"""WITH g AS (SELECT doc_id, ${h60Sql("substr(text, CAST(i AS INTEGER), 8)")} AS h
          |  FROM documents, LATERAL unnest(generate_series(1, len(text) - 7)) AS u(i)
          |  WHERE len(text) >= 8)
@@ -305,15 +306,17 @@ object TextAnalysis {
          |  min(h) AS fp_min, max(h) AS fp_max,
          |  count(DISTINCT h) AS n_grams
          |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val g = Tables.documents(s, d)
+      // per-document statistic → per-row kernel pass; the explode→
+      // groupBy(min,max,countDistinct) formulation shuffled millions of
+      // gram rows (plus the distinct expand) to compute what never crosses
+      // a row boundary
+      Tables.documents(s, d)
         .filter(length(col("text")) >= 8)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
         .select(col("doc_id"),
-          h60(col("text").substr(col("i"), lit(8))).as("h"))
-      g.groupBy(col("doc_id"))
-        .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max"),
-          countDistinct(col("h")).as("n_grams"))
+          graft.functions.GraftFunctions.charGramFingerprint(col("text"), 8).as("fp"))
+        .select(col("doc_id"),
+          col("fp.fp_min").as("fp_min"), col("fp.fp_max").as("fp_max"),
+          col("fp.n_grams").as("n_grams"))
         .orderBy(col("doc_id"))
     }
   )

@@ -100,6 +100,51 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Per-document char-n-gram fingerprint in ONE pass: h60 over every
+    * n-char substring (substr semantics — code points, like Spark/DuckDB
+    * `substr`), returning (min hash, max hash, distinct-gram count).
+    *
+    * This replaces the explode→hash→groupBy(min,max,countDistinct) shape:
+    * the whole statistic is per-row, so materializing L≈doc-length gram
+    * rows and shuffling them (twice, with the distinct expand) buys
+    * nothing. ASCII fast path digests 8-byte windows of the raw bytes with
+    * no per-gram allocation; the general path slices code points. Distinct
+    * counting sorts the in-place long array — L longs per doc, bounded by
+    * document length, never corpus-sized. */
+  def gramFingerprint(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val chars = s.numChars()
+    val m = chars - n + 1
+    if (m <= 0) return null
+    val d = md5.get()
+    val hs = new Array[Long](m)
+    if (bytes.length == chars) { // ASCII: byte windows ARE char windows
+      var i = 0
+      while (i < m) {
+        d.reset()
+        d.update(bytes, i, n)
+        val h = d.digest()
+        hs(i) = (((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) |
+          ((h(2) & 0xffL) << 40) | ((h(3) & 0xffL) << 32) |
+          ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+          ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)) >>> 4
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < m) {
+        hs(i) = h60(s.substring(i, i + n))
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(hs)
+    var distinct = 1L
+    var i = 1
+    while (i < m) { if (hs(i) != hs(i - 1)) distinct += 1; i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](hs(0), hs(m - 1), distinct))
+  }
 }
 
 /** `tokenize(text)` — whitespace tokenizer as a single codegen kernel call. */
@@ -139,6 +184,36 @@ case class H60(child: Expression)
       s"org.apache.spark.sql.graft.TextKernels.h60($s)")
 
   override protected def withNewChildInternal(newChild: Expression): H60 =
+    copy(child = newChild)
+}
+
+/** `char_gram_fingerprint(text, n)` — per-document rolling-hash fingerprint
+  * struct (fp_min, fp_max, n_grams) computed in one kernel pass; null when
+  * the text has fewer than n chars. n is a plan-time constant. */
+case class CharGramFingerprint(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "gram size must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("fp_min", LongType, nullable = false),
+    StructField("fp_max", LongType, nullable = false),
+    StructField("n_grams", LongType, nullable = false)))
+  override def nullable: Boolean = true // short texts fingerprint to null
+  override def prettyName: String = "char_gram_fingerprint"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.gramFingerprint(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // kernel returns null for short texts → emit the null-propagating form
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.TextKernels.gramFingerprint($s, $n);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramFingerprint =
     copy(child = newChild)
 }
 

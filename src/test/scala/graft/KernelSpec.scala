@@ -54,6 +54,38 @@ class KernelSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("gramFingerprint kernel == explode/groupBy formulation on the corpus") {
+    import graft.functions.CrossHash.h60
+    import graft.functions.GraftFunctions.charGramFingerprint
+    val docs = Tables.documents(spark, sf).filter(length(col("text")) >= 8)
+    val viaKernel = docs.select(col("doc_id"),
+        charGramFingerprint(col("text"), 8).as("fp"))
+      .select(col("doc_id"), col("fp.fp_min"), col("fp.fp_max"), col("fp.n_grams"))
+    val viaExplode = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+      .select(col("doc_id"), h60(col("text").substr(col("i"), lit(8))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max"),
+        countDistinct(col("h")).as("n_grams"))
+    assert(viaKernel.exceptAll(viaExplode).count() === 0)
+    assert(viaExplode.exceptAll(viaKernel).count() === 0)
+    // non-ASCII path: code-point grams, same values as the substr formulation
+    val soup = Seq("héllo wörld ünïcode test", "ascii only text here", "short")
+      .toDF("text").filter(length(col("text")) >= 8)
+    val k = soup.select(charGramFingerprint(col("text"), 8).getField("fp_min"))
+      .as[Long].collect().sorted
+    val e = soup
+      .select(col("text"), explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+      .select(col("text"), h60(col("text").substr(col("i"), lit(8))).as("h"))
+      .groupBy(col("text")).agg(min(col("h")).as("m"))
+      .select(col("m")).as[Long].collect().sorted
+    assert(k.toSeq === e.toSeq)
+    // below n chars → null
+    assert(Seq("1234567").toDF("text")
+      .select(charGramFingerprint(col("text"), 8)).collect().head.isNullAt(0))
+  }
+
   test("h60 digest kernel == hex-parse formulation on corpus and soup") {
     import graft.functions.CrossHash.{h60, h60Hex, h60Local}
     val corpusBad = Tables.documents(spark, sf)
