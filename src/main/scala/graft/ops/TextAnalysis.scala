@@ -318,6 +318,31 @@ object TextAnalysis {
           col("fp.fp_min").as("fp_min"), col("fp.fp_max").as("fp_max"),
           col("fp.n_grams").as("n_grams"))
         .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
+      "q97_repetition_ratio",
+      "Repetition-ratio quality signal (the Gopher-rules duplicate-shingle fraction): per document the share of repeated 3-token shingles, as exact ppm integers; the most-repetitive 100 docs under a deterministic total order. Per-row arrays only — no shuffle except the final top-k.",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(toks) - 2),
+        |                   i -> array_to_string(toks[i:i+2], ' ')) AS sh
+        |  FROM t WHERE len(toks) >= 3)
+        |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+        |  CAST(((len(sh) - len(list_distinct(sh))) * 1000000) // len(sh) AS BIGINT) AS rep_ppm
+        |FROM s ORDER BY rep_ppm DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+        .filter(size(col("sh")) >= 1)
+        .select(col("doc_id"),
+          size(col("sh")).cast("long").as("n"),
+          size(array_distinct(col("sh"))).cast("long").as("nd"))
+      sh.select(col("doc_id"), col("n").as("n_shingles"),
+          floor((col("n") - col("nd")) * 1000000L / col("n")).cast("long").as("rep_ppm"))
+        .orderBy(col("rep_ppm").desc, col("doc_id"))
+        .limit(100)
     }
   )
 }

@@ -90,7 +90,7 @@ object StreamingOps {
     import java.nio.file.{Files, Paths}
     val stage = Files.createTempDirectory("graft-stream-batches")
     val ev = Tables.events(spark, dir)
-      .select(col("ts"), col("event_type"), col("value"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
     def writeOne(df: DataFrame, name: String): Unit = {
       val tmp = Files.createTempDirectory("graft-stream-part").toString
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -107,9 +107,14 @@ object StreamingOps {
     // its micro-batch genuinely advances the watermark over the first's
     writeOne(ev.filter(col("ts") <= mid), "batch-1.parquet")
     writeOne(ev.filter(col("ts") > mid), "batch-2.parquet")
-    import spark.implicits._
     val sentinel = new java.sql.Timestamp(hi.getTime + 3L * 3600 * 1000)
-    writeOne(Seq((sentinel, SentinelType, 0.0)).toDF("ts", "event_type", "value"),
+    // cast every sentinel literal to the corpus column's type, so the
+    // staged file's schema matches the stream schema exactly
+    writeOne(spark.range(1).select(
+      lit(-1L).cast(ev.schema("user_id").dataType).as("user_id"),
+      lit(sentinel).as("ts"),
+      lit(SentinelType).as("event_type"),
+      lit(0.0).cast(ev.schema("value").dataType).as("value")),
       "batch-3-sentinel.parquet")
     spark.readStream
       .schema(ev.schema)
@@ -204,6 +209,37 @@ object StreamingOps {
         .select(unix_timestamp(col("window.start")).as("window_start_s"),
           col("n"), col("value_cents"))
         .orderBy(col("window_start_s"))
+    },
+
+    GraftQuery(
+      "q96_stream_session_append",
+      "q58's merging session windows (10-min gap) on the streaming production path: APPEND mode over the three-micro-batch run, so sessions spanning a batch boundary exercise real cross-batch state merge, and each closed session emits exactly once when the watermark passes its end; the sentinel's own never-closing session stays unemitted (plus a belt-and-braces user filter). Oracle: the batch gaps-and-islands rewrite.",
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 10 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) + 600 AS session_end_s,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_s""".stripMargin) { (s, d) =>
+      val agg = twoBatchEventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      runToMemory(agg, s"q96_sink_${System.nanoTime()}", "append")
+        .filter(col("user_id") =!= -1L)
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("session_start_s"),
+          unix_timestamp(col("session_window.end")).as("session_end_s"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start_s"))
     },
 
     GraftQuery(
