@@ -156,6 +156,26 @@ object Analytics {
     },
 
     GraftQuery(
+      "q98_salted_two_phase_agg",
+      "Skew-salted aggregation: a heavy-hitter group key (3 return flags over the whole lineitem table) first aggregates on (key, salt) — 16 partial states per hot key spread across tasks — then the tiny partial frame re-aggregates on the key alone. sum/count/min/max recombine exactly, so the result is identical to the plain GROUP BY the oracle runs. (Spark's map-side partials already do this within a task; the explicit salt stage is the pattern for when one reduce key still exceeds a single task at 100 TB.)",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  min(l_quantity) AS q_min, max(l_quantity) AS q_max
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val salts = 16
+      val partial = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"),
+          pmod(col("l_orderkey"), lit(salts)).cast("int").as("salt"))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(cents(col("l_extendedprice"))).as("pc"),
+          min(col("l_quantity")).as("pqmin"), max(col("l_quantity")).as("pqmax"))
+      partial.groupBy(col("l_returnflag"))
+        .agg(sum(col("pn")).as("n"), sum(col("pc")).as("price_cents"),
+          min(col("pqmin")).as("q_min"), max(col("pqmax")).as("q_max"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    GraftQuery(
       "q54_broadcast_dim_join",
       "Star-schema chain with explicit broadcast hints on both dims (nation, region): the fact table never shuffles for the join — the default plan for dim tables that fit in memory.",
       """SELECT r.r_name, count(*) AS n_customers,

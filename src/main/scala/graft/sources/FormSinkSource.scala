@@ -127,6 +127,39 @@ object FormSinkSource {
     * manifest are invisible orphans from an uncommitted job. */
   private[sources] def committedFiles(path: String): Seq[Path] =
     currentManifest(path)._2.map(dataDir(path).resolve)
+
+  /** Garbage-collect the table: delete data files not referenced by the
+    * NEWEST manifest (crashed-commit orphans, truncate leftovers) and all
+    * superseded manifests. Only files older than `minAgeMs` are touched —
+    * a concurrent commit's phase-1 files are mid-publish, not garbage, and
+    * the age guard is what keeps vacuum safe to run alongside writers
+    * (pick an age comfortably above any plausible commit duration; the
+    * 0 default is for deterministic tests). Returns deleted paths. */
+  def vacuum(path: String, minAgeMs: Long = 0L): Seq[Path] = {
+    val (version, referenced) = currentManifest(path)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(p: Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis <= cutoff
+    val d = dataDir(path)
+    val orphans =
+      if (!Files.isDirectory(d)) Seq.empty
+      else Files.list(d).iterator().asScala.toSeq
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".jsonl") &&
+          !referenced.contains(p.getFileName.toString) && oldEnough(p))
+    val md = manifestDir(path)
+    val staleManifests =
+      if (!Files.isDirectory(md)) Seq.empty
+      else Files.list(md).iterator().asScala.toSeq.filter { p =>
+        p.getFileName.toString match {
+          case ManifestName(v) => v.toLong < version && oldEnough(p)
+          case _               => oldEnough(p) // abandoned tmp files
+        }
+      }
+    val victims = orphans ++ staleManifests
+    victims.foreach(Files.deleteIfExists(_))
+    victims
+  }
 }
 
 private class FormSinkTable(path: String) extends Table

@@ -169,6 +169,27 @@ class FormSinkSpec extends SparkSpec {
       .count() === 20)
   }
 
+  test("vacuum reclaims crashed-commit orphans and superseded manifests, nothing live") {
+    val dir = tmp()
+    feed(1, 100).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    feed(101, 120).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    val orphan = java.nio.file.Paths.get(dir, "part-99999-0-deadjob.jsonl")
+    Files.writeString(orphan, "{\"vendor\":\"crashed-job\"}\n")
+    val deleted = FormSinkSource.vacuum(dir)
+    assert(deleted.map(_.getFileName.toString).contains("part-99999-0-deadjob.jsonl"))
+    assert(deleted.map(_.getFileName.toString).contains("manifest-v0000000001.json"))
+    assert(!Files.exists(orphan))
+    // everything the newest manifest references is intact and readable
+    assert(spark.read.format(FormSinkSource.Format).option("path", dir).load()
+      .count() === 120)
+    // vacuum with an age guard leaves fresh (possibly mid-commit) files alone
+    Files.writeString(orphan, "{\"vendor\":\"in-flight\"}\n")
+    assert(FormSinkSource.vacuum(dir, minAgeMs = 60000).isEmpty)
+    assert(Files.exists(orphan))
+  }
+
   test("runIncrement via the connector: idempotent, additive, watermark read through the sink") {
     val dir = tmp()
     val full = WatermarkEtl.sourceFeed(spark, sf)
