@@ -122,7 +122,61 @@ object StreamingOps {
       .parquet(stage.toString)
   }
 
+  /** Per-user session-counting state for q99: last event time and sessions
+    * opened so far. Top-level so Spark can derive its product encoder. */
+  case class SessionCountState(lastTsMs: Long, count: Long)
+
   def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q99_stream_custom_state",
+      "Custom streaming state as a first-class query: flatMapGroupsWithState with EVENT-TIME TIMEOUT counts each user's 10-min-gap sessions — state carries (last ts, count) across micro-batches, emits exactly once per user when the watermark passes its timeout, and is removed. The helper's time-ordered batch split guarantees per-key in-order delivery across batches (within a batch the handler sorts). Oracle: batch gaps-and-islands session-start sum.",
+      """WITH g AS (SELECT user_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 10 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events)
+        |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val GapMs = 600000L
+      val handler = (user: Long, events: Iterator[(Long, java.sql.Timestamp)],
+                     state: GroupState[SessionCountState]) => {
+        if (state.hasTimedOut) {
+          // watermark passed (last ts + gap): no event can extend a session
+          // — emit the user's final count once, then drop the state
+          val out = Iterator.single((user, state.get.count))
+          state.remove()
+          out
+        } else {
+          var st = state.getOption.getOrElse(SessionCountState(Long.MinValue, 0L))
+          events.map(_._2.getTime).toArray.sorted.foreach { t =>
+            st =
+              if (st.lastTsMs == Long.MinValue || t - st.lastTsMs > GapMs)
+                SessionCountState(t, st.count + 1) // gap exceeded → new session
+              else SessionCountState(t, st.count)
+          }
+          state.update(st)
+          state.setTimeoutTimestamp(st.lastTsMs + GapMs + 1)
+          Iterator.empty
+        }
+      }
+      val counted = twoBatchEventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout())(handler)
+        .toDF("user_id", "n_sessions")
+      // the sentinel user's timeout sits past the final watermark, so its
+      // state never emits; the filter is documentation more than necessity
+      runToMemory(counted, s"q99_sink_${System.nanoTime()}", "append")
+        .filter(col("user_id") =!= -1L)
+        .orderBy(col("user_id"))
+    },
 
     GraftQuery(
       "q59_stream_tumbling",
