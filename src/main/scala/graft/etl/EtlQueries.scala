@@ -128,6 +128,34 @@ object EtlQueries {
     },
 
     GraftQuery(
+      "q100_sink_time_travel",
+      "Snapshot isolation made queryable: after two manifest-swap commits (seed 0..999, append 1000..1999), versionAsOf=1 reads the table exactly as of the FIRST commit — the audit/backfill read a mutable remote table cannot offer and the manifest log gives for free.",
+      """WITH src AS (
+        |  SELECT i,
+        |    'V' || (i % 97) AS vendor,
+        |    'order ' || i AS description,
+        |    CAST(DATE '2020-01-01' + CAST(i % 365 AS INTEGER) AS VARCHAR) AS picker_erk,
+        |    'C' || (i % 7) AS charge_code,
+        |    printf('U%09dD', i) AS po_number
+        |  FROM unnest(generate_series(0, 999)) AS t(i))
+        |SELECT vendor, description, picker_erk, charge_code, po_number
+        |FROM src ORDER BY po_number""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-q100-sink").toString
+      val sinkFmt = graft.sources.FormSinkSource.Format
+      val feed = s.read.format("graft.sources.FormPipelineSource")
+        .option("rows", 2000).option("partitions", 8).load()
+      val five = feed.select(col("vendor"), col("description"),
+        col("picker_erk"), col("charge_code"), col("po_number"))
+      five.where(feed("submission_id") < 1000)
+        .write.format(sinkFmt).mode(SaveMode.Append).option("path", dir).save()
+      five.where(feed("submission_id") >= 1000)
+        .write.format(sinkFmt).mode(SaveMode.Append).option("path", dir).save()
+      s.read.format(sinkFmt).option("path", dir)
+        .option("versionAsOf", 1).load()
+        .orderBy(col("po_number"))
+    },
+
+    GraftQuery(
       "q36_json_ingest",
       "§1.1 raw-ingest model: rows as self-describing JSON documents; field extraction is null-on-missing at the value level (R9 semantics) while label resolution stays fatal (R8).",
       """WITH raw AS (

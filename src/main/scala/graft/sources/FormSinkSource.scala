@@ -39,6 +39,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     retries on top of the winner's manifest;
   *   - **append and truncate** (`SaveMode.Append` / `Overwrite`), matching
   *     the two ways a scheduled ETL runs (incremental tick / full reload);
+  *   - **time travel**: `.option("versionAsOf", n)` reads the table as of
+  *     manifest version n (retained until vacuumed). Truncate physically
+  *     deletes superseded files locally, so travel across a truncate is
+  *     unsupported here (a real deployment defers deletion to vacuum, as
+  *     the age guard already models);
   *   - **readable back** (`SupportsRead` with column pruning), so the
   *     watermark MAX-over-sink read (R3) runs through the same connector.
   *
@@ -92,11 +97,25 @@ object FormSinkSource {
         }).maxByOption(_._1)
     newest match {
       case None => (0L, Seq.empty)
-      case Some((v, p)) =>
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val files = mapper.readTree(Files.readAllBytes(p)).get("files")
-        (v, (0 until files.size()).map(files.get(_).asText()))
+      case Some((v, p)) => (v, readManifest(p))
     }
+  }
+
+  private def readManifest(p: Path): Seq[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val files = mapper.readTree(Files.readAllBytes(p)).get("files")
+    (0 until files.size()).map(files.get(_).asText())
+  }
+
+  /** Time travel: the file listing as of manifest `version` (manifests are
+    * retained until vacuumed, so any un-vacuumed commit is readable).
+    * Version 0 is the empty table; a vacuumed/unknown version is fatal. */
+  private[sources] def committedFilesAt(path: String, version: Long): Seq[Path] = {
+    if (version == 0L) return Seq.empty
+    val p = manifestFile(path, version)
+    require(Files.exists(p),
+      s"form sink: no manifest for versionAsOf=$version at $path (vacuumed or never committed)")
+    readManifest(p).map(dataDir(path).resolve)
   }
 
   /** Publish `visible` as manifest version `version` — atomically, and only
@@ -171,7 +190,8 @@ private class FormSinkTable(path: String) extends Table
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FormSinkScanBuilder(path)
+    new FormSinkScanBuilder(path,
+      Option(options.get("versionAsOf")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val bad = info.schema().fields.filterNot(_.dataType == StringType)
@@ -280,7 +300,7 @@ private class FormSinkDataWriter(file: Path, schema: StructType)
 
 // ---- read path: one partition per committed file, pruned columns ----
 
-private class FormSinkScanBuilder(path: String)
+private class FormSinkScanBuilder(path: String, versionAsOf: Option[Long])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = FormSinkSource.schema
@@ -317,11 +337,18 @@ private class FormSinkScanBuilder(path: String)
     true
   }
 
-  override def build(): Scan = new FormSinkScan(path, required, aggs)
+  override def build(): Scan = new FormSinkScan(path, required, aggs, versionAsOf)
 }
 
 private class FormSinkScan(path: String, required: StructType,
-                           aggs: Seq[PushedAgg]) extends Scan with Batch {
+                           aggs: Seq[PushedAgg],
+                           versionAsOf: Option[Long]) extends Scan with Batch {
+  /** Snapshot resolution: a pinned manifest version (time travel) or the
+    * newest committed manifest. */
+  private def snapshot(): Seq[Path] = versionAsOf match {
+    case Some(v) => FormSinkSource.committedFilesAt(path, v)
+    case None    => FormSinkSource.committedFiles(path)
+  }
   override def readSchema(): StructType =
     if (aggs.isEmpty) required
     else StructType(aggs.map {
@@ -332,14 +359,15 @@ private class FormSinkScan(path: String, required: StructType,
     })
   override def toBatch: Batch = this
   override def description(): String =
-    s"FormSinkScan path=$path PushedAggregates: [${aggs.mkString(", ")}], " +
+    s"FormSinkScan path=$path version=${versionAsOf.getOrElse("latest")} " +
+      s"PushedAggregates: [${aggs.mkString(", ")}], " +
       s"ReadSchema: ${readSchema().simpleString}"
   override def planInputPartitions(): Array[InputPartition] =
     // complete pushdown → exactly one partition over ALL committed files
     // (an empty sink must still emit its single aggregate row)
     if (aggs.nonEmpty)
-      Array(SinkAggPartition(FormSinkSource.committedFiles(path).map(_.toString)))
-    else FormSinkSource.committedFiles(path)
+      Array(SinkAggPartition(snapshot().map(_.toString)))
+    else snapshot()
       .map(p => SinkFilePartition(p.toString): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     if (aggs.isEmpty) new FormSinkReaderFactory(required)

@@ -169,6 +169,25 @@ class FormSinkSpec extends SparkSpec {
       .count() === 20)
   }
 
+  test("versionAsOf reads historical snapshots; unknown versions are fatal") {
+    val dir = tmp()
+    feed(1, 100).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    feed(101, 150).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    def at(v: Long) = spark.read.format(FormSinkSource.Format)
+      .option("path", dir).option("versionAsOf", v).load()
+    assert(at(1).count() === 100)
+    assert(at(2).count() === 150)
+    assert(at(0).count() === 0) // version 0 = the empty table
+    // pushed aggregates respect the pinned snapshot too
+    val row = at(1).agg(max(col("po_number")).as("wm"), count(lit(1)).as("n"))
+      .collect().head
+    assert(row.getString(0) === "U000000100D" && row.getLong(1) === 100L)
+    val err = intercept[Exception](at(9).count())
+    assert(err.getMessage.contains("versionAsOf"), err.getMessage)
+  }
+
   test("vacuum reclaims crashed-commit orphans and superseded manifests, nothing live") {
     val dir = tmp()
     feed(1, 100).write.format(FormSinkSource.Format)
