@@ -147,6 +147,31 @@ object FormSinkSource {
   private[sources] def committedFiles(path: String): Seq[Path] =
     currentManifest(path)._2.map(dataDir(path).resolve)
 
+  /** OPTIMIZE-style compaction: concatenate the newest snapshot's files
+    * (in manifest order, so the row sequence is unchanged) into one file
+    * and publish it as a new manifest version. Crash-safe for the same
+    * reason commits are — the merged file is an invisible orphan until the
+    * swap. If a concurrent commit advances the version mid-merge, the
+    * compaction ABORTS (deletes its merged file, returns None) instead of
+    * publishing a manifest that would drop the racer's rows; the caller
+    * retries when convenient. Small-file pressure is real at a 100 TB
+    * ingest cadence — every incremental tick adds task-count files. */
+  def compact(path: String): Option[Long] = {
+    val (version, files) = currentManifest(path)
+    if (files.size <= 1) return Some(version) // already compact
+    val mergedName =
+      s"compacted-$version-${java.util.UUID.randomUUID()}.jsonl"
+    val merged = dataDir(path).resolve(mergedName)
+    val out = Files.newBufferedWriter(merged)
+    try files.foreach { f =>
+      Files.readAllLines(dataDir(path).resolve(f)).forEach { l =>
+        out.write(l); out.write("\n")
+      }
+    } finally out.close()
+    if (tryPublishManifest(path, version + 1, Seq(mergedName))) Some(version + 1)
+    else { Files.deleteIfExists(merged); None } // lost to a concurrent commit
+  }
+
   /** Garbage-collect the table: delete data files not referenced by the
     * NEWEST manifest (crashed-commit orphans, truncate leftovers) and all
     * superseded manifests. Only files older than `minAgeMs` are touched —

@@ -169,6 +169,29 @@ class FormSinkSpec extends SparkSpec {
       .count() === 20)
   }
 
+  test("compact merges the snapshot into one file; rows, order and history intact") {
+    val dir = tmp()
+    feed(1, 100).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    feed(101, 150).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    val before = spark.read.format(FormSinkSource.Format).option("path", dir)
+      .load().orderBy("po_number").collect().toSeq
+    assert(FormSinkSource.compact(dir) === Some(3L))
+    val scan = spark.read.format(FormSinkSource.Format).option("path", dir).load()
+    assert(scan.rdd.getNumPartitions === 1) // one file, one partition
+    assert(scan.orderBy("po_number").collect().toSeq === before)
+    // pre-compaction versions still readable until vacuumed
+    assert(spark.read.format(FormSinkSource.Format).option("path", dir)
+      .option("versionAsOf", 2).load().count() === 150)
+    // compacting a compact table is a no-op at the same version
+    assert(FormSinkSource.compact(dir) === Some(3L))
+    // vacuum then reclaims the superseded small files but keeps the snapshot
+    FormSinkSource.vacuum(dir)
+    assert(spark.read.format(FormSinkSource.Format).option("path", dir)
+      .load().count() === 150)
+  }
+
   test("versionAsOf reads historical snapshots; unknown versions are fatal") {
     val dir = tmp()
     feed(1, 100).write.format(FormSinkSource.Format)
