@@ -176,6 +176,64 @@ object Analytics {
     },
 
     GraftQuery(
+      "q101_data_profile",
+      "Single-pass dataset profiling — the summary every ingest pipeline runs first: per column the row count, distinct count, null count and min/max (as strings for a uniform schema), computed in ONE aggregate over the table and unpivoted with stack(); the oracle re-reads per column, Spark doesn't.",
+      """SELECT col_name, n, n_distinct, n_null, min_s, max_s FROM (
+        |  SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(min(o_custkey) AS VARCHAR) AS min_s, CAST(max(o_custkey) AS VARCHAR) AS max_s
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    min(o_orderpriority), max(o_orderpriority) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    min(o_orderstatus), max(o_orderstatus) FROM orders)
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val cols = Seq("o_custkey", "o_orderpriority", "o_orderstatus")
+      val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+        Seq(countDistinct(col(c)).as(s"d_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"u_$c"),
+          // min/max in the column's NATIVE order (numeric for o_custkey),
+          // cast to string after aggregating — casting first would compare
+          // lexicographically ('999' > '1499')
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))
+      }
+      val wide = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map(c =>
+        s"'$c', d_$c, u_$c, mn_$c, mx_$c").mkString(", ")
+      wide.select(col("n"), expr(
+          s"stack(${cols.size}, $stacked) AS (col_name, n_distinct, n_null, min_s, max_s)"))
+        .select(col("col_name"), col("n"), col("n_distinct"),
+          col("n_null"), col("min_s"), col("max_s"))
+        .orderBy(col("col_name"))
+    },
+
+    GraftQuery(
+      "q102_incremental_agg_maintenance",
+      "Materialized-aggregate refresh: a pre-existing per-priority aggregate (orders up to the cutoff) is brought current by aggregating ONLY the delta and merging partial states (counts and cent-sums add; no re-scan of history) — the incremental-view-maintenance identity the oracle checks by recomputing from scratch.",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val cutoff = 3000
+      def part(f: org.apache.spark.sql.Column) = Tables.orders(s, d).filter(f)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
+      val existing = part(col("o_orderkey") <= cutoff) // the stored aggregate
+      val delta    = part(col("o_orderkey") > cutoff)  // the only new work
+      existing.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n"), sum(col("total_cents")).as("total_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    GraftQuery(
       "q54_broadcast_dim_join",
       "Star-schema chain with explicit broadcast hints on both dims (nation, region): the fact table never shuffles for the join — the default plan for dim tables that fit in memory.",
       """SELECT r.r_name, count(*) AS n_customers,
