@@ -43,6 +43,19 @@ object KernelProperties extends Properties("graft.kernels") {
     h >= 0L && h < (1L << 60) && h == CrossHash.h60Local(s)
   }
 
+  property("gramFingerprint == per-gram h60 reference (code-point grams)") =
+    forAll(soup, Gen.choose(1, 8)) { (s, n) =>
+      val row = org.apache.spark.sql.graft.TextKernels
+        .gramFingerprint(UTF8String.fromString(s), n)
+      // reference: code-point windows hashed independently
+      val cps = s.codePoints().toArray
+      val grams = (0 to cps.length - n)
+        .map(i => new String(cps, i, n)).map(CrossHash.h60Local)
+      if (grams.isEmpty) row == null
+      else row.getLong(0) == grams.min && row.getLong(1) == grams.max &&
+        row.getLong(2) == grams.distinct.size.toLong
+    }
+
   property("LSH plane components lie in [-1000, 1000]") =
     forAll(Gen.choose(0, Similarity.NumTables * Similarity.BitsPerTable - 1),
       Gen.choose(0, Similarity.Dim - 1)) { (p, i) =>
