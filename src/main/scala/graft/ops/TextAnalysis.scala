@@ -269,11 +269,18 @@ object TextAnalysis {
       val docs = Tables.documents(s, d).filter(length(col("text")) >= 8)
       // the fingerprint is per-document, so it's ONE kernel pass per row —
       // no gram explode, no shuffle (the old explode→groupBy(min) shape
-      // shuffled L≈doc-length rows per doc twice for a per-row statistic)
+      // shuffled L≈doc-length rows per doc twice for a per-row statistic).
+      // persist() the 3-longs-per-doc frame: without the barrier, the
+      // self-join's two sides plus the join-key isnotnull scan filters each
+      // re-run the full kernel over the corpus (the executed plan showed
+      // char_gram_fingerprint inside the FileScan's DataFilters). id-sized,
+      // so safe to cache at any corpus scale; Bench/Verify clear caches
+      // between queries.
       val fp = docs.select(col("doc_id"),
         graft.functions.GraftFunctions.charGramFingerprint(col("text"), 8)
           .getField("fp_min").as("fp_min"),
         length(col("text")).as("len"))
+        .persist()
       // Candidate pruning before any text is touched: |len_a − len_b| is a
       // lower bound on edit distance, so the length guard is sound for the
       // dist ≤ 20 filter — it removed 91% of fingerprint collisions at
@@ -292,7 +299,11 @@ object TextAnalysis {
       cand.join(x, "doc_a").join(y, "doc_b")
         .select(col("doc_a"), col("doc_b"),
           levenshtein(col("text_a"), col("text_b"), 20).cast("long").as("dist"))
-        .filter(col("dist") >= 0 && col("dist") <= 20)
+        // banded levenshtein(…, 20) returns -1 when the distance exceeds
+        // the threshold, so `>= 0` alone IS the `<= 20` check — the
+        // two-predicate form made Catalyst inline the alias twice into the
+        // join condition, running the O(L·k) kernel twice per pair
+        .filter(col("dist") >= 0)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
