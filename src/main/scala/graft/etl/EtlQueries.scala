@@ -128,6 +128,43 @@ object EtlQueries {
     },
 
     GraftQuery(
+      "q103_corrupt_json_ingest",
+      "Permissive raw ingest: a JSON document column where every 13th record is truncated mid-object; from_json's PERMISSIVE default turns corrupt records into null structs instead of failing the batch, the pipeline splits valid from corrupt, and the valid side still aggregates exactly — the poison-pill tolerance a 100 TB ingest needs (one bad record must never kill a partition).",
+      """WITH raw AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0
+        |         THEN substr(CAST(json_object('vendor', CAST(o_custkey AS VARCHAR),
+        |                                      'po', printf('U%09dD', o_orderkey)) AS VARCHAR), 1, 10)
+        |         ELSE CAST(json_object('vendor', CAST(o_custkey AS VARCHAR),
+        |                               'po', printf('U%09dD', o_orderkey)) AS VARCHAR) END AS doc
+        |  FROM orders)
+        |SELECT CASE WHEN json_valid(doc) THEN 'valid' ELSE 'corrupt' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN json_valid(doc)
+        |                THEN CAST(regexp_extract(doc, '"vendor":"([0-9]+)"', 1) AS BIGINT)
+        |                ELSE 0 END) AS BIGINT) AS vendor_sum
+        |FROM raw GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val doc = to_json(struct(
+        col("o_custkey").cast("string").as("vendor"),
+        WatermarkEtl.poNumber(col("o_orderkey")).as("po")))
+      val raw = Tables.orders(s, d).select(col("o_orderkey"),
+        when(col("o_orderkey") % 13 === 0, substring(doc, 1, 10))
+          .otherwise(doc).as("doc"))
+      val schema = StructType(Seq(
+        StructField("vendor", StringType), StructField("po", StringType)))
+      // PERMISSIVE (the default): corrupt input → null struct fields, the
+      // batch survives; FAILFAST would kill the job on the first bad record
+      val parsed = raw.select(from_json(col("doc"), schema).as("j"))
+      parsed.select(
+          when(col("j.vendor").isNotNull, "valid").otherwise("corrupt").as("status"),
+          coalesce(col("j.vendor").cast("long"), lit(0L)).as("v"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("vendor_sum"))
+        .orderBy(col("status"))
+    },
+
+    GraftQuery(
       "q100_sink_time_travel",
       "Snapshot isolation made queryable: after two manifest-swap commits (seed 0..999, append 1000..1999), versionAsOf=1 reads the table exactly as of the FIRST commit — the audit/backfill read a mutable remote table cannot offer and the manifest log gives for free.",
       """WITH src AS (
