@@ -107,7 +107,10 @@ object EtlQueries {
         |SELECT vendor, description, picker_erk, charge_code, po_number
         |FROM src WHERE po_number > 'U000000999D'
         |ORDER BY po_number""".stripMargin) { (s, d) =>
-      val dir = java.nio.file.Files.createTempDirectory("graft-q90-sink").toString
+      // Scratch registers a shutdown-hook delete: each invocation needs a
+      // fresh sink (the query mutates it), but multi-rep benches and long
+      // sessions must not accumulate unbounded temp data
+      val dir = graft.util.Scratch.dir("graft-q90-sink").toString
       val sinkFmt = graft.sources.FormSinkSource.Format
       val feed = s.read.format("graft.sources.FormPipelineSource")
         .option("rows", 3000).option("partitions", 8).load()
@@ -177,7 +180,7 @@ object EtlQueries {
         |  FROM unnest(generate_series(0, 999)) AS t(i))
         |SELECT vendor, description, picker_erk, charge_code, po_number
         |FROM src ORDER BY po_number""".stripMargin) { (s, d) =>
-      val dir = java.nio.file.Files.createTempDirectory("graft-q100-sink").toString
+      val dir = graft.util.Scratch.dir("graft-q100-sink").toString // shutdown-hook cleanup
       val sinkFmt = graft.sources.FormSinkSource.Format
       val feed = s.read.format("graft.sources.FormPipelineSource")
         .option("rows", 2000).option("partitions", 8).load()
@@ -189,6 +192,34 @@ object EtlQueries {
         .write.format(sinkFmt).mode(SaveMode.Append).option("path", dir).save()
       s.read.format(sinkFmt).option("path", dir)
         .option("versionAsOf", 1).load()
+        .orderBy(col("po_number"))
+    },
+
+    GraftQuery(
+      "q109_sink_changefeed",
+      "Incremental downstream consumption: after three manifest-swap commits (0..999, 1000..1999, 2000..2499), changesFromVersion=1/changesToVersion=2 reads EXACTLY the second commit's rows — each commit's delta is readable once by advancing the version cursor, the consumer-side twin of the producer's watermark increment (and what a remote mutable table cannot offer at all). Only the delta's files are opened; the feed rejects ranges spanning a truncate/compaction rewrite.",
+      """WITH src AS (
+        |  SELECT i,
+        |    'V' || (i % 97) AS vendor,
+        |    'order ' || i AS description,
+        |    CAST(DATE '2020-01-01' + CAST(i % 365 AS INTEGER) AS VARCHAR) AS picker_erk,
+        |    'C' || (i % 7) AS charge_code,
+        |    printf('U%09dD', i) AS po_number
+        |  FROM unnest(generate_series(1000, 1999)) AS t(i))
+        |SELECT vendor, description, picker_erk, charge_code, po_number
+        |FROM src ORDER BY po_number""".stripMargin) { (s, d) =>
+      val dir = graft.util.Scratch.dir("graft-q109-sink").toString // shutdown-hook cleanup
+      val sinkFmt = graft.sources.FormSinkSource.Format
+      val feed = s.read.format("graft.sources.FormPipelineSource")
+        .option("rows", 2500).option("partitions", 8).load()
+      val five = feed.select(col("vendor"), col("description"),
+        col("picker_erk"), col("charge_code"), col("po_number"))
+      def commit(lo: Long, hi: Long): Unit =
+        five.where(feed("submission_id") >= lo && feed("submission_id") < hi)
+          .write.format(sinkFmt).mode(SaveMode.Append).option("path", dir).save()
+      commit(0, 1000); commit(1000, 2000); commit(2000, 2500)
+      s.read.format(sinkFmt).option("path", dir)
+        .option("changesFromVersion", 1).option("changesToVersion", 2).load()
         .orderBy(col("po_number"))
     },
 

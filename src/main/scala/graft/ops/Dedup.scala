@@ -145,9 +145,11 @@ object Dedup {
       // at corpus scale both shuffle O(postings), and stop-shingles would
       // move discovery to the MinHash/LSH tier (q39/q40) with this exact
       // pass as the verification tier.
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
-        .persist()
+      // CacheOnce: unpersisted after the consuming action completes, so
+      // repeated ad-hoc invocation doesn't accumulate cached frames
+      val sh = graft.util.CacheOnce.persistForOneAction(
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh")))
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val pairs = sh.as("a")
         .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

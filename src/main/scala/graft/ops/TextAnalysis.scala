@@ -270,17 +270,17 @@ object TextAnalysis {
       // the fingerprint is per-document, so it's ONE kernel pass per row —
       // no gram explode, no shuffle (the old explode→groupBy(min) shape
       // shuffled L≈doc-length rows per doc twice for a per-row statistic).
-      // persist() the 3-longs-per-doc frame: without the barrier, the
+      // persist the 3-longs-per-doc frame: without the barrier, the
       // self-join's two sides plus the join-key isnotnull scan filters each
       // re-run the full kernel over the corpus (the executed plan showed
       // char_gram_fingerprint inside the FileScan's DataFilters). id-sized,
-      // so safe to cache at any corpus scale; Bench/Verify clear caches
-      // between queries.
-      val fp = docs.select(col("doc_id"),
-        graft.functions.GraftFunctions.charGramFingerprint(col("text"), 8)
-          .getField("fp_min").as("fp_min"),
-        length(col("text")).as("len"))
-        .persist()
+      // so safe to cache at any corpus scale; CacheOnce unpersists after the
+      // consuming action, so ad-hoc/repeated callers don't accumulate caches.
+      val fp = graft.util.CacheOnce.persistForOneAction(
+        docs.select(col("doc_id"),
+          graft.functions.GraftFunctions.charGramFingerprint(col("text"), 8)
+            .getField("fp_min").as("fp_min"),
+          length(col("text")).as("len")))
       // Candidate pruning before any text is touched: |len_a − len_b| is a
       // lower bound on edit distance, so the length guard is sound for the
       // dist ≤ 20 filter — it removed 91% of fingerprint collisions at

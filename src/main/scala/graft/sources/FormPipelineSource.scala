@@ -97,7 +97,13 @@ object FormPipelineSource {
 
   private def cmp(i: Long, field: String, v: Any): Int = value(i, field) match {
     case l: Long   => java.lang.Long.compare(l, v.asInstanceOf[Number].longValue())
-    case s: String => s.compareTo(v.toString) // lexicographic — reference §1.2
+    // lexicographic (reference §1.2) in UTF-8 BINARY order — the order
+    // Spark itself compares strings in. Java String.compareTo is UTF-16
+    // code-unit order; the two diverge on supplementary-plane characters,
+    // and a pushed filter must accept exactly the rows the unpushed plan
+    // would keep.
+    case s: String => UTF8String.fromString(s)
+      .compareTo(UTF8String.fromString(v.toString))
   }
 }
 
@@ -230,7 +236,12 @@ private class FormAggReaderFactory(pushed: Array[Filter], aggs: Seq[PushedAgg])
                   case (x: Long, cur: Long) =>
                     if (a.fn == "MAX") x > cur else x < cur
                   case (x: String, cur: String) =>
-                    if (a.fn == "MAX") x > cur else x < cur
+                    // UTF-8 binary order (what Spark's own comparisons use),
+                    // NOT Java String UTF-16 order — they diverge on
+                    // supplementary-plane characters
+                    val cmp = UTF8String.fromString(x)
+                      .compareTo(UTF8String.fromString(cur))
+                    if (a.fn == "MAX") cmp > 0 else cmp < 0
                   case _ => false // unreachable: a field's type is stable
                 })
                 if (better) acc(j) = v

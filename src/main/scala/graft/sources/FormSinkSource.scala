@@ -3,8 +3,6 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -44,6 +42,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     deletes superseded files locally, so travel across a truncate is
   *     unsupported here (a real deployment defers deletion to vacuum, as
   *     the age guard already models);
+  *   - **change feed**: `.option("changesFromVersion", n)` (exclusive;
+  *     optional `changesToVersion`, inclusive, default latest) reads only
+  *     the files commits (n, to] ADDED — incremental downstream consumption
+  *     without re-reading the table. Append-only by contract: a range
+  *     spanning a truncate/compaction rewrite is rejected loudly;
   *   - **readable back** (`SupportsRead` with column pruning), so the
   *     watermark MAX-over-sink read (R3) runs through the same connector.
   *
@@ -87,10 +90,8 @@ object FormSinkSource {
   /** Newest manifest: (version, file names it makes visible). Version 0 with
     * no files when the table has never committed. */
   private[sources] def currentManifest(path: String): (Long, Seq[String]) = {
-    val d = manifestDir(path)
     val newest =
-      if (!Files.isDirectory(d)) None
-      else Files.list(d).iterator().asScala
+      graft.util.Scratch.listEntries(manifestDir(path))
         .flatMap(p => p.getFileName.toString match {
           case ManifestName(v) => Some(v.toLong -> p)
           case _               => None // tmp files mid-publish
@@ -116,6 +117,35 @@ object FormSinkSource {
     require(Files.exists(p),
       s"form sink: no manifest for versionAsOf=$version at $path (vacuumed or never committed)")
     readManifest(p).map(dataDir(path).resolve)
+  }
+
+  /** Manifest file names as of `version` (empty at 0, fatal if vacuumed). */
+  private[sources] def manifestNamesAt(path: String, version: Long): Seq[String] = {
+    if (version == 0L) return Seq.empty
+    val p = manifestFile(path, version)
+    require(Files.exists(p),
+      s"form sink: no manifest for version=$version at $path (vacuumed or never committed)")
+    readManifest(p)
+  }
+
+  /** Change feed: the files ADDED strictly after version `from`, up to and
+    * including version `to` — incremental consumption of the append log
+    * (each commit's delta is readable exactly once by advancing `from`,
+    * the consumer-side twin of the producer's watermark increment). The
+    * feed is APPEND-ONLY by contract: a range that includes a truncate or
+    * compaction commit (one that DROPPED files from the listing) is
+    * rejected rather than silently replaying rewritten rows as new. */
+  private[sources] def addedFilesBetween(path: String, from: Long, to: Long): Seq[Path] = {
+    require(from <= to,
+      s"form sink change feed: changesFromVersion=$from > changesToVersion=$to")
+    val before = manifestNamesAt(path, from)
+    val after = manifestNamesAt(path, to)
+    val afterSet = after.toSet
+    require(before.forall(afterSet.contains),
+      s"form sink change feed: versions ($from, $to] include a non-append commit " +
+        "(truncate/compaction rewrote the listing); the change feed is append-only")
+    val beforeSet = before.toSet
+    after.filterNot(beforeSet.contains).map(dataDir(path).resolve)
   }
 
   /** Publish `visible` as manifest version `version` — atomically, and only
@@ -176,25 +206,23 @@ object FormSinkSource {
     * NEWEST manifest (crashed-commit orphans, truncate leftovers) and all
     * superseded manifests. Only files older than `minAgeMs` are touched —
     * a concurrent commit's phase-1 files are mid-publish, not garbage, and
-    * the age guard is what keeps vacuum safe to run alongside writers
-    * (pick an age comfortably above any plausible commit duration; the
-    * 0 default is for deterministic tests). Returns deleted paths. */
-  def vacuum(path: String, minAgeMs: Long = 0L): Seq[Path] = {
+    * the age guard is what keeps vacuum safe to run alongside writers. The
+    * default is deliberately conservative (comfortably above any plausible
+    * commit duration); deterministic tests pass 0 EXPLICITLY — an unsafe
+    * default would let a routine vacuum race a concurrent commit's phase-1
+    * files and lose that commit's rows. Returns deleted paths. */
+  def vacuum(path: String, minAgeMs: Long = 10 * 60 * 1000L): Seq[Path] = {
     val (version, referenced) = currentManifest(path)
     val cutoff = System.currentTimeMillis() - minAgeMs
     def oldEnough(p: Path): Boolean =
       Files.getLastModifiedTime(p).toMillis <= cutoff
-    val d = dataDir(path)
     val orphans =
-      if (!Files.isDirectory(d)) Seq.empty
-      else Files.list(d).iterator().asScala.toSeq
+      graft.util.Scratch.listEntries(dataDir(path))
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".jsonl") &&
           !referenced.contains(p.getFileName.toString) && oldEnough(p))
-    val md = manifestDir(path)
     val staleManifests =
-      if (!Files.isDirectory(md)) Seq.empty
-      else Files.list(md).iterator().asScala.toSeq.filter { p =>
+      graft.util.Scratch.listEntries(manifestDir(path)).filter { p =>
         p.getFileName.toString match {
           case ManifestName(v) => v.toLong < version && oldEnough(p)
           case _               => oldEnough(p) // abandoned tmp files
@@ -216,7 +244,12 @@ private class FormSinkTable(path: String) extends Table
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FormSinkScanBuilder(path,
-      Option(options.get("versionAsOf")).map(_.toLong))
+      Option(options.get("versionAsOf")).map(_.toLong),
+      Option(options.get("changesFromVersion")).map { from =>
+        (from.toLong,
+          Option(options.get("changesToVersion")).map(_.toLong)
+            .getOrElse(FormSinkSource.currentManifest(path)._1))
+      })
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val bad = info.schema().fields.filterNot(_.dataType == StringType)
@@ -278,7 +311,7 @@ private class FormSinkBatchWrite(path: String, schema: StructType,
     // (aborted/speculative) — sweep only this job's subdirectory, never a
     // concurrent job's still-staged files
     if (Files.isDirectory(staging)) {
-      Files.list(staging).iterator().asScala.toSeq.foreach(Files.deleteIfExists(_))
+      graft.util.Scratch.listEntries(staging).foreach(Files.deleteIfExists(_))
       Files.deleteIfExists(staging)
     }
   }
@@ -325,7 +358,8 @@ private class FormSinkDataWriter(file: Path, schema: StructType)
 
 // ---- read path: one partition per committed file, pruned columns ----
 
-private class FormSinkScanBuilder(path: String, versionAsOf: Option[Long])
+private class FormSinkScanBuilder(path: String, versionAsOf: Option[Long],
+                                  changes: Option[(Long, Long)])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = FormSinkSource.schema
@@ -362,17 +396,20 @@ private class FormSinkScanBuilder(path: String, versionAsOf: Option[Long])
     true
   }
 
-  override def build(): Scan = new FormSinkScan(path, required, aggs, versionAsOf)
+  override def build(): Scan =
+    new FormSinkScan(path, required, aggs, versionAsOf, changes)
 }
 
 private class FormSinkScan(path: String, required: StructType,
                            aggs: Seq[PushedAgg],
-                           versionAsOf: Option[Long]) extends Scan with Batch {
-  /** Snapshot resolution: a pinned manifest version (time travel) or the
-    * newest committed manifest. */
-  private def snapshot(): Seq[Path] = versionAsOf match {
-    case Some(v) => FormSinkSource.committedFilesAt(path, v)
-    case None    => FormSinkSource.committedFiles(path)
+                           versionAsOf: Option[Long],
+                           changes: Option[(Long, Long)]) extends Scan with Batch {
+  /** Snapshot resolution: a change-feed delta, a pinned manifest version
+    * (time travel), or the newest committed manifest. */
+  private def snapshot(): Seq[Path] = (changes, versionAsOf) match {
+    case (Some((from, to)), _) => FormSinkSource.addedFilesBetween(path, from, to)
+    case (None, Some(v))       => FormSinkSource.committedFilesAt(path, v)
+    case (None, None)          => FormSinkSource.committedFiles(path)
   }
   override def readSchema(): StructType =
     if (aggs.isEmpty) required
@@ -385,6 +422,7 @@ private class FormSinkScan(path: String, required: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"FormSinkScan path=$path version=${versionAsOf.getOrElse("latest")} " +
+      changes.map { case (f, t) => s"changes=($f,$t] " }.getOrElse("") +
       s"PushedAggregates: [${aggs.mkString(", ")}], " +
       s"ReadSchema: ${readSchema().simpleString}"
   override def planInputPartitions(): Array[InputPartition] =
@@ -401,9 +439,12 @@ private class FormSinkScan(path: String, required: StructType,
 
 private case class SinkAggPartition(files: Seq[String]) extends InputPartition
 
-/** One pass over every committed file, one output row: MAX/MIN compare
-  * lexicographically (Seamless cells are strings, §1.2) and ignore nulls
-  * (SQL aggregate semantics); COUNT(*) counts all rows. */
+/** One pass over every committed file, one output row: MAX/MIN compare in
+  * UTF-8 binary order — `UTF8String.compareTo`, the SAME order Spark's own
+  * string comparisons use — and ignore nulls (SQL aggregate semantics);
+  * COUNT(*) counts all rows. Java `String` </> is UTF-16 code-unit order,
+  * which diverges from Spark for supplementary-plane characters, so a
+  * pushed MAX would differ from the unpushed plan on non-BMP data. */
 private class FormSinkAggReaderFactory(aggs: Seq[PushedAgg])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -415,7 +456,7 @@ private class FormSinkAggReaderFactory(aggs: Seq[PushedAgg])
         done = true
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         var count = 0L
-        val acc = Array.fill[String](aggs.length)(null)
+        val acc = Array.fill[UTF8String](aggs.length)(null)
         files.foreach { f =>
           Files.readAllLines(Paths.get(f)).forEach { line =>
             val node = mapper.readTree(line)
@@ -424,9 +465,10 @@ private class FormSinkAggReaderFactory(aggs: Seq[PushedAgg])
               if (a.fn != "COUNT_STAR") {
                 val v = node.get(a.field)
                 if (v != null && !v.isNull) {
-                  val s = v.asText()
+                  val s = UTF8String.fromString(v.asText())
+                  val cmp = if (acc(j) == null) 0 else s.compareTo(acc(j))
                   val better = acc(j) == null ||
-                    (if (a.fn == "MAX") s > acc(j) else s < acc(j))
+                    (if (a.fn == "MAX") cmp > 0 else cmp < 0)
                   if (better) acc(j) = s
                 }
               }
@@ -435,7 +477,7 @@ private class FormSinkAggReaderFactory(aggs: Seq[PushedAgg])
         }
         InternalRow.fromSeq(aggs.zipWithIndex.map {
           case (PushedAgg("COUNT_STAR", _), _) => count
-          case (_, j) => if (acc(j) == null) null else UTF8String.fromString(acc(j))
+          case (_, j) => acc(j)
         })
       }
       override def close(): Unit = ()

@@ -105,14 +105,17 @@ object StreamingOps {
   private def stageBatches(spark: SparkSession,
                            ev: DataFrame): String = {
     import java.nio.file.Files
-    val stage = Files.createTempDirectory("graft-stream-batches")
+    // Scratch dirs are deleted by a shutdown hook — staged corpora must not
+    // accumulate across sessions
+    val stage = graft.util.Scratch.dir("graft-stream-batches")
     def writeOne(df: DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("graft-stream-part").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
+      val tmp = graft.util.Scratch.dir("graft-stream-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
         .find(_.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
       Files.move(part.toPath, stage.resolve(name))
+      graft.util.Scratch.deleteRecursively(tmp) // only the moved part mattered
     }
     val cut = ev.agg(
       min(col("ts")).as("lo"), max(col("ts")).as("hi")).collect()(0)

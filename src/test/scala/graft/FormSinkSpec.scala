@@ -51,6 +51,29 @@ class FormSinkSpec extends SparkSpec {
     assert(read().count() === b.count())
   }
 
+  test("pushed MAX/MIN compare in UTF-8 binary order, matching the unpushed plan") {
+    val dir = tmp()
+    // U+FFFF sorts ABOVE the surrogate pair for U+1F600 in Java's UTF-16
+    // code-unit order (0xFFFF > 0xD83D) but BELOW it in UTF-8 binary /
+    // code-point order — the order Spark compares strings in. A pushed
+    // aggregate using String </> would pick the wrong extremum here.
+    val emoji = "po-😀" // U+1F600, the UTF-8 maximum
+    val ffff = "po-￿"        //           the UTF-16 maximum
+    assert(ffff.compareTo(emoji) > 0) // the Java-order trap this test pins
+    Seq(("a", emoji), ("b", ffff), ("c", "po-zzz"))
+      .toDF("vendor", "po_number")
+      .write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    val sink = spark.read.format(FormSinkSource.Format).option("path", dir).load()
+    val pushed = sink.agg(max(col("po_number")), min(col("po_number")))
+    assert(pushed.queryExecution.executedPlan.toString().contains("PushedAggregates: [MAX"))
+    val row = pushed.collect().head
+    // the unpushed plan's answer, via Spark's own ordering
+    val expectMax = sink.orderBy(col("po_number").desc).select("po_number").as[String].head()
+    assert(row.getString(0) === expectMax && row.getString(0) === emoji)
+    assert(row.getString(1) === "po-zzz")
+  }
+
   test("reading an empty sink yields zero rows with the declared schema") {
     val back = spark.read.format(FormSinkSource.Format).option("path", tmp()).load()
     assert(back.count() === 0)
@@ -187,7 +210,7 @@ class FormSinkSpec extends SparkSpec {
     // compacting a compact table is a no-op at the same version
     assert(FormSinkSource.compact(dir) === Some(3L))
     // vacuum then reclaims the superseded small files but keeps the snapshot
-    FormSinkSource.vacuum(dir)
+    FormSinkSource.vacuum(dir, minAgeMs = 0) // 0 explicitly: single-threaded test, nothing mid-commit
     assert(spark.read.format(FormSinkSource.Format).option("path", dir)
       .load().count() === 150)
   }
@@ -211,6 +234,38 @@ class FormSinkSpec extends SparkSpec {
     assert(err.getMessage.contains("versionAsOf"), err.getMessage)
   }
 
+  test("change feed reads exactly one commit's delta; rewrite ranges are fatal") {
+    val dir = tmp()
+    feed(1, 100).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    feed(101, 150).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    feed(151, 170).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    def changes(from: Long, to: Long) = spark.read.format(FormSinkSource.Format)
+      .option("path", dir).option("changesFromVersion", from)
+      .option("changesToVersion", to).load()
+    assert(changes(1, 2).count() === 50)
+    assert(changes(0, 1).count() === 100)
+    assert(changes(1, 3).count() === 70)
+    assert(changes(2, 2).count() === 0) // empty range = empty delta
+    // default `to` = latest
+    assert(spark.read.format(FormSinkSource.Format).option("path", dir)
+      .option("changesFromVersion", 2).load().count() === 20)
+    // pushed aggregates evaluate over just the delta
+    val row = changes(1, 2).agg(count(lit(1)).as("n"), max(col("po_number")).as("wm"))
+      .collect().head
+    assert(row.getLong(0) === 50L && row.getString(1) === "U000000150D")
+    // a compaction rewrites the listing: ranges spanning it must fail loudly
+    assert(FormSinkSource.compact(dir) === Some(4L))
+    val err = intercept[Exception](changes(3, 4).count())
+    assert(err.getMessage.contains("append-only"), err.getMessage)
+    // ...but post-rewrite deltas work again
+    feed(171, 180).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    assert(changes(4, 5).count() === 10)
+  }
+
   test("vacuum reclaims crashed-commit orphans and superseded manifests, nothing live") {
     val dir = tmp()
     feed(1, 100).write.format(FormSinkSource.Format)
@@ -219,7 +274,7 @@ class FormSinkSpec extends SparkSpec {
       .mode(SaveMode.Append).option("path", dir).save()
     val orphan = java.nio.file.Paths.get(dir, "part-99999-0-deadjob.jsonl")
     Files.writeString(orphan, "{\"vendor\":\"crashed-job\"}\n")
-    val deleted = FormSinkSource.vacuum(dir)
+    val deleted = FormSinkSource.vacuum(dir, minAgeMs = 0)
     assert(deleted.map(_.getFileName.toString).contains("part-99999-0-deadjob.jsonl"))
     assert(deleted.map(_.getFileName.toString).contains("manifest-v0000000001.json"))
     assert(!Files.exists(orphan))
