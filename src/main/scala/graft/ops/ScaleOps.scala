@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.BloomShim
+
+import graft.{GraftQuery, Tables}
+import graft.functions.ColumnOps._
+
+/** Operators whose reason to exist IS the 100 TB regime — each one is a
+  * standard lever for keeping a petabyte pipeline linear, expressed
+  * declaratively so Catalyst still owns the plan:
+  *
+  *   - bloom-pruned semi-join (q104): shrink a fact table BEFORE its shuffle
+  *     using a sketch of the dimension keys — the manual twin of Spark's
+  *     `InjectRuntimeFilter`, available when the build side is an aggregated
+  *     frame the optimizer rule can't see through;
+  *   - exact span dedup (q105): Lee et al.-style duplicated-token-run
+  *     removal (the training-data dedup that exact doc-level hashing
+  *     misses), bucketed by 16-byte segment digests so no text shuffles;
+  *   - context-window chunking (q106): fixed-size token windows with
+  *     overlap stride — the doc→training-sample fan-out, embarrassingly
+  *     parallel per row;
+  *   - columnar-format interchange (q107): the same engine semantics over
+  *     ORC, staged by the query itself, proving the source surface is not
+  *     parquet-shaped;
+  *   - width-bucket histograms (q108): distribution profiling as one
+  *     map-side-combinable aggregate, not a sort or a window.
+  */
+object ScaleOps {
+
+  /** Dedup/chunking segment geometry — shared by the Spark pipelines and
+    * their oracle SQL so both derive from one definition. */
+  private val SegW = 4 // q105: non-overlapping dedup segment, in tokens
+  private val ChunkC = 32 // q106: chunk length, in tokens
+  private val ChunkS = 24 // q106: chunk stride (C−S tokens of overlap)
+
+  /** Shared DuckDB fragment: whitespace tokens per doc (ColumnOps.tokens). */
+  private val tokCte =
+    """t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  /** ORC staging, once per (JVM, sf dir): the query measures the ORC READ
+    * path, not a per-invocation rewrite. Scratch dirs are deleted at exit. */
+  private val stagedOrc =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q104_bloom_semi_join",
+      "Bloom-pruned semi-join: aggregate the dimension keys (BUILDING-segment customers) into Spark's own BloomFilterAggregate sketch, broadcast the KB-sized filter to every fact partition, and drop non-member orders AT THE SCAN — before any shuffle. False positives are removed by the exact left-semi join after the prune, so the result is exactly the semi-join while only ~1/5 of the fact table ever reaches it. The manual twin of InjectRuntimeFilter for build sides the optimizer rule can't see through.",
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val dim = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      // the sketch is one row of a few KB regardless of dimension size —
+      // evaluated once as a scalar subquery and shipped to every task as a
+      // literal (the InjectRuntimeFilter wiring), so the fact side pays one
+      // codegen'd might_contain per row and no join at all for the prune
+      val bloom = dim.agg(
+        BloomShim.bloomFilterAgg(xxhash64(col("c_custkey")), 1000000L).as("bf"))
+      val pruned = Tables.orders(s, d)
+        .filter(BloomShim.bloomMightContain(BloomShim.scalarOf(bloom),
+          xxhash64(col("o_custkey"))))
+      // exact tier: the semi-join removes bloom false positives; its shuffle
+      // now moves only the pruned survivors
+      pruned.join(dim, pruned("o_custkey") === dim("c_custkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("rev_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    GraftQuery(
+      "q105_span_dedup",
+      s"Exact duplicated-span dedup (Lee et al., 'Deduplicating Training Data Makes Language Models Better'): segment each doc into non-overlapping $SegW-token runs, and a run occurrence survives only if it is the GLOBAL first occurrence (min doc_id, then min offset) of that segment — the token-level duplication doc-level hashing (q37) cannot see. All shuffles key on the 16-byte md5 of the segment, never the text; per-doc kept/total counts are the dedup report.",
+      s"""WITH $tokCte,
+         |seg AS (SELECT doc_id, CAST(k AS BIGINT) AS seg_id,
+         |    md5(array_to_string(toks[CAST(k*$SegW+1 AS INTEGER):CAST(k*$SegW+$SegW AS INTEGER)], ' ')) AS h
+         |  FROM t, LATERAL unnest(generate_series(0, CAST(floor((len(toks)-1)/$SegW) AS BIGINT))) AS u(k)
+         |  WHERE len(toks) > 0),
+         |own AS (SELECT h, min(doc_id) AS d0 FROM seg GROUP BY h),
+         |fst AS (SELECT s.h, o.d0, min(s.seg_id) AS s0
+         |        FROM seg s JOIN own o ON s.h = o.h AND s.doc_id = o.d0
+         |        GROUP BY s.h, o.d0)
+         |SELECT s.doc_id, count(*) AS n_segs,
+         |  CAST(sum(CASE WHEN s.doc_id = f.d0 AND s.seg_id = f.s0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM seg s JOIN fst f ON s.h = f.h
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      val segs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks"))).filter(col("n") > 0)
+        // k*W < n ⇔ k ≤ (n−1)/W; the trailing segment may be short — it is
+        // still a dedup unit (both sides slice with end-clamping semantics)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), floor((col("n") - 1) / SegW).cast("long"))).as("seg_id"),
+          col("toks"))
+        .select(col("doc_id"), col("seg_id"),
+          md5(concat_ws(" ",
+            slice(col("toks"), (col("seg_id") * SegW + 1).cast("int"), lit(SegW)))).as("h"))
+      // canonical owner per segment: min doc, then min offset within it —
+      // two hash-keyed aggregations, each with map-side partial combine
+      val own = segs.groupBy(col("h")).agg(min(col("doc_id")).as("d0"))
+      val fst = segs.join(own, "h").where(col("doc_id") === col("d0"))
+        .groupBy(col("h"), col("d0")).agg(min(col("seg_id")).as("s0"))
+      segs.join(fst, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("doc_id") === col("d0") && col("seg_id") === col("s0"), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
+      "q106_context_chunks",
+      s"Context-window chunking: each doc fans out into $ChunkC-token windows at stride $ChunkS (${ChunkC - ChunkS} tokens of overlap so no training sample straddles a hard cut) — the doc→sample expansion of an LLM pretraining pipeline. Pure per-row fan-out: no shuffle until the deterministic output ORDER BY; chunk content is pinned by md5.",
+      s"""WITH $tokCte,
+         |c AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+         |    toks[CAST(k*$ChunkS+1 AS INTEGER):CAST(k*$ChunkS+$ChunkC AS INTEGER)] AS chunk
+         |  FROM t, LATERAL unnest(generate_series(0, CAST(floor((len(toks)-1)/$ChunkS) AS BIGINT))) AS u(k)
+         |  WHERE len(toks) > 0)
+         |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS chunk_len,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks"))).filter(col("n") > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), floor((col("n") - 1) / ChunkS).cast("long"))).as("chunk_id"),
+          col("toks"))
+        .withColumn("chunk",
+          slice(col("toks"), (col("chunk_id") * ChunkS + 1).cast("int"), lit(ChunkC)))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("chunk_len"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    GraftQuery(
+      "q107_orc_source",
+      "Columnar-format interchange: the engine writes lineitem as ORC (staged once per JVM) and answers from the ORC copy — predicate pushdown and column pruning work identically (ORC supplies its own stripe statistics), while the oracle answers from the original parquet. Proves the source surface is format-agnostic, not parquet-shaped.",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n
+        |FROM lineitem WHERE l_quantity >= 25
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val orcDir = stagedOrc.getOrElseUpdate(d, {
+        val p = graft.util.Scratch.dir("graft-orc").toString
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+          .write.mode("overwrite").orc(p)
+        p
+      })
+      s.read.orc(orcDir)
+        .filter(col("l_quantity") >= 25) // pushed to the ORC stripe stats
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    GraftQuery(
+      "q108_token_histogram",
+      "Width-bucket histogram of per-doc token counts by language: bin = 16·⌊n/16⌋, computed as ONE map-side-combinable aggregate over a single scan — profiling a 100 TB corpus must not sort it (the percentile/window formulation would). Output is (lang, bin_lo, n_docs), dense enough to plot, small enough to collect.",
+      """SELECT lang,
+        |  CAST(floor(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))/16)*16 AS BIGINT) AS bin_lo,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang, bin_lo ORDER BY lang, bin_lo""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          (floor(size(tokens(col("text"))) / 16) * 16).cast("long").as("bin_lo"))
+        .groupBy(col("lang"), col("bin_lo"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("bin_lo"))
+    })
+}

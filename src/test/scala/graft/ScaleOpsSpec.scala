@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.ScaleOps
+
+/** Semantics + plan-shape pins for the scale-lever operators (q104–q108). */
+class ScaleOpsSpec extends SparkSpec {
+
+  private def q(name: String) =
+    ScaleOps.queries.find(_.name == name).get.build(spark, sf)
+
+  test("q104: bloom prune is invisible in the result — exactly the semi-join") {
+    val got = q("q104_bloom_semi_join").collect().toSeq
+    val dim = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    // full-row equality against a no-bloom twin
+    val twin = Tables.orders(spark, sf)
+      .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(graft.functions.ColumnOps.cents(col("o_totalprice"))).as("rev_cents"))
+      .orderBy(col("o_orderpriority")).collect().toSeq
+    assert(got === twin)
+    assert(got.nonEmpty) // fixture sanity
+  }
+
+  test("q104: plan filters the fact scan with might_contain before the join") {
+    val plan = q("q104_bloom_semi_join").queryExecution.executedPlan.toString()
+    assert(plan.contains("might_contain"), plan.take(2000))
+    // the prune must sit BELOW the semi join: the Filter(might_contain)
+    // appears after (deeper than) the join operator in the plan dump
+    val joinAt = plan.indexOf("LeftSemi")
+    val pruneAt = plan.indexOf("might_contain")
+    assert(joinAt >= 0 && pruneAt > joinAt, plan.take(2000))
+  }
+
+  test("q104: the bloom filter genuinely prunes non-member fact rows") {
+    import org.apache.spark.sql.graft.BloomShim
+    val dim = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bloom = dim.agg(
+      BloomShim.bloomFilterAgg(xxhash64(col("c_custkey")), 1000000L).as("bf"))
+    val fact = Tables.orders(spark, sf)
+    val pruned = fact.filter(BloomShim.bloomMightContain(
+      BloomShim.scalarOf(bloom), xxhash64(col("o_custkey")))).count()
+    val members = fact.join(dim, col("o_custkey") === col("c_custkey"), "left_semi").count()
+    // no false negatives; and the prune is a real reduction, not a pass-through
+    assert(pruned >= members)
+    assert(pruned < fact.count())
+  }
+
+  test("q105: every distinct segment survives exactly once, nothing else") {
+    val rep = q("q105_span_dedup")
+    val row = rep.agg(sum(col("n_kept")), sum(col("n_segs"))).collect().head
+    val (kept, total) = (row.getLong(0), row.getLong(1))
+    // global kept = number of DISTINCT segments in the corpus (each has ONE
+    // canonical occurrence); the fixture genuinely contains duplicates
+    val distinctSegs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.ColumnOps.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks"))).filter(col("n") > 0)
+      .select(explode(sequence(lit(0L), floor((col("n") - 1) / 4).cast("long"))).as("k"), col("toks"))
+      .select(md5(concat_ws(" ", slice(col("toks"), (col("k") * 4 + 1).cast("int"), lit(4)))).as("h"))
+      .distinct().count()
+    assert(kept === distinctSegs)
+    assert(kept < total, s"fixture has no duplicated spans (kept=$kept total=$total)")
+    assert(rep.filter(col("n_kept") > col("n_segs")).isEmpty)
+  }
+
+  test("q106: chunks tile each doc with stride overlap and clamped tails") {
+    val chunks = q("q106_context_chunks")
+    val perDoc = chunks.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_chunks"),
+      max(col("chunk_id")).as("k_max"),
+      min(col("chunk_len")).as("min_len"),
+      max(col("chunk_len")).as("max_len"))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.ColumnOps.tokens(col("text"))).as("n"))
+      .filter(col("n") > 0)
+    val joined = perDoc.join(docs, "doc_id")
+    // chunk count = ⌊(n−1)/S⌋ + 1 and ids are dense 0..k_max
+    assert(joined.filter(
+      col("n_chunks") =!= floor((col("n") - 1) / 24) + 1 ||
+        col("k_max") =!= col("n_chunks") - 1).isEmpty)
+    // no chunk exceeds C; every chunk is nonempty
+    assert(joined.filter(col("max_len") > 32 || col("min_len") < 1).isEmpty)
+    // every doc with tokens is chunked
+    assert(joined.count() === docs.count())
+  }
+
+  test("q107: the ORC round trip answers exactly what parquet answers") {
+    val fromOrc = q("q107_orc_source").collect().toSeq
+    val fromParquet = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") >= 25)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")).collect().toSeq
+    assert(fromOrc === fromParquet)
+  }
+
+  test("q108: histogram partitions the corpus — bin counts sum to doc count") {
+    val hist = q("q108_token_histogram")
+    val total = hist.agg(sum(col("n_docs"))).collect().head.getLong(0)
+    assert(total === Tables.documents(spark, sf).count())
+    // bins are width-16 aligned
+    assert(hist.filter(col("bin_lo") % 16 =!= 0).isEmpty)
+  }
+}
