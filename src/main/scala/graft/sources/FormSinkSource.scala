@@ -3,6 +3,8 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -90,6 +92,11 @@ object FormSinkSource {
   /** Newest manifest: (version, file names it makes visible). Version 0 with
     * no files when the table has never committed. */
   private[sources] def currentManifest(path: String): (Long, Seq[String]) = {
+    val (v, names, _) = currentManifestFull(path)
+    (v, names)
+  }
+
+  private[sources] def currentManifestFull(path: String): (Long, Seq[String], Map[String, FileStats]) = {
     val newest =
       graft.util.Scratch.listEntries(manifestDir(path))
         .flatMap(p => p.getFileName.toString match {
@@ -97,31 +104,51 @@ object FormSinkSource {
           case _               => None // tmp files mid-publish
         }).maxByOption(_._1)
     newest match {
-      case None => (0L, Seq.empty)
-      case Some((v, p)) => (v, readManifest(p))
+      case None => (0L, Seq.empty, Map.empty)
+      case Some((v, p)) =>
+        val (names, stats) = readManifest(p)
+        (v, names, stats)
     }
   }
 
-  private def readManifest(p: Path): Seq[String] = {
+  /** Per-data-file column statistics, written into the manifest at commit
+    * time and consulted at scan planning for FILE SKIPPING: a pushed
+    * comparison filter that provably matches no row of a file prunes the
+    * whole file before any task is scheduled — at a 100 TB append log this
+    * is what makes the watermark delta read `po_number > wm` touch only the
+    * newest commit's files instead of the full history. min/max are in
+    * UTF-8 binary order (the order Spark compares strings in); a column
+    * absent from `mins` was all-null in the file. */
+  private[sources] case class FileStats(rows: Long,
+                                        mins: Map[String, String],
+                                        maxs: Map[String, String])
+
+  private def readManifest(p: Path): (Seq[String], Map[String, FileStats]) = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val files = mapper.readTree(Files.readAllBytes(p)).get("files")
-    (0 until files.size()).map(files.get(_).asText())
+    val root = mapper.readTree(Files.readAllBytes(p))
+    val files = root.get("files")
+    val names = (0 until files.size()).map(files.get(_).asText())
+    // "stats" is optional (manifests written before stats existed): a file
+    // without stats is never skipped, only read
+    val stats = Option(root.get("stats")).map { s =>
+      names.flatMap { n =>
+        Option(s.get(n)).map { fs =>
+          def m(key: String): Map[String, String] = Option(fs.get(key)).map { o =>
+            o.properties().iterator().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap
+          }.getOrElse(Map.empty)
+          n -> FileStats(fs.get("rows").asLong(), m("mins"), m("maxs"))
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+    (names, stats)
   }
 
-  /** Time travel: the file listing as of manifest `version` (manifests are
-    * retained until vacuumed, so any un-vacuumed commit is readable).
-    * Version 0 is the empty table; a vacuumed/unknown version is fatal. */
-  private[sources] def committedFilesAt(path: String, version: Long): Seq[Path] = {
-    if (version == 0L) return Seq.empty
-    val p = manifestFile(path, version)
-    require(Files.exists(p),
-      s"form sink: no manifest for versionAsOf=$version at $path (vacuumed or never committed)")
-    readManifest(p).map(dataDir(path).resolve)
-  }
-
-  /** Manifest file names as of `version` (empty at 0, fatal if vacuumed). */
-  private[sources] def manifestNamesAt(path: String, version: Long): Seq[String] = {
-    if (version == 0L) return Seq.empty
+  /** Manifest listing + stats as of `version` (empty at 0, fatal if
+    * vacuumed). Time travel keeps file skipping: the pinned manifest
+    * carries the stats of its own era. */
+  private[sources] def manifestAt(path: String, version: Long): (Seq[String], Map[String, FileStats]) = {
+    if (version == 0L) return (Seq.empty, Map.empty)
     val p = manifestFile(path, version)
     require(Files.exists(p),
       s"form sink: no manifest for version=$version at $path (vacuumed or never committed)")
@@ -135,30 +162,40 @@ object FormSinkSource {
     * feed is APPEND-ONLY by contract: a range that includes a truncate or
     * compaction commit (one that DROPPED files from the listing) is
     * rejected rather than silently replaying rewritten rows as new. */
-  private[sources] def addedFilesBetween(path: String, from: Long, to: Long): Seq[Path] = {
+  private[sources] def addedFilesBetween(path: String, from: Long, to: Long): (Seq[String], Map[String, FileStats]) = {
     require(from <= to,
       s"form sink change feed: changesFromVersion=$from > changesToVersion=$to")
-    val before = manifestNamesAt(path, from)
-    val after = manifestNamesAt(path, to)
+    val (before, _) = manifestAt(path, from)
+    val (after, stats) = manifestAt(path, to)
     val afterSet = after.toSet
     require(before.forall(afterSet.contains),
       s"form sink change feed: versions ($from, $to] include a non-append commit " +
         "(truncate/compaction rewrote the listing); the change feed is append-only")
     val beforeSet = before.toSet
-    after.filterNot(beforeSet.contains).map(dataDir(path).resolve)
+    (after.filterNot(beforeSet.contains), stats)
   }
 
   /** Publish `visible` as manifest version `version` — atomically, and only
     * if that version does not exist yet. Returns false when another commit
     * won the version (caller re-reads and retries on top of it). */
   private[sources] def tryPublishManifest(path: String, version: Long,
-                                          visible: Seq[String]): Boolean = {
+                                          visible: Seq[String],
+                                          stats: Map[String, FileStats] = Map.empty): Boolean = {
     val d = manifestDir(path)
     Files.createDirectories(d)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     val arr = node.putArray("files")
     visible.foreach(arr.add)
+    val statsNode = node.putObject("stats")
+    visible.foreach { n =>
+      stats.get(n).foreach { fs =>
+        val f = statsNode.putObject(n)
+        f.put("rows", fs.rows)
+        val mins = f.putObject("mins"); fs.mins.foreach { case (c, v) => mins.put(c, v) }
+        val maxs = f.putObject("maxs"); fs.maxs.foreach { case (c, v) => maxs.put(c, v) }
+      }
+    }
     val tmp = Files.createTempFile(d, "manifest-tmp-", ".tmp")
     try {
       Files.write(tmp, mapper.writeValueAsBytes(node))
