@@ -40,6 +40,7 @@ object Bench {
     // matching plans silently recompute through); the RDD sweep after it
     // catches any persist that bypassed the CacheManager
     def sweepCaches(): Unit = {
+      graft.util.CacheOnce.sweepAll() // orphaned one-action listeners first
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

@@ -31,6 +31,7 @@ object Verify {
         // in this shared ~80-query session (VerifySpec asserts empty after).
         // clearCache drops the CacheManager entries too — a bare RDD-unpersist
         // leaves stale InMemoryRelations later matching plans re-route through.
+        graft.util.CacheOnce.sweepAll() // orphaned one-action listeners too
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }

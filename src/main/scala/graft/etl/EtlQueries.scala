@@ -224,6 +224,36 @@ object EtlQueries {
     },
 
     GraftQuery(
+      "q110_sink_file_skipping",
+      "Manifest-stats data skipping: every commit records per-file rows/min/max (collected inline by the task writers), and a filtered read prunes whole files whose range provably excludes the pushed predicate BEFORE any task is scheduled — after three commits, `po_number > <commit-2 max>` opens only the third commit's files, the shape that keeps a watermark delta read O(newest commit), not O(append history). Advisory parquet-row-group contract: the filter is re-applied post-scan, so stats are an optimization, never the correctness boundary.",
+      """WITH src AS (
+        |  SELECT i,
+        |    'V' || (i % 97) AS vendor,
+        |    'order ' || i AS description,
+        |    CAST(DATE '2020-01-01' + CAST(i % 365 AS INTEGER) AS VARCHAR) AS picker_erk,
+        |    'C' || (i % 7) AS charge_code,
+        |    printf('U%09dD', i) AS po_number
+        |  FROM unnest(generate_series(2000, 2499)) AS t(i))
+        |SELECT vendor, description, picker_erk, charge_code, po_number
+        |FROM src ORDER BY po_number""".stripMargin) { (s, d) =>
+      val dir = graft.util.Scratch.dir("graft-q110-sink").toString // shutdown-hook cleanup
+      val sinkFmt = graft.sources.FormSinkSource.Format
+      val feed = s.read.format("graft.sources.FormPipelineSource")
+        .option("rows", 2500).option("partitions", 8).load()
+      val five = feed.select(col("vendor"), col("description"),
+        col("picker_erk"), col("charge_code"), col("po_number"))
+      def commit(lo: Long, hi: Long): Unit =
+        five.where(feed("submission_id") >= lo && feed("submission_id") < hi)
+          .write.format(sinkFmt).mode(SaveMode.Append).option("path", dir).save()
+      commit(0, 1000); commit(1000, 2000); commit(2000, 2500)
+      // the predicate excludes commits 1-2 entirely: their 16 files are
+      // pruned at planning from the manifest stats, only commit 3's are read
+      s.read.format(sinkFmt).option("path", dir).load()
+        .filter(col("po_number") > "U000001999D")
+        .orderBy(col("po_number"))
+    },
+
+    GraftQuery(
       "q36_json_ingest",
       "§1.1 raw-ingest model: rows as self-describing JSON documents; field extraction is null-on-missing at the value level (R9 semantics) while label resolution stays fatal (R8).",
       """WITH raw AS (

@@ -41,9 +41,21 @@ object ScaleOps {
       |  FROM documents)""".stripMargin
 
   /** ORC staging, once per (JVM, sf dir): the query measures the ORC READ
-    * path, not a per-invocation rewrite. Scratch dirs are deleted at exit. */
+    * path, not a per-invocation rewrite. Scratch dirs are deleted at exit.
+    * Keyed by directory + source fingerprint, not directory alone: a
+    * lineitem.parquet regenerated in the same JVM must re-stage, or q107
+    * would answer from a stale ORC copy and diverge from the oracle. */
   private val stagedOrc =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Fingerprint = newest mtime under `<dir>/lineitem.parquet`. */
+  private def orcKey(d: String): String = {
+    val src = java.nio.file.Paths.get(d, "lineitem.parquet")
+    val mts = (src +: graft.util.Scratch.listEntries(src))
+      .filter(java.nio.file.Files.exists(_))
+      .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    s"$d@${mts.maxOption.getOrElse(0L)}"
+  }
 
   def queries: Seq[GraftQuery] = Seq(
 
@@ -148,7 +160,7 @@ object ScaleOps {
         |FROM lineitem WHERE l_quantity >= 25
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
-      val orcDir = stagedOrc.getOrElseUpdate(d, {
+      val orcDir = stagedOrc.getOrElseUpdate(orcKey(d), {
         val p = graft.util.Scratch.dir("graft-orc").toString
         Tables.lineitem(s, d)
           .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.{sources => sqlf}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -50,7 +51,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *     without re-reading the table. Append-only by contract: a range
   *     spanning a truncate/compaction rewrite is rejected loudly;
   *   - **readable back** (`SupportsRead` with column pruning), so the
-  *     watermark MAX-over-sink read (R3) runs through the same connector.
+  *     watermark MAX-over-sink read (R3) runs through the same connector;
+  *   - **manifest-stats file skipping**: each commit records per-file
+  *     rows/min/max in the manifest (collected inline by the task writers),
+  *     and the scan prunes whole files whose range provably excludes a
+  *     pushed comparison filter — advisory, parquet-row-group style: the
+  *     filter is still re-applied post-scan, so the coarse stats are an
+  *     optimization, never the correctness boundary.
   *
   * Rows are JSON-lines (Jackson both ways — exact string round-trip); the
   * schema is the reference table's fixed 5 string columns: Seamless cells
@@ -224,8 +231,23 @@ object FormSinkSource {
     * retries when convenient. Small-file pressure is real at a 100 TB
     * ingest cadence — every incremental tick adds task-count files. */
   def compact(path: String): Option[Long] = {
-    val (version, files) = currentManifest(path)
+    val (version, files, stats) = currentManifestFull(path)
     if (files.size <= 1) return Some(version) // already compact
+    // the merged file's stats are the inputs' stats merged — but only when
+    // EVERY input has stats: one stats-less legacy file makes the merged
+    // extent unskippable (claiming a narrower range than the data would
+    // silently drop rows from filtered scans)
+    def bin(s: String) = UTF8String.fromString(s)
+    def mergeBy(sel: FileStats => Map[String, String],
+                pick: (String, String) => String): Map[String, String] =
+      files.flatMap(f => sel(stats(f)).toSeq)
+        .groupMapReduce(_._1)(_._2)(pick)
+    val mergedStats: Map[String, FileStats] =
+      if (!files.forall(stats.contains)) Map.empty
+      else Map("" -> FileStats( // keyed by mergedName below, once known
+        files.map(stats(_).rows).sum,
+        mergeBy(_.mins, (a, b) => if (bin(a).compareTo(bin(b)) <= 0) a else b),
+        mergeBy(_.maxs, (a, b) => if (bin(a).compareTo(bin(b)) >= 0) a else b)))
     val mergedName =
       s"compacted-$version-${java.util.UUID.randomUUID()}.jsonl"
     val merged = dataDir(path).resolve(mergedName)
@@ -235,8 +257,63 @@ object FormSinkSource {
         out.write(l); out.write("\n")
       }
     } finally out.close()
-    if (tryPublishManifest(path, version + 1, Seq(mergedName))) Some(version + 1)
+    if (tryPublishManifest(path, version + 1, Seq(mergedName),
+        mergedStats.map { case (_, fs) => mergedName -> fs }))
+      Some(version + 1)
     else { Files.deleteIfExists(merged); None } // lost to a concurrent commit
+  }
+
+  // ---- manifest-stats file skipping ----------------------------------
+  // The scan prunes whole FILES whose manifest min/max provably exclude a
+  // pushed filter; the filter itself stays post-scan (Spark re-applies it
+  // to the surviving files' rows). Same advisory contract as parquet
+  // row-group stats: pruning is an optimization, never the correctness
+  // boundary, so a conservative "true" (may match) is always sound.
+
+  /** Filters whose shape the skipper understands (strings only — the sink's
+    * cells are strings by model). Everything else is left un-claimed. */
+  private[sources] def skippable(f: sqlf.Filter): Boolean = f match {
+    case sqlf.EqualTo(_, _: String)            => true
+    case sqlf.EqualNullSafe(_, _: String)      => true
+    case sqlf.GreaterThan(_, _: String)        => true
+    case sqlf.GreaterThanOrEqual(_, _: String) => true
+    case sqlf.LessThan(_, _: String)           => true
+    case sqlf.LessThanOrEqual(_, _: String)    => true
+    case sqlf.In(_, vs) => vs != null && vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+    case sqlf.IsNotNull(_)  => true
+    case sqlf.And(l, r)     => skippable(l) || skippable(r) // one conjunct suffices
+    case sqlf.Or(l, r)      => skippable(l) && skippable(r) // both needed for soundness
+    case _ => false
+  }
+
+  /** May `f` match any row of a file with stats `st`? `None` (a manifest
+    * written before stats existed) → always may match. With stats, a column
+    * absent from `mins` was ALL-NULL in the file, so comparisons against it
+    * match nothing. All compares are UTF-8 binary ([[UTF8String]]), the
+    * order Spark's own string comparisons use. */
+  private[sources] def mayMatch(st: Option[FileStats], f: sqlf.Filter): Boolean =
+    st.forall(s => if (s.rows == 0L) false else may(s, f))
+
+  private def may(s: FileStats, f: sqlf.Filter): Boolean = {
+    def bin(x: String) = UTF8String.fromString(x)
+    def rng(c: String): Option[(UTF8String, UTF8String)] =
+      for { mn <- s.mins.get(c); mx <- s.maxs.get(c) } yield (bin(mn), bin(mx))
+    def eq(c: String, v: String): Boolean = rng(c).exists { case (mn, mx) =>
+      bin(v).compareTo(mn) >= 0 && bin(v).compareTo(mx) <= 0 }
+    f match {
+      case sqlf.EqualTo(c, v: String)            => eq(c, v)
+      case sqlf.EqualNullSafe(c, v: String)      => eq(c, v)
+      case sqlf.GreaterThan(c, v: String)        => rng(c).exists(_._2.compareTo(bin(v)) > 0)
+      case sqlf.GreaterThanOrEqual(c, v: String) => rng(c).exists(_._2.compareTo(bin(v)) >= 0)
+      case sqlf.LessThan(c, v: String)           => rng(c).exists(_._1.compareTo(bin(v)) < 0)
+      case sqlf.LessThanOrEqual(c, v: String)    => rng(c).exists(_._1.compareTo(bin(v)) <= 0)
+      case sqlf.In(c, vs) if vs != null && vs.forall(_.isInstanceOf[String]) =>
+        vs.exists(v => eq(c, v.asInstanceOf[String]))
+      case sqlf.IsNotNull(c) => s.mins.contains(c)
+      case sqlf.And(l, r)    => may(s, l) && may(s, r)
+      case sqlf.Or(l, r)     => may(s, l) || may(s, r)
+      case _ => true // shape the skipper doesn't understand: read the file
+    }
   }
 
   /** Garbage-collect the table: delete data files not referenced by the
@@ -308,7 +385,9 @@ private class FormSinkWriteBuilder(path: String, schema: StructType, jobId: Stri
   }
 }
 
-private case class StagedFileMessage(fileName: String) extends WriterCommitMessage
+private case class StagedFileMessage(fileName: String, rows: Long,
+                                     mins: Map[String, String],
+                                     maxs: Map[String, String]) extends WriterCommitMessage
 
 private class FormSinkBatchWrite(path: String, schema: StructType,
                                  truncateFirst: Boolean, jobId: String) extends BatchWrite {
@@ -318,7 +397,10 @@ private class FormSinkBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staging = FormSinkSource.stagingDir(path, jobId)
-    val names = messages.map { case StagedFileMessage(name) => name }.sorted
+    val staged = messages.map { case m: StagedFileMessage => m }.sortBy(_.fileName)
+    val names = staged.map(_.fileName).toSeq
+    val newStats = staged.map(m =>
+      m.fileName -> FormSinkSource.FileStats(m.rows, m.mins, m.maxs)).toMap
     // phase 1: move the job's files into the table directory. They are NOT
     // visible yet — readers go through the manifest — so a crash anywhere in
     // this loop publishes nothing (the moved files become unreferenced
@@ -334,9 +416,13 @@ private class FormSinkBatchWrite(path: String, schema: StructType,
     // manifest and stacks this job's files on top of it.
     var published = false
     while (!published) {
-      val (version, current) = FormSinkSource.currentManifest(path)
+      val (version, current, currentStats) = FormSinkSource.currentManifestFull(path)
       val visible = (if (truncateFirst) Seq.empty else current) ++ names
-      published = FormSinkSource.tryPublishManifest(path, version + 1, visible)
+      // carry the surviving files' stats forward — a commit must never
+      // degrade an older file from "skippable" back to "always read"
+      val stats = (if (truncateFirst) Map.empty[String, FormSinkSource.FileStats]
+                   else currentStats) ++ newStats
+      published = FormSinkSource.tryPublishManifest(path, version + 1, visible, stats)
       // truncate drops the old files from the manifest; physically delete
       // them only AFTER the swap (readers of the old manifest mid-scan keep
       // their snapshot on a real object store; locally best-effort)
@@ -355,8 +441,8 @@ private class FormSinkBatchWrite(path: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val staging = FormSinkSource.stagingDir(path, jobId)
-    messages.filter(_ != null).foreach { case StagedFileMessage(name) =>
-      Files.deleteIfExists(staging.resolve(name))
+    messages.filter(_ != null).foreach { case m: StagedFileMessage =>
+      Files.deleteIfExists(staging.resolve(m.fileName))
     }
   }
 }
@@ -376,18 +462,36 @@ private class FormSinkDataWriter(file: Path, schema: StructType)
     extends DataWriter[InternalRow] {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val out = Files.newBufferedWriter(file)
+  // per-column min/max over NON-NULL values, tracked as UTF8String so the
+  // order is UTF-8 binary — the order Spark compares strings in, and the
+  // order the skipping logic at scan planning assumes. Collected inline at
+  // write time: stats cost one compare per cell, never a second pass.
+  private var rows = 0L
+  private val mins = Array.fill[UTF8String](schema.length)(null)
+  private val maxs = Array.fill[UTF8String](schema.length)(null)
 
   override def write(row: InternalRow): Unit = {
     val node = mapper.createObjectNode()
+    rows += 1
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       if (row.isNullAt(i)) node.putNull(f.name)
-      else node.put(f.name, row.getUTF8String(i).toString)
+      else {
+        val v = row.getUTF8String(i)
+        // clone: getUTF8String may return a mutable buffer-backed view
+        if (mins(i) == null || v.compareTo(mins(i)) < 0) mins(i) = v.clone()
+        if (maxs(i) == null || v.compareTo(maxs(i)) > 0) maxs(i) = v.clone()
+        node.put(f.name, v.toString)
+      }
     }
     out.write(mapper.writeValueAsString(node)); out.write("\n")
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    StagedFileMessage(file.getFileName.toString)
+    def m(a: Array[UTF8String]): Map[String, String] =
+      schema.fields.zipWithIndex.collect {
+        case (f, i) if a(i) != null => f.name -> a(i).toString
+      }.toMap
+    StagedFileMessage(file.getFileName.toString, rows, m(mins), m(maxs))
   }
   override def abort(): Unit = { out.close(); Files.deleteIfExists(file) }
   override def close(): Unit = out.close()
@@ -398,10 +502,24 @@ private class FormSinkDataWriter(file: Path, schema: StructType)
 private class FormSinkScanBuilder(path: String, versionAsOf: Option[Long],
                                   changes: Option[(Long, Long)])
     extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = FormSinkSource.schema
   private var aggs: Seq[PushedAgg] = Seq.empty
+  private var skip: Array[sqlf.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** ADVISORY pushdown, the parquet row-group-stats contract: every filter
+    * is returned as a post-scan residual (Spark re-applies it row-by-row),
+    * while the understood subset additionally prunes whole files against
+    * the manifest min/max at planning time. Claiming filters as fully
+    * handled instead would make the coarse file stats the correctness
+    * boundary — pruning must stay an optimization. */
+  override def pushFilters(filters: Array[sqlf.Filter]): Array[sqlf.Filter] = {
+    skip = filters.filter(FormSinkSource.skippable)
+    filters
+  }
+  override def pushedFilters(): Array[sqlf.Filter] = skip
 
   /** R3 sink-side watermark: an ungrouped MAX/MIN/COUNT(*) evaluates inside
     * the sink scan (the reference reads its watermark FROM the sink table,
@@ -434,19 +552,41 @@ private class FormSinkScanBuilder(path: String, versionAsOf: Option[Long],
   }
 
   override def build(): Scan =
-    new FormSinkScan(path, required, aggs, versionAsOf, changes)
+    new FormSinkScan(path, required, aggs, versionAsOf, changes, skip.toSeq)
 }
 
 private class FormSinkScan(path: String, required: StructType,
                            aggs: Seq[PushedAgg],
                            versionAsOf: Option[Long],
-                           changes: Option[(Long, Long)]) extends Scan with Batch {
+                           changes: Option[(Long, Long)],
+                           skip: Seq[sqlf.Filter]) extends Scan with Batch {
   /** Snapshot resolution: a change-feed delta, a pinned manifest version
-    * (time travel), or the newest committed manifest. */
-  private def snapshot(): Seq[Path] = (changes, versionAsOf) match {
-    case (Some((from, to)), _) => FormSinkSource.addedFilesBetween(path, from, to)
-    case (None, Some(v))       => FormSinkSource.committedFilesAt(path, v)
-    case (None, None)          => FormSinkSource.committedFiles(path)
+    * (time travel), or the newest committed manifest — as (names, stats). */
+  private def snapshotNames(): (Seq[String], Map[String, FormSinkSource.FileStats]) =
+    (changes, versionAsOf) match {
+      case (Some((from, to)), _) =>
+        FormSinkSource.addedFilesBetween(path, from, to)
+      case (None, Some(v)) =>
+        // surface the option name: the reader typed `versionAsOf`, not
+        // "manifest" — the error must say which knob pointed at the gap
+        try FormSinkSource.manifestAt(path, v)
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"form sink time travel: versionAsOf=$v — ${e.getMessage}", e)
+        }
+      case (None, None) =>
+        val (_, names, stats) = FormSinkSource.currentManifestFull(path)
+        (names, stats)
+    }
+
+  /** The snapshot's files minus those whose manifest stats prove no row can
+    * satisfy every pushed filter — the delta read `po_number > wm` opens
+    * only the newest commit's files, not the whole append history. */
+  private def snapshot(): Seq[Path] = {
+    val (names, stats) = snapshotNames()
+    names.filter(n => skip.forall(FormSinkSource.mayMatch(stats.get(n), _)))
+      .map(FormSinkSource.dataDir(path).resolve)
   }
   override def readSchema(): StructType =
     if (aggs.isEmpty) required
@@ -461,6 +601,7 @@ private class FormSinkScan(path: String, required: StructType,
     s"FormSinkScan path=$path version=${versionAsOf.getOrElse("latest")} " +
       changes.map { case (f, t) => s"changes=($f,$t] " }.getOrElse("") +
       s"PushedAggregates: [${aggs.mkString(", ")}], " +
+      s"SkipFilters: [${skip.mkString(", ")}], " +
       s"ReadSchema: ${readSchema().simpleString}"
   override def planInputPartitions(): Array[InputPartition] =
     // complete pushdown → exactly one partition over ALL committed files

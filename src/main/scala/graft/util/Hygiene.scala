@@ -50,26 +50,52 @@ object Scratch {
 }
 
 object CacheOnce {
+  // listeners waiting for their consuming action; swept here as a fallback
+  // when the frame is never executed (see sweepAll)
+  private val pending =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[() => Unit]()
+
   /** Persist `df` for reuse by multiple branches of ONE downstream action,
-    * then unpersist as soon as the next Dataset action on the session
-    * completes (success or failure). Query builders persist-and-return
-    * lazily, so they can never unpersist themselves; this hook makes the
-    * cache self-cleaning for ad-hoc callers instead of relying on the
-    * Bench/Verify inter-query cache sweep. */
+    * then unpersist as soon as an action WHOSE PLAN CONSUMES `df` completes
+    * (success or failure). Query builders persist-and-return lazily, so
+    * they can never unpersist themselves; this hook makes the cache
+    * self-cleaning for ad-hoc callers instead of relying on the
+    * Bench/Verify inter-query cache sweep. The consumption check matters:
+    * an interleaved unrelated action (a harness count, another query) must
+    * not drop the cache before its consumer runs. */
   def persistForOneAction(df: DataFrame): DataFrame = {
     val lm = df.sparkSession.listenerManager
     val cached = df.persist()
+    // the analyzed subtree the consumer's plan will embed — caching matches
+    // plans by sameResult, so the same test identifies our consumer
+    val target = cached.queryExecution.analyzed
     lm.register(new QueryExecutionListener {
+      listener =>
       private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private val sweepFn: () => Unit = () => sweep()
+      pending.add(sweepFn)
       private def sweep(): Unit = if (done.compareAndSet(false, true)) {
         cached.unpersist(blocking = false)
-        lm.unregister(this)
+        lm.unregister(listener)
+        pending.remove(sweepFn)
       }
+      private def consumes(qe: QueryExecution): Boolean =
+        // conservative on any analysis hiccup: sweeping too eagerly only
+        // costs recomputation, never correctness
+        try qe.analyzed.exists(_.sameResult(target))
+        catch { case _: Throwable => true }
       override def onSuccess(funcName: String, qe: QueryExecution,
-                             durationNs: Long): Unit = sweep()
+                             durationNs: Long): Unit =
+        if (consumes(qe)) sweep()
       override def onFailure(funcName: String, qe: QueryExecution,
-                             exception: Exception): Unit = sweep()
+                             exception: Exception): Unit =
+        if (consumes(qe)) sweep()
     })
     cached
   }
+
+  /** Fallback: drop every still-pending cache and its listener — called by
+    * the bench/verify inter-query sweep so a frame that was built but never
+    * executed cannot leak its listener (and cache entry) for the session. */
+  def sweepAll(): Unit = pending.forEach(f => f())
 }

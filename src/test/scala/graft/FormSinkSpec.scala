@@ -266,6 +266,56 @@ class FormSinkSpec extends SparkSpec {
     assert(changes(4, 5).count() === 10)
   }
 
+  test("manifest stats skip whole files a pushed filter excludes (data skipping)") {
+    val dir = tmp()
+    def commit(lo: Int, hi: Int): Unit =
+      feed(lo, hi).repartition(1).write.format(FormSinkSource.Format)
+        .mode(SaveMode.Append).option("path", dir).save()
+    commit(1, 100); commit(101, 200); commit(201, 300)
+    def all = spark.read.format(FormSinkSource.Format).option("path", dir).load()
+    assert(all.rdd.getNumPartitions === 3) // one file per single-task commit
+    // only the middle file's [min,max] range intersects the predicate
+    val mid = all.filter(col("po_number") >= "U000000101D" &&
+      col("po_number") <= "U000000200D")
+    assert(mid.rdd.getNumPartitions === 1)
+    assert(mid.count() === feed(101, 200).count())
+    // skipping is ADVISORY: the kept file is still row-filtered post-scan
+    assert(mid.agg(min("po_number"), max("po_number")).collect().head.toSeq ===
+      feed(101, 200).agg(min("po_number"), max("po_number")).collect().head.toSeq)
+    // a predicate outside every file's range schedules zero tasks
+    val none = all.filter(col("po_number") > "U999999999D")
+    assert(none.rdd.getNumPartitions === 0)
+    assert(none.count() === 0)
+    // delta-read shape (the watermark tick): strictly-newer opens ONLY the
+    // newest commit's file, not the whole append history
+    val delta = all.filter(col("po_number") > feed(1, 200)
+      .agg(max("po_number")).collect().head.getString(0))
+    assert(delta.rdd.getNumPartitions === 1)
+    assert(delta.count() === feed(201, 300).count())
+  }
+
+  test("skipping handles all-null columns and survives compaction (merged stats)") {
+    val dir = tmp()
+    // commit 1: charge_code entirely null; commit 2: normal
+    feed(1, 100).repartition(1)
+      .withColumn("charge_code", lit(null).cast("string"))
+      .write.format(FormSinkSource.Format).mode(SaveMode.Append).option("path", dir).save()
+    feed(101, 200).repartition(1).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    def all = spark.read.format(FormSinkSource.Format).option("path", dir).load()
+    // an equality on the all-null column prunes that file (IsNotNull too)
+    val cc = feed(101, 200).select("charge_code").distinct().collect().head.getString(0)
+    val eq = all.filter(col("charge_code") === cc)
+    assert(eq.rdd.getNumPartitions === 1)
+    assert(all.filter(col("charge_code").isNotNull).rdd.getNumPartitions === 1)
+    // compaction merges the inputs' stats: the merged file keeps skipping
+    assert(FormSinkSource.compact(dir).isDefined)
+    assert(all.rdd.getNumPartitions === 1)
+    assert(all.filter(col("po_number") > "U999999999D").rdd.getNumPartitions === 0)
+    assert(all.filter(col("po_number") > "U000000100D").count() ===
+      feed(101, 200).count())
+  }
+
   test("vacuum reclaims crashed-commit orphans and superseded manifests, nothing live") {
     val dir = tmp()
     feed(1, 100).write.format(FormSinkSource.Format)
