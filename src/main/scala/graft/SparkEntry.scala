@@ -20,6 +20,7 @@ object SparkEntry {
       ops.Analytics.queries ++
       ops.Multimodal.queries ++
       ops.PipelineOps.queries ++
+      ops.Clustering.queries ++
       ops.ScaleOps.queries ++
       ops.SourcesAndUdfs.queries ++
       streaming.StreamingOps.queries ++

@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.ColumnOps.{cosineSim, dotProduct, l2Norm}
+
+/** Learned vector clustering over `embeddings.embedding` (array<float>,
+  * dim 64): Lloyd's k-means as a Spark plan, and the cluster assignment
+  * reused as an IVF-style bucketing for semantic near-dup discovery.
+  *
+  * This is the TRAINING step the fixed (hash-derived) coarse quantizer of
+  * q73 deliberately skips: q112 learns the centroids from the data, q113
+  * consumes the learned partition. At 100 TB the shape is the textbook
+  * scalable k-means loop — each iteration is one broadcast of k·dim floats
+  * (KBs, independent of corpus size) + one linear scan with a map-side
+  * combinable aggregate; nothing ever shuffles an embedding except the
+  * k·dim centroid recompute, which moves one (cluster, dim) partial per
+  * task, not per row.
+  *
+  * Oracle-parity notes (SURVEY.md §5 conventions):
+  *   - every distance is `dot(x,x) − 2·dot(x,c) + dot(c,c)` over the
+  *     codegen [[dotProduct]] kernel (sequential IEEE-double fold),
+  *     bit-identical to the DuckDB `list_sum(list_transform(list_zip(…)))`
+  *     twin — so argmin assignment is deterministic across engines;
+  *   - recomputed centroid components are exact integer sums
+  *     (`round(v·1e6)` longs — order-independent), divided back and cast to
+  *     FLOAT on both sides, so iteration-2 inputs are bit-identical too;
+  *   - init is the k lowest vec_ids, the deterministic stand-in for
+  *     k-means|| seeding (which needs RNG the oracle gate can't replay);
+  *   - cluster labels are the SEED's vec_id (stable, no row_number).
+  */
+object Clustering {
+
+  val K = 8
+  /** In-cluster cosine at or above which a pair is a semantic near-dup
+    * candidate (q113). Matches the cos ≥ 0.40 regime the hyperplane-LSH
+    * tables (q44) are tuned for on this corpus. */
+  val Tau = 0.40
+
+  // ---- shared DuckDB fragments --------------------------------------------
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private def dist2Sql(x: String, c: String) =
+    s"(${dotSql(x, x)} - 2 * ${dotSql(x, c)} + ${dotSql(c, c)})"
+
+  /** CTE chain c0 → a1 → c1 → m2/a2: two full Lloyd rounds (assign,
+    * recompute, reassign), ending in a2(vec_id, cid, dist2). */
+  private val kmeansCtes: String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, embedding AS c FROM e ORDER BY vec_id LIMIT $K),
+       |d1 AS (SELECT e.vec_id, c0.cid, ${dist2Sql("e.embedding", "c0.c")} AS dist2
+       |       FROM e CROSS JOIN c0),
+       |m1 AS (SELECT vec_id, min(dist2) AS md FROM d1 GROUP BY vec_id),
+       |a1 AS (SELECT d1.vec_id, min(d1.cid) AS cid
+       |       FROM d1 JOIN m1 ON d1.vec_id = m1.vec_id AND d1.dist2 = m1.md
+       |       GROUP BY d1.vec_id),
+       |ex AS (SELECT a1.cid,
+       |         unnest(list_transform(generate_series(1, len(e.embedding)),
+       |                i -> struct_pack(p := i, v := e.embedding[i]))) AS u
+       |       FROM a1 JOIN e ON a1.vec_id = e.vec_id),
+       |comp AS (SELECT cid, u.p AS pos,
+       |           sum(CAST(round(CAST(u.v AS DOUBLE) * 1000000) AS BIGINT)) AS isum,
+       |           count(*) AS n
+       |         FROM ex GROUP BY cid, u.p),
+       |c1 AS (SELECT cid, list(CAST(CAST(isum AS DOUBLE) / (n * 1000000.0) AS FLOAT) ORDER BY pos) AS c
+       |       FROM comp GROUP BY cid),
+       |d2 AS (SELECT e.vec_id, c1.cid, ${dist2Sql("e.embedding", "c1.c")} AS dist2
+       |       FROM e CROSS JOIN c1),
+       |m2 AS (SELECT vec_id, min(dist2) AS md FROM d2 GROUP BY vec_id),
+       |a2 AS (SELECT d2.vec_id, min(d2.cid) AS cid, min(d2.dist2) AS dist2
+       |       FROM d2 JOIN m2 ON d2.vec_id = m2.vec_id AND d2.dist2 = m2.md
+       |       GROUP BY d2.vec_id)""".stripMargin
+
+  /** One assignment pass: nearest centroid per vector, ties to the lowest
+    * cluster id. `min(struct(dist2, cid))` is the lexicographic argmin —
+    * one map-side-combinable aggregate, no window sort. */
+  private def assign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val x = col("embedding")
+    val c = col("c")
+    // k rows of k·dim floats — always broadcast, at any corpus scale
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        struct((dotProduct(x, x) - lit(2.0) * dotProduct(x, c) + dotProduct(c, c)).as("dist2"),
+          col("cid")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist2").as("dist2"))
+  }
+
+  /** Two Lloyd rounds over the embeddings table → (vec_id, cid, dist2).
+    * The Spark twin of [[kmeansCtes]]. */
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val c0 = e.orderBy(col("vec_id")).limit(K)
+      .select(col("vec_id").as("cid"), col("embedding").as("c"))
+    val a1 = assign(e, c0)
+    // centroid recompute: exact integer component sums (order-independent),
+    // one shuffle of (cluster, dim) partials — k·dim rows, not corpus rows
+    val comp = a1.join(e, "vec_id")
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(round(col("v").cast("double") * lit(1000000.0)).cast("long")).as("isum"),
+        count(lit(1)).as("n"))
+    val c1 = comp.groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("isum"), col("n")))),
+        x => (x("isum").cast("double") / (x("n").cast("double") * lit(1000000.0)))
+          .cast("float")).as("c"))
+    assign(e, c1)
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q112_kmeans_clusters",
+      s"Lloyd's k-means (k=$K, 2 rounds, deterministic lowest-id seeding) learned entirely inside one Catalyst plan: assignment is a broadcast of k·dim floats + a linear scan with a lexicographic-argmin aggregate (no window, no driver loop over rows); the centroid recompute shuffles exact (cluster, dim) integer partials — k·64 rows regardless of corpus size. The training step a fixed coarse quantizer (q73) skips, and the shape that holds at 100 TB: per-iteration cost is one scan + one KB-sized broadcast.",
+      s"""WITH $kmeansCtes
+         |SELECT cid AS cluster_id, count(*) AS n_members,
+         |  CAST(sum(CAST(floor(greatest(dist2, 0) * 10000) AS BIGINT)) AS BIGINT) AS inertia_e4
+         |FROM a2 GROUP BY cid ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      kmeansAssign(s, d)
+        .groupBy(col("cid").as("cluster_id"))
+        // inertia as exact 1e-4 units: dist2 is computed by the identical
+        // double fold on both engines, so floor() agrees bit-for-bit;
+        // greatest(…, 0) clamps the −1e-13 noise of the expanded form
+        .agg(count(lit(1)).as("n_members"),
+          sum(floor(greatest(col("dist2"), lit(0.0)) * lit(10000.0)).cast("long"))
+            .as("inertia_e4"))
+        .orderBy(col("cluster_id"))
+    },
+
+    GraftQuery(
+      "q113_semantic_dedup",
+      s"Semantic near-dup dedup bucketed by the LEARNED k-means partition (IVF doctrine, Douze et al.): exact cosine verification runs only WITHIN a cluster, so pair volume is sum of per-bucket squares, not corpus², and each greedy drop (keep the lowest vec_id of a cos ≥ $Tau pair) is decided locally per bucket. The all-pairs tier this replaces is q42; the fixed-quantizer sibling is q73.",
+      s"""WITH $kmeansCtes,
+         |a2e AS (SELECT a2.vec_id, a2.cid, e.embedding
+         |        FROM a2 JOIN e ON a2.vec_id = e.vec_id),
+         |pr AS (SELECT a.cid, b.vec_id AS vb,
+         |         CASE WHEN ${normProdSql("a.embedding", "b.embedding")} = 0 THEN 0.0
+         |              ELSE ${dotSql("a.embedding", "b.embedding")}
+         |                   / ${normProdSql("a.embedding", "b.embedding")} END AS cos
+         |       FROM a2e a JOIN a2e b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |dup AS (SELECT DISTINCT vb FROM pr WHERE cos >= $Tau)
+         |SELECT a2e.cid AS cluster_id, count(*) AS n_members,
+         |  CAST(sum(CASE WHEN dup.vb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM a2e LEFT JOIN dup ON a2e.vec_id = dup.vb
+         |GROUP BY a2e.cid ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // id+vector frame consumed three times (both self-join sides + the
+      // member census); persist once so the k-means rounds run once
+      val a2e = graft.util.CacheOnce.persistForOneAction(
+        kmeansAssign(s, d).select(col("vec_id"), col("cid")).join(e, "vec_id"))
+      val pairs = a2e.as("a").join(a2e.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vb"),
+          cosineSim(col("a.embedding"), col("b.embedding")).as("cos"))
+      val dup = pairs.filter(col("cos") >= lit(Tau)).select(col("vb")).distinct()
+      a2e.join(dup, a2e("vec_id") === dup("vb"), "left")
+        .groupBy(col("cid").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("vb").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy(col("cluster_id"))
+    })
+
+  private def normProdSql(a: String, b: String) =
+    s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+}
