@@ -50,6 +50,42 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pruned < fact.count())
   }
 
+  test("q111: the co-located join plan has NO exchange on either join key") {
+    val df = q("q111_bucketed_colocated_join")
+    df.collect() // executedPlan below is the final (AQE-resolved) plan
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    // bucketed scans feed the SMJ directly: the ONLY allowed shuffle is the
+    // final tiny groupBy(o_orderpriority) — never the join keys
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), plan.take(3000))
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"), plan.take(3000))
+    assert(plan.contains("SelectedBucketsCount"), plan.take(3000)) // bucket pruning surface active
+  }
+
+  test("q111: bucketed result equals the plain unbucketed join") {
+    val got = q("q111_bucketed_colocated_join").collect().toSeq
+    val li = Tables.lineitem(spark, sf)
+    val od = Tables.orders(spark, sf)
+    val twin = li.join(od, li("l_orderkey") === od("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(graft.functions.ColumnOps.cents(
+          col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev_cents"))
+      .orderBy(col("o_orderpriority")).collect().toSeq
+    assert(got === twin)
+    assert(got.nonEmpty)
+  }
+
+  test("q114: boilerplate is real, bounded, and drives the keep verdict") {
+    val rep = q("q114_boilerplate_segments").collect()
+    assert(rep.nonEmpty)
+    assert(rep.map(_.getLong(2)).sum > 0) // fixture genuinely shares segments
+    rep.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // n_bp <= n_segs
+      assert(r.getBoolean(3) === (r.getLong(2) * 5 < r.getLong(1)))
+    }
+  }
+
   test("q105: every distinct segment survives exactly once, nothing else") {
     val rep = q("q105_span_dedup")
     val row = rep.agg(sum(col("n_kept")), sum(col("n_segs"))).collect().head
