@@ -47,6 +47,14 @@ object ScaleOps {
       |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
       |  FROM documents)""".stripMargin
 
+  /** Hive-layout staging for q115, once per (JVM, sf dir, source mtime):
+    * orders rewritten `partitionBy(o_orderpriority)` — the directory-level
+    * twin of the sink's manifest stats (q110): the filter prunes whole
+    * directories at PLANNING time, so non-matching partitions contribute
+    * zero scan tasks, zero I/O. */
+  private val stagedPartitioned =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** ORC staging, once per (JVM, sf dir): the query measures the ORC READ
     * path, not a per-invocation rewrite. Scratch dirs are deleted at exit.
     * Keyed by directory + source fingerprint, not directory alone: a
@@ -282,5 +290,30 @@ object ScaleOps {
           sum(coalesce(col("isbp"), lit(0L))).as("n_bp"))
         .withColumn("keep", col("n_bp") * 5 < col("n_segs"))
         .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
+      "q115_partition_pruned_scan",
+      "Hive-layout partition pruning: orders staged once as partitionBy(o_orderpriority) parquet, and the one-priority filter is resolved against DIRECTORY NAMES at planning time — four of five partitions contribute zero scan tasks and zero bytes read (ScaleOpsSpec pins inputFiles to the single matching directory). The standard layout for the 100 TB case where a hot predicate column has low cardinality: date, tenant, language, source.",
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_year, o_month ORDER BY o_year, o_month""".stripMargin) { (s, d) =>
+      val dir = stagedPartitioned.getOrElseUpdate(sourceKey(d, "orders"), {
+        val p = graft.util.Scratch.dir("graft-part-orders").toString
+        Tables.orders(s, d)
+          .select(col("o_orderdate"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(p)
+        p
+      })
+      s.read.parquet(dir)
+        .filter(col("o_orderpriority") === "1-URGENT") // pruned at planning
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"),
+          month(col("o_orderdate")).cast("int").as("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("rev_cents"))
+        .orderBy(col("o_year"), col("o_month"))
     })
 }

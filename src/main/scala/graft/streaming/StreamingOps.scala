@@ -94,7 +94,7 @@ object StreamingOps {
 
   def twoBatchEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
     val stage = stagedDirs.getOrElseUpdate(dir, stageBatches(spark, ev))
     spark.readStream
       .schema(ev.schema)
@@ -129,6 +129,7 @@ object StreamingOps {
     // cast every sentinel literal to the corpus column's type, so the
     // staged file's schema matches the stream schema exactly
     writeOne(spark.range(1).select(
+      lit(-1L).cast(ev.schema("event_id").dataType).as("event_id"),
       lit(-1L).cast(ev.schema("user_id").dataType).as("user_id"),
       lit(sentinel).as("ts"),
       lit(SentinelType).as("event_type"),
@@ -142,6 +143,40 @@ object StreamingOps {
   case class SessionCountState(lastTsMs: Long, count: Long)
 
   def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q116_stream_sink_ingest",
+      "Streaming ingestion into the transactional DSv2 sink: the three-micro-batch events stream lands in FormSinkSource via foreachBatch, one manifest-swap commit per micro-batch — so a consumer reading mid-stream sees only whole batches (the streaming twin of the reference's one-POST append, made atomic), and the change feed (q109) can replay ingestion batch-by-batch afterwards. The read-back goes through the committed manifest, proving end-to-end streaming->commit->scan.",
+      """SELECT event_type AS vendor,
+        |  CAST(user_id AS VARCHAR) AS description,
+        |  CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) AS picker_erk,
+        |  CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS charge_code,
+        |  printf('E%09d', event_id) AS po_number
+        |FROM events ORDER BY po_number""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.SaveMode
+      val dir = graft.util.Scratch.dir("graft-q116-sink").toString // fresh per run
+      val sinkFmt = graft.sources.FormSinkSource.Format
+      val shaped = twoBatchEventsStream(s, d).select(
+        col("event_type").as("vendor"),
+        col("user_id").cast("string").as("description"),
+        unix_timestamp(col("ts")).cast("string").as("picker_erk"),
+        cents(col("value")).cast("string").as("charge_code"),
+        format_string("E%09d", col("event_id")).as("po_number"))
+      val q = shaped.writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // per-batch atomic append: crash between batches loses nothing
+          // already committed, and replaying a batch is a new manifest
+          // version the change feed exposes — not an in-place mutation
+          batch.write.format(sinkFmt).mode(SaveMode.Append)
+            .option("path", dir).save()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.format(sinkFmt).option("path", dir).load()
+        .filter(col("vendor") =!= SentinelType)
+        .orderBy(col("po_number"))
+    },
 
     GraftQuery(
       "q99_stream_custom_state",

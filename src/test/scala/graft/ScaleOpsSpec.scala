@@ -76,6 +76,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q115: the scan reads ONLY the matching partition's directory") {
+    // AQE wraps executed stages in QueryStageExec leaves, hiding the scan
+    // from collect(); this is a STATIC pruning pin, so assert with AQE off
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    val df = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val f = q("q115_partition_pruned_scan"); f.collect(); f
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+    val scan = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    // the filter must be a PLANNING-time partition filter, not a row filter
+    assert(scan.toString.contains("PartitionFilters"), scan.toString.take(1500))
+    assert(scan.toString.contains("1-URGENT"), scan.toString.take(1500))
+    // and pruning actually happened: the scan opened only the matching
+    // directory's files (inputFiles lists the UNpruned relation)
+    val matching = df.inputFiles.count(_.contains("o_orderpriority=1-URGENT"))
+    val all = df.inputFiles.length
+    assert(matching < all, s"fixture has a single partition? $all files")
+    assert(scan.metrics("numFiles").value === matching)
+  }
+
   test("q114: boilerplate is real, bounded, and drives the keep verdict") {
     val rep = q("q114_boilerplate_segments").collect()
     assert(rep.nonEmpty)

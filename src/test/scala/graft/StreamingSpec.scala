@@ -133,6 +133,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q116: streaming ingest commits one sink version per micro-batch") {
+    import org.apache.spark.sql.functions._
+    // same mechanism as the registered query, but owning the sink dir so
+    // the manifest log is inspectable afterwards
+    val dir = graft.util.Scratch.dir("q116-spec-sink").toString
+    val fmt = graft.sources.FormSinkSource.Format
+    val shaped = graft.streaming.StreamingOps.twoBatchEventsStream(spark, sf)
+      .select(col("event_type").as("vendor"),
+        col("user_id").cast("string").as("description"),
+        lit("x").as("picker_erk"), lit("y").as("charge_code"),
+        format_string("E%09d", col("event_id")).as("po_number"))
+    val q = shaped.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.format(fmt)
+          .mode(org.apache.spark.sql.SaveMode.Append).option("path", dir).save()
+      }
+      .start()
+    q.awaitTermination()
+    def at(v: Int) = spark.read.format(fmt)
+      .option("path", dir).option("versionAsOf", v).load().count()
+    val total = Tables.events(spark, sf).count()
+    // three micro-batches (two corpus halves + sentinel) → three commits,
+    // each a strict superset of the previous: mid-stream readers only ever
+    // see whole batches
+    assert(at(1) > 0)
+    assert(at(2) > at(1))
+    assert(at(3) === total + 1) // + the sentinel row (the query filters it)
+  }
+
   test("registry streaming queries equal their batch twins") {
     // q59's streaming tumbling windows == the same aggregation done in batch
     val streamed = SparkEntry.queries("q59_stream_tumbling")(spark, sf)
