@@ -20,6 +20,41 @@ object Analytics {
   def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
+      "q117_resample_ffill",
+      "Time-series regularization: per-type event values resampled to a dense hourly grid (sequence+explode over the corpus span), gaps forward-filled with last(v, ignoreNulls) over an unbounded-preceding frame — the gap-repair step before any rolling-window feature extraction. One grid join plus one per-series window; at 100 TB each series' fill is independent, so the window parallelizes across the (type) partitioning with no global sort.",
+      """WITH ev AS (SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT)//3600)*3600 AS h,
+        |              CAST(floor(value*100) AS BIGINT) AS c FROM events),
+        |hourly AS (SELECT event_type AS et, h AS hh, CAST(sum(c) AS BIGINT) AS v, count(*) AS n
+        |           FROM ev GROUP BY 1, 2),
+        |span AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+        |grid AS (SELECT t.event_type, g.h
+        |         FROM (SELECT DISTINCT event_type FROM ev) t,
+        |              (SELECT unnest(generate_series(lo, hi, 3600)) AS h FROM span) g)
+        |SELECT g.event_type, g.h, CAST(coalesce(hourly.n, 0) AS BIGINT) AS n_events,
+        |  CAST(coalesce(last_value(hourly.v IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS v_ffill
+        |FROM grid g LEFT JOIN hourly ON g.event_type = hourly.et AND g.h = hourly.hh
+        |ORDER BY event_type, h""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("h"),
+        cents(col("value")).as("c"))
+      val hourly = ev.groupBy(col("event_type"), col("h"))
+        .agg(sum(col("c")).as("v"), count(lit(1)).as("n"))
+      // the span is two scalars; the hour axis is generated, not scanned
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi")))
+          .select(explode(sequence(col("lo"), col("hi"), lit(3600L))).as("h")))
+      val fill = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          coalesce(last(col("v"), ignoreNulls = true).over(fill), lit(0L)).as("v_ffill"))
+        .orderBy(col("event_type"), col("h"))
+    },
+
+    GraftQuery(
       "q49_grouping_sets",
       "GROUPING SETS ((status, priority), (status), ()) over orders with grouping_id to label levels — the generalization of rollup/cube (q10/q11).",
       """SELECT o_orderstatus, o_orderpriority,

@@ -41,6 +41,8 @@ object Clustering {
   // ---- shared DuckDB fragments --------------------------------------------
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private def normSql(x: String) =
+    s"sqrt(list_sum(list_transform($x, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))"
   private def dist2Sql(x: String, c: String) =
     s"(${dotSql(x, x)} - 2 * ${dotSql(x, c)} + ${dotSql(c, c)})"
 
@@ -160,6 +162,69 @@ object Clustering {
         .agg(count(lit(1)).as("n_members"),
           sum(when(col("vb").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
         .orderBy(col("cluster_id"))
+    },
+
+    GraftQuery(
+      "q118_power_iteration",
+      "Top principal direction of the embedding corpus by power iteration (two matvec rounds), the covariance-free PCA the n×n / d×d Gram materialization can't survive at 100 TB: each round is one linear scan computing s_i = x_i·v (broadcast of ONE d-float vector) and one map-side-combinable integer aggregate of the d weighted component sums. Output is the unit eigenvector in exact 1e-6 units. Dimensionality reduction / whitening front-end for the ANN stack (q43/q44/q73).",
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |v0 AS (SELECT list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / ${normSql("embedding")} AS FLOAT)) AS v
+         |       FROM e ORDER BY vec_id LIMIT 1),
+         |s1 AS (SELECT e.embedding, ${dotSql("e.embedding", "v0.v")} AS s FROM e CROSS JOIN v0),
+         |x1 AS (SELECT s, unnest(list_transform(generate_series(1, len(embedding)),
+         |         i -> struct_pack(p := i, v := embedding[i]))) AS u FROM s1),
+         |w1 AS (SELECT u.p AS pos, sum(CAST(round(CAST(u.v AS DOUBLE) * s * 1000000) AS BIGINT)) AS w
+         |       FROM x1 GROUP BY u.p),
+         |v1 AS (SELECT list_transform(ws, x -> CAST(
+         |         (CAST(x AS DOUBLE) / 1000000.0) /
+         |         sqrt(list_sum(list_transform(ws, y -> (CAST(y AS DOUBLE)/1000000.0) * (CAST(y AS DOUBLE)/1000000.0))))
+         |         AS FLOAT)) AS v
+         |       FROM (SELECT list(w ORDER BY pos) AS ws FROM w1)),
+         |s2 AS (SELECT e.embedding, ${dotSql("e.embedding", "v1.v")} AS s FROM e CROSS JOIN v1),
+         |x2 AS (SELECT s, unnest(list_transform(generate_series(1, len(embedding)),
+         |         i -> struct_pack(p := i, v := embedding[i]))) AS u FROM s2),
+         |w2 AS (SELECT u.p AS pos, sum(CAST(round(CAST(u.v AS DOUBLE) * s * 1000000) AS BIGINT)) AS w
+         |       FROM x2 GROUP BY u.p),
+         |nrm AS (SELECT sqrt(list_sum(list_transform(ws, y -> (CAST(y AS DOUBLE)/1000000.0) * (CAST(y AS DOUBLE)/1000000.0)))) AS nn
+         |        FROM (SELECT list(w ORDER BY pos) AS ws FROM w2))
+         |SELECT CAST(pos AS INTEGER) AS pos,
+         |  CAST(round((CAST(w AS DOUBLE)/1000000.0) / nn * 1000000) AS BIGINT) AS v_e6
+         |FROM w2, nrm ORDER BY pos""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // deterministic start: the lowest-id embedding, unit-normalized (the
+      // RNG-free stand-in for a random start; convergence only needs a
+      // vector not orthogonal to the top component)
+      val v0 = e.orderBy(col("vec_id")).limit(1)
+        .select(transform(col("embedding"),
+          x => (x.cast("double") / l2Norm(col("embedding"))).cast("float")).as("v"))
+      // one matvec round: w_j = Σ_i round(x_ij · (x_i·v) · 1e6) — exact
+      // integer partials, so the shuffled sum is order-independent
+      def matvec(v: DataFrame): DataFrame =
+        e.crossJoin(broadcast(v))
+          .select(dotProduct(col("embedding"), col("v")).as("s"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("pos"))
+          .agg(sum(round(col("x").cast("double") * col("s") * lit(1000000.0))
+            .cast("long")).as("w"))
+      // renormalize via the same sequential-fold norm as the SQL twin
+      def unit(w: DataFrame): DataFrame =
+        w.groupBy()
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x("w").cast("double") / lit(1000000.0)).as("wd"))
+          .select(transform(col("wd"),
+            x => (x / sqrt(aggregate(col("wd"), lit(0.0),
+              (acc, el) => acc + el * el))).cast("float")).as("v"))
+      val w2 = matvec(unit(matvec(v0)))
+      val nn = w2.groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x("w").cast("double") / lit(1000000.0)).as("wd"))
+        .select(sqrt(aggregate(col("wd"), lit(0.0),
+          (acc, el) => acc + el * el)).as("nn"))
+      w2.crossJoin(broadcast(nn))
+        .select((col("pos") + 1).cast("int").as("pos"),
+          round(col("w").cast("double") / lit(1000000.0) / col("nn") * lit(1000000.0))
+            .cast("long").as("v_e6"))
+        .orderBy(col("pos"))
     })
 
   private def normProdSql(a: String, b: String) =

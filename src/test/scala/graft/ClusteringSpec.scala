@@ -62,4 +62,25 @@ class ClusteringSpec extends SparkSpec {
     val rep = q("q113_semantic_dedup").collect()
     assert(rep.forall(r => r.getLong(2) >= 0 && r.getLong(2) < r.getLong(1)))
   }
+
+  test("q118: the returned direction is unit-norm and beats the seed's Rayleigh quotient") {
+    import graft.functions.ColumnOps.{dotProduct, l2Norm}
+    val rep = q("q118_power_iteration").collect().sortBy(_.getInt(0))
+    assert(rep.length === 64)
+    val v = rep.map(_.getLong(1).toDouble / 1e6)
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"norm=$norm")
+    // Rayleigh quotient Σ(x·v)² must not decrease vs the seed direction —
+    // the invariant that makes power iteration converge
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    def rayleigh(dir: Array[Double]): Double = {
+      val arr = array(dir.map(x => lit(x.toFloat)): _*)
+      e.select(dotProduct(col("embedding"), arr.cast("array<float>")).as("s"))
+        .agg(sum(col("s") * col("s"))).collect().head.getDouble(0)
+    }
+    val seedRow = e.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding"), l2Norm(col("embedding")).as("n")).collect().head
+    val seed = seedRow.getSeq[Float](0).map(_.toDouble / seedRow.getDouble(1)).toArray
+    assert(rayleigh(v) >= rayleigh(seed), "power iteration must not lose energy")
+  }
 }

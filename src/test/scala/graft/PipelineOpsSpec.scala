@@ -50,6 +50,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(labels.agg(max(col("label"))).head.getLong(0) === 0L)
   }
 
+  test("q117 grid is dense and forward-fill carries the last observation") {
+    val rep = graft.ops.Analytics.queries
+      .find(_.name == "q117_resample_ffill").get.build(spark, sf).collect()
+    val types = rep.map(_.getString(0)).distinct.length
+    val hours = rep.map(_.getLong(1)).distinct.length
+    assert(rep.length === types * hours) // dense grid: every (type, hour) cell
+    // within each series: a gap hour (n_events=0) must repeat the previous
+    // hour's filled value — walk each series in hour order and check
+    rep.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getLong(1))
+      ordered.sliding(2).foreach {
+        case Array(prev, cur) if cur.getLong(2) == 0 =>
+          assert(cur.getLong(3) === prev.getLong(3))
+        case _ =>
+      }
+      // before the first observation the fill is the documented 0
+      ordered.takeWhile(_.getLong(2) == 0).foreach(r => assert(r.getLong(3) === 0L))
+    }
+  }
+
   test("q83 component sizes sum to the document count") {
     val df = SparkEntry.queries("q83_dedup_components")(spark, sf)
     val total = df.agg(sum(col("n_docs"))).head.getLong(0)
