@@ -55,6 +55,33 @@ object Analytics {
     },
 
     GraftQuery(
+      "q120_scd2_intervals",
+      "Slowly-changing-dimension (type 2) build: each customer's order stream becomes validity intervals — valid_from = the order's date, valid_to = the NEXT order's date via lead() (sentinel-closed for the open current row), is_current flagging the tail. The warehouse-history op the reference's append-only sink implies but never materializes. One window per customer partition; at 100 TB the partitioning carries it — no global sort until the output ORDER BY.",
+      """SELECT o_custkey, o_orderkey, o_orderpriority,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS valid_from_s,
+        |  coalesce(lead(CAST(floor(epoch(o_orderdate)) AS BIGINT))
+        |             OVER (PARTITION BY o_custkey
+        |                   ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT), o_orderkey),
+        |           253402300799) AS valid_to_s,
+        |  (lead(o_orderkey) OVER (PARTITION BY o_custkey
+        |                          ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT), o_orderkey)
+        |   IS NULL) AS is_current
+        |FROM orders
+        |ORDER BY o_custkey, valid_from_s, o_orderkey""".stripMargin) { (s, d) =>
+      val fromS = unix_timestamp(col("o_orderdate")).as("valid_from_s")
+      val seq = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("valid_from_s"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"), fromS)
+        // 253402300799 = 9999-12-31T23:59:59Z: the open-interval sentinel,
+        // so the output carries no nulls (oracle-parity convention)
+        .withColumn("valid_to_s",
+          coalesce(lead(col("valid_from_s"), 1).over(seq), lit(253402300799L)))
+        .withColumn("is_current", lead(col("o_orderkey"), 1).over(seq).isNull)
+        .orderBy(col("o_custkey"), col("valid_from_s"), col("o_orderkey"))
+    },
+
+    GraftQuery(
       "q49_grouping_sets",
       "GROUPING SETS ((status, priority), (status), ()) over orders with grouping_id to label levels — the generalization of rollup/cube (q10/q11).",
       """SELECT o_orderstatus, o_orderpriority,

@@ -36,6 +36,29 @@ object TextAnalysis {
   def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
+      "q119_inverted_index",
+      "Inverted-index build (the IR/index workload): token -> sorted posting list of containing docs, document frequency, and first/last posting. One explode + one token-keyed aggregate with map-side partials; posting lists are pinned by md5 of the sorted list rather than emitted raw, so the oracle hash stays scalar. At 100 TB this is the shape of search-index and TF-IDF-vocabulary builds: shuffle keys are tokens, values are doc ids — the text never moves, and a hot token (stopword) costs one reducer, which the q98 salting pattern absorbs if needed.",
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |post AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t)
+        |SELECT tok, count(*) AS df,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS postings_md5,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM post GROUP BY tok ORDER BY tok""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"),
+          md5(concat_ws(",",
+            transform(sort_array(collect_list(col("doc_id"))), _.cast("string"))))
+            .as("postings_md5"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("tok"))
+    },
+
+    GraftQuery(
       "q45_language_id",
       "Language-ID by stopword-profile scoring: per doc, count profile hits per language, argmax with total tie-break (score desc, lang asc); output the actual-vs-predicted confusion matrix.",
       {

@@ -70,6 +70,35 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q119 document frequencies sum to the distinct (doc, token) pair count") {
+    import graft.functions.ColumnOps.tokens
+    val rep = graft.ops.TextAnalysis.queries
+      .find(_.name == "q119_inverted_index").get.build(spark, sf)
+    val dfSum = rep.agg(org.apache.spark.sql.functions.sum("df")).collect().head.getLong(0)
+    val pairs = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .count()
+    assert(dfSum === pairs)
+    rep.collect().foreach(r => assert(r.getLong(3) <= r.getLong(4))) // first <= last
+  }
+
+  test("q120 intervals tile each customer's history with one open tail") {
+    val rep = graft.ops.Analytics.queries
+      .find(_.name == "q120_scd2_intervals").get.build(spark, sf).collect()
+    rep.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r.getLong(3), r.getLong(1)))
+      // contiguous: each row's valid_to is the next row's valid_from
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(4) === b.getLong(3))
+        case _ =>
+      }
+      // exactly one current row per customer, and it is the last one
+      assert(ordered.count(_.getBoolean(5)) === 1)
+      assert(ordered.last.getBoolean(5))
+      assert(ordered.last.getLong(4) === 253402300799L)
+    }
+  }
+
   test("q83 component sizes sum to the document count") {
     val df = SparkEntry.queries("q83_dedup_components")(spark, sf)
     val total = df.agg(sum(col("n_docs"))).head.getLong(0)
