@@ -36,6 +36,32 @@ object TextAnalysis {
   def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
+      "q121_bpe_merge_counts",
+      "BPE vocabulary induction, round one: corpus words reduced to (word, freq) — the compression that makes BPE training tractable at 100 TB, since pair statistics then cost vocab-sized work, not corpus-sized — and every adjacent character pair counted weighted by word frequency. The top pair is the first merge a byte-pair-encoding tokenizer would learn; ties break lexicographically so the ranking is total. Two token-keyed aggregates, no text shuffle after the first.",
+      """WITH t AS (SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |           FROM documents),
+        |wf AS (SELECT w, count(*) AS f
+        |       FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        |p AS (SELECT f, unnest(list_transform(generate_series(1, len(w)-1),
+        |        i -> w[i:i+1])) AS pair
+        |      FROM wf WHERE len(w) >= 2)
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
+      // corpus -> (word, freq): the word table is the working set from here
+      val wf = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      // adjacent char pairs per word, weighted by word frequency; length
+      // guard because sequence(1, 0) would generate DESCENDING
+      wf.filter(length(col("w")) >= 2)
+        .select(col("f"),
+          explode(transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+        .orderBy(desc("n"), col("pair")).limit(50)
+    },
+
+    GraftQuery(
       "q119_inverted_index",
       "Inverted-index build (the IR/index workload): token -> sorted posting list of containing docs, document frequency, and first/last posting. One explode + one token-keyed aggregate with map-side partials; posting lists are pinned by md5 of the sorted list rather than emitted raw, so the oracle hash stays scalar. At 100 TB this is the shape of search-index and TF-IDF-vocabulary builds: shuffle keys are tokens, values are doc ids — the text never moves, and a hot token (stopword) costs one reducer, which the q98 salting pattern absorbs if needed.",
       """WITH t AS (SELECT doc_id,

@@ -99,6 +99,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q121 pair counts match a brute-force recount of the top pair") {
+    import graft.functions.ColumnOps.tokens
+    val rep = graft.ops.TextAnalysis.queries
+      .find(_.name == "q121_bpe_merge_counts").get.build(spark, sf).collect()
+    assert(rep.forall(_.getString(0).length == 2))
+    val (top, n) = (rep.head.getString(0), rep.head.getLong(1))
+    // recount the winner directly over the corpus: occurrences of the pair
+    // at every char offset of every token occurrence
+    val brute = Tables.documents(spark, sf)
+      .select(explode(tokens(col("text"))).as("w"))
+      .select(((length(col("w")) - length(regexp_replace(col("w"), java.util.regex.Pattern.quote(top), ""))) / 2).cast("long").as("k"),
+        col("w"))
+      .agg(org.apache.spark.sql.functions.sum(col("k"))).collect().head.getLong(0)
+    // regexp_replace counts NON-overlapping matches; 'aaa' has 2 adjacent
+    // 'aa' pairs but 1 non-overlapping — only equal when the pair's halves
+    // differ, which holds for the fixture's top pair
+    assert(top(0) != top(1), s"pick a different invariant for $top")
+    assert(n === brute, s"pair=$top query=$n brute=$brute")
+  }
+
   test("q83 component sizes sum to the document count") {
     val df = SparkEntry.queries("q83_dedup_components")(spark, sf)
     val total = df.agg(sum(col("n_docs"))).head.getLong(0)
