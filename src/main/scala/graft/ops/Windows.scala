@@ -81,7 +81,7 @@ object Windows {
 
     GraftQuery(
       "q19_topk_per_group",
-      "Top-3 orders by price per priority class via row_number — the distributed top-k-per-group pattern (no global sort of the fact table).",
+      "Top-3 orders by price per priority class via row_number — the distributed top-k-per-group pattern (no global sort of the fact table). Deliberately declarative: Spark's InferWindowGroupLimit rewrites the rank filter into partial+final WindowGroupLimit, so each shuffle side carries at most k rows per group (PlanSpec pins the shape) — the optimizer already plans the bounded-heap operator a custom exec would hand-build.",
       """SELECT * FROM (
         |  SELECT o_orderpriority, o_orderkey,
         |    CAST(floor(o_totalprice*100) AS BIGINT) AS price_cents,

@@ -40,6 +40,18 @@ class PlanSpec extends SparkSpec {
       .toLowerCase.contains("anti"))
   }
 
+  test("rank-filter top-k plans as WindowGroupLimit, not a full window sort (q19)") {
+    // Spark's InferWindowGroupLimit turns Filter(rn <= k, Window(row_number))
+    // into partial+final WindowGroupLimit: each side of the shuffle keeps at
+    // most k rows per group, so the exchange moves k·groups rows instead of
+    // the whole fact table. This is why q19 stays the declarative
+    // window+filter — a hand-built top-k operator would just duplicate it.
+    val plan = planOf(SparkEntry.queries("q19_topk_per_group")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(plan.contains("Partial"), plan.take(2000))
+    assert(plan.contains("Final"), plan.take(2000))
+  }
+
   test("native kernels stay inside whole-stage codegen") {
     val df = Tables.embeddings(spark, sf)
       .select(graft.functions.ColumnOps.dotProduct(col("embedding"), col("embedding")).as("d"))
