@@ -47,6 +47,38 @@ object ScaleOps {
       |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
       |  FROM documents)""".stripMargin
 
+  /** q122: bits interleaved per key (keys are dense and < 2^18 at every
+    * driver SF, so 36 morton bits cover the domain). */
+  private val MortonBits = 18
+
+  /** Morton (Z-curve) interleave of the low `bits` bits of two long
+    * columns: bit i of `a` lands at 2i, bit i of `b` at 2i+1. Pure
+    * shift/and/or composition — stays inside whole-stage codegen. */
+  private[graft] def morton(a: org.apache.spark.sql.Column,
+                          b: org.apache.spark.sql.Column,
+                          bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Rewrite `df`'s (l_orderkey, l_partkey, l_quantity) projection into 16
+    * files clustered by `layoutKey`: range-partition + in-partition sort,
+    * then drop the key so the stored schema stays clean. One row group per
+    * file at test SF, so row-group pruning == file pruning. */
+  private[graft] def stageByLayout(df: DataFrame, path: String,
+                                 layoutKey: org.apache.spark.sql.Column): Unit =
+    df.select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .withColumn("zz", layoutKey)
+      .repartitionByRange(16, col("zz"))
+      .sortWithinPartitions(col("zz"))
+      .drop("zz")
+      .write.mode("overwrite").parquet(path)
+
+  private val stagedZorder =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Hive-layout staging for q115, once per (JVM, sf dir, source mtime):
     * orders rewritten `partitionBy(o_orderpriority)` — the directory-level
     * twin of the sink's manifest stats (q110): the filter prunes whole
@@ -290,6 +322,26 @@ object ScaleOps {
           sum(coalesce(col("isbp"), lit(0L))).as("n_bp"))
         .withColumn("keep", col("n_bp") * 5 < col("n_segs"))
         .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
+      "q122_zorder_skipping",
+      "Z-order (Morton-curve) layout for MULTI-column data skipping: lineitem rewritten once range-partitioned + sorted by the bit-interleave of (l_orderkey, l_partkey), so parquet row-group min/max stats become tight for BOTH columns at once and a 2-D range predicate prunes most row groups at scan time — the OPTIMIZE ZORDER lever for the 100 TB case where queries filter on two hot columns but directories can only partition by one. The answer is layout-invariant (oracle reads the original table); the LAYOUT is the point, and ScaleOpsSpec pins scanned-row counts z-ordered vs scattered.",
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 1999 AND l_partkey BETWEEN 100 AND 299""".stripMargin) { (s, d) =>
+      val dir = stagedZorder.getOrElseUpdate(sourceKey(d, "lineitem"), {
+        val p = graft.util.Scratch.dir("graft-zorder").toString
+        stageByLayout(Tables.lineitem(s, d), p,
+          morton(col("l_orderkey"), col("l_partkey"), MortonBits))
+        p
+      })
+      s.read.parquet(dir)
+        .filter(col("l_orderkey").between(1000, 1999) &&
+          col("l_partkey").between(100, 299))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
     },
 
     GraftQuery(

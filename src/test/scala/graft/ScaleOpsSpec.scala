@@ -98,6 +98,40 @@ class ScaleOpsSpec extends SparkSpec {
     assert(scan.metrics("numFiles").value === matching)
   }
 
+  test("q122: the z-ordered layout scans fewer rows than a scattered one") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    val sel = (df: org.apache.spark.sql.DataFrame) => df
+      .filter(col("l_orderkey").between(1000, 1999) &&
+        col("l_partkey").between(100, 299))
+      .agg(count(lit(1)), sum(col("l_quantity").cast("long")))
+    def scannedRows(dir: String): (Long, Long) = {
+      val df = sel(spark.read.parquet(dir))
+      val res = df.collect().head.getLong(0)
+      val scan = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }.head
+      (scan.metrics("numOutputRows").value, res)
+    }
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val zDir = graft.util.Scratch.dir("zorder-spec").toString
+      val sDir = graft.util.Scratch.dir("scatter-spec").toString
+      ScaleOps.stageByLayout(Tables.lineitem(spark, sf), zDir,
+        ScaleOps.morton(col("l_orderkey"), col("l_partkey"), 18))
+      // scattered control: clustered by a hash, so every file spans the
+      // full key domain and min/max stats prune nothing
+      ScaleOps.stageByLayout(Tables.lineitem(spark, sf), sDir,
+        xxhash64(col("l_orderkey"), col("l_partkey")))
+      val (zScan, zRes) = scannedRows(zDir)
+      val (sScan, sRes) = scannedRows(sDir)
+      assert(zRes === sRes) // layout never changes the answer
+      // the 2-D predicate prunes row groups only under the z layout: the
+      // scattered control reads essentially the whole table
+      assert(zScan < sScan / 2, s"z=$zScan scattered=$sScan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("q114: boilerplate is real, bounded, and drives the keep verdict") {
     val rep = q("q114_boilerplate_segments").collect()
     assert(rep.nonEmpty)
