@@ -61,7 +61,54 @@ object SourcesAndUdfs {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** q123's staged line format — one raw string per event. */
+  private def logLine: org.apache.spark.sql.Column = concat(
+    lit("ts="), unix_timestamp(col("ts")).cast("string"),
+    lit(" user="), col("user_id").cast("string"),
+    lit(" type="), col("event_type"),
+    lit(" value_cents="), cents(col("value")).cast("string"))
+
   def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q123_log_parse",
+      "Raw-log ingestion (the grep-shaped ETL workload): events staged once as unstructured 'ts=.. user=.. type=.. value_cents=..' text lines, read back through the line-oriented text source, and structured ON READ with regexp_extract — schema lives in the query, not the file. Malformed lines (every 29th is truncated mid-field) drop out via the null guard instead of failing the scan, the same poison-pill tolerance as q103. Per-line regex is embarrassingly parallel; nothing shuffles until the final small aggregate.",
+      """WITH lines AS (
+        |  SELECT CASE WHEN event_id % 29 = 0
+        |              THEN substr(raw, 1, 15)
+        |              ELSE raw END AS line
+        |  FROM (SELECT event_id,
+        |          'ts=' || CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) ||
+        |          ' user=' || CAST(user_id AS VARCHAR) ||
+        |          ' type=' || event_type ||
+        |          ' value_cents=' || CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS raw
+        |        FROM events)),
+        |parsed AS (SELECT regexp_extract(line, 'type=([a-z_]+) ', 1) AS typ,
+        |                  TRY_CAST(regexp_extract(line, 'value_cents=(-?[0-9]+)$', 1) AS BIGINT) AS vc
+        |           FROM lines)
+        |SELECT coalesce(nullif(typ, ''), '_malformed') AS event_type,
+        |  count(*) AS n, CAST(sum(coalesce(vc, 0)) AS BIGINT) AS value_cents
+        |FROM parsed GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = stage(d, "events_log_txt")
+      stageOnce(dir) {
+        Tables.events(s, d).select(
+          when(col("event_id") % 29 === 0,
+            substring(logLine, 1, 15)).otherwise(logLine).as("value"))
+          .coalesce(2).write.mode("overwrite").text(dir)
+      }
+      val line = col("value")
+      s.read.text(dir)
+        .select(regexp_extract(line, "type=([a-z_]+) ", 1).as("typ"),
+          // no-match extracts '' — nullif BEFORE the cast (ANSI mode rejects
+          // casting '' to bigint; the twin of the SQL TRY_CAST)
+          nullif(regexp_extract(line, "value_cents=(-?[0-9]+)$", 1), lit(""))
+            .cast("long").as("vc"))
+        .groupBy(coalesce(nullif(col("typ"), lit("")), lit("_malformed"))
+          .as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("vc"), lit(0L))).as("value_cents"))
+        .orderBy(col("event_type"))
+    },
 
     GraftQuery(
       "q64_csv_source",
