@@ -55,6 +55,45 @@ object Analytics {
     },
 
     GraftQuery(
+      "q124_rolling_anomaly",
+      "Trailing-24h anomaly detection over hourly series, ENTIRELY in integers: with window sums n/S1/S2 (RANGE frame on the epoch-hour axis), the 3-sigma test (v-mean)^2 > 9*var rearranges to (v*n - S1)^2 > 9*(n*S2 - S1^2) — no division, no sqrt, no float, so the flag is bit-stable across engines and partitionings. Each series' window runs inside its own partition; the alert stream is tiny (flagged rows only). The monitoring pass a 100 TB ingest runs over its own throughput metrics.",
+      """WITH ev AS (SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT)//3600)*3600 AS h,
+        |              CAST(floor(value*100) AS BIGINT) AS c FROM events),
+        |hourly AS (SELECT event_type, h, CAST(sum(c) AS BIGINT) AS v FROM ev GROUP BY 1, 2),
+        |st AS (SELECT event_type, h, v,
+        |         count(*) OVER w AS n,
+        |         CAST(sum(v) OVER w AS BIGINT) AS s1,
+        |         CAST(sum(v*v) OVER w AS BIGINT) AS s2
+        |       FROM hourly
+        |       WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |                    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, h, v
+        |FROM st
+        |WHERE n >= 12 AND (v*n - s1)*(v*n - s1) > 9*(n*s2 - s1*s1)
+        |ORDER BY event_type, h""".stripMargin) { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("h"),
+          cents(col("value")).as("c"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(sum(col("c")).as("v"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rangeBetween(-86400L, 0L)
+      hourly
+        .select(col("event_type"), col("h"), col("v"),
+          count(lit(1)).over(w).as("n"),
+          sum(col("v")).over(w).as("s1"),
+          sum(col("v") * col("v")).over(w).as("s2"))
+        // >= 12 trailing hours of history before the test is meaningful;
+        // magnitudes stay far under 2^63 (hourly cents sums, 25-row frames)
+        .filter(col("n") >= 12 &&
+          (col("v") * col("n") - col("s1")) * (col("v") * col("n") - col("s1"))
+            > lit(9L) * (col("n") * col("s2") - col("s1") * col("s1")))
+        .select(col("event_type"), col("h"), col("v"))
+        .orderBy(col("event_type"), col("h"))
+    },
+
+    GraftQuery(
       "q120_scd2_intervals",
       "Slowly-changing-dimension (type 2) build: each customer's order stream becomes validity intervals — valid_from = the order's date, valid_to = the NEXT order's date via lead() (sentinel-closed for the open current row), is_current flagging the tail. The warehouse-history op the reference's append-only sink implies but never materializes. One window per customer partition; at 100 TB the partitioning carries it — no global sort until the output ORDER BY.",
       """SELECT o_custkey, o_orderkey, o_orderpriority,

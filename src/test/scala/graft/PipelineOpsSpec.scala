@@ -119,6 +119,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(n === brute, s"pair=$top query=$n brute=$brute")
   }
 
+  test("q124 every flagged hour exceeds 3 sigma under the float formulation too") {
+    import org.apache.spark.sql.expressions.Window
+    // sf0.01: the smallest tier whose hourly series actually contains
+    // 3-sigma outliers (sf0.001 flags nothing, which would vacuously pass)
+    val sf01 = "/root/testdata/sf0.01"
+    val flagged = graft.ops.Analytics.queries
+      .find(_.name == "q124_rolling_anomaly").get.build(spark, sf01).collect()
+    assert(flagged.nonEmpty)
+    // recompute trailing mean/std in doubles and check each flagged row —
+    // the integer rearrangement must agree with the textbook formulation
+    val hourly = Tables.events(spark, sf01)
+      .select(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("h"),
+        graft.functions.ColumnOps.cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("h")).agg(sum(col("c")).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rangeBetween(-86400L, 0L)
+    val stats = hourly.select(col("event_type"), col("h"), col("v"),
+        count(lit(1)).over(w).as("n"),
+        avg(col("v")).over(w).as("mu"),
+        variance(col("v")).over(w).as("s2u")) // sample variance; n-1 divisor
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    flagged.foreach { f =>
+      val r = stats((f.getString(0), f.getLong(1)))
+      val (v, n, mu, s2u) = (r.getLong(2).toDouble, r.getLong(3), r.getDouble(4), r.getDouble(5))
+      val popVar = s2u * (n - 1) / n // integer form uses the population variance
+      assert(n >= 12)
+      assert((v - mu) * (v - mu) > 9 * popVar * 0.999999, s"row $f not anomalous")
+    }
+  }
+
   test("q83 component sizes sum to the document count") {
     val df = SparkEntry.queries("q83_dedup_components")(spark, sf)
     val total = df.agg(sum(col("n_docs"))).head.getLong(0)

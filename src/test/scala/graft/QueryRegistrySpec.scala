@@ -22,10 +22,16 @@ class QueryRegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** Detectors whose CORRECT answer on the tiny clean fixture is empty:
+    * q124 flags 3-sigma outliers and sf0.001's series contain none (the
+    * sf0.01 oracle gate and PipelineOpsSpec check the non-empty case). */
+  private val emptyOkAtSmoke = Set("q124_rolling_anomaly")
+
   for (q <- SparkEntry.registry) {
     test(s"${q.name} builds and returns rows on sf0.001") {
       val df = q.build(spark, sf)
-      assert(df.count() > 0, s"${q.name} returned no rows")
+      if (emptyOkAtSmoke(q.name)) df.count() // must still build and run
+      else assert(df.count() > 0, s"${q.name} returned no rows")
     }
   }
 }
