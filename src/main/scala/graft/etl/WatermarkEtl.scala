@@ -85,7 +85,13 @@ object WatermarkEtl {
     *     with the watermark read (R3) AND the append (R4) both through the
     *     connector's two-phase-commit write path.
     *
-    * Returns the number of appended rows (the reference logs this, R10). */
+    * Returns the number of appended rows (the reference logs this, R10),
+    * measured with `observe()` DURING the append itself — one pass over the
+    * delta, no cache. The previous formulation cached the delta, counted
+    * it, then wrote it: two actions and a cache of the whole delta, which
+    * at 100 TB is exactly the materialization this pipeline exists to
+    * avoid. An empty delta writes nothing visible: the parquet append adds
+    * zero rows and the connector elides the no-op manifest version. */
   def runIncrement(spark: SparkSession, source: DataFrame, sinkPath: String,
                    viaConnector: Boolean = false): Long = {
     val sink =
@@ -94,16 +100,13 @@ object WatermarkEtl {
           .option("path", sinkPath).load()
       else if (new java.io.File(sinkPath).exists) spark.read.parquet(sinkPath)
       else spark.emptyDataFrame.withColumn("po_number", lit(null).cast("string"))
-    val d = deltaAgainst(source, sink.select(col("po_number"))).cache()
-    try {
-      val n = d.count()
-      if (n > 0) {
-        if (viaConnector)
-          d.write.format(graft.sources.FormSinkSource.Format)
-            .mode(SaveMode.Append).option("path", sinkPath).save()
-        else d.write.mode(SaveMode.Append).parquet(sinkPath)
-      }
-      n
-    } finally d.unpersist()
+    val d = deltaAgainst(source, sink.select(col("po_number")))
+    val obs = org.apache.spark.sql.Observation()
+    val observed = d.observe(obs, count(lit(1)).as("n"))
+    if (viaConnector)
+      observed.write.format(graft.sources.FormSinkSource.Format)
+        .mode(SaveMode.Append).option("path", sinkPath).save()
+    else observed.write.mode(SaveMode.Append).parquet(sinkPath)
+    obs.get("n").asInstanceOf[Long]
   }
 }

@@ -185,6 +185,13 @@ object FormSinkSource {
   /** Publish `visible` as manifest version `version` — atomically, and only
     * if that version does not exist yet. Returns false when another commit
     * won the version (caller re-reads and retries on top of it). */
+  /** Remove one job's (now-unneeded) staging directory and its contents. */
+  private[sources] def sweepStaging(staging: Path): Unit =
+    if (Files.isDirectory(staging)) {
+      graft.util.Scratch.listEntries(staging).foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(staging)
+    }
+
   private[sources] def tryPublishManifest(path: String, version: Long,
                                           visible: Seq[String],
                                           stats: Map[String, FileStats] = Map.empty): Boolean = {
@@ -397,8 +404,20 @@ private class FormSinkBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staging = FormSinkSource.stagingDir(path, jobId)
-    val staged = messages.map { case m: StagedFileMessage => m }.sortBy(_.fileName)
+    val allStaged = messages.map { case m: StagedFileMessage => m }.sortBy(_.fileName)
+    // zero-row task files never enter the table: empty partitions of a
+    // skewed append would otherwise litter the listing with files every
+    // scan must still open
+    val staged = allStaged.filter(_.rows > 0)
     val names = staged.map(_.fileName).toSeq
+    // elide no-op versions: an APPEND that wrote no rows must not grow the
+    // manifest log (a cron tick with an empty delta would otherwise add one
+    // junk version per tick, and change-feed consumers would page through
+    // them). A truncate with no rows IS meaningful — it empties the table.
+    if (names.isEmpty && !truncateFirst) {
+      FormSinkSource.sweepStaging(staging)
+      return
+    }
     val newStats = staged.map(m =>
       m.fileName -> FormSinkSource.FileStats(m.rows, m.mins, m.maxs)).toMap
     // phase 1: move the job's files into the table directory. They are NOT
@@ -433,10 +452,7 @@ private class FormSinkBatchWrite(path: String, schema: StructType,
     // leftovers in OUR job's staging dir are uncommitted attempts
     // (aborted/speculative) — sweep only this job's subdirectory, never a
     // concurrent job's still-staged files
-    if (Files.isDirectory(staging)) {
-      graft.util.Scratch.listEntries(staging).foreach(Files.deleteIfExists(_))
-      Files.deleteIfExists(staging)
-    }
+    FormSinkSource.sweepStaging(staging)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -351,4 +351,21 @@ class FormSinkSpec extends SparkSpec {
     assert(spark.read.format(FormSinkSource.Format).option("path", dir).load()
       .count() === n1 + n2)
   }
+
+  test("empty appends are elided: a no-op tick adds no manifest version") {
+    val dir = tmp()
+    val full = WatermarkEtl.sourceFeed(spark, sf)
+    val first = full.filter(col("o_orderkey") <= 500)
+    assert(WatermarkEtl.runIncrement(spark, first, dir, viaConnector = true) > 0)
+    def rowsAt(v: Int): Long = spark.read.format(FormSinkSource.Format)
+      .option("path", dir).option("versionAsOf", v).load().count()
+    val v1 = rowsAt(1)
+    // two idle cron ticks: same source, nothing newer than the watermark
+    assert(WatermarkEtl.runIncrement(spark, first, dir, viaConnector = true) === 0)
+    assert(WatermarkEtl.runIncrement(spark, first, dir, viaConnector = true) === 0)
+    // version 1 is still the LATEST snapshot — no junk versions were added
+    // (reading a nonexistent version 2 must fail, proving the log length)
+    assert(rowsAt(1) === v1)
+    intercept[Exception](rowsAt(2))
+  }
 }
