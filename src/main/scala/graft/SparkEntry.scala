@@ -21,6 +21,7 @@ object SparkEntry {
       ops.Multimodal.queries ++
       ops.PipelineOps.queries ++
       ops.Clustering.queries ++
+      ops.GraphOps.queries ++
       ops.ScaleOps.queries ++
       ops.SourcesAndUdfs.queries ++
       streaming.StreamingOps.queries ++

@@ -51,6 +51,12 @@ object GraftFunctions {
     column(org.apache.spark.sql.graft.HyperplaneBuckets(
       expression(v), planes, numTables, bits))
 
+  /** |A ∩ B| of two ascending-sorted `array<long>` columns (codegen merge
+    * walk — the caller guarantees sortedness, e.g. via `sort_array`). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    column(org.apache.spark.sql.graft.SortedIntersectCount(
+      expression(a), expression(b)))
+
   /** MinHash signature aggregate over pre-hashed shingle values: one
     * `array<long>` of k per-function minima per group (native
     * TypedImperativeAggregate; map-side partial merge). */

@@ -14,7 +14,11 @@ import graft.functions.ColumnOps._
   *     the whole fact table;
   *   - the as-of join is the union+ordered-window formulation: O(n log n)
   *     single shuffle by (user), no join blow-up at all — the formulation
-  *     that survives 100 TB, vs. the naive range-join + dedup.
+  *     that survives 100 TB, vs. the naive range-join + dedup;
+  *   - q125 handles the remaining case — a pure interval predicate with NO
+  *     equi anchor at all — by manufacturing one: time bins sized to the
+  *     interval length, so Catalyst plans a shuffled equi-join on the bin
+  *     key instead of a broadcast-nested-loop over the cross product.
   */
 object AdvancedJoins {
 
@@ -39,6 +43,35 @@ object AdvancedJoins {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
+    },
+
+    GraftQuery(
+      "q125_binned_interval_join",
+      "Interval join with NO equi anchor (every purchase's 10-minute follow-up window counting ALL errors, any user): the naive plan is a broadcast-nested-loop over the cross product — O(n·m) comparisons that no cluster survives. The scalable rewrite bins both sides by a width equal to the interval length, so each interval overlaps at most 2 bins: explode intervals to their covered bins, equi-join points on their single bin, re-check exact containment, left-join the zero-match intervals back. Linear shuffle volume on a manufactured equi key — the binned-range-join lever.",
+      """WITH p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT ts AS ets FROM events WHERE event_type = 'error'),
+        |m AS (SELECT p.event_id, count(e.ets) AS n
+        |      FROM p LEFT JOIN e ON e.ets >= p.ts AND e.ets < p.ts + INTERVAL 10 MINUTE
+        |      GROUP BY p.event_id)
+        |SELECT event_id, CAST(n AS BIGINT) AS n_errors
+        |FROM m ORDER BY event_id""".stripMargin) { (s, d) =>
+      val binUs = 600L * 1000000L // bin width = interval length (10 min, µs)
+      val ev = Tables.events(s, d)
+      val pts = ev.filter(col("event_type") === "error")
+        .selectExpr("ts AS e_ts", s"unix_micros(ts) div $binUs AS bin")
+      val ivs = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"))
+      // [ts, ts+10min) spans bins b0 .. (end−1) div width — at most 2
+      val exploded = ivs.selectExpr("event_id", "ts",
+        s"""explode(sequence(unix_micros(ts) div $binUs,
+           |  (unix_micros(ts) + ${binUs - 1}) div $binUs)) AS bin""".stripMargin)
+      val matched = exploded.join(pts, Seq("bin"))
+        .filter(col("e_ts") >= col("ts") &&
+          col("e_ts") < col("ts") + expr("INTERVAL 10 MINUTES"))
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+      ivs.select(col("event_id")).join(matched, Seq("event_id"), "left")
+        .select(col("event_id"), coalesce(col("n"), lit(0L)).as("n_errors"))
+        .orderBy(col("event_id"))
     },
 
     GraftQuery(

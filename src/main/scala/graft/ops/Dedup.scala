@@ -265,6 +265,83 @@ object Dedup {
         .select(col("vec_a"), col("vec_b"),
           floor(lit(1000000.0) * sim).cast("long").as("cos_ppm"))
         .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    GraftQuery(
+      "q127_prefix_filtered_simjoin",
+      "Exact token-set similarity self-join (Jaccard ≥ 0.9) via PPJoin-style positional prefix filtering (Xiao et al.): order each doc's distinct token fingerprints rarest-first (global doc-frequency order), emit only the first n − ceil(0.9·n) + 1 — any qualifying pair MUST share a prefix token (no false negatives), so the candidate join touches rare-token buckets instead of the corpus cross product. Candidates are length-filtered (9·max ≤ 10·min) then exact-verified by full-set intersection. Tokens travel as 60-bit md5 fingerprints — 8-byte longs shuffle, never strings. Output: per-doc neighbor census.",
+      s"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+         |    tok -> ${h60Sql("tok")})) AS hs
+         |  FROM documents),
+         |n AS (SELECT doc_id, hs, len(hs) AS n FROM t),
+         |pr AS (SELECT a.doc_id AS da, b.doc_id AS db,
+         |    len(list_intersect(a.hs, b.hs)) AS i,
+         |    a.n + b.n - len(list_intersect(a.hs, b.hs)) AS u
+         |  FROM n a JOIN n b ON a.doc_id < b.doc_id),
+         |pp AS (SELECT da, db, (i * 1000000) // u AS jac_ppm
+         |  FROM pr WHERE i * 1000000 >= 900000 * u),
+         |sym AS (SELECT da AS doc_id, jac_ppm FROM pp
+         |  UNION ALL SELECT db, jac_ppm FROM pp)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_neighbors,
+         |  CAST(max(jac_ppm) AS BIGINT) AS max_jac_ppm
+         |FROM sym GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // distinct 60-bit token fingerprints per doc (dedup AFTER hashing —
+      // parity with the oracle's list_distinct over transformed values);
+      // persisted: feeds the df-count, the prefix tier AND the verify sets
+      val toks = graft.util.CacheOnce.persistForOneAction(
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), h60(col("tok")).as("h")).distinct())
+      // global rarity = doc frequency per fingerprint (one shuffle by h);
+      // joined back so each doc can sort its own set rarest-first locally
+      val dfreq = toks.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val sets = toks.join(dfreq, "h")
+        .groupBy(col("doc_id"))
+        .agg(transform(array_sort(collect_list(struct(col("df"), col("h")))),
+          x => x("h")).as("hs"), count(lit(1)).as("n"))
+      // positional prefix: first n − ceil(0.9n) + 1 (exact integer ceil);
+      // a Jaccard-0.9 pair always shares one of these rare tokens
+      val pfx = graft.util.CacheOnce.persistForOneAction(
+        sets.selectExpr("doc_id", "n",
+          "explode(slice(hs, 1, cast(n - ((9*n + 9) div 10) + 1 as int))) AS h"))
+      // candidate pairs: NOT deduped yet — verification runs inline on the
+      // raw prefix matches (map-side, full parallelism) and the dedupe
+      // happens on the much smaller verified set. Deduping first looked
+      // cheaper but planned worse: AQE rightly coalesces the ~60 MB
+      // distinct output to one partition, serializing the per-pair
+      // verify work behind a single task.
+      val cand = pfx.select(col("doc_id").as("da"), col("n").as("na"), col("h"))
+        .join(pfx.select(col("doc_id").as("db"), col("n").as("nb"), col("h")), Seq("h"))
+        .filter(col("da") < col("db") &&
+          col("nb") * 10 >= col("na") * 9 && col("na") * 10 >= col("nb") * 9)
+        .select(col("da"), col("db"))
+      // exact verify: per-doc sets VALUE-sorted so |∩| is one codegen merge
+      // walk (sorted_intersect_count) — the hash-set array_intersect was the
+      // dominant cost at ~1M verified pairs. The doc→set frame is
+      // id+fingerprints only (KBs per thousand docs) — unhinted, AQE
+      // broadcasts it at small corpus and shuffles at scale
+      val vsets = toks.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n"))
+      val ver = cand
+        .join(vsets.select(col("doc_id").as("da"), col("hs").as("ha"), col("n").as("na")), Seq("da"))
+        .join(vsets.select(col("doc_id").as("db"), col("hs").as("hb"), col("n").as("nb")), Seq("db"))
+        .select(col("da"), col("db"),
+          graft.functions.GraftFunctions
+            .sortedIntersectCount(col("ha"), col("hb")).as("i"),
+          col("na"), col("nb"))
+        .filter(col("i") * 1000000L >= lit(900000L) * (col("na") + col("nb") - col("i")))
+        .selectExpr("da", "db", "(i * 1000000) div (na + nb - i) AS jac_ppm")
+        .distinct() // a pair may share several prefix tokens — dedupe once, post-verify
+      // both directions from ONE pass (a union of two selects over `ver`
+      // would recompute the whole verify tier per branch)
+      ver.select(explode(array(
+          struct(col("da").as("doc_id"), col("jac_ppm")),
+          struct(col("db").as("doc_id"), col("jac_ppm")))).as("x"))
+        .select(col("x.doc_id").as("doc_id"), col("x.jac_ppm").as("jac_ppm"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_neighbors"), max(col("jac_ppm")).as("max_jac_ppm"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+
+/** Iterative graph analytics as plain Catalyst plans — the third member of
+  * the engine's iterative-computation family (q83 connected components,
+  * q118 power iteration, q112 k-means).
+  *
+  * PageRank here is the all-integer formulation: total mass 1e12 integer
+  * units, damping 85/100, every per-edge contribution a long floor-division
+  * — so the result is bit-identical across engines, partitionings and
+  * summation orders (the float formulation's `sum(double)` is not).
+  *
+  * Scale shape per iteration: one equi-join of the rank frame to the edge
+  * list on the source key + one groupBy(dst) sum — both shuffle O(E) longs,
+  * never adjacency lists; degree and rank frames are O(V). That is the
+  * standard BSP/Pregel cost, expressed declaratively so AQE still sizes the
+  * shuffles. The fixed iteration count keeps the lineage shallow (a
+  * convergence-driven variant would `localCheckpoint` per round like q83).
+  */
+object GraphOps {
+
+  /** Fixed iteration count — shared by the Spark loop and the unrolled
+    * oracle CTE chain. */
+  val Iters = 3
+
+  /** Unrolled DuckDB twin: r0 → r1 → … → r`Iters`. */
+  private def pagerankSql: String = {
+    val rounds = (1 to Iters).map { i =>
+      s"""r$i AS (SELECT d.u, (150000000000 // nn.n) + coalesce(s.c, 0) AS r
+         |  FROM deg d CROSS JOIN nn
+         |  LEFT JOIN (SELECT e.v AS u, sum((r${i - 1}.r * 85) // (100 * deg.deg)) AS c
+         |             FROM edges e JOIN r${i - 1} ON e.u = r${i - 1}.u
+         |             JOIN deg ON e.u = deg.u
+         |             GROUP BY e.v) s ON d.u = s.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+       |  FROM lineitem),
+       |edges AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+       |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT u, 1000000000000 // n AS r FROM deg, nn),
+       |$rounds
+       |SELECT u AS node_id, CAST(r AS BIGINT) AS rank_e12
+       |FROM r$Iters ORDER BY rank_e12 DESC, node_id LIMIT 20""".stripMargin
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q130_pagerank",
+      s"All-integer PageRank ($Iters rounds, damping 0.85, mass 1e12 units) over the undirected part↔supplier co-occurrence graph from lineitem: each round is one rank⋈edges equi-join + one groupBy(dst) long-sum — O(E) shuffle of 8-byte values, the BSP shape that holds at any graph scale. Every contribution is a long floor-division, so ranks are exact integers: no float summation order to diverge between engines, partitionings or cluster sizes. Top-20 hubs with a total (rank, id) order.",
+      pagerankSql) { (s, d) =>
+      // the edge list and degree frame feed every round — materialize once
+      val ed = Tables.lineitem(s, d)
+        .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      val edges = graft.util.CacheOnce.persistForOneAction(
+        ed.unionAll(ed.select(col("v").as("u"), col("u").as("v"))))
+      val deg = graft.util.CacheOnce.persistForOneAction(
+        edges.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+      // |V| stays a 1-row frame cross-joined in (never a driver round trip)
+      val nn = deg.agg(count(lit(1)).as("n"))
+      // the rank frame carries (u, deg, r): out-degree rides along instead
+      // of re-joining `deg` every round — one join per iteration, not two
+      var r = deg.crossJoin(broadcast(nn))
+        .selectExpr("u", "deg", "1000000000000 div n AS r")
+      for (_ <- 1 to Iters) {
+        val contrib = edges.join(r, "u")
+          .selectExpr("v AS u", "(r * 85) div (100 * deg) AS c")
+          .groupBy(col("u")).agg(sum(col("c")).as("c"))
+        r = deg.crossJoin(broadcast(nn))
+          .join(contrib, Seq("u"), "left")
+          .selectExpr("u", "deg", "(150000000000 div n) + coalesce(c, 0) AS r")
+      }
+      r.orderBy(col("r").desc, col("u"))
+        .limit(20)
+        .select(col("u").as("node_id"), col("r").as("rank_e12"))
+    }
+  )
+}

@@ -159,4 +159,34 @@ class KernelSpec extends SparkSpec {
     val dv = Seq(Tuple1(Option.empty[Array[Float]])).toDF("v")
     assert(dv.select(l2Norm(col("v"))).collect()(0).isNullAt(0))
   }
+
+  test("sorted_intersect_count ≡ size(array_intersect) on sorted fixture sets") {
+    import graft.functions.CrossHash.h60
+    // real per-doc fingerprint sets (the q127 shape), self-joined
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), h60(col("tok")).as("h")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+      .limit(60)
+    val bad = sets.select(col("hs").as("ha"))
+      .crossJoin(sets.select(col("hs").as("hb")))
+      .select(
+        graft.functions.GraftFunctions
+          .sortedIntersectCount(col("ha"), col("hb")).as("k"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("b"))
+      .filter(col("k") =!= col("b")).count()
+    assert(bad === 0)
+    // edge cases: empty, disjoint, null
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 9L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(5L), Seq(7L))).toDF("a", "b")
+    val r = df.select(graft.functions.GraftFunctions
+      .sortedIntersectCount(col("a"), col("b"))).as[Long].collect()
+    assert(r.toSeq === Seq(2L, 0L, 0L))
+    val dn = Seq(Tuple1(Option.empty[Array[Long]])).toDF("a")
+    assert(dn.select(graft.functions.GraftFunctions
+      .sortedIntersectCount(col("a"), col("a"))).collect()(0).isNullAt(0))
+  }
 }
