@@ -139,6 +139,55 @@ object PipelineOps {
     },
 
     GraftQuery(
+      "q131_canonical_selection",
+      "Survivor selection — the step after q83's clustering that actually deduplicates: within each near-dup cluster keep the best document (longest text, doc_id tie-break) as canonical. The argmax is one map-side-combinable max(struct(quality, −id)) aggregate over the label frame — never a per-cluster window sort. Output: multi-member clusters with their keeper; everything else in the corpus survives untouched.",
+      {
+        val bandSelects = (0 until Dedup.NumBands).map { b =>
+          val key = (0 until Dedup.RowsPerBand)
+            .map(r => f"mh${b * Dedup.RowsPerBand + r}%02d").mkString(" || ',' || ")
+          s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH RECURSIVE sig AS (
+           |${Dedup.minhashSql}
+           |),
+           |bands AS (
+           |  $bandSelects),
+           |e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           |      FROM bands a JOIN bands b
+           |        ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id),
+           |reach(node, label) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.src, r.label FROM reach r JOIN e ON r.node = e.dst),
+           |lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+           |j AS (SELECT lab.label, lab.node, d.n_chars
+           |      FROM lab JOIN documents d ON lab.node = d.doc_id),
+           |r AS (SELECT label, node, n_chars,
+           |        row_number() OVER (PARTITION BY label
+           |                           ORDER BY n_chars DESC, node) AS rn,
+           |        count(*) OVER (PARTITION BY label) AS n_docs
+           |      FROM j)
+           |SELECT label AS component_id, CAST(n_docs AS BIGINT) AS n_docs,
+           |  node AS keeper_id, CAST(n_chars AS BIGINT) AS keeper_chars
+           |FROM r WHERE rn = 1 AND n_docs >= 2
+           |ORDER BY component_id""".stripMargin
+      }) { (s, d) =>
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("node"))
+      val labels = connectedComponents(nodes, lshEdges(s, d))
+      labels.join(Tables.documents(s, d).select(col("doc_id").as("node"), col("n_chars")), "node")
+        .groupBy(col("label").as("component_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          // lexicographic argmax: longest doc, then LOWEST id — negate the
+          // id so one max(struct(..)) does both (no per-cluster sort)
+          max(struct(col("n_chars"), (-col("node")).as("neg_id"))).as("m"))
+        .filter(col("n_docs") >= 2)
+        .select(col("component_id"), col("n_docs"),
+          (-col("m.neg_id")).as("keeper_id"),
+          col("m.n_chars").as("keeper_chars"))
+        .orderBy(col("component_id"))
+    },
+
+    GraftQuery(
       "q84_stratified_sample",
       "Deterministic stratified sampling: per-language rates (en 10%, others 30%) via md5-residue on doc_id — stateless, engine- and partitioning-independent, no sort or per-stratum pass.",
       s"""SELECT doc_id, lang
@@ -372,6 +421,42 @@ object PipelineOps {
           sum(matches("https?://[^ ]+")).as("n_urls"),
           sum(matches("[0-9][0-9][0-9][0-9][0-9][0-9]+")).as("n_digit_runs"))
         .orderBy(col("source"))
+    },
+
+    GraftQuery(
+      "q128_pii_redaction",
+      "PII redaction — the transform twin of q88's census: emails, then URLs, then 6+-digit runs replaced with typed placeholders (application order matters — URLs contain digit runs), leftmost non-overlapping global replace with identical regex semantics on both engines. Embarrassingly parallel per document, no shuffle until the final order; the full redacted text is verified via md5 so the oracle checks every byte without moving documents.",
+      """WITH r AS (SELECT doc_id, source, text,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |      '[0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS red,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'))
+        |      + len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_er
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_er + len(regexp_extract_all(
+        |    regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |    '[0-9][0-9][0-9][0-9][0-9][0-9]+')) AS BIGINT) AS n_redacted,
+        |  CAST(len(red) AS BIGINT) AS red_len, md5(red) AS red_md5
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+      val url = "https?://[^ ]+"
+      val num = "[0-9][0-9][0-9][0-9][0-9][0-9]+"
+      def rr(c: org.apache.spark.sql.Column, pat: String, to: String) =
+        regexp_replace(c, pat, to)
+      val afterUrl = rr(rr(col("text"), email, "<EMAIL>"), url, "<URL>")
+      val red = rr(afterUrl, num, "<NUM>")
+      // digit runs are counted AFTER email/URL replacement (a digit run
+      // inside a replaced span no longer exists to redact)
+      val nRed = size(regexp_extract_all(col("text"), lit(email), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(url), lit(0))) +
+        size(regexp_extract_all(afterUrl, lit(num), lit(0)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), nRed.cast("long").as("n_redacted"),
+          length(red).cast("long").as("red_len"), md5(red).as("red_md5"))
+        .orderBy(col("doc_id"))
     }
   )
 }

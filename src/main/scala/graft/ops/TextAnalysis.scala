@@ -36,6 +36,38 @@ object TextAnalysis {
   def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
+      "q129_vocab_coverage",
+      "Tokenizer vocabulary coverage: learn a 256-entry vocabulary (top tokens by corpus frequency, lexicographic tie-break) and measure per-language out-of-vocabulary rates as exact integer ppm. The vocab is an explicitly broadcast 256-row frame — the membership probe is a map-side hash lookup at any corpus size, never a shuffle of the token stream; the OOV census is the go/no-go check before committing a tokenizer to a 100 TB pretraining run.",
+      """WITH t AS (SELECT lang,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT lang, unnest(toks) AS tok FROM t),
+        |v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tok
+        |                       GROUP BY tok ORDER BY c DESC, tok LIMIT 256)),
+        |j AS (SELECT tok.lang, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM tok LEFT JOIN v ON tok.tok = v.tok)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  (CAST(sum(oov) AS BIGINT) * 1000000) // count(*) AS oov_ppm
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      // top-k by (freq desc, token asc): a total order, so the learned
+      // vocabulary is deterministic even at the frequency boundary
+      val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok"))
+        .limit(256)
+        .select(col("tok"), lit(1).as("iv"))
+      tok.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .selectExpr("lang", "n_tokens", "n_oov",
+          "(n_oov * 1000000) div n_tokens AS oov_ppm")
+        .orderBy(col("lang"))
+    },
+
+    GraftQuery(
       "q121_bpe_merge_counts",
       "BPE vocabulary induction, round one: corpus words reduced to (word, freq) — the compression that makes BPE training tractable at 100 TB, since pair statistics then cost vocab-sized work, not corpus-sized — and every adjacent character pair counted weighted by word frequency. The top pair is the first merge a byte-pair-encoding tokenizer would learn; ties break lexicographically so the ranking is total. Two token-keyed aggregates, no text shuffle after the first.",
       """WITH t AS (SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks

@@ -41,6 +41,35 @@ object Windows {
     },
 
     GraftQuery(
+      "q132_distribution_windows",
+      "Distribution window family — percent_rank, cume_dist, ntile(4) — per market-segment order-value ranking (deterministic (cents, key) order so ties cannot differ between engines); percent_rank/cume_dist emitted as exact integer ppm. Partitioned by a real key like every other window here — state distributes, no global sort.",
+      """WITH c2 AS (SELECT o_orderkey, c_mktsegment,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT o_orderkey, c_mktsegment,
+        |  CAST(round(percent_rank() OVER w * 1000000) AS BIGINT) AS prank_ppm,
+        |  CAST(round(cume_dist() OVER w * 1000000) AS BIGINT) AS cdist_ppm,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM c2
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY cents, o_orderkey)
+        |ORDER BY c_mktsegment, cents, o_orderkey""".stripMargin) { (s, d) =>
+      val c2 = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          cents(col("o_totalprice")).as("cents"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      // percent_rank = (rank−1)/(n−1), cume_dist = rank/n: both exact
+      // per-row doubles from integer rank/count — round(×1e6) agrees
+      // bit-for-bit across engines
+      c2.select(col("o_orderkey"), col("c_mktsegment"),
+          round(percent_rank().over(w) * 1000000).cast("long").as("prank_ppm"),
+          round(cume_dist().over(w) * 1000000).cast("long").as("cdist_ppm"),
+          ntile(4).over(w).cast("int").as("quartile"))
+        .orderBy(col("c_mktsegment"), col("prank_ppm"), col("o_orderkey"))
+    },
+
+    GraftQuery(
       "q17_window_lag",
       "lag/lead along each user's event timeline; per-row double delta emitted as exact cents.",
       """SELECT event_id, user_id,

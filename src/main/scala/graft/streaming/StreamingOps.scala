@@ -372,6 +372,31 @@ object StreamingOps {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
+    },
+
+    GraftQuery(
+      "q126_stream_static_join",
+      "Stream-static enrichment join on the production output path: the three-micro-batch event stream joins the static customer dimension (explicitly broadcast — the dimension is planned ONCE and hash-probed per micro-batch, no stream-side shuffle and no state store for the join), then tumbling 30-min windows per market segment emit exactly once in APPEND mode as the watermark passes them. The canonical 100 TB/day enrichment shape: only the windowed aggregate keeps state; the sentinel row advances the final watermark and matches no dimension row, so the inner join drops it after it has been counted by the watermark collector.",
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 AS window_start_s,
+        |  c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events e JOIN customer c ON e.user_id * 10 = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = twoBatchEventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        // the stream's user domain maps 1:1 into the dimension key; the
+        // sentinel's user_id −1 maps to −10, matching nothing — dropped by
+        // the join ABOVE the watermark collector, so it still advances time
+        .join(broadcast(dim), col("user_id") * 10 === col("c_custkey"))
+      val agg = enriched
+        .groupBy(window(col("ts"), "30 minutes"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      runToMemory(agg, s"q126_sink_${System.nanoTime()}", "append")
+        .select(unix_timestamp(col("window.start")).as("window_start_s"),
+          col("c_mktsegment"), col("n"), col("value_cents"))
+        .orderBy(col("window_start_s"), col("c_mktsegment"))
     }
   )
 }
