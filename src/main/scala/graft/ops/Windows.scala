@@ -70,6 +70,41 @@ object Windows {
     },
 
     GraftQuery(
+      "q134_ratio_to_report",
+      "Ratio-to-report: each nation's share of its region's revenue and of the global total, as exact integer ppm over cents sums — the percent-of-total OLAP shape. Computed from ONE nation-level aggregate reused three ways (detail, region window sum, global window sum over the 25-row aggregate — windows over the small aggregate, never over the fact table).",
+      """WITH n AS (SELECT c.c_nationkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1),
+        |j AS (SELECT r.r_name, na.n_name, n.cents
+        |      FROM n JOIN nation na ON n.c_nationkey = na.n_nationkey
+        |      JOIN region r ON na.n_regionkey = r.r_regionkey)
+        |SELECT r_name, n_name, cents,
+        |  (cents * 1000000) // sum(cents) OVER (PARTITION BY r_name) AS region_share_ppm,
+        |  (cents * 1000000) // sum(cents) OVER () AS global_share_ppm
+        |FROM j ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      val n = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("cents"))
+      val j = n.join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("cents"))
+      // both windows run over the 25-row nation aggregate — the global
+      // (unpartitioned) one is a bounded post-aggregation frame, not a
+      // fact-table sort
+      val byRegion = Window.partitionBy(col("r_name"))
+      val global = Window.partitionBy()
+      j.select(col("r_name"), col("n_name"), col("cents"),
+          (col("cents") * 1000000L).as("num"),
+          sum(col("cents")).over(byRegion).as("rsum"),
+          sum(col("cents")).over(global).as("gsum"))
+        .selectExpr("r_name", "n_name", "cents",
+          "num div rsum AS region_share_ppm", "num div gsum AS global_share_ppm")
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    GraftQuery(
       "q17_window_lag",
       "lag/lead along each user's event timeline; per-row double delta emitted as exact cents.",
       """SELECT event_id, user_id,

@@ -375,6 +375,46 @@ object StreamingOps {
     },
 
     GraftQuery(
+      "q133_stream_stream_outer_join",
+      "Stream-stream LEFT OUTER join — q89's inner join plus the rows that matched nothing: each view pairs with same-user purchases in the following 30 minutes, and a view with no such purchase emits exactly once WITH NULLS when the purchase-side watermark passes its range (the state-eviction-driven null emission that makes outer stream joins hard; inner joins emit eagerly and never exercise it). Three-micro-batch run so eviction genuinely happens mid-stream; both sides keep the sentinel through their filters so it advances both watermarks, and its own never-finalized row is dropped at the end. Per-user matched-pair and unmatched-view counts, identical to the batch outer-join oracle.",
+      """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT v.user_id, p.ts AS pts
+        |      FROM v LEFT JOIN p ON v.user_id = p.user_id
+        |        AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE)
+        |SELECT user_id, CAST(count(pts) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN pts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_views
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val src = twoBatchEventsStream(s, d)
+      // sentinel retained on BOTH sides: the filters run below the
+      // watermark collectors (q92's pushdown lesson), so dropping it here
+      // would freeze the final watermark and hold back the last windows'
+      // null emissions
+      val views = src
+        .filter(col("event_type").isin("view", SentinelType))
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = src
+        .filter(col("event_type").isin("purchase", SentinelType))
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      // the sentinel rows share user −1 and an identical timestamp, so
+      // p_ts > v_ts keeps them from pairing with each other
+      val joined = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") > col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      runToMemory(joined.select(col("v_user").as("user_id"), col("p_ts")),
+        s"q133_sink_${System.nanoTime()}", "append")
+        .filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"))
+        .agg(count(col("p_ts")).as("n_pairs"),
+          sum(when(col("p_ts").isNull, 1L).otherwise(0L)).as("n_unmatched_views"))
+        .orderBy(col("user_id"))
+    },
+
+    GraftQuery(
       "q126_stream_static_join",
       "Stream-static enrichment join on the production output path: the three-micro-batch event stream joins the static customer dimension (explicitly broadcast — the dimension is planned ONCE and hash-probed per micro-batch, no stream-side shuffle and no state store for the join), then tumbling 30-min windows per market segment emit exactly once in APPEND mode as the watermark passes them. The canonical 100 TB/day enrichment shape: only the windowed aggregate keeps state; the sentinel row advances the final watermark and matches no dimension row, so the inner join drops it after it has been counted by the watermark collector.",
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 AS window_start_s,
