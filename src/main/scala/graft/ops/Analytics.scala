@@ -194,6 +194,62 @@ object Analytics {
     },
 
     GraftQuery(
+      "q136_mad_outliers",
+      "Robust outlier detection per language — median absolute deviation with every quantity integer-exact: medians carried as x2 sums of the two middle ranks (q51's trick), deviations as |2·x − median_x2| longs, MAD as x4, and the 3-sigma-equivalent test 2·dev_x2 > 3·mad_x4 all in cross-multiplied integers. Two rank windows, both partitioned by the group key. The length-outlier census that feeds training-data quality filtering.",
+      """WITH r AS (SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    count(*)     OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |med AS (SELECT lang,
+        |    CAST(sum(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN n_chars END)
+        |         * (CASE WHEN max(n) % 2 = 0 THEN 1 ELSE 2 END) AS BIGINT) AS med_x2
+        |  FROM r GROUP BY lang),
+        |dev AS (SELECT d.lang, abs(2 * d.n_chars - m.med_x2) AS dev_x2, d.doc_id
+        |        FROM documents d JOIN med m ON d.lang = m.lang),
+        |r2 AS (SELECT lang, dev_x2,
+        |    row_number() OVER (PARTITION BY lang ORDER BY dev_x2, doc_id) AS rn,
+        |    count(*)     OVER (PARTITION BY lang) AS n
+        |  FROM dev),
+        |mad AS (SELECT lang,
+        |    CAST(sum(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN dev_x2 END)
+        |         * (CASE WHEN max(n) % 2 = 0 THEN 1 ELSE 2 END) AS BIGINT) AS mad_x4
+        |  FROM r2 GROUP BY lang)
+        |SELECT dev.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  max(med.med_x2) AS median_x2, max(mad.mad_x4) AS mad_x4,
+        |  CAST(sum(CASE WHEN 2 * dev.dev_x2 > 3 * mad.mad_x4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN med ON dev.lang = med.lang JOIN mad ON dev.lang = mad.lang
+        |GROUP BY dev.lang ORDER BY dev.lang""".stripMargin) { (s, d) =>
+      def medianX2(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                   outName: String): org.apache.spark.sql.DataFrame = {
+        val w  = Window.partitionBy(col("lang")).orderBy(col(valueCol), col("doc_id"))
+        val wn = Window.partitionBy(col("lang"))
+        val r = df.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+        val lo = floor((col("n") + 1) / 2)
+        val hi = floor((col("n") + 2) / 2)
+        r.groupBy(col("lang"))
+          .agg((sum(when(col("rn") === lo || col("rn") === hi, col(valueCol)))
+            * when(max(col("n")) % 2 === 0, 1).otherwise(2)).cast("long").as(outName))
+      }
+      val docs = Tables.documents(s, d).select(col("lang"), col("doc_id"), col("n_chars"))
+      val med = medianX2(docs, "n_chars", "med_x2")
+      // med/mad are per-language scalars — broadcast by AQE; deviations
+      // stay partitioned by lang through both rank windows
+      val dev = docs.join(med, "lang")
+        .select(col("lang"), col("doc_id"),
+          abs(col("n_chars") * 2 - col("med_x2")).as("dev_x2"))
+      val mad = medianX2(dev, "dev_x2", "mad_x4")
+      dev.join(med, "lang").join(mad, "lang")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("med_x2")).as("median_x2"),
+          max(col("mad_x4")).as("mad_x4"),
+          sum(when(col("dev_x2") * 2 > col("mad_x4") * 3, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("lang"))
+    },
+
+    GraftQuery(
       "q52_stats_from_sums",
       "Moment statistics from exact integer sums (decimal(38) — no float summation order anywhere): per-returnflag stddev of price cents and corr(quantity, price) in ppm, derived from n, Sx, Sy, Sxx, Syy, Sxy.",
       """WITH s AS (SELECT l_returnflag,

@@ -188,6 +188,36 @@ object PipelineOps {
     },
 
     GraftQuery(
+      "q135_markov_transitions",
+      "Behavioral transition matrix: per-user event streams ordered by (ts, event_id), each adjacent (prev_type → type) pair counted globally, with per-source-state probabilities as exact integer ppm. One lag window partitioned by user (state distributes with the key) + one small aggregate over the 25-cell matrix — the Markov-chain census behind session modeling and bot detection.",
+      """WITH t AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type AS from_type, event_type AS to_type,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  (n * 1000000) // sum(n) OVER (PARTITION BY from_type) AS p_ppm
+        |FROM c ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val c = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      // the per-source normalization window runs over the |types|² matrix,
+      // not the event stream
+      val wf = Window.partitionBy(col("from_type"))
+      c.select(col("from_type"), col("to_type"), col("n"),
+          sum(col("n")).over(wf).as("tot"))
+        .selectExpr("from_type", "to_type", "n", "(n * 1000000) div tot AS p_ppm")
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
+    GraftQuery(
       "q84_stratified_sample",
       "Deterministic stratified sampling: per-language rates (en 10%, others 30%) via md5-residue on doc_id — stateless, engine- and partitioning-independent, no sort or per-stratum pass.",
       s"""SELECT doc_id, lang

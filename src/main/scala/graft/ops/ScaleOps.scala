@@ -367,5 +367,49 @@ object ScaleOps {
         .agg(count(lit(1)).as("n_orders"),
           sum(cents(col("o_totalprice"))).as("rev_cents"))
         .orderBy(col("o_year"), col("o_month"))
+    },
+
+    GraftQuery(
+      "q137_skew_profile",
+      "Shuffle-key skew profiler — the diagnostic you run BEFORE choosing salting (q53/q98) or AQE skew handling: per candidate join key, the per-key row counts reduced to n_keys, total, max, integer-exact median (x2) and a max/median skew ratio in ppm-of-x2. Two-level shape: the per-key count is a map-side-combinable aggregate over the fact table; the rank window runs over the KEY frame (one row per key), never the fact rows.",
+      """WITH k AS (
+        |  SELECT 'l_partkey' AS key_col, l_partkey AS k, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'l_suppkey', l_suppkey, count(*) FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT key_col, c,
+        |    row_number() OVER (PARTITION BY key_col ORDER BY c, k) AS rn,
+        |    count(*)     OVER (PARTITION BY key_col) AS n
+        |  FROM k),
+        |a AS (SELECT key_col, CAST(max(n) AS BIGINT) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(max(c) AS BIGINT) AS max_rows,
+        |    CAST(sum(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN c END)
+        |         * (CASE WHEN max(n) % 2 = 0 THEN 1 ELSE 2 END) AS BIGINT) AS median_x2
+        |  FROM r GROUP BY key_col)
+        |SELECT key_col, n_keys, n_rows, max_rows, median_x2,
+        |  (max_rows * 2000000) // median_x2 AS skew_ppm
+        |FROM a ORDER BY key_col""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+      def counts(c: String) = li.groupBy(col(c).as("k"))
+        .agg(count(lit(1)).as("c")).select(lit(c).as("key_col"), col("k"), col("c"))
+      val k = counts("l_partkey").unionAll(counts("l_suppkey"))
+      val w  = Window.partitionBy(col("key_col")).orderBy(col("c"), col("k"))
+      val wn = Window.partitionBy(col("key_col"))
+      val r = k.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+      val lo = floor((col("n") + 1) / 2)
+      val hi = floor((col("n") + 2) / 2)
+      r.groupBy(col("key_col"))
+        .agg(max(col("n")).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_rows"),
+          (sum(when(col("rn") === lo || col("rn") === hi, col("c")))
+            * when(max(col("n")) % 2 === 0, 1).otherwise(2)).cast("long")
+            .as("median_x2"))
+        .selectExpr("key_col", "n_keys", "n_rows", "max_rows", "median_x2",
+          "(max_rows * 2000000) div median_x2 AS skew_ppm")
+        .orderBy(col("key_col"))
     })
 }

@@ -111,6 +111,38 @@ object SourcesAndUdfs {
     },
 
     GraftQuery(
+      "q138_schema_evolution",
+      "Schema evolution across file generations: an old-generation parquet file (3 columns) and a new-generation file with an added column read as ONE table via mergeSchema — old rows surface the new column as NULL, no rewrite of historical data (the only sane contract when 100 TB of old files cannot be touched). The merged read is then aggregated with explicit null routing. Staged once per fixture fingerprint.",
+      """WITH g AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS prio
+        |  FROM orders)
+        |SELECT coalesce(prio, '0-LEGACY') AS priority,
+        |  count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS rev_cents
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = stage(d, "orders_evolving")
+      stageOnce(dir) {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"),
+            col("o_orderpriority"))
+        // generation 1: even keys, WITHOUT the priority column
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("cents"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/gen=1")
+        // generation 2: odd keys, schema grew a column
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("cents"), col("o_orderpriority"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/gen=2")
+        // _SUCCESS marker at the staging root for stageOnce
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$dir/gen=1", s"$dir/gen=2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("0-LEGACY")).as("priority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+        .orderBy(col("priority"))
+    },
+
+    GraftQuery(
       "q64_csv_source",
       "CSV scan with explicit StructType: customer staged as headered CSV, read back with the declared schema (no inference pass), aggregated per nation — values must round-trip the text format exactly.",
       """SELECT c_nationkey, count(*) AS n,
