@@ -250,6 +250,46 @@ object Analytics {
     },
 
     GraftQuery(
+      "q141_snapshot_diff",
+      "Snapshot diff / change-data classification: two table generations full-outer-joined on the key and every row classified added / removed / changed / unchanged, with signed net value drift per class — the reconciliation operator behind CDC validation and sync auditing. One shuffle on the join key; the class census is a small aggregate. (Generation B is derived deterministically from A: keys %37 dropped, %19 price-bumped, %41 mirrored in as new negative keys.)",
+      """WITH a AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |b AS (
+        |  SELECT k, CASE WHEN k % 19 = 0 THEN v + 100 ELSE v END AS v
+        |  FROM a WHERE k % 37 <> 0
+        |  UNION ALL
+        |  SELECT -k, v FROM a WHERE k % 41 = 0 AND k > 0),
+        |j AS (SELECT coalesce(a.k, b.k) AS k, a.v AS va, b.v AS vb
+        |      FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT CASE WHEN va IS NULL THEN 'added'
+        |            WHEN vb IS NULL THEN 'removed'
+        |            WHEN va <> vb   THEN 'changed'
+        |            ELSE 'unchanged' END AS change_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(coalesce(vb, 0) - coalesce(va, 0)) AS BIGINT) AS net_cents
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val a = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("v"))
+      val b = a.filter(col("k") % 37 =!= 0)
+        .select(col("k"),
+          when(col("k") % 19 === 0, col("v") + 100).otherwise(col("v")).as("v"))
+        .unionAll(a.filter(col("k") % 41 === 0 && col("k") > 0)
+          .select((-col("k")).as("k"), col("v")))
+      a.select(col("k"), col("v").as("va"))
+        .join(b.select(col("k"), col("v").as("vb")), Seq("k"), "full_outer")
+        .select(
+          when(col("va").isNull, "added")
+            .when(col("vb").isNull, "removed")
+            .when(col("va") =!= col("vb"), "changed")
+            .otherwise("unchanged").as("change_type"),
+          (coalesce(col("vb"), lit(0L)) - coalesce(col("va"), lit(0L))).as("delta"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("delta")).as("net_cents"))
+        .orderBy(col("change_type"))
+    },
+
+    GraftQuery(
       "q52_stats_from_sums",
       "Moment statistics from exact integer sums (decimal(38) — no float summation order anywhere): per-returnflag stddev of price cents and corr(quantity, price) in ppm, derived from n, Sx, Sy, Sxx, Syy, Sxy.",
       """WITH s AS (SELECT l_returnflag,

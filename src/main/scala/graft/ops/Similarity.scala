@@ -105,6 +105,46 @@ object Similarity {
     },
 
     GraftQuery(
+      "q140_hard_negatives",
+      "Hard-negative mining for contrastive training: for each probe (vec_id < 10), the top-5 most-similar vectors whose LABEL DIFFERS — the near-miss candidates a retrieval model trains against. Same broadcast-probe + codegen-dot shape as q43 plus the label-inequality predicate; at scale the candidate side comes from the ANN tiers (q44/q73) instead of the full corpus, with this exact pass as the re-rank.",
+      s"""WITH n AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |s AS (SELECT a.vec_id AS probe_id, a.label AS probe_label,
+         |        b.vec_id AS vec_id, b.label AS neg_label,
+         |        CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+         |             ELSE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) END AS sim
+         |      FROM n a JOIN n b ON b.label <> a.label
+         |      WHERE a.vec_id < 10),
+         |r AS (SELECT probe_id, probe_label, vec_id, neg_label, sim,
+         |        row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |SELECT probe_id, CAST(probe_label AS INTEGER) AS probe_label,
+         |  vec_id, CAST(neg_label AS INTEGER) AS neg_label, rk,
+         |  CAST(floor(1000000.0 * sim) AS BIGINT) AS cos_ppm
+         |FROM r WHERE rk <= 5
+         |ORDER BY probe_id, rk""".stripMargin) { (s, d) =>
+      val n = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          l2Norm(col("embedding")).as("nrm"))
+      val probes = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+          col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+      val nn  = col("p_nrm") * col("nrm")
+      val sim = when(nn === 0d, 0d)
+        .otherwise(dotProduct(col("p_emb"), col("embedding")) / nn)
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+      broadcast(probes)
+        .join(n, col("label") =!= col("probe_label"))
+        .select(col("probe_id"), col("probe_label").cast("int").as("probe_label"),
+          col("vec_id"), col("label").cast("int").as("neg_label"), sim.as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("probe_label"), col("vec_id"),
+          col("neg_label"), col("rk"),
+          floor(lit(1000000.0) * col("sim")).cast("long").as("cos_ppm"))
+        .orderBy(col("probe_id"), col("rk"))
+    },
+
+    GraftQuery(
       "q73_ivf_ann_topk",
       "IVF-style ANN: 16 deterministic seed centroids (first vectors), every vector assigned to its nearest centroid (exact L2, total tie-break), probes search only their nprobe=2 nearest inverted lists, exact cosine top-5 within candidates. Assignment and search are both linear passes — the coarse-quantizer shape of a billion-vector index.",
       s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),

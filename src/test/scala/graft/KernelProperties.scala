@@ -86,4 +86,43 @@ object KernelProperties extends Properties("graft.kernels") {
           .foldLeft(agg.zero)(agg.merge)
         agg.finish(grouped) == agg.finish(whole) && grouped == whole
     }
+
+  // ---- q127 kernel + prefix-filter theorem --------------------------------
+
+  private def intersectCount(a: Seq[Long], b: Seq[Long]): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def lit(s: Seq[Long]) = Literal(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(s.toArray[Any]),
+      ArrayType(LongType))
+    org.apache.spark.sql.graft.SortedIntersectCount(lit(a), lit(b))
+      .eval(null).asInstanceOf[Long]
+  }
+
+  property("sorted_intersect_count == set-intersection reference") =
+    forAll(Gen.listOf(Gen.choose(0L, 60L)), Gen.listOf(Gen.choose(0L, 60L))) {
+      (a, b) =>
+        val sa = a.distinct.sorted
+        val sb = b.distinct.sorted
+        intersectCount(sa, sb) == (sa.toSet intersect sb.toSet).size.toLong
+    }
+
+  /** The AllPairs/PPJoin prefix theorem q127 rests on: for any two distinct
+    * sets with Jaccard ≥ t under ANY shared total token order, the
+    * (n − ceil(t·n) + 1)-prefixes intersect — so prefix-join candidate
+    * generation has no false negatives. */
+  property("prefix filter never loses a Jaccard-0.9 pair") =
+    forAll(Gen.listOf(Gen.choose(0L, 30L)), Gen.listOf(Gen.choose(0L, 30L))) {
+      (a, b) =>
+        val sa = a.distinct.sorted // the shared total order: value asc
+        val sb = b.distinct.sorted
+        val inter = (sa.toSet intersect sb.toSet).size
+        val union = sa.size + sb.size - inter
+        val qualifies = sa.nonEmpty && sb.nonEmpty &&
+          inter.toLong * 10 >= 9L * union
+        def prefix(s: Seq[Long]) =
+          s.take(s.size - ((9 * s.size + 9) / 10) + 1)
+        !qualifies ||
+          (prefix(sa).toSet intersect prefix(sb).toSet).nonEmpty
+    }
 }
