@@ -12,13 +12,17 @@ import graft.functions.CrossHash.{h60Local, h60Sql}
   * that scales: executors stream batches without materializing a partition,
   * and the feature schema is declared up front so Catalyst plans around it.
   *
-  * The actual media decoding is a STUB by design (no image/audio codecs in
-  * this environment): [[Multimodal.decodeBatch]] produces deterministic fake
-  * features (byte length, md5-derived 60-bit fingerprint, fingerprint-derived
-  * fake dimensions) so the pipeline is end-to-end verifiable against the
-  * DuckDB oracle. A real deployment swaps ONLY the body of `decodeBatch` for
-  * a codec call; every Spark-side contract (binary payloads, batch iterator,
-  * feature schema, partitioning) stays identical.
+  * Two tiers:
+  *   - q62/q63/q76: the decode body is a STUB (deterministic fake features
+  *     from the raw bytes) — documents the contract over arbitrary corpus
+  *     bytes;
+  *   - q142/q143: REAL codecs in the same contract — q142 round-trips
+  *     genuine PNGs through the JDK's javax.imageio codec and verifies
+  *     every decoded pixel against the arithmetic oracle; q143 parses real
+  *     RIFF/WAVE PCM with a hand-rolled little-endian reader. A production
+  *     deployment swaps ONLY the batch body for its codec; every Spark-side
+  *     contract (binary payloads, batch iterator, declared feature schema,
+  *     partitioning) stays identical across all five queries.
   */
 object Multimodal {
 
@@ -68,7 +72,167 @@ object Multimodal {
       }
     }
 
+  // ---- REAL decoders (q142/q143) ------------------------------------------
+  // The stub tier above documents the contract; these two run genuine
+  // codecs inside the same batched partition map: q142 decodes real PNG
+  // bytes through the JDK's javax.imageio codec (zlib inflate, filters,
+  // the lot), q143 parses real RIFF/WAVE PCM with a hand-rolled
+  // little-endian reader. Payloads are synthesized images/waveforms whose
+  // pixel/sample values are arithmetic in (doc_id, position) — so the
+  // DuckDB oracle verifies every decoded value without any codec.
+
+  /** q142 tile geometry. */
+  val TileW = 16
+  val TileH = 16
+
+  /** Deterministic RGB for (doc, x, y) — shared by encoder and oracle. */
+  private def synthR(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
+  private def synthG(id: Long, x: Int, y: Int): Int = ((id * 17 + x * 11 + y * 3) % 256).toInt
+  private def synthB(id: Long, x: Int, y: Int): Int = ((id * 23 + x * 5 + y * 19) % 256).toInt
+
+  /** Encode one synthetic tile as a real PNG (JDK codec, headless-safe). */
+  def encodePng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      TileW, TileH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < TileH) {
+      var x = 0
+      while (x < TileW) {
+        img.setRGB(x, y,
+          (synthR(id, x, y) << 16) | (synthG(id, x, y) << 8) | synthB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  final case class PngFeatures(doc_id: Long, width: Int, height: Int,
+                               sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL decode: full PNG parse via the JDK codec, per-channel integer
+    * sums over the decoded pixels. */
+  def decodePngBatch(batch: Seq[MediaRecord]): Seq[PngFeatures] =
+    batch.map { rec =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(rec.payload))
+      require(img != null, s"doc ${rec.doc_id}: payload is not a decodable image")
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      PngFeatures(rec.doc_id, img.getWidth, img.getHeight, sr, sg, sb)
+    }
+
+  /** q143 waveform geometry: 16-bit mono PCM, `WavSamples` samples. */
+  val WavSamples = 256
+  val WavRate = 8000
+
+  /** Deterministic 16-bit sample for (doc, i) — shared with the oracle. */
+  private def synthSample(id: Long, i: Int): Int =
+    ((id * 7919 + i.toLong * 31) % 2048 - 1024).toInt
+
+  /** Encode a real RIFF/WAVE file (44-byte canonical header + LE samples). */
+  def encodeWav(id: Long): Array[Byte] = {
+    val dataLen = WavSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(WavRate).putInt(WavRate * 2) // byte rate = rate * block align
+      .putShort(2).putShort(16) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < WavSamples) { buf.putShort(synthSample(id, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  final case class WavFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
+                               peak_abs: Long, sum_abs: Long)
+
+  /** REAL parse: validate the RIFF/fmt/data chunk layout, then read the
+    * little-endian PCM stream — integer peak and absolute-sum features. */
+  def decodeWavBatch(batch: Seq[MediaRecord]): Seq[WavFeatures] =
+    batch.map { rec =>
+      val buf = java.nio.ByteBuffer.wrap(rec.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = { val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII") }
+      require(tag() == "RIFF", s"doc ${rec.doc_id}: not RIFF"); buf.getInt
+      require(tag() == "WAVE", s"doc ${rec.doc_id}: not WAVE")
+      require(tag() == "fmt ", s"doc ${rec.doc_id}: missing fmt "); buf.getInt
+      val fmt = buf.getShort; val ch = buf.getShort
+      val rate = buf.getInt; buf.getInt; buf.getShort
+      val bits = buf.getShort
+      require(fmt == 1 && ch == 1 && bits == 16,
+        s"doc ${rec.doc_id}: not 16-bit mono PCM")
+      require(tag() == "data", s"doc ${rec.doc_id}: missing data chunk")
+      val dataLen = buf.getInt
+      val n = dataLen / 2
+      var (peak, sum) = (0L, 0L)
+      var i = 0
+      while (i < n) {
+        val a = math.abs(buf.getShort.toLong)
+        if (a > peak) peak = a
+        sum += a
+        i += 1
+      }
+      WavFeatures(rec.doc_id, rate, n.toLong, peak, sum)
+    }
+
   def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q142_png_decode",
+      s"REAL image decode in the batched partition map: each doc synthesizes a ${TileW}×${TileH} RGB tile (pixel channels arithmetic in doc_id,x,y), encodes it through the JDK's actual PNG codec, ships the bytes as an opaque binary column, and a second mapPartitions stage DECODES the PNG (zlib inflate + filter reconstruction) and reduces per-channel integer sums. The oracle regenerates the pixel arithmetic — every decoded channel value is verified. Same iterator-of-batches contract as the q62 stub tier, demonstrating the swap-in of a real codec.",
+      s"""WITH px AS (SELECT d.doc_id, ux.x, uy.y
+         |  FROM documents d,
+         |    LATERAL unnest(generate_series(0, ${TileW - 1})) AS ux(x),
+         |    LATERAL unnest(generate_series(0, ${TileH - 1})) AS uy(y))
+         |SELECT doc_id, $TileW AS width, $TileH AS height,
+         |  CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+         |  CAST(sum((doc_id * 17 + x * 11 + y * 3) % 256) AS BIGINT) AS sum_g,
+         |  CAST(sum((doc_id * 23 + x * 5 + y * 19) % 256) AS BIGINT) AS sum_b
+         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val records = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaRecord(id, "image", encodePng(id))))
+      records
+        .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodePngBatch))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
+      "q143_wav_decode",
+      s"REAL audio parse in the batched partition map: each doc synthesizes a $WavSamples-sample 16-bit mono PCM waveform (samples arithmetic in doc_id,i), encodes a genuine RIFF/WAVE file, and the decode stage validates the chunk layout and reads the little-endian sample stream — integer peak and mean-amplitude features, every sample value verified by the arithmetic oracle.",
+      s"""WITH sm AS (SELECT d.doc_id, u.i,
+         |    abs((d.doc_id * 7919 + u.i * 31) % 2048 - 1024) AS a
+         |  FROM documents d,
+         |    LATERAL unnest(generate_series(0, ${WavSamples - 1})) AS u(i))
+         |SELECT doc_id, $WavRate AS sample_rate,
+         |  CAST($WavSamples AS BIGINT) AS n_samples,
+         |  CAST(max(a) AS BIGINT) AS peak_abs,
+         |  CAST(sum(a) AS BIGINT) AS sum_abs
+         |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val records = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaRecord(id, "audio", encodeWav(id))))
+      records
+        .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeWavBatch))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
 
     GraftQuery(
       "q76_frame_sample",
