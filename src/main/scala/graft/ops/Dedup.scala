@@ -173,6 +173,28 @@ object Dedup {
     },
 
     GraftQuery(
+      "q146_sketch_merge",
+      "Sketch mergeability — the property that makes incremental maintenance free at 100 TB: MinHash(A ∪ B) = elementwise-min(MinHash(A), MinHash(B)). Each doc's shingles are split by hash parity into two disjoint sub-corpora, each half aggregated independently (the 'yesterday's corpus' and 'today's delta' stand-ins), and the signatures merged with zip_with(least). The oracle computes the whole-corpus signature directly — equality proves a stored signature table never needs recomputation, only a min-merge with the delta's.",
+      minhashSql + "\nORDER BY doc_id") { (s, d) =>
+      val as = hashParams.map(_._1).toArray
+      val bs = hashParams.map(_._2).toArray
+      val sh = shingleHashes(s, d)
+      def half(parity: Int) = sh.filter(pmod(col("hs"), lit(2)) === parity)
+        .groupBy(col("doc_id"))
+        .agg(graft.functions.GraftFunctions
+          .minhashAgg(col("hs"), as, bs, P).as(s"sig$parity"))
+      val merged = half(0).join(half(1), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("sig0").isNull, col("sig1"))
+            .when(col("sig1").isNull, col("sig0"))
+            .otherwise(zip_with(col("sig0"), col("sig1"), (a, b) => least(a, b)))
+            .as("sig"))
+      val cols = col("doc_id") +:
+        hashParams.indices.map(i => col("sig").getItem(i).as(f"mh$i%02d"))
+      merged.select(cols: _*).orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
       "q40_lsh_bucket_stats",
       "LSH banding over the MinHash signatures (8 bands × 4 rows): per band, bucket count, max bucket size, and candidate-pair count — the linear-cost candidate generator that replaces all-pairs comparison at corpus scale.",
       {

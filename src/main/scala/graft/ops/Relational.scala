@@ -264,6 +264,57 @@ object Relational {
     },
 
     GraftQuery(
+      "q144_bag_set_ops",
+      "Bag-semantics set ops — INTERSECT ALL / EXCEPT ALL keep multiplicities (min / truncated-difference of per-value counts), unlike their DISTINCT twins q13/q14: the per-customer order-date multiset of urgent orders intersected with / subtracted from high-value ones. Catalyst plans both as an aggregate of per-side counts plus a generate — no row-pair join.",
+      """WITH u AS (SELECT o_custkey AS id FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |h AS (SELECT o_custkey AS id FROM orders WHERE o_totalprice > 150000),
+        |i AS (SELECT id FROM u INTERSECT ALL SELECT id FROM h),
+        |e AS (SELECT id FROM u EXCEPT ALL SELECT id FROM h),
+        |ic AS (SELECT id, count(*) AS n FROM i GROUP BY id),
+        |ec AS (SELECT id, count(*) AS n FROM e GROUP BY id)
+        |SELECT coalesce(ic.id, ec.id) AS id,
+        |  CAST(coalesce(ic.n, 0) AS BIGINT) AS n_both,
+        |  CAST(coalesce(ec.n, 0) AS BIGINT) AS n_only_urgent
+        |FROM ic FULL OUTER JOIN ec ON ic.id = ec.id
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      val u = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("id"))
+      val h = Tables.orders(s, d).filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("id"))
+      val ic = u.intersectAll(h).groupBy(col("id")).agg(count(lit(1)).as("n_b"))
+      val ec = u.exceptAll(h).groupBy(col("id")).agg(count(lit(1)).as("n_o"))
+      ic.join(ec, Seq("id"), "full_outer")
+        .select(col("id"), coalesce(col("n_b"), lit(0L)).as("n_both"),
+          coalesce(col("n_o"), lit(0L)).as("n_only_urgent"))
+        .orderBy(col("id"))
+    },
+
+    GraftQuery(
+      "q145_nullsafe_join",
+      "Null-safe equality join (<=> / IS NOT DISTINCT FROM): optional attributes join with NULL matching NULL — the semantic a plain equi-join silently drops (NULL = NULL is never true). Clerk-bucket keys are NULL for low-value orders on both sides; the null-safe join pairs those rows too, and Catalyst still plans a HASH join (null-safe equality is an equi-key), not a nested loop.",
+      """WITH a AS (SELECT o_orderkey,
+        |    CASE WHEN o_totalprice > 100000 THEN o_custkey % 10 END AS bucket
+        |  FROM orders),
+        |b AS (SELECT CASE WHEN s_acctbal > 3000 THEN s_suppkey % 10 END AS bucket,
+        |    count(*) AS n_supp
+        |  FROM supplier GROUP BY 1)
+        |SELECT a.bucket, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(max(b.n_supp) AS BIGINT) AS n_supp
+        |FROM a JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
+        |GROUP BY a.bucket ORDER BY a.bucket NULLS FIRST""".stripMargin) { (s, d) =>
+      val a = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 100000, col("o_custkey") % 10).as("bucket"))
+      val b = Tables.supplier(s, d)
+        .groupBy(when(col("s_acctbal") > 3000, col("s_suppkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_supp"))
+      a.join(b, a("bucket") <=> b("bucket"))
+        .groupBy(a("bucket"))
+        .agg(count(lit(1)).as("n_orders"), max(col("n_supp")).as("n_supp"))
+        .orderBy(a("bucket").asc_nulls_first)
+    },
+
+    GraftQuery(
       "q15_distinct_pairs",
       "dropDuplicates as declarative DISTINCT on a projection.",
       """SELECT DISTINCT o_custkey, o_orderstatus
