@@ -131,6 +131,34 @@ object EtlQueries {
     },
 
     GraftQuery(
+      "q147_quality_gate",
+      "Data-quality expectations gate — the error handling the reference has none of (SURVEY §3: any non-2xx is silently dropped), generalized: three declarative rules (key present, amount in range, date not in the future) evaluated in ONE pass; failing rows are routed to quarantine with the FIRST violated rule as the reason, passing rows aggregate downstream. One scan, a shared when-chain, no per-rule re-read; per-rule violation counts plus the clean aggregate in one result.",
+      """WITH checked AS (SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_custkey IS NULL THEN 'r1_key_missing'
+        |         WHEN o_totalprice <= 0 OR o_totalprice > 500000 THEN 'r2_amount_range'
+        |         WHEN o_orderdate > TIMESTAMP '2001-06-01' THEN 'r3_future_date'
+        |         ELSE NULL END AS violation
+        |  FROM orders)
+        |SELECT coalesce(violation, 'z_passed') AS rule,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM checked GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      // first-violation-wins when-chain: rules are ordered, evaluated once
+      val violation =
+        when(col("o_custkey").isNull, "r1_key_missing")
+          .when(col("o_totalprice") <= 0 || col("o_totalprice") > 500000,
+            "r2_amount_range")
+          .when(col("o_orderdate") > lit(java.sql.Timestamp.valueOf("2001-06-01 00:00:00")),
+            "r3_future_date")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), violation.as("violation"))
+        .groupBy(coalesce(col("violation"), lit("z_passed")).as("rule"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("o_totalprice"))).as("cents"))
+        .orderBy(col("rule"))
+    },
+
+    GraftQuery(
       "q103_corrupt_json_ingest",
       "Permissive raw ingest: a JSON document column where every 13th record is truncated mid-object; from_json's PERMISSIVE default turns corrupt records into null structs instead of failing the batch, the pipeline splits valid from corrupt, and the valid side still aggregates exactly — the poison-pill tolerance a 100 TB ingest needs (one bad record must never kill a partition).",
       """WITH raw AS (

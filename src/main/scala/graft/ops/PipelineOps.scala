@@ -188,6 +188,48 @@ object PipelineOps {
     },
 
     GraftQuery(
+      "q149_leakage_free_split",
+      "Contamination-safe train/test split: the unit of assignment is the NEAR-DUP CLUSTER (q83's connected components), not the document — membership is a hash residue of the cluster label, so every near-duplicate lands on the same side and no test document has a training-set twin (the leakage a doc-level hash split cannot prevent). ~10% of clusters to test; per side the doc and cluster counts.",
+      {
+        val bandSelects = (0 until Dedup.NumBands).map { b =>
+          val key = (0 until Dedup.RowsPerBand)
+            .map(r => f"mh${b * Dedup.RowsPerBand + r}%02d").mkString(" || ',' || ")
+          s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH RECURSIVE sig AS (
+           |${Dedup.minhashSql}
+           |),
+           |bands AS (
+           |  $bandSelects),
+           |e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           |      FROM bands a JOIN bands b
+           |        ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id),
+           |reach(node, label) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.src, r.label FROM reach r JOIN e ON r.node = e.dst),
+           |lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+           |sided AS (SELECT node, label,
+           |    CASE WHEN ${h60Sql("'split|' || CAST(label AS VARCHAR)")} % 10 = 0
+           |         THEN 'test' ELSE 'train' END AS side
+           |  FROM lab)
+           |SELECT side, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(DISTINCT label) AS BIGINT) AS n_clusters
+           |FROM sided GROUP BY side ORDER BY side""".stripMargin
+      }) { (s, d) =>
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("node"))
+      val labels = connectedComponents(nodes, lshEdges(s, d))
+      val side = when(
+        pmod(h60(concat(lit("split|"), col("label").cast("string"))), lit(10L)) === 0,
+        "test").otherwise("train")
+      labels.select(col("label"), side.as("side"))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("label")).as("n_clusters"))
+        .orderBy(col("side"))
+    },
+
+    GraftQuery(
       "q135_markov_transitions",
       "Behavioral transition matrix: per-user event streams ordered by (ts, event_id), each adjacent (prev_type → type) pair counted globally, with per-source-state probabilities as exact integer ppm. One lag window partitioned by user (state distributes with the key) + one small aggregate over the 25-cell matrix — the Markov-chain census behind session modeling and bot detection.",
       """WITH t AS (SELECT user_id, event_type,

@@ -370,6 +370,36 @@ object ScaleOps {
     },
 
     GraftQuery(
+      "q148_dynamic_partition_overwrite",
+      "Dynamic partition overwrite (partitionOverwriteMode=dynamic): a Hive-layout table gets ONE partition's rows rewritten (urgent orders repriced to half cents) by a single overwrite-mode write that replaces only the partitions present in the incoming frame — the other four directories are untouched bytes, the idempotent-backfill primitive at 100 TB (re-run a day's job without touching any other day). Read back and aggregated to show exactly one changed partition.",
+      """WITH g AS (SELECT o_orderpriority,
+        |    CASE WHEN o_orderpriority = '1-URGENT'
+        |         THEN CAST(floor(o_totalprice * 100) AS BIGINT) // 2
+        |         ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END AS cents
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS rev_cents
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      // fresh scratch table per invocation: the query MUTATES it
+      val dir = graft.util.Scratch.dir("graft-dpo").toString
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"),
+          col("o_orderpriority"))
+      base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+      // the backfill: ONLY the urgent partition is present in the frame,
+      // so dynamic mode replaces that directory and no other
+      base.filter(col("o_orderpriority") === "1-URGENT")
+        .selectExpr("o_orderkey", "cents div 2 AS cents", "o_orderpriority")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    GraftQuery(
       "q137_skew_profile",
       "Shuffle-key skew profiler — the diagnostic you run BEFORE choosing salting (q53/q98) or AQE skew handling: per candidate join key, the per-key row counts reduced to n_keys, total, max, integer-exact median (x2) and a max/median skew ratio in ppm-of-x2. Two-level shape: the per-key count is a map-side-combinable aggregate over the fact table; the rank window runs over the KEY frame (one row per key), never the fact rows.",
       """WITH k AS (
