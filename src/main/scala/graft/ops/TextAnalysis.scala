@@ -117,6 +117,33 @@ object TextAnalysis {
     },
 
     GraftQuery(
+      "q150_phrase_search",
+      "Index-backed phrase query over the positional inverted index (q119's shape plus token positions): the phrase \"table hash\" resolves to the two terms' posting lists, intersected on doc and checked for POSITION ADJACENCY (p2 = p1 + 1) — the classic phrase-AND plan. Only the query terms' postings ever move (the token filter prunes the exploded stream immediately); at 100 TB the index is a token-bucketed table and a phrase costs two key lookups + a posting merge, never a corpus scan.",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (SELECT doc_id, i - 1 AS pos
+        |      FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        |      WHERE toks[i] = 'table' AND toks[i+1] = 'hash')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val phrase = Seq("table", "hash")
+      val posts = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .filter(col("tok").isin(phrase: _*)) // only query-term postings survive
+      val t1 = posts.filter(col("tok") === phrase(0))
+        .select(col("doc_id"), col("pos"))
+      val t2 = posts.filter(col("tok") === phrase(1))
+        .select(col("doc_id").as("d2"), col("pos").as("p2"))
+      t1.join(t2, col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          min(col("pos")).cast("long").as("first_pos"))
+        .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
       "q45_language_id",
       "Language-ID by stopword-profile scoring: per doc, count profile hits per language, argmax with total tie-break (score desc, lang asc); output the actual-vs-predicted confusion matrix.",
       {
