@@ -250,6 +250,76 @@ object Analytics {
     },
 
     GraftQuery(
+      "q151_weighted_median",
+      "Weighted median — the 50th percentile of price where each row counts l_quantity times, computed by cumulative-weight rank selection: one ordered window for the running weight, then the first value whose cumulative weight reaches half the total (integer cross-multiplied: 2·cum ≥ W). The exact-quantile machinery of q51 generalized to weights; partitioned by the group key throughout.",
+      """WITH r AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS w,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag
+        |      ORDER BY floor(l_extendedprice * 100), l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(min(tot) AS BIGINT) AS total_weight,
+        |  CAST(min(CASE WHEN 2 * cum >= tot THEN cents END) AS BIGINT) AS wmedian_cents
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val ord = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(col("l_returnflag"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("cents"),
+          col("l_quantity").cast("long").as("w"))
+        .withColumn("cum", sum(col("w")).over(ord))
+        .withColumn("tot", sum(col("w")).over(all))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("tot")).as("total_weight"),
+          min(when(col("cum") * 2 >= col("tot"), col("cents")))
+            .cast("long").as("wmedian_cents"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    GraftQuery(
+      "q152_session_paths",
+      "Top navigation paths: each user session (10-min gap sessionization, the q55 rewrite) reduced to its ordered event-type sequence, then the 20 most frequent paths — the product-analytics staple. The path string is built by a deterministic ordered aggregation within the session; only fixed-size path strings shuffle to the final count.",
+      """WITH g AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 10 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |p AS (SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sessions = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("new_s",
+          when(lag(col("ts"), 1).over(byUser).isNull ||
+            col("ts") - lag(col("ts"), 1).over(byUser) > expr("INTERVAL 10 MINUTE"), 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(run))
+      // ordered path assembly: sort the collected (ts, event_id, type)
+      // structs inside each session — deterministic, no second window
+      sessions.groupBy(col("user_id"), col("sid"))
+        .agg(concat_ws(">",
+          transform(array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x("event_type"))).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    },
+
+    GraftQuery(
       "q141_snapshot_diff",
       "Snapshot diff / change-data classification: two table generations full-outer-joined on the key and every row classified added / removed / changed / unchanged, with signed net value drift per class — the reconciliation operator behind CDC validation and sync auditing. One shuffle on the join key; the class census is a small aggregate. (Generation B is derived deterministically from A: keys %37 dropped, %19 price-bumped, %41 mirrored in as new negative keys.)",
       """WITH a AS (SELECT o_orderkey AS k,
