@@ -401,7 +401,7 @@ object ScaleOps {
 
     GraftQuery(
       "q137_skew_profile",
-      "Shuffle-key skew profiler — the diagnostic you run BEFORE choosing salting (q53/q98) or AQE skew handling: per candidate join key, the per-key row counts reduced to n_keys, total, max, integer-exact median (x2) and a max/median skew ratio in ppm-of-x2. Two-level shape: the per-key count is a map-side-combinable aggregate over the fact table; the rank window runs over the KEY frame (one row per key), never the fact rows.",
+      "Shuffle-key skew profiler — the diagnostic you run BEFORE choosing salting (q53/q98) or AQE skew handling: per candidate join key, the per-key row counts reduced to n_keys, total, max, integer-exact median (x2) and a max/median skew ratio in ppm-of-x2. Three-level shape that never sorts the key frame: per-key counts (map-side combinable over the fact table) → counts-of-counts HISTOGRAM (one row per distinct count value, ~dozens regardless of key cardinality) → median by cumulative-frequency selection over the histogram. At billions of keys the rank-window formulation would sort the whole key frame; the histogram selection is the shape that survives.",
       """WITH k AS (
         |  SELECT 'l_partkey' AS key_col, l_partkey AS k, count(*) AS c
         |  FROM lineitem GROUP BY 1, 2
@@ -425,19 +425,25 @@ object ScaleOps {
       def counts(c: String) = li.groupBy(col(c).as("k"))
         .agg(count(lit(1)).as("c")).select(lit(c).as("key_col"), col("k"), col("c"))
       val k = counts("l_partkey").unionAll(counts("l_suppkey"))
-      val w  = Window.partitionBy(col("key_col")).orderBy(col("c"), col("k"))
-      val wn = Window.partitionBy(col("key_col"))
-      val r = k.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wn))
+      // counts-of-counts histogram: one row per distinct per-key count —
+      // bounded by the count-value range, independent of key cardinality
+      val hist = k.groupBy(col("key_col"), col("c"))
+        .agg(count(lit(1)).as("freq"), sum(col("c")).as("rows_at"))
+      // cumulative frequency over the TINY histogram (ordered by count
+      // value); the lo/hi rank medians are the smallest count values whose
+      // cumulative frequency reaches (n+1)/2 and (n+2)/2
+      val cumW = Window.partitionBy(col("key_col")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = hist.withColumn("cum", sum(col("freq")).over(cumW))
+        .withColumn("n", sum(col("freq")).over(Window.partitionBy(col("key_col"))))
       val lo = floor((col("n") + 1) / 2)
       val hi = floor((col("n") + 2) / 2)
       r.groupBy(col("key_col"))
         .agg(max(col("n")).as("n_keys"),
-          sum(col("c")).as("n_rows"),
+          sum(col("rows_at")).as("n_rows"),
           max(col("c")).as("max_rows"),
-          (sum(when(col("rn") === lo || col("rn") === hi, col("c")))
-            * when(max(col("n")) % 2 === 0, 1).otherwise(2)).cast("long")
-            .as("median_x2"))
+          (min(when(col("cum") >= lo, col("c"))) +
+            min(when(col("cum") >= hi, col("c")))).cast("long").as("median_x2"))
         .selectExpr("key_col", "n_keys", "n_rows", "max_rows", "median_x2",
           "(max_rows * 2000000) div median_x2 AS skew_ppm")
         .orderBy(col("key_col"))

@@ -198,4 +198,29 @@ class ScaleOpsSpec extends SparkSpec {
     // bins are width-16 aligned
     assert(hist.filter(col("bin_lo") % 16 =!= 0).isEmpty)
   }
+
+  test("q137: histogram-selected median ≡ rank-window median twin") {
+    import org.apache.spark.sql.expressions.Window
+    val got = q("q137_skew_profile").collect().toSeq
+    // the naive twin q137 deliberately avoids: sort the whole key frame
+    val li = Tables.lineitem(spark, sf)
+    def counts(c: String) = li.groupBy(col(c).as("k"))
+      .agg(count(lit(1)).as("c")).select(lit(c).as("key_col"), col("k"), col("c"))
+    val k = counts("l_partkey").unionAll(counts("l_suppkey"))
+    val w  = Window.partitionBy(col("key_col")).orderBy(col("c"), col("k"))
+    val wn = Window.partitionBy(col("key_col"))
+    val r = k.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+    val lo = floor((col("n") + 1) / 2)
+    val hi = floor((col("n") + 2) / 2)
+    val twin = r.groupBy(col("key_col"))
+      .agg(max(col("n")).as("n_keys"), sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_rows"),
+        sum(when(col("rn") === lo, col("c"))).cast("long")
+          .+(sum(when(col("rn") === hi, col("c"))).cast("long")).as("median_x2"))
+      .selectExpr("key_col", "n_keys", "n_rows", "max_rows", "median_x2",
+        "(max_rows * 2000000) div median_x2 AS skew_ppm")
+      .orderBy(col("key_col")).collect().toSeq
+    assert(got === twin)
+  }
 }
