@@ -195,7 +195,7 @@ object Analytics {
 
     GraftQuery(
       "q136_mad_outliers",
-      "Robust outlier detection per language — median absolute deviation with every quantity integer-exact: medians carried as x2 sums of the two middle ranks (q51's trick), deviations as |2·x − median_x2| longs, MAD as x4, and the 3-sigma-equivalent test 2·dev_x2 > 3·mad_x4 all in cross-multiplied integers. Two rank windows, both partitioned by the group key. The length-outlier census that feeds training-data quality filtering.",
+      "Robust outlier detection per language — median absolute deviation with every quantity integer-exact: medians carried as x2 sums of the two middle ranks (q51's trick), deviations as |2·x − median_x2| longs, MAD as x4, and the 3-sigma-equivalent test 2·dev_x2 > 3·mad_x4 all in cross-multiplied integers. Medians come from per-language VALUE HISTOGRAMS with cumulative-frequency selection (the q137 shape) — nothing ever sorts the documents themselves. The length-outlier census that feeds training-data quality filtering.",
       """WITH r AS (SELECT lang, n_chars,
         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
         |    count(*)     OVER (PARTITION BY lang) AS n
@@ -219,17 +219,23 @@ object Analytics {
         |  CAST(sum(CASE WHEN 2 * dev.dev_x2 > 3 * mad.mad_x4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev JOIN med ON dev.lang = med.lang JOIN mad ON dev.lang = mad.lang
         |GROUP BY dev.lang ORDER BY dev.lang""".stripMargin) { (s, d) =>
+      // histogram-selection median (the q137 doctrine): group to a
+      // (lang, value) histogram first — bounded by the VALUE range, not the
+      // corpus — then select the lo/hi rank values by cumulative frequency.
+      // A rank window here would sort every doc per language at 100 TB.
       def medianX2(df: org.apache.spark.sql.DataFrame, valueCol: String,
                    outName: String): org.apache.spark.sql.DataFrame = {
-        val w  = Window.partitionBy(col("lang")).orderBy(col(valueCol), col("doc_id"))
-        val wn = Window.partitionBy(col("lang"))
-        val r = df.withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(wn))
+        val hist = df.groupBy(col("lang"), col(valueCol).as("v"))
+          .agg(count(lit(1)).as("freq"))
+        val cumW = Window.partitionBy(col("lang")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val r = hist.withColumn("cum", sum(col("freq")).over(cumW))
+          .withColumn("n", sum(col("freq")).over(Window.partitionBy(col("lang"))))
         val lo = floor((col("n") + 1) / 2)
         val hi = floor((col("n") + 2) / 2)
         r.groupBy(col("lang"))
-          .agg((sum(when(col("rn") === lo || col("rn") === hi, col(valueCol)))
-            * when(max(col("n")) % 2 === 0, 1).otherwise(2)).cast("long").as(outName))
+          .agg((min(when(col("cum") >= lo, col("v"))) +
+            min(when(col("cum") >= hi, col("v")))).cast("long").as(outName))
       }
       val docs = Tables.documents(s, d).select(col("lang"), col("doc_id"), col("n_chars"))
       val med = medianX2(docs, "n_chars", "med_x2")
@@ -251,7 +257,7 @@ object Analytics {
 
     GraftQuery(
       "q151_weighted_median",
-      "Weighted median — the 50th percentile of price where each row counts l_quantity times, computed by cumulative-weight rank selection: one ordered window for the running weight, then the first value whose cumulative weight reaches half the total (integer cross-multiplied: 2·cum ≥ W). The exact-quantile machinery of q51 generalized to weights; partitioned by the group key throughout.",
+      "Weighted median — the 50th percentile of price where each row counts l_quantity times, computed by cumulative-weight selection over the (group, value) WEIGHT HISTOGRAM: the first value whose cumulative weight reaches half the total (integer cross-multiplied: 2·cum ≥ W). The histogram is bounded by the value domain, so nothing sorts the fact rows — q51's exact-quantile machinery generalized to weights and the q137 scale shape.",
       """WITH r AS (SELECT l_returnflag,
         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
         |    CAST(l_quantity AS BIGINT) AS w,
@@ -263,16 +269,21 @@ object Analytics {
         |SELECT l_returnflag, CAST(min(tot) AS BIGINT) AS total_weight,
         |  CAST(min(CASE WHEN 2 * cum >= tot THEN cents END) AS BIGINT) AS wmedian_cents
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      val ord = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val all = Window.partitionBy(col("l_returnflag"))
-      Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          cents(col("l_extendedprice")).as("cents"),
+      // histogram selection (q137 doctrine): weights grouped to one row
+      // per distinct cents value, cumulative weight over the VALUE-ordered
+      // histogram — the crossing row's value equals the row-level
+      // formulation's (the crossing always happens at a value boundary),
+      // and nothing sorts the fact rows
+      val hist = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("cents"),
           col("l_quantity").cast("long").as("w"))
-        .withColumn("cum", sum(col("w")).over(ord))
-        .withColumn("tot", sum(col("w")).over(all))
+        .groupBy(col("l_returnflag"), col("cents"))
+        .agg(sum(col("w")).as("wsum"))
+      val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum", sum(col("wsum")).over(cumW))
+        .withColumn("tot",
+          sum(col("wsum")).over(Window.partitionBy(col("l_returnflag"))))
         .groupBy(col("l_returnflag"))
         .agg(min(col("tot")).as("total_weight"),
           min(when(col("cum") * 2 >= col("tot"), col("cents")))
