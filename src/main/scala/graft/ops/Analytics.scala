@@ -159,7 +159,7 @@ object Analytics {
 
     GraftQuery(
       "q51_percentiles",
-      "Exact rank-based percentiles per order priority: median as the sum of the two middle cents values (x2 — integer-exact, no interpolation), p90 as the discrete quantile at ceil(0.9 n).",
+      "Exact rank-based percentiles per order priority: median as the sum of the two middle cents values (x2 — integer-exact, no interpolation), p90 as the discrete quantile at ceil(0.9 n). Ranks select by cumulative frequency over the per-group (value → count) histogram — bounded by the value domain, so no formulation sorts the order rows per group (the q137 scale shape; the oracle keeps the equivalent row_number form).",
       """WITH r AS (SELECT o_orderpriority,
         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
         |    row_number() OVER (PARTITION BY o_orderpriority
@@ -172,22 +172,27 @@ object Analytics {
         |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS BIGINT) AS p90_cents,
         |  max(n) AS n
         |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
-      val w  = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents"))
-      val wn = Window.partitionBy(col("o_orderpriority"))
-      val r = Tables.orders(s, d)
+      // (value → count) histogram per group; the rank-k value is the
+      // smallest value whose cumulative frequency reaches k
+      val hist = Tables.orders(s, d)
         .select(col("o_orderpriority"), cents(col("o_totalprice")).as("cents"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wn))
-      // rn is integral: floor((n+k)/2) == integer division (n << 2^53)
+        .groupBy(col("o_orderpriority"), col("cents"))
+        .agg(count(lit(1)).as("freq"))
+      val cumW = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = hist.withColumn("cum", sum(col("freq")).over(cumW))
+        .withColumn("n",
+          sum(col("freq")).over(Window.partitionBy(col("o_orderpriority"))))
+      // n is integral: floor((n+k)/2) == integer division (n << 2^53)
       val lo  = floor((col("n") + 1) / 2)
       val hi  = floor((col("n") + 2) / 2)
       val p90 = floor((col("n") * 9 + 9) / 10)
       r.groupBy(col("o_orderpriority"))
         .agg(
-          (sum(when(col("rn") === lo || col("rn") === hi, col("cents")))
-            * when(max(col("n")) % 2 === 0, 1).otherwise(2)).cast("long")
+          (min(when(col("cum") >= lo, col("cents"))) +
+            min(when(col("cum") >= hi, col("cents")))).cast("long")
             .as("median_x2_cents"),
-          max(when(col("rn") === p90, col("cents"))).cast("long")
+          min(when(col("cum") >= p90, col("cents"))).cast("long")
             .as("p90_cents"),
           max(col("n")).as("n"))
         .orderBy(col("o_orderpriority"))
