@@ -264,6 +264,32 @@ object Relational {
     },
 
     GraftQuery(
+      "q154_keyset_pagination",
+      "Keyset (seek-method) pagination — page 3 of the orders feed, 100 rows, ordered by (price desc, key): the page-2 boundary tuple is computed as one argmin over a top-200 (per-partition top-k, never a global sort of the table), broadcast, and page 3 is a PUSHABLE predicate (cents < b) OR (cents = b AND key > bk) + top-100 — constant work per page at any depth, where OFFSET-based paging scans and discards everything above it. The oracle takes rows 201-300 of the global ranking.",
+      """WITH r AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (ORDER BY floor(o_totalprice * 100) DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderkey, cents
+        |FROM r WHERE rn BETWEEN 201 AND 300
+        |ORDER BY cents DESC, o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"))
+      // boundary = last row of page 2 under (cents desc, key asc): the
+      // lexicographic min(struct(cents, -key)) over the top-200
+      val boundary = o.orderBy(col("cents").desc, col("o_orderkey")).limit(200)
+        .agg(min(struct(col("cents"), (-col("o_orderkey")).as("nk"))).as("b"))
+        .select(col("b.cents").as("bc"), (-col("b.nk")).as("bk"))
+      o.crossJoin(broadcast(boundary))
+        .filter(col("cents") < col("bc") ||
+          (col("cents") === col("bc") && col("o_orderkey") > col("bk")))
+        .orderBy(col("cents").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("cents"))
+        .orderBy(col("cents").desc, col("o_orderkey"))
+    },
+
+    GraftQuery(
       "q144_bag_set_ops",
       "Bag-semantics set ops — INTERSECT ALL / EXCEPT ALL keep multiplicities (min / truncated-difference of per-value counts), unlike their DISTINCT twins q13/q14: the per-customer order-date multiset of urgent orders intersected with / subtracted from high-value ones. Catalyst plans both as an aggregate of per-side counts plus a generate — no row-pair join.",
       """WITH u AS (SELECT o_custkey AS id FROM orders WHERE o_orderpriority = '1-URGENT'),

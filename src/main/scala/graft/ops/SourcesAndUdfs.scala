@@ -111,6 +111,33 @@ object SourcesAndUdfs {
     },
 
     GraftQuery(
+      "q153_catalog_census",
+      "Catalog census — the multi-table inventory pass (the reference's analog: three scripts each hard-bound to one form/table; here the engine enumerates its whole catalog): per table, row count and schema width in ONE union plan, each branch a count-star aggregate over that table's scan (column-pruned to zero data columns). The operational health check a 100 TB lake runs nightly.",
+      """SELECT * FROM (
+        |  SELECT 'customer' AS table_name, count(*) AS n_rows, 5 AS n_columns FROM customer
+        |  UNION ALL SELECT 'documents', count(*), 5 FROM documents
+        |  UNION ALL SELECT 'embeddings', count(*), 3 FROM embeddings
+        |  UNION ALL SELECT 'events', count(*), 6 FROM events
+        |  UNION ALL SELECT 'lineitem', count(*), 11 FROM lineitem
+        |  UNION ALL SELECT 'nation', count(*), 3 FROM nation
+        |  UNION ALL SELECT 'orders', count(*), 6 FROM orders
+        |  UNION ALL SELECT 'part', count(*), 6 FROM part
+        |  UNION ALL SELECT 'region', count(*), 2 FROM region
+        |  UNION ALL SELECT 'supplier', count(*), 4 FROM supplier)
+        |ORDER BY table_name""".stripMargin) { (s, d) =>
+      // schema width from real introspection (the oracle pins the expected
+      // literals); row counts are count-star scans Catalyst prunes to
+      // metadata-only parquet reads. events goes through its normalizing
+      // reader (nanos timestamps need the legacy-read conf + µs conversion)
+      Tables.all.sorted.map { t =>
+        val df = if (t == "events") Tables.events(s, d) else Tables(s, d, t)
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(t).as("table_name"), col("n_rows"),
+            lit(df.schema.size).as("n_columns"))
+      }.reduce(_.unionAll(_)).orderBy(col("table_name"))
+    },
+
+    GraftQuery(
       "q138_schema_evolution",
       "Schema evolution across file generations: an old-generation parquet file (3 columns) and a new-generation file with an added column read as ONE table via mergeSchema — old rows surface the new column as NULL, no rewrite of historical data (the only sane contract when 100 TB of old files cannot be touched). The merged read is then aggregated with explicit null routing. Staged once per fixture fingerprint.",
       """WITH g AS (SELECT o_orderkey,

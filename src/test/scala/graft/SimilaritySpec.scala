@@ -55,4 +55,45 @@ class SimilaritySpec extends SparkSpec {
       col("height") =!= pmod(col("fp60"), lit(1016)) + 64).count()
     assert(bad === 0)
   }
+
+  test("q142 codec: PNG encode→decode round trip is pixel-exact") {
+    for (id <- Seq(0L, 1L, 7919L)) {
+      val bytes = Multimodal.encodePng(id)
+      // a real PNG: magic bytes present
+      assert((bytes(0) & 0xff) === 0x89 &&
+        new String(bytes.slice(1, 4), "US-ASCII") === "PNG")
+      val f = Multimodal.decodePngBatch(
+        Seq(Multimodal.MediaRecord(id, "image", bytes))).head
+      assert(f.width === Multimodal.TileW && f.height === Multimodal.TileH)
+      // independent pixel-sum replica
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until Multimodal.TileH; x <- 0 until Multimodal.TileW) {
+        sr += (id * 31 + x * 7 + y * 13) % 256
+        sg += (id * 17 + x * 11 + y * 3) % 256
+        sb += (id * 23 + x * 5 + y * 19) % 256
+      }
+      assert((f.sum_r, f.sum_g, f.sum_b) === ((sr, sg, sb)))
+    }
+    // garbage bytes must be rejected, not silently mis-decoded
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePngBatch(
+        Seq(Multimodal.MediaRecord(9L, "image", Array[Byte](1, 2, 3))))
+    }
+  }
+
+  test("q143 codec: WAV header is canonical RIFF and malformed input rejects") {
+    val bytes = Multimodal.encodeWav(42L)
+    assert(new String(bytes.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+    val f = Multimodal.decodeWavBatch(
+      Seq(Multimodal.MediaRecord(42L, "audio", bytes))).head
+    assert(f.n_samples === Multimodal.WavSamples.toLong)
+    assert(f.sample_rate === Multimodal.WavRate)
+    assert(f.peak_abs <= 1024L)
+    // flipping the fmt tag must fail the parse
+    val broken = bytes.clone(); broken(12) = 'x'.toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavBatch(Seq(Multimodal.MediaRecord(43L, "audio", broken)))
+    }
+  }
 }
