@@ -264,6 +264,84 @@ object Relational {
     },
 
     GraftQuery(
+      "q155_referential_audit",
+      "Referential-integrity audit across every FK edge of the star schema in one result: for each child→parent edge, total child rows and orphans (child keys with no parent) via LEFT ANTI joins — the lake-health check run before every downstream join assumes integrity. Each branch is one semi-structured anti-join; parents are dimension-sized and broadcast by AQE.",
+      """SELECT * FROM (
+        |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |    (SELECT count(*) FROM lineitem) AS n_child,
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |  UNION ALL SELECT 'lineitem.l_partkey->part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |  UNION ALL SELECT 'orders.o_custkey->customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
+        |ORDER BY fk_edge""".stripMargin) { (s, d) =>
+      def edge(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
+               parent: org.apache.spark.sql.DataFrame, pk: String) = {
+        val orphans = child.select(col(ck))
+          .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"))
+      }
+      val li = Tables.lineitem(s, d)
+      Seq(
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        edge("lineitem.l_partkey->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"),
+        edge("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .reduce(_.unionAll(_))
+        .orderBy(col("fk_edge"))
+    },
+
+    GraftQuery(
+      "q156_distribution_drift",
+      "Distribution-drift monitor — the exact-integer twin of PSI/KL monitoring (those need ln; total-variation distance needs only counts): event values bucketed to 16 width-500-cent bins, the first and last corpus weeks' bucket shares compared, drift = ½·Σ|p1 − p2| in ppm computed entirely from integer counts cross-multiplied over the two totals. Per-bucket shares plus the single drift scalar; the input-shift alarm every production training pipeline runs.",
+      """WITH ev AS (SELECT CAST(floor(value * 100) AS BIGINT) // 500 AS bucket,
+        |    CASE WHEN ts <  TIMESTAMP '2024-01-08' THEN 'w1'
+        |         WHEN ts >= TIMESTAMP '2024-01-24' THEN 'w4' END AS period
+        |  FROM events),
+        |c AS (SELECT bucket, period, count(*) AS n FROM ev
+        |      WHERE period IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT bucket,
+        |        CAST(sum(CASE WHEN period = 'w1' THEN n ELSE 0 END) AS BIGINT) AS n1,
+        |        CAST(sum(CASE WHEN period = 'w4' THEN n ELSE 0 END) AS BIGINT) AS n2
+        |      FROM c GROUP BY bucket),
+        |t AS (SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2 FROM p)
+        |SELECT bucket, n1, n2,
+        |  CAST(abs(n1 * 1000000 * t2 - n2 * 1000000 * t1) // (2 * t1 * t2) AS BIGINT) AS tv_contrib_ppm
+        |FROM p, t ORDER BY bucket""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(expr("cast(floor(value * 100) as bigint) div 500").as("bucket"),
+          when(col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-08 00:00:00")), "w1")
+            .when(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-24 00:00:00")), "w4")
+            .as("period"))
+        .filter(col("period").isNotNull)
+      val p = ev.groupBy(col("bucket"))
+        .agg(sum(when(col("period") === "w1", 1L).otherwise(0L)).as("n1"),
+          sum(when(col("period") === "w4", 1L).otherwise(0L)).as("n2"))
+      val t = p.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+      // |n1/t1 − n2/t2| in ppm without division order sensitivity:
+      // cross-multiply over the common denominator t1·t2, floor once
+      p.crossJoin(broadcast(t))
+        .selectExpr("bucket", "n1", "n2",
+          "abs(n1 * 1000000 * t2 - n2 * 1000000 * t1) div (2 * t1 * t2) AS tv_contrib_ppm")
+        .orderBy(col("bucket"))
+    },
+
+    GraftQuery(
       "q154_keyset_pagination",
       "Keyset (seek-method) pagination — page 3 of the orders feed, 100 rows, ordered by (price desc, key): the page-2 boundary tuple is computed as one argmin over a top-200 (per-partition top-k, never a global sort of the table), broadcast, and page 3 is a PUSHABLE predicate (cents < b) OR (cents = b AND key > bk) + top-100 — constant work per page at any depth, where OFFSET-based paging scans and discards everything above it. The oracle takes rows 201-300 of the global ranking.",
       """WITH r AS (SELECT o_orderkey,
