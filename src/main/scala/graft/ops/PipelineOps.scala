@@ -230,6 +230,65 @@ object PipelineOps {
     },
 
     GraftQuery(
+      "q157_event_pattern",
+      "Complex-event pattern detection (MATCH_RECOGNIZE territory) with running counters: purchases preceded by a view within 30 minutes with NO error in between, found in ONE ordered pass per user — a running error counter plus a running latest-view struct (carrying the counter at that view), so the purchase row checks 'errors since my last view' as a subtraction. No self-joins, no per-pattern scans; the oracle is the fully independent EXISTS/NOT-EXISTS formulation, so the counter algebra is differentially proven.",
+      """SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN EXISTS (
+        |    SELECT 1 FROM events v
+        |    WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |      AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 30 MINUTE
+        |      AND NOT EXISTS (
+        |        SELECT 1 FROM events x
+        |        WHERE x.user_id = p.user_id AND x.event_type = 'error'
+        |          AND x.ts > v.ts AND x.ts < p.ts))
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_converts
+        |FROM events p WHERE p.event_type = 'purchase'
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("cum_err",
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).over(w))
+        // latest view so far, carrying the error counter AT that view:
+        // struct max is lexicographic on ts (strictly increasing per user)
+        .withColumn("lastview",
+          max(when(col("event_type") === "view",
+            struct(col("ts").as("v_ts"), col("cum_err").as("v_err")))).over(w))
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (col("lastview").isNotNull &&
+            col("lastview.v_ts") > col("ts") - expr("INTERVAL 30 MINUTES") &&
+            col("cum_err") === col("lastview.v_err")).as("clean"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("clean"), 1L).otherwise(0L)).as("n_clean_converts"))
+        .orderBy(col("user_id"))
+    },
+
+    GraftQuery(
+      "q158_group_sample_exact_k",
+      "Exact-k deterministic sample per group: each language's 5 sample documents are the k smallest by a salted md5 residue — reproducible across engines, partitionings and cluster sizes (unlike rand()), and the rank filter plans as WindowGroupLimit (the per-partition top-k heap q19 pins), so no group ever fully sorts. The fixed-size eyeball sample every corpus release ships with.",
+      s"""WITH r AS (SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${h60Sql("'samp|' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM documents)
+         |SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id
+         |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val residue = h60(concat(lit("samp|"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("lang")).orderBy(residue, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk").cast("int").as("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    },
+
+    GraftQuery(
       "q135_markov_transitions",
       "Behavioral transition matrix: per-user event streams ordered by (ts, event_id), each adjacent (prev_type → type) pair counted globally, with per-source-state probabilities as exact integer ppm. One lag window partitioned by user (state distributes with the key) + one small aggregate over the 25-cell matrix — the Markov-chain census behind session modeling and bot detection.",
       """WITH t AS (SELECT user_id, event_type,
