@@ -336,6 +336,74 @@ object Analytics {
     },
 
     GraftQuery(
+      "q159_gini_concentration",
+      "Revenue-concentration (Gini) per region in EXACT integers via histogram algebra: with per-value frequency f and prior cumulative count c, the sorted-rank sum Σ rank·value telescopes to Σ v·(f·c + f(f+1)/2) — so G = (2·Σrank·x − (n+1)·Σx) / (n·Σx) needs no row-level sort at all, only the (region, value) histogram (q137 doctrine). Output keeps exact integer numerator/denominator plus the floored ppm ratio. The skew-of-wealth diagnostic for corpus/revenue balance.",
+      """WITH o AS (SELECT n.n_regionkey AS rk,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders JOIN customer c ON o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |h AS (SELECT rk, v, count(*) AS f FROM o GROUP BY rk, v),
+        |cum AS (SELECT rk, v, f,
+        |    coalesce(sum(f) OVER (PARTITION BY rk ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        |  FROM h),
+        |a AS (SELECT rk, CAST(sum(f) AS BIGINT) AS n,
+        |    CAST(sum(v * f) AS BIGINT) AS sx,
+        |    CAST(sum(v * (f * c + (f * (f + 1)) // 2)) AS BIGINT) AS srx
+        |  FROM cum GROUP BY rk)
+        |SELECT rk AS regionkey, n, sx AS sum_cents,
+        |  CAST(((2 * srx - (n + 1) * sx) // n) * 1000000 // sx AS BIGINT) AS gini_ppm
+        |FROM a ORDER BY regionkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_regionkey").as("rk"), cents(col("o_totalprice")).as("v"))
+      val h = o.groupBy(col("rk"), col("v")).agg(count(lit(1)).as("f"))
+      val cumW = Window.partitionBy(col("rk")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val a = h.withColumn("c", coalesce(sum(col("f")).over(cumW), lit(0L)))
+        // per-value rank-sum term, all long arithmetic (f·(f+1) is even,
+        // so the div is exact); magnitudes stay under 2^62 at any SF
+        .selectExpr("rk", "f", "v",
+          "v * (f * c + (f * (f + 1)) div 2) AS term")
+        .groupBy(col("rk"))
+        .agg(sum(col("f")).as("n"), sum(col("v") * col("f")).as("sx"),
+          sum(col("term")).as("srx"))
+      // two-step floor division keeps every intermediate in long range
+      // (a single ((…)*1e6) numerator would overflow); the oracle uses
+      // the identical step order, so results match exactly
+      a.selectExpr("rk AS regionkey", "n", "sx AS sum_cents",
+        "((2 * srx - (n + 1) * sx) div n) * 1000000 div sx AS gini_ppm")
+        .orderBy(col("regionkey"))
+    },
+
+    GraftQuery(
+      "q160_time_weighted_average",
+      "Time-weighted average (TWAP): each event's value holds until the user's next event, weighted by the holding interval — Σ cents·Δt_seconds over ΣΔt_seconds per event type, exact integer numerator/denominator with a floored cents ratio. One lead() window per user partition; the metric every ops/trading pipeline wants instead of the naive row mean that over-weights bursts.",
+      """WITH iv AS (SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS c,
+        |    CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+        |      - CAST(floor(epoch(ts)) AS BIGINT) AS dt
+        |  FROM events),
+        |a AS (SELECT event_type,
+        |    CAST(sum(c * dt) AS BIGINT) AS num,
+        |    CAST(sum(dt) AS BIGINT) AS den
+        |  FROM iv WHERE dt IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, num, den, num // den AS twap_cents
+        |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val iv = Tables.events(s, d)
+        .select(col("event_type"), cents(col("value")).as("c"),
+          (unix_timestamp(lead(col("ts"), 1).over(w)) - unix_timestamp(col("ts")))
+            .as("dt"))
+        .filter(col("dt").isNotNull)
+      iv.groupBy(col("event_type"))
+        .agg(sum(col("c") * col("dt")).as("num"), sum(col("dt")).as("den"))
+        .selectExpr("event_type", "num", "den", "num div den AS twap_cents")
+        .orderBy(col("event_type"))
+    },
+
+    GraftQuery(
       "q141_snapshot_diff",
       "Snapshot diff / change-data classification: two table generations full-outer-joined on the key and every row classified added / removed / changed / unchanged, with signed net value drift per class — the reconciliation operator behind CDC validation and sync auditing. One shuffle on the join key; the class census is a small aggregate. (Generation B is derived deterministically from A: keys %37 dropped, %19 price-bumped, %41 mirrored in as new negative keys.)",
       """WITH a AS (SELECT o_orderkey AS k,
