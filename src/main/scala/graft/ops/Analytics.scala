@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.functions.ColumnOps._
+import graft.functions.CrossHash.{h60, h60Sql}
 
 /** Advanced analytics surface: grouping sets, pivot, exact rank-based
   * percentiles, moment statistics from exact integer sums, skew-salted and
@@ -333,6 +334,77 @@ object Analytics {
         .agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("n_sessions").desc, col("path"))
         .limit(20)
+    },
+
+    GraftQuery(
+      "q161_interval_coalesce",
+      "Interval coalescing: each event opens a 10-minute activity interval; overlapping intervals merge into maximal islands (new island when the start exceeds the running max end — one window pass), yielding per user the island count and total covered seconds — the billing/occupancy metric naive session counts get wrong when intervals nest. All integer epoch-second arithmetic.",
+      """WITH iv AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 600 AS e
+        |  FROM events),
+        |m AS (SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+        |  FROM iv),
+        |isl AS (SELECT user_id, s, e,
+        |    sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, e
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |agg AS (SELECT user_id, island, min(s) AS lo, max(e) AS hi
+        |        FROM isl GROUP BY user_id, island)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(hi - lo) AS BIGINT) AS covered_s
+        |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("s"))
+        .withColumn("e", col("s") + 600L)
+      val prev = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val run = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv.withColumn("prev_max_e", max(col("e")).over(prev))
+        .withColumn("island",
+          sum(when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1)
+            .otherwise(0)).over(run))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("s")).as("lo"), max(col("e")).as("hi"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"), sum(col("hi") - col("lo")).as("covered_s"))
+        .orderBy(col("user_id"))
+    },
+
+    GraftQuery(
+      "q162_ab_experiment",
+      "A/B experiment readout with DETERMINISTIC assignment: users split by salted md5 residue (the reproducible-across-engines twin of a random split), per-arm sessions-with-purchase conversion in exact ppm plus the B−A lift — the two-proportion readout every growth pipeline computes; integer counts cross-divided only at the final floored ratios.",
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |arm AS (SELECT user_id,
+         |    CASE WHEN ${h60Sql("'ab|' || CAST(user_id AS VARCHAR)")} % 2 = 0
+         |         THEN 'A' ELSE 'B' END AS arm
+         |  FROM u),
+         |conv AS (SELECT e.user_id,
+         |    max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+         |  FROM events e GROUP BY e.user_id)
+         |SELECT arm.arm, CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(sum(conv.converted) AS BIGINT) AS n_converted,
+         |  (CAST(sum(conv.converted) AS BIGINT) * 1000000) // count(*) AS conv_ppm
+         |FROM arm JOIN conv ON arm.user_id = conv.user_id
+         |GROUP BY arm.arm ORDER BY arm.arm""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val arm = ev.select(col("user_id")).distinct()
+        .withColumn("arm",
+          when(pmod(h60(concat(lit("ab|"), col("user_id").cast("string"))),
+            lit(2L)) === 0, "A").otherwise("B"))
+      val conv = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      arm.join(conv, "user_id")
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+        .selectExpr("arm", "n_users", "n_converted",
+          "(n_converted * 1000000) div n_users AS conv_ppm")
+        .orderBy(col("arm"))
     },
 
     GraftQuery(
