@@ -337,6 +337,29 @@ object Analytics {
     },
 
     GraftQuery(
+      "q164_frequent_pairs",
+      "Market-basket frequent pairs (the support-counting core of Apriori/FP-growth): parts co-purchased within an order, generated by an order-anchored self-join — pair volume is the sum of per-basket squares (baskets are ≤7 lines, so it's linear in orders, never parts²) — counted globally, support ≥ 3, top-20 with a total order. Scale shape: the join key is the basket id; hot baskets would be capped exactly like q83's LSH buckets.",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        |      FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS support
+        |FROM p GROUP BY part_a, part_b
+        |HAVING count(*) >= 3
+        |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = li.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("part_b"))
+      a.join(b, col("l_orderkey") === col("ok_b") && col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 3)
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    },
+
+    GraftQuery(
       "q161_interval_coalesce",
       "Interval coalescing: each event opens a 10-minute activity interval; overlapping intervals merge into maximal islands (new island when the start exceeds the running max end — one window pass), yielding per user the island count and total covered seconds — the billing/occupancy metric naive session counts get wrong when intervals nest. All integer epoch-second arithmetic.",
       """WITH iv AS (SELECT user_id,

@@ -144,6 +144,32 @@ object TextAnalysis {
     },
 
     GraftQuery(
+      "q163_chisq_independence",
+      "Chi-square independence census for the (lang × source) contingency table, exact-integer: per cell the scaled statistic ((o·N − r·c)² scaled by two-step floor division against r·c·N) — the association test behind corpus-balance checks, with no float until nothing (every division is a floored integer step mirrored by the oracle). Cells plus marginals come from ONE aggregate each; the table is |langs|×|sources|, never corpus-sized.",
+      """WITH cell AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rn FROM cell GROUP BY lang),
+        |c AS (SELECT source, CAST(sum(o) AS BIGINT) AS cn FROM cell GROUP BY source),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cell)
+        |SELECT cell.lang, cell.source, CAST(cell.o AS BIGINT) AS observed,
+        |  (r.rn * c.cn) // t.n AS expected_floor,
+        |  ((cell.o * t.n - r.rn * c.cn) * (cell.o * t.n - r.rn * c.cn))
+        |    // (r.rn * c.cn) // t.n AS chi2_term_scaled
+        |FROM cell JOIN r ON cell.lang = r.lang
+        |JOIN c ON cell.source = c.source CROSS JOIN t
+        |ORDER BY cell.lang, cell.source""".stripMargin) { (s, d) =>
+      val cell = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      val r = cell.groupBy(col("lang")).agg(sum(col("o")).as("rn"))
+      val c = cell.groupBy(col("source")).agg(sum(col("o")).as("cn"))
+      val t = cell.agg(sum(col("o")).as("n"))
+      cell.join(r, "lang").join(c, "source").crossJoin(broadcast(t))
+        .selectExpr("lang", "source", "o AS observed",
+          "(rn * cn) div n AS expected_floor",
+          "((o * n - rn * cn) * (o * n - rn * cn)) div (rn * cn) div n AS chi2_term_scaled")
+        .orderBy(col("lang"), col("source"))
+    },
+
+    GraftQuery(
       "q45_language_id",
       "Language-ID by stopword-profile scoring: per doc, count profile hits per language, argmax with total tie-break (score desc, lang asc); output the actual-vs-predicted confusion matrix.",
       {
