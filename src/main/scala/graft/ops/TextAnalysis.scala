@@ -144,6 +144,101 @@ object TextAnalysis {
     },
 
     GraftQuery(
+      "q165_span_corruption",
+      "T5-style span-corruption sample generation: every 7th 3-token span is masked (deterministic positions — reproducible across engines and runs, unlike RNG corruption), the input keeps unmasked text with one <extra_id_k> sentinel per masked span, the target is the sentinel-delimited masked spans — the (input, target) pair layout of denoising pretraining. Embarrassingly parallel per doc; both rendered strings verified byte-for-byte via md5.",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |r AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
+        |        (i - 1) // 3 AS span_id
+        |      FROM t, LATERAL unnest(generate_series(1, len(toks))) AS u(i)),
+        |m AS (SELECT doc_id, pos, tok, span_id,
+        |        span_id % 7 = 3 AS masked,
+        |        '<extra_id_' || CAST(span_id // 7 AS VARCHAR) || '>' AS sentinel
+        |      FROM r),
+        |inp AS (SELECT doc_id,
+        |    string_agg(CASE WHEN NOT masked THEN tok
+        |                    WHEN pos % 3 = 0 THEN sentinel END, ' ' ORDER BY pos) AS s
+        |  FROM m GROUP BY doc_id),
+        |tgt AS (SELECT doc_id,
+        |    coalesce(string_agg(v, ' ' ORDER BY k), '') AS s
+        |  FROM (SELECT doc_id, 2 * pos + u.j AS k,
+        |          CASE WHEN u.j = 0 AND pos % 3 = 0 THEN sentinel
+        |               WHEN u.j = 1 THEN tok END AS v
+        |        FROM m, LATERAL unnest([0, 1]) AS u(j)
+        |        WHERE masked)
+        |  WHERE v IS NOT NULL GROUP BY doc_id),
+        |ns AS (SELECT doc_id, count(DISTINCT CASE WHEN masked THEN span_id END) AS n_spans
+        |       FROM m GROUP BY doc_id)
+        |SELECT inp.doc_id, CAST(ns.n_spans AS BIGINT) AS n_spans,
+        |  md5(inp.s) AS input_md5, md5(coalesce(tgt.s, '')) AS target_md5
+        |FROM inp LEFT JOIN tgt ON inp.doc_id = tgt.doc_id
+        |JOIN ns ON inp.doc_id = ns.doc_id
+        |ORDER BY inp.doc_id""".stripMargin) { (s, d) =>
+      val m = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .selectExpr("doc_id", "pos", "tok", "pos div 3 AS span_id")
+        .withColumn("masked", col("span_id") % 7 === 3)
+        .withColumn("sentinel",
+          concat(lit("<extra_id_"), expr("span_id div 7"), lit(">")))
+      def assemble(df: org.apache.spark.sql.DataFrame, key: String,
+                   v: String): org.apache.spark.sql.DataFrame =
+        df.groupBy(col("doc_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col(key).as("k"), col(v).as("v")))),
+            x => x("v")), " ").as("s"))
+      val inp = assemble(
+        m.filter(!col("masked") || col("pos") % 3 === 0)
+          .select(col("doc_id"), col("pos"),
+            when(col("masked"), col("sentinel")).otherwise(col("tok")).as("v")),
+        "pos", "v")
+      val tgt = assemble(
+        m.filter(col("masked"))
+          .select(col("doc_id"), explode(array(
+            struct((col("pos") * 2).as("k"),
+              when(col("pos") % 3 === 0, col("sentinel")).as("v")),
+            struct((col("pos") * 2 + 1).as("k"), col("tok").as("v")))).as("x"))
+          .select(col("doc_id"), col("x.k").as("k"), col("x.v").as("v"))
+          .filter(col("v").isNotNull),
+        "k", "v")
+      val ns = m.groupBy(col("doc_id"))
+        .agg(countDistinct(when(col("masked"), col("span_id"))).as("n_spans"))
+      inp.select(col("doc_id"), md5(col("s")).as("input_md5"))
+        .join(tgt.select(col("doc_id"), md5(col("s")).as("target_md5")), Seq("doc_id"), "left")
+        .join(ns, "doc_id")
+        .select(col("doc_id"), col("n_spans"),
+          col("input_md5"),
+          // md5("") — the empty-target case (docs too short to mask)
+          coalesce(col("target_md5"),
+            lit("d41d8cd98f00b204e9800998ecf8427e")).as("target_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
+      "q166_bigram_lm",
+      "Bigram language-model training counts: adjacent token pairs counted corpus-wide, with the conditional P(w2|w1) as exact ppm against the first-token marginal — the n-gram LM estimation pass (the text twin of q135's event-type Markov matrix). Pair counting is one token-keyed aggregate; the marginal normalization window runs over the bigram VOCABULARY, not the corpus. Top-50 by a total order.",
+      """WITH t AS (SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |           FROM documents),
+        |b AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+        |      FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        |c AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY 1, 2)
+        |SELECT w1, w2, CAST(n AS BIGINT) AS n,
+        |  (CAST(n AS BIGINT) * 1000000) // sum(n) OVER (PARTITION BY w1) AS p_ppm
+        |FROM c ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.documents(s, d)
+        .select(explode(shingles(tokens(col("text")), 2)).as("bg"))
+        .select(substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      val wv = Window.partitionBy(col("w1"))
+      c.select(col("w1"), col("w2"), col("n"), sum(col("n")).over(wv).as("tot"))
+        .selectExpr("w1", "w2", "n", "(n * 1000000) div tot AS p_ppm")
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+
+    GraftQuery(
       "q163_chisq_independence",
       "Chi-square independence census for the (lang × source) contingency table, exact-integer: per cell the scaled statistic ((o·N − r·c)² scaled by two-step floor division against r·c·N) — the association test behind corpus-balance checks, with no float until nothing (every division is a floored integer step mirrored by the oracle). Cells plus marginals come from ONE aggregate each; the table is |langs|×|sources|, never corpus-sized.",
       """WITH cell AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
