@@ -473,6 +473,33 @@ object Analytics {
     },
 
     GraftQuery(
+      "q168_equidepth_histogram",
+      "Equi-depth histogram construction — the CBO statistics-collection operator (ANALYZE ... COMPUTE STATISTICS FOR COLUMNS): 8 buckets over order totalprice, each boundary the smallest value whose cumulative row count reaches ceil(k·n/8). Pure histogram-selection (q137/q159 doctrine): per-value counts are map-side combinable, the cumulative window runs over the DOMAIN-bounded dollar histogram (≤ ~600k distinct values at ANY scale factor — frame size scales with the value domain, not the row count), and the 8 rank targets broadcast into a theta-join. No row-level sort anywhere; the shape that survives ANALYZE over 100 TB.",
+      """WITH o AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders),
+        |h AS (SELECT v, count(*) AS f FROM o GROUP BY v),
+        |cum AS (SELECT v, sum(f) OVER (ORDER BY v) AS c FROM h),
+        |n AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM h),
+        |t AS (SELECT CAST(k AS BIGINT) AS bucket, (k * n.n + 7) // 8 AS target
+        |      FROM (SELECT unnest(generate_series(1, 8)) AS k) CROSS JOIN n)
+        |SELECT bucket, target, CAST(min(v) AS BIGINT) AS boundary
+        |FROM t JOIN cum ON cum.c >= t.target
+        |GROUP BY bucket, target ORDER BY bucket""".stripMargin) { (s, d) =>
+      val h = Tables.orders(s, d)
+        .select(floor(col("o_totalprice")).cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("f"))
+      // single-partition window is safe HERE only because the frame is the
+      // dollar-value histogram, bounded by the domain (not the table size)
+      val cum = h.withColumn("c", sum(col("f")).over(Window.orderBy(col("v"))))
+      val t = h.agg(sum(col("f")).as("n"))
+        .select(explode(sequence(lit(1L), lit(8L))).as("bucket"), col("n"))
+        .selectExpr("bucket", "(bucket * n + 7) div 8 AS target")
+      cum.join(broadcast(t), col("c") >= col("target"))
+        .groupBy(col("bucket"), col("target"))
+        .agg(min(col("v")).as("boundary"))
+        .orderBy(col("bucket"))
+    },
+
+    GraftQuery(
       "q160_time_weighted_average",
       "Time-weighted average (TWAP): each event's value holds until the user's next event, weighted by the holding interval — Σ cents·Δt_seconds over ΣΔt_seconds per event type, exact integer numerator/denominator with a floored cents ratio. One lead() window per user partition; the metric every ops/trading pipeline wants instead of the naive row mean that over-weights bursts.",
       """WITH iv AS (SELECT event_type,

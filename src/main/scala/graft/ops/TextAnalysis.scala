@@ -144,6 +144,39 @@ object TextAnalysis {
     },
 
     GraftQuery(
+      "q167_tfidf_retrieval",
+      "Ranked retrieval for the multi-term query {table, hash, vector}: per matching doc, score = Σ tf·idf_ppm over the query terms, with idf_ppm = 1e6·(N − df)/N from exact integer counts (the log-free idf variant that stays engine-exact). Only the three query terms' postings participate (the term filter prunes the token stream immediately — the q150 doctrine); top-15 docs by a total (score, id) order.",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |q AS (SELECT tok, count(*) AS tf, doc_id
+        |      FROM tok WHERE tok IN ('table', 'hash', 'vector')
+        |      GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT q.doc_id,
+        |        CAST(sum(q.tf * ((1000000 * (n.n - df.df)) // n.n)) AS BIGINT) AS score
+        |      FROM q JOIN df ON q.tok = df.tok CROSS JOIN n
+        |      GROUP BY q.doc_id)
+        |SELECT doc_id, score FROM s
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin) { (s, d) =>
+      val terms = Seq("table", "hash", "vector")
+      val q = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .filter(col("tok").isin(terms: _*)) // only query-term postings move
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = q.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      q.join(broadcast(df), "tok").crossJoin(broadcast(n))
+        .selectExpr("doc_id", "tf * ((1000000 * (n - df)) div n) AS term_score")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term_score")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+    },
+
+    GraftQuery(
       "q165_span_corruption",
       "T5-style span-corruption sample generation: every 7th 3-token span is masked (deterministic positions — reproducible across engines and runs, unlike RNG corruption), the input keeps unmasked text with one <extra_id_k> sentinel per masked span, the target is the sentinel-delimited masked spans — the (input, target) pair layout of denoising pretraining. Embarrassingly parallel per doc; both rendered strings verified byte-for-byte via md5.",
       """WITH t AS (SELECT doc_id,
