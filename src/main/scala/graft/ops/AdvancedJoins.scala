@@ -123,6 +123,46 @@ object AdvancedJoins {
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("p_brand"))
+    },
+
+    GraftQuery(
+      "q169_pit_lookup",
+      "Point-in-time-correct feature lookup — the feature-store join that prevents training-data leakage: each shipped lineitem is joined to the customer's SCD-2 priority regime (q120's validity intervals) EFFECTIVE AT ITS SHIP DATE, not the current one. Because the interval dim carries an equi key (custkey), Catalyst plans a shuffled equi-join with the interval containment as residual filter — never a broadcast-nested-loop; the intervals tile per customer, so each probe matches exactly one regime. Output: lineitem census per effective priority.",
+      """WITH dim AS (SELECT o_custkey AS ck, o_orderpriority AS prio,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS vf,
+        |    coalesce(lead(CAST(floor(epoch(o_orderdate)) AS BIGINT))
+        |               OVER (PARTITION BY o_custkey
+        |                     ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT), o_orderkey),
+        |             253402300799) AS vt
+        |  FROM orders),
+        |probe AS (SELECT o.o_custkey AS ck,
+        |    CAST(floor(epoch(l.l_shipdate)) AS BIGINT) AS ship_s,
+        |    CAST(floor(l.l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT dim.prio AS effective_priority,
+        |  count(*) AS n_items, CAST(sum(probe.qty) AS BIGINT) AS sum_qty
+        |FROM probe JOIN dim
+        |  ON probe.ck = dim.ck AND probe.ship_s >= dim.vf AND probe.ship_s < dim.vt
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val seq = Window.partitionBy(col("ck")).orderBy(col("vf"), col("o_orderkey"))
+      val dim = Tables.orders(s, d)
+        .select(col("o_custkey").as("ck"), col("o_orderpriority").as("prio"),
+          col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("vf"))
+        .withColumn("vt", coalesce(lead(col("vf"), 1).over(seq), lit(253402300799L)))
+        .select(col("ck"), col("prio"), col("vf"), col("vt"))
+      val probe = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), unix_timestamp(col("l_shipdate")).as("ship_s"),
+          floor(col("l_quantity")).cast("long").as("qty"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey").as("pck")),
+          col("l_orderkey") === col("o_orderkey"))
+      // equi on custkey carries the shuffle; interval containment is a
+      // residual filter — exactly one regime matches (the intervals tile)
+      probe.join(dim,
+          col("pck") === col("ck") &&
+            col("ship_s") >= col("vf") && col("ship_s") < col("vt"))
+        .groupBy(col("prio").as("effective_priority"))
+        .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("sum_qty"))
+        .orderBy(col("effective_priority"))
     }
   )
 }

@@ -500,6 +500,79 @@ object Analytics {
     },
 
     GraftQuery(
+      "q170_quantile_binning",
+      "Quantile discretization (feature binning): every order assigned to its q168 equi-depth bucket — bucket = 1 + #boundaries strictly below the value, computed by a higher-order fold over the broadcast 8-element boundary array (size(filter(...)) — codegen'd, NO join fan-out, no per-row probe join). The per-bucket census then PROVES the equi-depth property: counts within one of n/8. The featurization step before any tree/binned-model training, and the validation query for ANALYZE stats.",
+      """WITH o AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders),
+        |h AS (SELECT v, count(*) AS f FROM o GROUP BY v),
+        |cum AS (SELECT v, sum(f) OVER (ORDER BY v) AS c FROM h),
+        |n AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM h),
+        |t AS (SELECT CAST(k AS BIGINT) AS bucket, (k * n.n + 7) // 8 AS target
+        |      FROM (SELECT unnest(generate_series(1, 8)) AS k) CROSS JOIN n),
+        |bnd AS (SELECT bucket, CAST(min(v) AS BIGINT) AS boundary
+        |        FROM t JOIN cum ON cum.c >= t.target GROUP BY bucket),
+        |arr AS (SELECT list_sort(list(boundary)) AS bs FROM bnd)
+        |SELECT CAST(1 + len(list_filter(arr.bs, x -> x < o.v)) AS BIGINT) AS bucket,
+        |  count(*) AS n_rows, CAST(min(o.v) AS BIGINT) AS min_v,
+        |  CAST(max(o.v) AS BIGINT) AS max_v
+        |FROM o CROSS JOIN arr GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(floor(col("o_totalprice")).cast("long").as("v"))
+      val h = o.groupBy(col("v")).agg(count(lit(1)).as("f"))
+      val cum = h.withColumn("c", sum(col("f")).over(Window.orderBy(col("v"))))
+      val t = h.agg(sum(col("f")).as("n"))
+        .select(explode(sequence(lit(1L), lit(8L))).as("bucket"), col("n"))
+        .selectExpr("bucket", "(bucket * n + 7) div 8 AS target")
+      val arr = cum.join(broadcast(t), col("c") >= col("target"))
+        .groupBy(col("bucket")).agg(min(col("v")).as("boundary"))
+        .agg(array_sort(collect_list(col("boundary"))).as("bs"))
+      // one broadcast row; the bin assignment is a per-row array fold —
+      // whole-stage codegen, zero shuffle beyond the final tiny census
+      o.crossJoin(broadcast(arr))
+        .selectExpr("1 + size(filter(bs, x -> x < v)) AS bucket", "v")
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy(col("bucket"))
+    },
+
+    GraftQuery(
+      "q171_topp_nucleus",
+      "Top-p (nucleus) selection per group — the mixture-truncation operator: per event type, users ranked by spend keep membership until cumulative spend first reaches 90% of the group total; everything after the crossing row is cut. Exact integers throughout: keep while cum_before·10 < total·9 (cross-multiplied — no floats, no percent rounding). One window per event-type partition over the per-user aggregate (already reduced — the window input is n_users, not n_events). Output: per type, survivors vs population and the cents they carry.",
+      """WITH u AS (SELECT event_type, user_id,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, cents,
+        |    coalesce(sum(cents) OVER (PARTITION BY event_type
+        |      ORDER BY cents DESC, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        |    sum(cents) OVER (PARTITION BY event_type) AS total
+        |  FROM u)
+        |SELECT event_type,
+        |  count(*) AS n_users,
+        |  count(*) FILTER (WHERE cum_before * 10 < total * 9) AS n_kept,
+        |  CAST(sum(cents) FILTER (WHERE cum_before * 10 < total * 9) AS BIGINT) AS kept_cents,
+        |  CAST(max(total) AS BIGINT) AS total_cents
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(cents(col("value"))).as("cents"))
+      val seq = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents").desc, col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tot = Window.partitionBy(col("event_type"))
+      val r = u.select(col("event_type"), col("cents"),
+        coalesce(sum(col("cents")).over(seq), lit(0L)).as("cum_before"),
+        sum(col("cents")).over(tot).as("total"))
+      val kept = col("cum_before") * 10 < col("total") * 9
+      r.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          count(when(kept, 1)).as("n_kept"),
+          sum(when(kept, col("cents"))).as("kept_cents"),
+          max(col("total")).as("total_cents"))
+        .orderBy(col("event_type"))
+    },
+
+    GraftQuery(
       "q160_time_weighted_average",
       "Time-weighted average (TWAP): each event's value holds until the user's next event, weighted by the holding interval — Σ cents·Δt_seconds over ΣΔt_seconds per event type, exact integer numerator/denominator with a floored cents ratio. One lead() window per user partition; the metric every ops/trading pipeline wants instead of the naive row mean that over-weights bursts.",
       """WITH iv AS (SELECT event_type,
