@@ -282,6 +282,36 @@ object EtlQueries {
     },
 
     GraftQuery(
+      "q172_sink_delete",
+      "Copy-on-write DELETE over the transactional sink — `DELETE FROM t WHERE po_number >= 'U000001437D'` after two commits (0..999, 1000..1999): the first commit's files are PROVABLY untouched by the manifest stats and carry over without being opened or rewritten; the straddling second-commit file is rewritten without its matching rows; files left fully matched drop out of the manifest. One optimistic manifest swap publishes the result (a racing commit aborts the delete, never loses rows). The read-back is the surviving 1437 rows — GDPR/retention erasure as a first-class table op, not a full rewrite.",
+      """WITH src AS (
+        |  SELECT i,
+        |    'V' || (i % 97) AS vendor,
+        |    'order ' || i AS description,
+        |    CAST(DATE '2020-01-01' + CAST(i % 365 AS INTEGER) AS VARCHAR) AS picker_erk,
+        |    'C' || (i % 7) AS charge_code,
+        |    printf('U%09dD', i) AS po_number
+        |  FROM unnest(generate_series(0, 1436)) AS t(i))
+        |SELECT vendor, description, picker_erk, charge_code, po_number
+        |FROM src ORDER BY po_number""".stripMargin) { (s, d) =>
+      val dir = graft.util.Scratch.dir("graft-q172-sink").toString // shutdown-hook cleanup
+      val sinkFmt = graft.sources.FormSinkSource.Format
+      val feed = s.read.format("graft.sources.FormPipelineSource")
+        .option("rows", 2000).option("partitions", 8).load()
+      val five = feed.select(col("vendor"), col("description"),
+        col("picker_erk"), col("charge_code"), col("po_number"))
+      def commit(lo: Long, hi: Long): Unit =
+        five.where(feed("submission_id") >= lo && feed("submission_id") < hi)
+          .write.format(sinkFmt).mode(SaveMode.Append).option("path", dir).save()
+      commit(0, 1000); commit(1000, 2000)
+      val v = graft.sources.FormSinkSource.delete(dir,
+        org.apache.spark.sql.sources.GreaterThanOrEqual("po_number", "U000001437D"))
+      require(v.nonEmpty, "sink delete lost a race in a single-writer test")
+      s.read.format(sinkFmt).option("path", dir).load()
+        .orderBy(col("po_number"))
+    },
+
+    GraftQuery(
       "q36_json_ingest",
       "§1.1 raw-ingest model: rows as self-describing JSON documents; field extraction is null-on-missing at the value level (R9 semantics) while label resolution stays fatal (R8).",
       """WITH raw AS (

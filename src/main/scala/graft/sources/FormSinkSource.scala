@@ -270,6 +270,119 @@ object FormSinkSource {
     else { Files.deleteIfExists(merged); None } // lost to a concurrent commit
   }
 
+  /** Public snapshot inspection: (current version, the data-file names it
+    * makes visible) — the `DESCRIBE HISTORY`-lite any table format exposes. */
+  def snapshotInfo(path: String): (Long, Seq[String]) = currentManifest(path)
+
+  /** Row-level DELETE as copy-on-write — the lakehouse `DELETE FROM t WHERE p`
+    * over an immutable-file table: files whose manifest stats PROVE the
+    * predicate matches nothing are carried into the new manifest verbatim
+    * (never opened, never rewritten — at a 100 TB history a narrow delete
+    * touches only the files whose min/max straddle the predicate); files
+    * that may match are rewritten without the matching rows (fresh stats
+    * collected inline), files left empty are dropped, and files where the
+    * predicate turned out to match nothing keep their original bytes. The
+    * swap publishes optimistically like commit/compact: a concurrent commit
+    * advancing the version aborts the delete (rewrites removed, None
+    * returned) rather than clobbering the racer's rows.
+    *
+    * Predicate semantics are SQL three-valued logic: a comparison against a
+    * NULL cell is UNKNOWN, and only definitely-TRUE rows are deleted — so
+    * `Not(EqualTo(c, v))` does NOT delete rows where c is null, matching
+    * what `DELETE FROM ... WHERE c <> v` does in every SQL engine. An
+    * unsupported predicate shape throws instead of guessing: unlike scan
+    * skipping (advisory), delete is a correctness boundary. */
+  def delete(path: String, filter: sqlf.Filter): Option[Long] = {
+    val (version, files, stats) = currentManifestFull(path)
+    val (candidates, skipped) = files.partition(f => mayMatch(stats.get(f), filter))
+    if (candidates.isEmpty) return Some(version) // stats prove a no-op
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val created = scala.collection.mutable.ArrayBuffer[Path]()
+    val skippedSet = skipped.toSet
+    // name -> stats entry for the NEW manifest, preserving file order
+    val out = files.flatMap { f =>
+      if (skippedSet(f)) Seq(f -> stats.get(f))
+      else {
+        val lines = Files.readAllLines(dataDir(path).resolve(f)).asScala.toSeq
+        val parsed = lines.map(l => l -> mapper.readTree(l))
+        val survivors = parsed.filterNot { case (_, node) =>
+          rowMatches(c => Option(node.get(c)).filterNot(_.isNull).map(_.asText()),
+            filter)
+        }
+        if (survivors.size == lines.size) Seq(f -> stats.get(f)) // untouched
+        else if (survivors.isEmpty) Seq.empty // whole file deleted
+        else {
+          val name = s"deleted-$version-${java.util.UUID.randomUUID()}.jsonl"
+          val p = dataDir(path).resolve(name)
+          val w = Files.newBufferedWriter(p)
+          val mins = scala.collection.mutable.Map[String, UTF8String]()
+          val maxs = scala.collection.mutable.Map[String, UTF8String]()
+          try survivors.foreach { case (line, node) =>
+            w.write(line); w.write("\n")
+            schema.fieldNames.foreach { c =>
+              val v = node.get(c)
+              if (v != null && !v.isNull) {
+                val u = UTF8String.fromString(v.asText())
+                if (!mins.get(c).exists(_.compareTo(u) <= 0)) mins(c) = u
+                if (!maxs.get(c).exists(_.compareTo(u) >= 0)) maxs(c) = u
+              }
+            }
+          } finally w.close()
+          created += p
+          Seq(name -> Some(FileStats(survivors.size.toLong,
+            mins.view.mapValues(_.toString).toMap,
+            maxs.view.mapValues(_.toString).toMap)))
+        }
+      }
+    }
+    if (created.isEmpty && out.map(_._1) == files) return Some(version) // matched nothing
+    if (tryPublishManifest(path, version + 1, out.map(_._1),
+        out.collect { case (n, Some(fs)) => n -> fs }.toMap))
+      Some(version + 1)
+    else { created.foreach(Files.deleteIfExists(_)); None } // lost the race
+  }
+
+  /** Kleene 3VL evaluation of a pushed-filter shape over one JSON row
+    * (`get` returns the non-null cell text). Definitely-TRUE only. */
+  private[sources] def rowMatches(get: String => Option[String],
+                                  f: sqlf.Filter): Boolean =
+    eval3(get, f).contains(true)
+
+  private def eval3(get: String => Option[String],
+                    f: sqlf.Filter): Option[Boolean] = {
+    def bin(x: String) = UTF8String.fromString(x)
+    def cmp(c: String, v: String): Option[Int] =
+      get(c).map(x => Integer.signum(bin(x).compareTo(bin(v))))
+    f match {
+      case sqlf.EqualTo(c, v: String)            => cmp(c, v).map(_ == 0)
+      case sqlf.EqualNullSafe(c, v: String)      => Some(cmp(c, v).contains(0))
+      case sqlf.GreaterThan(c, v: String)        => cmp(c, v).map(_ > 0)
+      case sqlf.GreaterThanOrEqual(c, v: String) => cmp(c, v).map(_ >= 0)
+      case sqlf.LessThan(c, v: String)           => cmp(c, v).map(_ < 0)
+      case sqlf.LessThanOrEqual(c, v: String)    => cmp(c, v).map(_ <= 0)
+      case sqlf.In(c, vs) if vs != null && vs.forall(_.isInstanceOf[String]) =>
+        get(c).map(x => vs.exists(v => x == v.asInstanceOf[String]))
+      case sqlf.StringStartsWith(c, v) => get(c).map(_.startsWith(v))
+      case sqlf.StringEndsWith(c, v)   => get(c).map(_.endsWith(v))
+      case sqlf.StringContains(c, v)   => get(c).map(_.contains(v))
+      case sqlf.IsNull(c)    => Some(get(c).isEmpty)
+      case sqlf.IsNotNull(c) => Some(get(c).isDefined)
+      case sqlf.And(l, r) => (eval3(get, l), eval3(get, r)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true))            => Some(true)
+        case _                                   => None
+      }
+      case sqlf.Or(l, r) => (eval3(get, l), eval3(get, r)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false))        => Some(false)
+        case _                                 => None
+      }
+      case sqlf.Not(x) => eval3(get, x).map(!_)
+      case other => throw new IllegalArgumentException(
+        s"form sink delete: unsupported predicate shape $other")
+    }
+  }
+
   // ---- manifest-stats file skipping ----------------------------------
   // The scan prunes whole FILES whose manifest min/max provably exclude a
   // pushed filter; the filter itself stays post-scan (Spark re-applies it

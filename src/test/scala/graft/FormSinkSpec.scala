@@ -368,4 +368,61 @@ class FormSinkSpec extends SparkSpec {
     assert(rowsAt(1) === v1)
     intercept[Exception](rowsAt(2))
   }
+
+  test("delete rewrites only straddling files; stats-excluded files keep their bytes") {
+    import org.apache.spark.sql.{sources => f}
+    val dir = tmp()
+    def commit(lo: Int, hi: Int): Unit =
+      feed(lo, hi).repartition(1).write.format(FormSinkSource.Format)
+        .mode(SaveMode.Append).option("path", dir).save()
+    commit(1, 100); commit(101, 200); commit(201, 300)
+    def all = spark.read.format(FormSinkSource.Format).option("path", dir).load()
+    val before = all.count()
+    val victims = all.filter(col("po_number") >= "U000000150D").count()
+    assert(victims > 0 && victims < before)
+    val names2 = FormSinkSource.snapshotInfo(dir)._2
+    val v = FormSinkSource.delete(dir,
+      f.GreaterThanOrEqual("po_number", "U000000150D"))
+    assert(v === Some(4L)) // three commits, then the delete's swap
+    val names3 = FormSinkSource.snapshotInfo(dir)._2
+    // commit-1 file provably excluded by stats: same name, never rewritten;
+    // commit-2 file straddles 150: rewritten; commit-3 file fully matched: gone
+    assert(names3.head === names2.head)
+    assert(names3.size === 2)
+    assert(names3(1) !== names2(1))
+    assert(all.count() === before - victims)
+    assert(all.filter(col("po_number") >= "U000000150D").count() === 0)
+    // time travel still sees the pre-delete snapshot (erasure is versioned)
+    assert(spark.read.format(FormSinkSource.Format).option("path", dir)
+      .option("versionAsOf", 3).load().count() === before)
+    // the rewritten file's FRESH stats still skip: a predicate beyond the
+    // survivors' range schedules zero tasks
+    assert(all.filter(col("po_number") > "U000000149D").rdd.getNumPartitions === 0)
+  }
+
+  test("delete is three-valued: Not(EqualTo) never deletes null cells; no-op deletes publish nothing") {
+    import org.apache.spark.sql.{sources => f}
+    val dir = tmp()
+    feed(1, 50).withColumn("charge_code", lit(null).cast("string"))
+      .unionByName(feed(51, 100))
+      .write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    def all = spark.read.format(FormSinkSource.Format).option("path", dir).load()
+    val nulls = all.filter(col("charge_code").isNull).count()
+    val total = all.count()
+    assert(nulls > 0)
+    // SQL DELETE WHERE charge_code <> '<nonexistent>' removes only the
+    // definitely-true rows — null cells are UNKNOWN, and survive
+    FormSinkSource.delete(dir, f.Not(f.EqualTo("charge_code", "no-such-code")))
+    assert(all.count() === nulls)
+    assert(all.filter(col("charge_code").isNotNull).count() === 0)
+    // a delete that matches nothing leaves the manifest log length alone
+    val (vBefore, _) = FormSinkSource.snapshotInfo(dir)
+    assert(FormSinkSource.delete(dir,
+      f.EqualTo("po_number", "Z-absent")) === Some(vBefore))
+    assert(FormSinkSource.snapshotInfo(dir)._1 === vBefore)
+    // unsupported shapes are fatal: delete is a correctness boundary
+    intercept[IllegalArgumentException](
+      FormSinkSource.delete(dir, f.AlwaysTrue))
+  }
 }
