@@ -312,6 +312,43 @@ object EtlQueries {
     },
 
     GraftQuery(
+      "q173_sink_merge",
+      "MERGE INTO the transactional sink (UPDATE SET * / INSERT *), keyed on po_number: after one 0..999 commit, a 500..1499 source upserts — 500..999 get replaced row images (description rev 2), 1000..1499 append as new rows, and files whose stats range holds none of the source keys are never opened. One optimistic manifest swap; the pre-merge snapshot stays readable via versionAsOf. The CDC-apply / dimension-maintenance op every warehouse sink needs; the distributed columnar MERGE is q71.",
+      """WITH src AS (
+        |  SELECT i,
+        |    'V' || (i % 97) AS vendor,
+        |    CASE WHEN i >= 500 THEN 'order ' || i || ' (rev 2)'
+        |         ELSE 'order ' || i END AS description,
+        |    CAST(DATE '2020-01-01' + CAST(i % 365 AS INTEGER) AS VARCHAR) AS picker_erk,
+        |    'C' || (i % 7) AS charge_code,
+        |    printf('U%09dD', i) AS po_number
+        |  FROM unnest(generate_series(0, 1499)) AS t(i))
+        |SELECT vendor, description, picker_erk, charge_code, po_number
+        |FROM src ORDER BY po_number""".stripMargin) { (s, d) =>
+      val dir = graft.util.Scratch.dir("graft-q173-sink").toString // shutdown-hook cleanup
+      val sinkFmt = graft.sources.FormSinkSource.Format
+      val feed = s.read.format("graft.sources.FormPipelineSource")
+        .option("rows", 1000).option("partitions", 8).load()
+      feed.select(col("vendor"), col("description"),
+          col("picker_erk"), col("charge_code"), col("po_number"))
+        .write.format(sinkFmt).mode(SaveMode.Append).option("path", dir).save()
+      // driver-built row images — the connector's POST-body contract
+      val images = (500L until 1500L).map { i =>
+        Map(
+          "vendor" -> s"V${i % 97}",
+          "description" -> s"order $i (rev 2)",
+          "picker_erk" ->
+            java.time.LocalDate.of(2020, 1, 1).plusDays(i % 365).toString,
+          "charge_code" -> s"C${i % 7}",
+          "po_number" -> f"U$i%09dD")
+      }
+      val v = graft.sources.FormSinkSource.merge(dir, "po_number", images)
+      require(v.nonEmpty, "sink merge lost a race in a single-writer test")
+      s.read.format(sinkFmt).option("path", dir).load()
+        .orderBy(col("po_number"))
+    },
+
+    GraftQuery(
       "q36_json_ingest",
       "§1.1 raw-ingest model: rows as self-describing JSON documents; field extraction is null-on-missing at the value level (R9 semantics) while label resolution stays fatal (R8).",
       """WITH raw AS (

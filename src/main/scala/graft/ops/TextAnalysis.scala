@@ -177,6 +177,51 @@ object TextAnalysis {
     },
 
     GraftQuery(
+      "q174_winnowing",
+      "Robust winnowing (Schleimer-Wilkerson-Aiken, the MOSS fingerprinter): char 5-gram 32-bit hashes per normalized doc, and from every window of 4 consecutive gram hashes the minimum survives (rightmost position on ties — encoded arithmetically as h·2^21 + (2^20 − pos), so ONE integer window-min implements the whole selection rule, no argmin struct comparator). Guarantees any match ≥ 8 chars shares a fingerprint while keeping ~2/(w+1) of the grams — the principled sampling upgrade over full-gram fingerprint sets (q48). Per-doc windows are partition-local: embarrassingly parallel at 100 TB. Output: per doc, gram count, selected-fingerprint count, and the exact fingerprint-hash checksum (pins the full selection).",
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, p,
+        |    CAST(('0x' || substr(md5(substr(t, p, 5)), 1, 8)) AS BIGINT) AS h
+        |  FROM d, unnest(generate_series(1, len(t) - 4)) AS u(p)
+        |  WHERE len(t) >= 8),
+        |win AS (SELECT doc_id, p,
+        |    min(h * 2097152 + (1048576 - p)) OVER (PARTITION BY doc_id
+        |      ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+        |    count(*) OVER (PARTITION BY doc_id) AS m
+        |  FROM g),
+        |sel AS (SELECT DISTINCT doc_id, m, mk FROM win WHERE p <= m - 3)
+        |SELECT doc_id, CAST(max(m) AS BIGINT) AS n_grams,
+        |  count(*) AS n_fps, CAST(sum(mk // 2097152) AS BIGINT) AS fp_checksum
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("t"))
+        .filter(length(col("t")) >= 8) // need ≥ one full window (m ≥ w)
+      val g = docs
+        .select(col("doc_id"), explode(expr("sequence(1, length(t) - 4)")).as("p"),
+          col("t"))
+        .select(col("doc_id"), col("p"),
+          conv(substring(md5(expr("substring(t, p, 5)")), 1, 8), 16, 10)
+            .cast("long").as("h"))
+      // (h, rightmost-pos) argmin as ONE long: h·2^21 + (2^20 − p); pos
+      // stays < 2^20 (per-DOC gram index, not corpus offset), h < 2^32
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val win = g
+        .withColumn("mk", min(col("h") * 2097152L + (lit(1048576L) - col("p")))
+          .over(w.rowsBetween(0, 3)))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      win.filter(col("p") <= col("m") - 3)
+        .select(col("doc_id"), col("m"), col("mk")).distinct()
+        .groupBy(col("doc_id"))
+        .agg(max(col("m")).as("n_grams"), count(lit(1)).as("n_fps"),
+          sum(expr("mk div 2097152")).as("fp_checksum"))
+        .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
       "q165_span_corruption",
       "T5-style span-corruption sample generation: every 7th 3-token span is masked (deterministic positions — reproducible across engines and runs, unlike RNG corruption), the input keeps unmasked text with one <extra_id_k> sentinel per masked span, the target is the sentinel-delimited masked spans — the (input, target) pair layout of denoising pretraining. Embarrassingly parallel per doc; both rendered strings verified byte-for-byte via md5.",
       """WITH t AS (SELECT doc_id,

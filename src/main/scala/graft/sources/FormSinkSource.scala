@@ -342,6 +342,106 @@ object FormSinkSource {
     else { created.foreach(Files.deleteIfExists(_)); None } // lost the race
   }
 
+  /** MERGE (upsert) keyed on `keyCol` — `MERGE INTO t USING s ON t.k = s.k
+    * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` as one
+    * copy-on-write manifest swap: files whose stats range provably contains
+    * none of the source keys carry over untouched (at a 100 TB history a
+    * trickle upsert rewrites only the straddling files); files that may
+    * match are rewritten with matched rows replaced by their new images
+    * (ALL occurrences — the sink is append-only, so duplicates are legal
+    * and all get the update); source rows matching nothing are appended as
+    * one new file. Input images are driver-side, matching the connector's
+    * contract (the reference POSTs driver-built bodies; the distributed
+    * MERGE over columnar tables is q71's shuffle formulation). A cell
+    * absent from an image writes NULL — images are total row replacements,
+    * not patches. Returns the new version, or None if a concurrent commit
+    * won the swap (no partial state is ever visible). */
+  def merge(path: String, keyCol: String,
+            images: Seq[Map[String, String]]): Option[Long] = {
+    require(schema.fieldNames.contains(keyCol), s"unknown key column $keyCol")
+    require(images.forall(_.get(keyCol).exists(_ != null)),
+      "every MERGE image needs a non-null key cell")
+    val byKey = images.map(r => r(keyCol) -> r).toMap
+    require(byKey.size == images.size, "duplicate keys in the MERGE source")
+    val (version, files, stats) = currentManifestFull(path)
+    def bin(x: String) = UTF8String.fromString(x)
+    // a file may hold key k only if its [min,max] range covers k; a file
+    // with no stats (legacy) or an all-null key column range must be read
+    def mayHoldAny(f: String): Boolean = stats.get(f).forall { s =>
+      (s.mins.get(keyCol), s.maxs.get(keyCol)) match {
+        case (Some(mn), Some(mx)) => byKey.keys.exists(k =>
+          bin(k).compareTo(bin(mn)) >= 0 && bin(k).compareTo(bin(mx)) <= 0)
+        case _ => false // stats exist but no keyCol range: the key column
+          // was all-null in this file, so no row can match a non-null key
+      }
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val created = scala.collection.mutable.ArrayBuffer[Path]()
+    val matched = scala.collection.mutable.Set[String]()
+    def writeRows(name: String,
+                  rows: Seq[Map[String, String]]): (String, FileStats) = {
+      val p = dataDir(path).resolve(name)
+      val w = Files.newBufferedWriter(p)
+      val mins = scala.collection.mutable.Map[String, UTF8String]()
+      val maxs = scala.collection.mutable.Map[String, UTF8String]()
+      try rows.foreach { r =>
+        val node = mapper.createObjectNode()
+        schema.fieldNames.foreach { c =>
+          r.get(c).filter(_ != null) match {
+            case Some(v) =>
+              node.put(c, v)
+              val u = UTF8String.fromString(v)
+              if (!mins.get(c).exists(_.compareTo(u) <= 0)) mins(c) = u
+              if (!maxs.get(c).exists(_.compareTo(u) >= 0)) maxs(c) = u
+            case None => node.putNull(c)
+          }
+        }
+        w.write(mapper.writeValueAsString(node)); w.write("\n")
+      } finally w.close()
+      created += p
+      name -> FileStats(rows.size.toLong,
+        mins.view.mapValues(_.toString).toMap,
+        maxs.view.mapValues(_.toString).toMap)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(String, Option[FileStats])]()
+    files.foreach { f =>
+      if (!mayHoldAny(f)) out += f -> stats.get(f)
+      else {
+        val lines = Files.readAllLines(dataDir(path).resolve(f)).asScala.toSeq
+        val rows = lines.map { l =>
+          val node = mapper.readTree(l)
+          schema.fieldNames.flatMap { c =>
+            Option(node.get(c)).filterNot(_.isNull).map(c -> _.asText())
+          }.toMap
+        }
+        val hits = rows.exists(r => r.get(keyCol).exists(byKey.contains))
+        if (!hits) out += f -> stats.get(f)
+        else {
+          val replaced = rows.map { r =>
+            r.get(keyCol).flatMap(byKey.get) match {
+              case Some(img) => matched ++= r.get(keyCol); img
+              case None      => r
+            }
+          }
+          val (n, fs) = writeRows(
+            s"merged-$version-${java.util.UUID.randomUUID()}.jsonl", replaced)
+          out += n -> Some(fs)
+        }
+      }
+    }
+    val inserts = images.filterNot(r => matched(r(keyCol)))
+    if (inserts.nonEmpty) {
+      val (n, fs) = writeRows(
+        s"merged-$version-${java.util.UUID.randomUUID()}.jsonl", inserts)
+      out += n -> Some(fs)
+    }
+    if (created.isEmpty) return Some(version) // nothing matched, nothing new
+    if (tryPublishManifest(path, version + 1, out.map(_._1).toSeq,
+        out.collect { case (n, Some(fs)) => n -> fs }.toMap))
+      Some(version + 1)
+    else { created.foreach(Files.deleteIfExists(_)); None } // lost the race
+  }
+
   /** Kleene 3VL evaluation of a pushed-filter shape over one JSON row
     * (`get` returns the non-null cell text). Definitely-TRUE only. */
   private[sources] def rowMatches(get: String => Option[String],

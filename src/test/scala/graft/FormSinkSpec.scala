@@ -425,4 +425,42 @@ class FormSinkSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       FormSinkSource.delete(dir, f.AlwaysTrue))
   }
+
+  test("merge updates all duplicate-key occurrences, skips excluded files, versions history") {
+    val dir = tmp()
+    def commit(lo: Int, hi: Int): Unit =
+      feed(lo, hi).repartition(1).write.format(FormSinkSource.Format)
+        .mode(SaveMode.Append).option("path", dir).save()
+    commit(1, 100); commit(101, 200)
+    commit(101, 200) // third commit DUPLICATES keys 101..200 (append-only)
+    def all = spark.read.format(FormSinkSource.Format).option("path", dir).load()
+    val namesBefore = FormSinkSource.snapshotInfo(dir)._2
+    val image = Map("vendor" -> "rewritten", "description" -> "rev2",
+      "picker_erk" -> "2024-01-01", "charge_code" -> "CX",
+      "po_number" -> "U000000150D")
+    val insert = image.updated("po_number", "U000000999D")
+    val v = FormSinkSource.merge(dir, "po_number", Seq(image, insert))
+    assert(v === Some(4L))
+    val namesAfter = FormSinkSource.snapshotInfo(dir)._2
+    // file 1 (keys 1..100) excluded by its stats range: identical bytes
+    assert(namesAfter.head === namesBefore.head)
+    // BOTH duplicate occurrences of key 150 carry the update
+    assert(all.filter(col("po_number") === "U000000150D")
+      .select("vendor").as[String].collect().toSeq === Seq("rewritten", "rewritten"))
+    // the unmatched image appended as an insert
+    assert(all.filter(col("po_number") === "U000000999D").count() === 1)
+    assert(all.count() === 100 + 100 + 100 + 1)
+    // pre-merge snapshot intact (versioned upsert)
+    assert(spark.read.format(FormSinkSource.Format).option("path", dir)
+      .option("versionAsOf", 3).load()
+      .filter(col("vendor") === "rewritten").count() === 0)
+    // duplicate keys in the SOURCE are fatal (SQL MERGE cardinality rule)
+    intercept[IllegalArgumentException](
+      FormSinkSource.merge(dir, "po_number", Seq(image, image)))
+    // a merge whose keys provably miss every file publishes nothing
+    val (vNow, _) = FormSinkSource.snapshotInfo(dir)
+    assert(FormSinkSource.merge(dir, "po_number",
+      Seq.empty) === Some(vNow))
+    assert(FormSinkSource.snapshotInfo(dir)._1 === vNow)
+  }
 }
