@@ -573,6 +573,31 @@ object Analytics {
     },
 
     GraftQuery(
+      "q175_rolling_distinct",
+      "Rolling 7-day distinct users (WAU) — the windowed COUNT(DISTINCT) every engagement dashboard needs and naive window frames cannot express: each distinct (user, day) pair covers the 7 windows it keeps active (a bounded explode — 7×, constant), and each window counts its distinct covering users. Linear in events, no per-window re-scan, no quadratic day×user state; the exact-integer twin of the HLL-sketch formulation you swap in when approximate is acceptable. Windows clipped to the observed day span.",
+      """WITH p AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d FROM events),
+        |span AS (SELECT min(d) AS lo, max(d) AS hi FROM p),
+        |cov AS (SELECT user_id, d + k AS w
+        |        FROM p, unnest(generate_series(0, 6)) AS t(k))
+        |SELECT w AS day_idx, count(DISTINCT user_id) AS wau
+        |FROM cov, span WHERE w BETWEEN span.lo AND span.hi
+        |GROUP BY w ORDER BY w""".stripMargin) { (s, d) =>
+      val p = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("d"))
+        .distinct()
+      val span = p.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      p.select(col("user_id"), col("d"),
+          explode(sequence(lit(0L), lit(6L))).as("k"))
+        .select(col("user_id"), (col("d") + col("k")).as("w"))
+        .crossJoin(broadcast(span))
+        .filter(col("w").between(col("lo"), col("hi")))
+        .groupBy(col("w").as("day_idx"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy(col("day_idx"))
+    },
+
+    GraftQuery(
       "q160_time_weighted_average",
       "Time-weighted average (TWAP): each event's value holds until the user's next event, weighted by the holding interval — Σ cents·Δt_seconds over ΣΔt_seconds per event type, exact integer numerator/denominator with a floored cents ratio. One lead() window per user partition; the metric every ops/trading pipeline wants instead of the naive row mean that over-weights bursts.",
       """WITH iv AS (SELECT event_type,

@@ -25,6 +25,29 @@ object GraphOps {
     * oracle CTE chain. */
   val Iters = 3
 
+  /** BFS rounds (q176) — 4 hops covers the dense bipartite co-occurrence
+    * graph's diameter at every test SF; unreached nodes stay unlabeled. */
+  val BfsRounds = 4
+
+  /** Unrolled DuckDB twin of the BFS frontier loop: d0 → d1 → … → d4. */
+  private def bfsSql: String = {
+    val rounds = (1 to BfsRounds).map { i =>
+      s"""d$i AS (SELECT u, min(d) AS d FROM (
+         |  SELECT u, d FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.v AS u, d${i - 1}.d + 1 AS d
+         |  FROM edges e JOIN d${i - 1} ON e.u = d${i - 1}.u) t GROUP BY u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+       |  FROM lineitem),
+       |edges AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+       |d0 AS (SELECT min(u) AS u, CAST(0 AS BIGINT) AS d
+       |       FROM (SELECT u FROM edges) n),
+       |$rounds
+       |SELECT d AS dist, count(*) AS n_nodes
+       |FROM d$BfsRounds GROUP BY d ORDER BY d""".stripMargin
+  }
+
   /** Unrolled DuckDB twin: r0 → r1 → … → r`Iters`. */
   private def pagerankSql: String = {
     val rounds = (1 to Iters).map { i =>
@@ -77,6 +100,33 @@ object GraphOps {
       r.orderBy(col("r").desc, col("u"))
         .limit(20)
         .select(col("u").as("node_id"), col("r").as("rank_e12"))
+    },
+
+    GraftQuery(
+      "q176_bfs_distances",
+      s"BFS shortest-path distances ($BfsRounds rounds) from the minimum-id node over the part↔supplier graph — the frontier formulation: each round unions the current label frame with neighbors-at-distance+1 and keeps min(d) per node, a map-side-combinable aggregate. One O(E) equi-join + one min-agg per round (the BSP shape), `localCheckpoint` truncating the lineage between rounds exactly like q83's label propagation; labels are longs, never paths. Output: the distance histogram — reach of each BFS ring.",
+      bfsSql) { (s, d) =>
+      val ed = Tables.lineitem(s, d)
+        .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      val edges = graft.util.CacheOnce.persistForOneAction(
+        ed.unionAll(ed.select(col("v").as("u"), col("u").as("v"))))
+      val nodes = edges.select(col("u")).distinct()
+      // seed = min node id, kept as a 1-row FRAME (no driver round trip)
+      var dist = nodes.agg(min(col("u")).as("u")).select(col("u"), lit(0L).as("d"))
+      for (_ <- 1 to BfsRounds) {
+        val hop = edges.join(dist.withColumnRenamed("u", "fu"),
+            col("u") === col("fu"))
+          .select(col("v").as("u"), (col("d") + 1).as("d"))
+        // eager localCheckpoint per round: keeps the lineage (and codegen
+        // stack depth) constant however many rounds run
+        dist = dist.unionAll(hop)
+          .groupBy(col("u")).agg(min(col("d")).as("d"))
+          .localCheckpoint()
+      }
+      dist.groupBy(col("d").as("dist"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("dist"))
     }
   )
 }

@@ -428,6 +428,28 @@ object Relational {
         .select(col("o_custkey"), col("o_orderstatus"))
         .distinct()
         .orderBy(col("o_custkey"), col("o_orderstatus"))
+    },
+
+    GraftQuery(
+      "q178_listagg",
+      "LISTAGG / string_agg with a pinned element order: per region, the alphabetical comma-joined nation roster plus the customer census underneath it. Spark's collect_list is order-nondeterministic by contract, so the deterministic formulation is array_join(array_sort(collect_list(...))) — sorting INSIDE the aggregate expression, which is exactly what SQL's WITHIN GROUP (ORDER BY) pins. Doctrine note: listagg is only a safe aggregate when per-group cardinality is BOUNDED (here ≤ 5 nations/region); an unbounded roster column is a schema smell, not an operator gap — at 100 TB you keep the relation, not the string.",
+      """WITH cn AS (SELECT n_regionkey AS rk, n_name, count(*) AS n_cust
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  CAST(sum(n_cust) AS BIGINT) AS n_customers
+        |FROM cn JOIN region ON rk = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      val cn = Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+      cn.join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          sum(col("n_cust")).as("n_customers"))
+        .orderBy(col("r_name"))
     }
   )
 }

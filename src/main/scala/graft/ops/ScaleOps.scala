@@ -345,6 +345,25 @@ object ScaleOps {
     },
 
     GraftQuery(
+      "q177_bitmap_distinct",
+      "Bitmap-index exact COUNT(DISTINCT) — the roaring-bitmap family trick: users pack into 63-wide buckets (user div 63, bit user mod 63 — 63 not 64, because both engines guard the signed 1<<63 overflow), each (type, bucket) reduces to ONE long via bit_or (map-side combinable — the partial state is a fixed-width mask, never a growing value set), and the distinct count is sum(bit_count(mask)). Two cheap aggregations replace count(distinct)'s full (type,user) pair shuffle; the mask frame is |users|/63 rows. The exact-integer cousin of HLL, and the layout bitmap indexes use on disk.",
+      """SELECT event_type,
+        |  CAST(sum(bit_count(m)) AS BIGINT) AS n_users,
+        |  count(*) AS n_buckets
+        |FROM (SELECT event_type, user_id // 63 AS b,
+        |        bit_or(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS m
+        |      FROM events GROUP BY 1, 2) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), expr("user_id div 63").as("b"))
+        .agg(bit_or(expr("shiftleft(1L, cast(user_id % 63 as int))")).as("m"))
+        .groupBy(col("event_type"))
+        .agg(sum(bit_count(col("m"))).as("n_users"),
+          count(lit(1)).as("n_buckets"))
+        .orderBy(col("event_type"))
+    },
+
+    GraftQuery(
       "q115_partition_pruned_scan",
       "Hive-layout partition pruning: orders staged once as partitionBy(o_orderpriority) parquet, and the one-priority filter is resolved against DIRECTORY NAMES at planning time — four of five partitions contribute zero scan tasks and zero bytes read (ScaleOpsSpec pins inputFiles to the single matching directory). The standard layout for the 100 TB case where a hot predicate column has low cardinality: date, tenant, language, source.",
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
