@@ -124,6 +124,9 @@ object GraftFunctions {
   * `SparkSession.builder.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.registry.foreach(ext.injectFunction)
+    // plan rewrites (each gated by its own conf key, off by default)
+    ext.injectOptimizerRule(_ => graft.plans.BinRangeJoin())
+  }
 }

@@ -126,6 +126,30 @@ object AdvancedJoins {
     },
 
     GraftQuery(
+      "q179_auto_bin_range_join",
+      "The q125 interval join written NAIVELY — a pure band condition `et >= pt AND et < pt + 10min` with no equi key, the formulation Catalyst can only plan as a BroadcastNestedLoopJoin — but optimized by the engine's injected BinRangeJoin rule (graft.plans): the optimizer itself manufactures the time-bin equi key (point side projects t div W, interval side explodes its covering bins) and plans a shuffled equi-join with the band as residual. Same results, O(n+m) shuffle instead of O(n·m) scan; PlanSpec pins the no-BNLJ plan. Purchases with ≥1 error in their 10-minute window.",
+      """WITH p AS (SELECT event_id, CAST(floor(epoch(ts)*1000000) AS BIGINT) AS pt
+        |      FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT CAST(floor(epoch(ts)*1000000) AS BIGINT) AS et
+        |      FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, count(*) AS n_errors
+        |FROM p JOIN e ON e.et >= p.pt AND e.et < p.pt + 600000000
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      graft.plans.GraftPlans.install(s)
+      s.conf.set("spark.graft.binRangeJoin.width", "600000000")
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), expr("unix_micros(ts)").as("pt"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(expr("unix_micros(ts)").as("et"))
+      // the naive formulation — the rule, not the query, makes it scale
+      p.join(e, col("et") >= col("pt") && col("et") < col("pt") + 600000000L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_errors"))
+        .orderBy(col("event_id"))
+    },
+
+    GraftQuery(
       "q169_pit_lookup",
       "Point-in-time-correct feature lookup — the feature-store join that prevents training-data leakage: each shipped lineitem is joined to the customer's SCD-2 priority regime (q120's validity intervals) EFFECTIVE AT ITS SHIP DATE, not the current one. Because the interval dim carries an equi key (custkey), Catalyst plans a shuffled equi-join with the interval containment as residual filter — never a broadcast-nested-loop; the intervals tile per customer, so each probe matches exactly one regime. Output: lineitem census per effective priority.",
       """WITH dim AS (SELECT o_custkey AS ck, o_orderpriority AS prio,

@@ -262,4 +262,35 @@ class PlanSpec extends SparkSpec {
     assert(r.getLong(4) === graft.functions.CrossHash.h60Local("hello world"))
     assert(r.getString(5) === "a b")
   }
+
+  test("BinRangeJoin rule: naive band join plans as a binned equi-join, not BNLJ") {
+    graft.plans.GraftPlans.install(spark)
+    def frame() = {
+      val ev = Tables.events(spark, sf)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), expr("unix_micros(ts)").as("pt"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(expr("unix_micros(ts)").as("et"))
+      p.join(e, col("et") >= col("pt") && col("et") < col("pt") + 600000000L)
+    }
+    spark.conf.set("spark.graft.binRangeJoin.width", "600000000")
+    try {
+      val on = planOf(frame())
+      assert(!on.contains("BroadcastNestedLoopJoin"), on.take(3000))
+      assert(on.contains("graft_bin"), on.take(3000))
+      // rule OFF (width=0): the same frame degrades to the cross-product plan
+      spark.conf.set("spark.graft.binRangeJoin.width", "0")
+      val off = planOf(frame())
+      assert(off.contains("BroadcastNestedLoopJoin"), off.take(3000))
+      // and the rewrite is RESULT-identical to the naive plan
+      spark.conf.set("spark.graft.binRangeJoin.width", "600000000")
+      val got = frame().groupBy(col("event_id")).count()
+        .orderBy(col("event_id")).collect().toSeq
+      spark.conf.set("spark.graft.binRangeJoin.width", "0")
+      val want = frame().groupBy(col("event_id")).count()
+        .orderBy(col("event_id")).collect().toSeq
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally spark.conf.set("spark.graft.binRangeJoin.width", "0")
+  }
 }
