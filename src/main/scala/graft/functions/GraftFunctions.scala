@@ -44,6 +44,11 @@ object GraftFunctions {
   def charGramFingerprint(text: Column, n: Int): Column =
     column(org.apache.spark.sql.graft.CharGramFingerprint(expression(text), n))
 
+  /** Robust winnowing census: one kernel pass returning
+    * struct(n_grams, n_fps, fp_checksum); null below k+w−1 chars. */
+  def winnowStats(text: Column, k: Int, w: Int): Column =
+    column(org.apache.spark.sql.graft.WinnowStats(expression(text), k, w))
+
   /** Banded-LSH bucket codes from a constant hyperplane matrix (codegen):
     * one long code `t * 2^bits + bucket` per table. */
   def hyperplaneBuckets(v: Column, planes: Array[Float],

@@ -195,29 +195,17 @@ object TextAnalysis {
         |SELECT doc_id, CAST(max(m) AS BIGINT) AS n_grams,
         |  count(*) AS n_fps, CAST(sum(mk // 2097152) AS BIGINT) AS fp_checksum
         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
+      // ONE codegen kernel pass per doc (org.apache.spark.sql.graft
+      // .WinnowStats): no L-row gram explode, no per-doc window shuffle —
+      // the oracle above keeps the explode→window-min formulation as the
+      // independent recomputation (KernelSpec differential-tests the twin)
+      Tables.documents(s, d)
         .select(col("doc_id"),
-          regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("t"))
-        .filter(length(col("t")) >= 8) // need ≥ one full window (m ≥ w)
-      val g = docs
-        .select(col("doc_id"), explode(expr("sequence(1, length(t) - 4)")).as("p"),
-          col("t"))
-        .select(col("doc_id"), col("p"),
-          conv(substring(md5(expr("substring(t, p, 5)")), 1, 8), 16, 10)
-            .cast("long").as("h"))
-      // (h, rightmost-pos) argmin as ONE long: h·2^21 + (2^20 − p); pos
-      // stays < 2^20 (per-DOC gram index, not corpus offset), h < 2^32
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      val win = g
-        .withColumn("mk", min(col("h") * 2097152L + (lit(1048576L) - col("p")))
-          .over(w.rowsBetween(0, 3)))
-        .withColumn("m", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      win.filter(col("p") <= col("m") - 3)
-        .select(col("doc_id"), col("m"), col("mk")).distinct()
-        .groupBy(col("doc_id"))
-        .agg(max(col("m")).as("n_grams"), count(lit(1)).as("n_fps"),
-          sum(expr("mk div 2097152")).as("fp_checksum"))
+          graft.functions.GraftFunctions.winnowStats(
+            regexp_replace(trim(lower(col("text"))), "\\s+", " "), 5, 4).as("ws"))
+        .filter(col("ws").isNotNull)
+        .select(col("doc_id"), col("ws.n_grams").as("n_grams"),
+          col("ws.n_fps").as("n_fps"), col("ws.fp_checksum").as("fp_checksum"))
         .orderBy(col("doc_id"))
     },
 

@@ -101,6 +101,75 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Robust winnowing (q174) in ONE pass per document: 32-bit gram hashes
+    * (first 8 hex digits of md5 — bit-identical to
+    * `CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)`), the
+    * (min-hash, rightmost-pos) selection per w-window via the arithmetic
+    * key h·2^21 + (2^20 − pos), and the distinct-fingerprint census —
+    * returning (n_grams, n_fps, fp_checksum). Replaces the
+    * explode→window-min→distinct→groupBy shape: no L-row materialization,
+    * no per-doc window shuffle; the whole statistic is row-local and stays
+    * inside whole-stage codegen. O(m·w) inner loop (w is tiny); the
+    * distinct set sorts the ≤m selected keys in place. */
+  def winnowStats(s: UTF8String, k: Int, w: Int):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val chars = s.numChars()
+    val m = chars - k + 1
+    if (m < w) return null // need at least one full window
+    val d = md5.get()
+    val hs = new Array[Long](m)
+    if (bytes.length == chars) { // ASCII: byte windows ARE char windows
+      var i = 0
+      while (i < m) {
+        d.reset()
+        d.update(bytes, i, k)
+        val h = d.digest()
+        hs(i) = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < m) {
+        val g = s.substring(i, i + k)
+        d.reset()
+        d.update(g.getBytes)
+        val h = d.digest()
+        hs(i) = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+        i += 1
+      }
+    }
+    // selection keys: min over each window picks (min hash, rightmost pos)
+    val sel = new Array[Long](m - w + 1)
+    var p = 0
+    while (p <= m - w) {
+      var best = Long.MaxValue
+      var q = p
+      while (q < p + w) {
+        val key = hs(q) * 2097152L + (1048576L - (q + 1))
+        if (key < best) best = key
+        q += 1
+      }
+      sel(p) = best
+      p += 1
+    }
+    java.util.Arrays.sort(sel)
+    var nFps = 0L
+    var checksum = 0L
+    var i = 0
+    while (i < sel.length) {
+      if (i == 0 || sel(i) != sel(i - 1)) {
+        nFps += 1
+        checksum += sel(i) / 2097152L // decode back to the hash
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m.toLong, nFps, checksum))
+  }
+
   /** Per-document char-n-gram fingerprint in ONE pass: h60 over every
     * n-char substring (substr semantics — code points, like Spark/DuckDB
     * `substr`), returning (min hash, max hash, distinct-gram count).
@@ -214,6 +283,34 @@ case class CharGramFingerprint(child: Expression, n: Int)
        """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): CharGramFingerprint =
+    copy(child = newChild)
+}
+
+/** `winnow_stats(text, k, w)` — robust winnowing fingerprint census (see
+  * [[TextKernels.winnowStats]]); k and w are plan-time constants. */
+case class WinnowStats(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1 && w >= 1, "gram size and window must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_fps", LongType, nullable = false),
+    StructField("fp_checksum", LongType, nullable = false)))
+  override def nullable: Boolean = true // short texts winnow to null
+  override def prettyName: String = "winnow_stats"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.winnowStats(s.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.TextKernels.winnowStats($s, $k, $w);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowStats =
     copy(child = newChild)
 }
 

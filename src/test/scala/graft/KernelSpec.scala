@@ -189,4 +189,61 @@ class KernelSpec extends SparkSpec {
     assert(dn.select(graft.functions.GraftFunctions
       .sortedIntersectCount(col("a"), col("a"))).collect()(0).isNullAt(0))
   }
+
+  test("winnowStats kernel == explode/window-min formulation on the corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("t"))
+      .filter(length(col("t")) >= 8)
+    // the declarative twin the kernel replaces (and the oracle recomputes)
+    val g = docs
+      .select(col("doc_id"), explode(expr("sequence(1, length(t) - 4)")).as("p"),
+        col("t"))
+      .select(col("doc_id"), col("p"),
+        conv(substring(md5(expr("substring(t, p, 5)")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val twin = g
+      .withColumn("mk", min(col("h") * 2097152L + (lit(1048576L) - col("p")))
+        .over(w.rowsBetween(0, 3)))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("p") <= col("m") - 3)
+      .select(col("doc_id"), col("m"), col("mk")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(max(col("m")).as("n_grams"), count(lit(1)).as("n_fps"),
+        sum(expr("mk div 2097152")).as("fp_checksum"))
+    val kernel = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.winnowStats(
+          regexp_replace(trim(lower(col("text"))), "\\s+", " "), 5, 4).as("ws"))
+      .filter(col("ws").isNotNull)
+      .select(col("doc_id"), col("ws.n_grams"), col("ws.n_fps"),
+        col("ws.fp_checksum"))
+    assert(kernel.count() > 0)
+    assert(kernel.exceptAll(twin).count() === 0)
+    assert(twin.exceptAll(kernel).count() === 0)
+    // short texts winnow to null: below k+w-1 = 8 chars there is no window
+    val edge = Seq("1234567", "12345678", "").toDF("t")
+      .select(graft.functions.GraftFunctions.winnowStats(col("t"), 5, 4).as("ws"))
+      .select(col("ws").isNull).as[Boolean].collect().toSeq
+    assert(edge === Seq(true, false, true))
+    // non-ASCII path agrees with the hex-md5 formulation (code-point grams)
+    val uni = Seq("héllo wörld exämple tæxt").toDF("t")
+    val kv = uni.select(graft.functions.GraftFunctions
+      .winnowStats(col("t"), 5, 4).as("ws")).select(col("ws.fp_checksum"))
+      .as[Long].head()
+    val tv = uni
+      .select(explode(expr("sequence(1, length(t) - 4)")).as("p"), col("t"))
+      .select(col("p"),
+        conv(substring(md5(expr("substring(t, p, 5)")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("mk", min(col("h") * 2097152L + (lit(1048576L) - col("p")))
+        .over(Window.orderBy(col("p")).rowsBetween(0, 3)))
+      .withColumn("m", count(lit(1)).over())
+      .filter(col("p") <= col("m") - 3)
+      .select(col("mk")).distinct()
+      .agg(sum(expr("mk div 2097152"))).as[Long].head()
+    assert(kv === tv)
+  }
 }
