@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
+import graft.functions.ColumnOps._
 
 /** Iterative graph analytics as plain Catalyst plans — the third member of
   * the engine's iterative-computation family (q83 connected components,
@@ -127,6 +128,46 @@ object GraphOps {
       dist.groupBy(col("d").as("dist"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("dist"))
+    },
+
+    GraftQuery(
+      "q180_hierarchy_rollup",
+      "Recursive hierarchy flattening + subtree rollup — the WITH RECURSIVE query warehouses run over org charts and product taxonomies: customers form a decimal forest (parent = custkey div 10, roots = single-digit keys), root labels propagate down FRONTIER-ONLY (each node's parent sits exactly one level up, so every node is labeled exactly once — no distinct, no re-joining settled nodes), and order revenue rolls up per subtree. Round count = digits(max key) − 1, read once from an aggregate (~10 rounds at ANY scale — depth grows logarithmically); one equi-join per round, localCheckpoint between rounds. The oracle is genuinely recursive (DuckDB WITH RECURSIVE).",
+      """WITH RECURSIVE r AS (
+        |  SELECT c_custkey AS k, c_custkey AS root FROM customer
+        |  WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, r.root FROM customer c
+        |  JOIN r ON c.c_custkey // 10 = r.k
+        |  WHERE c.c_custkey >= 10),
+        |rev AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT r.root, count(*) AS n_nodes,
+        |  CAST(coalesce(sum(rev.cents), 0) AS BIGINT) AS subtree_cents
+        |FROM r LEFT JOIN rev ON r.k = rev.o_custkey
+        |GROUP BY r.root ORDER BY r.root""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      // one driver scalar fixes the round count (= tree depth): O(log10 N)
+      val rounds = c.agg(max(col("k"))).head().getLong(0).toString.length - 1
+      var frontier = c.filter(col("k") < 10).select(col("k"), col("k").as("root"))
+      var labels = frontier
+      for (_ <- 1 to rounds) {
+        frontier = c.filter(col("k") >= 10)
+          .join(frontier.select(col("k").as("pk"), col("root")),
+            expr("k div 10") === col("pk"))
+          .select(col("k"), col("root"))
+          .localCheckpoint()
+        labels = labels.unionAll(frontier).localCheckpoint()
+      }
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("cents"))
+      labels.join(rev, col("k") === col("o_custkey"), "left")
+        .groupBy(col("root"))
+        .agg(count(lit(1)).as("n_nodes"),
+          coalesce(sum(col("cents")), lit(0L)).as("subtree_cents"))
+        .orderBy(col("root"))
     }
   )
 }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
-import graft.functions.ColumnOps.{shingles, tokens}
+import graft.functions.ColumnOps.{cents, shingles, tokens}
 import graft.functions.CrossHash.{h60, h60Sql}
 
 /** Training-data pipeline operators beyond the per-document tier: duplicate-
@@ -467,6 +467,88 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy(col("source"), col("chunk_id"))
+    },
+
+    GraftQuery(
+      "q181_temperature_mixture",
+      "Temperature-sampled mixture allocation (the XLM-R / multilingual-LM recipe at α = 1/2): per-language weights ∝ n^α computed as EXACT integer isqrt (IEEE sqrt of a long is correctly rounded, so floor(sqrt(n)) is engine-exact), and a 1000-doc budget apportioned by LARGEST-REMAINDER rounding — base = ⌊B·w/W⌋ with the leftover units going to the largest remainders (remainder desc, lang asc) — so targets are integers that provably sum to B, no float shares to round inconsistently. The window runs over the language frame (≤ dozens of rows at any corpus size). Upsampling low-resource languages without the head languages drowning the mixture.",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM c),
+        |t AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM w),
+        |a AS (SELECT lang, n, wt, (1000 * wt) // t.tot AS base,
+        |        (1000 * wt) % t.tot AS rem
+        |      FROM w CROSS JOIN t),
+        |l AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM a),
+        |r AS (SELECT a.*, l.sb,
+        |        row_number() OVER (ORDER BY rem DESC, lang) AS rk
+        |      FROM a CROSS JOIN l)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs, wt AS weight,
+        |  CAST(base + CASE WHEN rk <= 1000 - sb THEN 1 ELSE 0 END AS BIGINT) AS target
+        |FROM r ORDER BY lang""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .withColumn("wt", floor(sqrt(col("n"))).cast("long"))
+      val t = w.agg(sum(col("wt")).as("tot"))
+      val a = w.crossJoin(broadcast(t))
+        .selectExpr("lang", "n", "wt",
+          "(1000 * wt) div tot AS base", "(1000 * wt) % tot AS rem")
+      val l = a.agg(sum(col("base")).as("sb"))
+      a.crossJoin(broadcast(l))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+        .selectExpr("lang", "n AS n_docs", "wt AS weight",
+          "base + (CASE WHEN rk <= 1000 - sb THEN 1 ELSE 0 END) AS target")
+        .orderBy(col("lang"))
+    },
+
+    GraftQuery(
+      "q182_attribution",
+      "Multi-touch attribution with exact-cents conservation: each purchase's cents split equally among the user's clicks in the preceding 30 minutes (user-anchored range join — the equi key carries the shuffle), integer share = cents div k per touch with the REMAINDER credited to the nearest click (rank-1 by ts desc, id desc) — so per-purchase credits sum to the purchase exactly, no float leakage. Per-user readout: credits issued, distinct clicks credited, attributed cents.",
+      """WITH p AS (SELECT event_id AS pid, user_id AS u,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS pts,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS cid, user_id AS u,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (SELECT p.pid, p.u, p.cents, c.cid, c.cts
+        |      FROM p JOIN c ON p.u = c.u
+        |        AND c.cts > p.pts - 1800 AND c.cts <= p.pts),
+        |k AS (SELECT m.*, count(*) OVER (PARTITION BY pid) AS k,
+        |        row_number() OVER (PARTITION BY pid
+        |          ORDER BY cts DESC, cid DESC) AS rn
+        |      FROM m),
+        |a AS (SELECT u, cid,
+        |        CASE WHEN rn = 1 THEN cents - (cents // k) * (k - 1)
+        |             ELSE cents // k END AS att
+        |      FROM k)
+        |SELECT u AS user_id, count(*) AS n_credits,
+        |  count(DISTINCT cid) AS n_clicks,
+        |  CAST(sum(att) AS BIGINT) AS attributed_cents
+        |FROM a GROUP BY u ORDER BY u""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("u"),
+          unix_timestamp(col("ts")).as("pts"), cents(col("value")).as("cents"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cu"),
+          unix_timestamp(col("ts")).as("cts"))
+      val m = p.join(c, col("u") === col("cu") &&
+        col("cts") > col("pts") - 1800 && col("cts") <= col("pts"))
+      val k = m
+        .withColumn("k", count(lit(1)).over(Window.partitionBy(col("pid"))))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("pid"))
+          .orderBy(col("cts").desc, col("cid").desc)))
+      k.selectExpr("u", "cid",
+          """CASE WHEN rn = 1 THEN cents - (cents div k) * (k - 1)
+            |     ELSE cents div k END AS att""".stripMargin)
+        .groupBy(col("u").as("user_id"))
+        .agg(count(lit(1)).as("n_credits"),
+          countDistinct(col("cid")).as("n_clicks"),
+          sum(col("att")).as("attributed_cents"))
+        .orderBy(col("user_id"))
     },
 
     GraftQuery(
