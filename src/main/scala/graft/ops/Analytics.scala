@@ -598,6 +598,50 @@ object Analytics {
     },
 
     GraftQuery(
+      "q183_winsorized_mean",
+      "Winsorized robust mean per priority — clip at the exact P5/P95 rank quantiles, then average: quantile boundaries by histogram selection (q137/q151/q168 doctrine — smallest value whose per-group cumulative count reaches ceil(5n/100) / ceil(95n/100); the window runs over the per-group VALUE histogram, never the rows), clipping as least(greatest(v, lo), hi) re-weighted by the histogram frequencies, mean as floored cents division. The outlier-robust aggregate for skewed money/latency columns, exact-integer end to end.",
+      """WITH o AS (SELECT o_orderpriority AS g,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |h AS (SELECT g, v, count(*) AS f FROM o GROUP BY 1, 2),
+        |cum AS (SELECT g, v, f,
+        |    sum(f) OVER (PARTITION BY g ORDER BY v) AS c,
+        |    sum(f) OVER (PARTITION BY g) AS n FROM h),
+        |b AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+        |    min(CASE WHEN c >= (5 * n + 99) // 100 THEN v END) AS lo,
+        |    min(CASE WHEN c >= (95 * n + 99) // 100 THEN v END) AS hi
+        |  FROM cum GROUP BY g)
+        |SELECT h.g AS priority, max(b.n) AS n_orders,
+        |  CAST(max(b.lo) AS BIGINT) AS p05_cents,
+        |  CAST(max(b.hi) AS BIGINT) AS p95_cents,
+        |  CAST(sum(least(greatest(h.v, b.lo), b.hi) * h.f) AS BIGINT) AS wins_sum_cents,
+        |  CAST(sum(least(greatest(h.v, b.lo), b.hi) * h.f) // max(b.n) AS BIGINT) AS wins_mean_cents
+        |FROM h JOIN b ON h.g = b.g
+        |GROUP BY h.g ORDER BY h.g""".stripMargin) { (s, d) =>
+      val h = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("g"), cents(col("o_totalprice")).as("v"))
+        .groupBy(col("g"), col("v")).agg(count(lit(1)).as("f"))
+      val cumW = Window.partitionBy(col("g")).orderBy(col("v"))
+      val b = h
+        .withColumn("c", sum(col("f")).over(cumW))
+        .withColumn("n", sum(col("f")).over(Window.partitionBy(col("g"))))
+        .groupBy(col("g"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("c") >= expr("(5 * n + 99) div 100"), col("v")))
+            .as("lo"),
+          min(when(col("c") >= expr("(95 * n + 99) div 100"), col("v")))
+            .as("hi"))
+      h.join(broadcast(b.withColumnRenamed("g", "bg")), col("g") === col("bg"))
+        .groupBy(col("g").as("priority"))
+        .agg(max(col("n")).as("n_orders"),
+          max(col("lo")).as("p05_cents"), max(col("hi")).as("p95_cents"),
+          sum(least(greatest(col("v"), col("lo")), col("hi")) * col("f"))
+            .as("wins_sum_cents"))
+        .selectExpr("priority", "n_orders", "p05_cents", "p95_cents",
+          "wins_sum_cents", "wins_sum_cents div n_orders AS wins_mean_cents")
+        .orderBy(col("priority"))
+    },
+
+    GraftQuery(
       "q160_time_weighted_average",
       "Time-weighted average (TWAP): each event's value holds until the user's next event, weighted by the holding interval — Σ cents·Δt_seconds over ΣΔt_seconds per event type, exact integer numerator/denominator with a floored cents ratio. One lead() window per user partition; the metric every ops/trading pipeline wants instead of the naive row mean that over-weights bursts.",
       """WITH iv AS (SELECT event_type,

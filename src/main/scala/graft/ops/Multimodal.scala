@@ -214,6 +214,44 @@ object Multimodal {
     },
 
     GraftQuery(
+      "q184_binaryfile_source",
+      s"Image-directory ingest through Spark's binaryFile source — the standard first hop of any multimodal pipeline: every 5th doc's ${TileW}×${TileH} tile is staged as a REAL .png FILE (executor-side foreachPartition write, parallel, never a driver loop), `spark.read.format(\"binaryFile\")` with a pushed `*.png` glob lists and reads the directory, the join key comes from the FILE NAME (regexp over the path — the only key an object-store image dump carries), and the q142 JDK decode verifies every pixel downstream. Oracle regenerates the pixel arithmetic for the staged ids.",
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+         |px AS (SELECT ids.doc_id, ux.x, uy.y
+         |  FROM ids,
+         |    LATERAL unnest(generate_series(0, ${TileW - 1})) AS ux(x),
+         |    LATERAL unnest(generate_series(0, ${TileH - 1})) AS uy(y))
+         |SELECT doc_id, $TileW AS width, $TileH AS height,
+         |  CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+         |  CAST(sum((doc_id * 17 + x * 11 + y * 3) % 256) AS BIGINT) AS sum_g,
+         |  CAST(sum((doc_id * 23 + x * 5 + y * 19) % 256) AS BIGINT) AS sum_b
+         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dir = graft.util.Scratch.dir("graft-q184-png").toString
+      // stage: executor-parallel file writes (the object-store dump shape)
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .filter(_ % 5 == 0)
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, s"img-$id.png"), encodePng(id))
+          }
+        }
+      val files = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(dir)
+      files
+        .select(regexp_extract(col("path"), "img-(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          MediaRecord(id, "image", bytes)
+        }.grouped(DecodeBatchSize).flatMap(decodePngBatch))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
       "q143_wav_decode",
       s"REAL audio parse in the batched partition map: each doc synthesizes a $WavSamples-sample 16-bit mono PCM waveform (samples arithmetic in doc_id,i), encodes a genuine RIFF/WAVE file, and the decode stage validates the chunk layout and reads the little-endian sample stream — integer peak and mean-amplitude features, every sample value verified by the arithmetic oracle.",
       s"""WITH sm AS (SELECT d.doc_id, u.i,
