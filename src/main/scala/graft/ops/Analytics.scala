@@ -642,6 +642,64 @@ object Analytics {
     },
 
     GraftQuery(
+      "q186_period_over_period",
+      "Month-over-month and year-over-year growth — the BI readout every revenue dashboard leads with: monthly order revenue (exact cents), MoM delta as lag(1) over the month sequence and YoY as lag(12), growth expressed as signed ppm of the PRIOR period (cross-multiplied integers — no float percent). The windows run over the months frame (one row per month — tiny at any SF); the heavy lifting is the one map-side-combinable monthly aggregate underneath.",
+      """WITH m AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |    CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT y, mo, cents,
+        |    lag(cents, 1)  OVER (ORDER BY y, mo) AS prev_mo,
+        |    lag(cents, 12) OVER (ORDER BY y, mo) AS prev_yr
+        |  FROM m)
+        |SELECT y, mo, cents,
+        |  CASE WHEN prev_mo IS NULL THEN NULL
+        |       ELSE ((cents - prev_mo) * 1000000) // prev_mo END AS mom_ppm,
+        |  CASE WHEN prev_yr IS NULL THEN NULL
+        |       ELSE ((cents - prev_yr) * 1000000) // prev_yr END AS yoy_ppm
+        |FROM l ORDER BY y, mo""".stripMargin) { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(sum(cents(col("o_totalprice"))).as("cents"))
+      // months frame: one row per (year, month) — window cost is a constant
+      val seq = Window.orderBy(col("y"), col("mo"))
+      m.withColumn("prev_mo", lag(col("cents"), 1).over(seq))
+        .withColumn("prev_yr", lag(col("cents"), 12).over(seq))
+        .selectExpr("y", "mo", "cents",
+          "CASE WHEN prev_mo IS NULL THEN NULL ELSE ((cents - prev_mo) * 1000000) div prev_mo END AS mom_ppm",
+          "CASE WHEN prev_yr IS NULL THEN NULL ELSE ((cents - prev_yr) * 1000000) div prev_yr END AS yoy_ppm")
+        .orderBy(col("y"), col("mo"))
+    },
+
+    GraftQuery(
+      "q187_skyline",
+      "Skyline / Pareto frontier over (price, size) parts — the multi-objective shortlist query: a point survives iff nothing is at-or-below it on BOTH axes (strictly below on one). The scale formulation never compares pairs: distinct (price, size) reduces to the per-price MIN size (a histogram, one row per distinct price — value-domain-bounded), and the frontier is the strict running-min test — keep a price's best size iff it beats the cumulative min over all STRICTLY CHEAPER prices (lag of the running min over the tiny price frame). O(n) + a domain-sized window instead of the O(n²) dominance join.",
+      """WITH p AS (SELECT DISTINCT CAST(floor(p_retailprice * 100) AS BIGINT) AS price,
+        |    CAST(p_size AS BIGINT) AS size FROM part),
+        |m AS (SELECT price, min(size) AS best FROM p GROUP BY price),
+        |r AS (SELECT price, best,
+        |    min(best) OVER (ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cheaper_best
+        |  FROM m)
+        |SELECT price AS price_cents, best AS size
+        |FROM r WHERE cheaper_best IS NULL OR best < cheaper_best
+        |ORDER BY price""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d)
+        .select(cents(col("p_retailprice")).as("price"),
+          col("p_size").cast("long").as("size"))
+        .distinct()
+      val m = p.groupBy(col("price")).agg(min(col("size")).as("best"))
+      // the window frame is the distinct-price histogram, not the rows
+      val w = Window.orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      m.withColumn("cheaper_best", min(col("best")).over(w))
+        .filter(col("cheaper_best").isNull || col("best") < col("cheaper_best"))
+        .select(col("price").as("price_cents"), col("best").as("size"))
+        .orderBy(col("price_cents"))
+    },
+
+    GraftQuery(
       "q160_time_weighted_average",
       "Time-weighted average (TWAP): each event's value holds until the user's next event, weighted by the holding interval — Σ cents·Δt_seconds over ΣΔt_seconds per event type, exact integer numerator/denominator with a floored cents ratio. One lead() window per user partition; the metric every ops/trading pipeline wants instead of the naive row mean that over-weights bursts.",
       """WITH iv AS (SELECT event_type,

@@ -210,6 +210,44 @@ object TextAnalysis {
     },
 
     GraftQuery(
+      "q185_sparse_simjoin",
+      "Sparse TF-IDF document-similarity join through the inverted index — the text-similarity-at-scale shape: per-term postings (doc, term, weight = tf·idf_ppm with the q167 log-free integer idf), HEAD TERMS CAPPED (df > 40 postings are dropped — the explicit frequent-term cut every posting-join system applies, since a term in half the corpus contributes O(n²) pairs and ~zero discrimination; the cap is part of the operator spec, not an approximation smuggled in), pairs meet ONLY on shared surviving terms (posting self-join on the term key — never a doc×doc cross product), dot = Σ w_a·w_b per pair. Top-20 pairs by exact integer dot with a total (dot, a, b) order.",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |w AS (SELECT tf.doc_id, tf.tok,
+        |    tf.tf * ((1000000 * (n.n - df.df)) // n.n) AS wt
+        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        |  WHERE df.df <= 40),
+        |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(sum(a.wt * b.wt) AS BIGINT) AS dot
+        |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, dot FROM pairs
+        |ORDER BY dot DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val w = tf.join(df.filter(col("df") <= 40), "tok")
+        .crossJoin(broadcast(n))
+        .selectExpr("doc_id", "tok", "tf * ((1000000 * (n - df)) div n) AS wt")
+      val a = w.select(col("tok"), col("doc_id").as("a"), col("wt").as("wa"))
+      val b = w.select(col("tok").as("tok_b"), col("doc_id").as("b"),
+        col("wt").as("wb"))
+      a.join(b, col("tok") === col("tok_b") && col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("wa") * col("wb")).as("dot"))
+        .orderBy(col("dot").desc, col("a"), col("b"))
+        .limit(20)
+    },
+
+    GraftQuery(
       "q165_span_corruption",
       "T5-style span-corruption sample generation: every 7th 3-token span is masked (deterministic positions — reproducible across engines and runs, unlike RNG corruption), the input keeps unmasked text with one <extra_id_k> sentinel per masked span, the target is the sentinel-delimited masked spans — the (input, target) pair layout of denoising pretraining. Embarrassingly parallel per doc; both rendered strings verified byte-for-byte via md5.",
       """WITH t AS (SELECT doc_id,
