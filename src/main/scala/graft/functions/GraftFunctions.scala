@@ -133,5 +133,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.registry.foreach(ext.injectFunction)
     // plan rewrites (each gated by its own conf key, off by default)
     ext.injectOptimizerRule(_ => graft.plans.BinRangeJoin())
+    // whole-operator extensions (planned only when their node appears)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
   }
 }

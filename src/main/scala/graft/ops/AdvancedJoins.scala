@@ -150,6 +150,31 @@ object AdvancedJoins {
     },
 
     GraftQuery(
+      "q188_native_asof",
+      "The as-of join as a FIRST-CLASS physical operator (org.apache.spark.sql.graft.AsOfJoinExec — custom LogicalPlan + SparkStrategy + SparkPlan, the §2.4(c) extension tier): each purchase picks up the user's last view at-or-before it via one hash shuffle per side (ClusteredDistribution, the SortMergeJoin contract), per-partition (key,time) sorts, and a single zipped merge walk — O(n+m), no union rewrite, no window state, unmatched rows null-extended. The declarative twin is q30; the oracle here is the direct correlated-max formulation. Output projects the tie-insensitive time value.",
+      """WITH p AS (SELECT event_id, user_id AS pu,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS pt
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS vu,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS vt
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.pu AS user_id, max(v.vt) AS last_view_s
+        |FROM p LEFT JOIN v ON v.vu = p.pu AND v.vt <= p.pt
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.plans.GraftPlans.install(s)
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id").as("pu"),
+          unix_timestamp(col("ts")).as("pt"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), unix_timestamp(col("ts")).as("vt"))
+      org.apache.spark.sql.graft.AsOfJoin(p, v, "pu", "vu", "pt", "vt")
+        .select(col("event_id"), col("pu").as("user_id"),
+          col("vt").as("last_view_s"))
+        .orderBy(col("event_id"))
+    },
+
+    GraftQuery(
       "q169_pit_lookup",
       "Point-in-time-correct feature lookup — the feature-store join that prevents training-data leakage: each shipped lineitem is joined to the customer's SCD-2 priority regime (q120's validity intervals) EFFECTIVE AT ITS SHIP DATE, not the current one. Because the interval dim carries an equi key (custkey), Catalyst plans a shuffled equi-join with the interval containment as residual filter — never a broadcast-nested-loop; the intervals tile per customer, so each probe matches exactly one regime. Output: lineitem census per effective priority.",
       """WITH dim AS (SELECT o_custkey AS ck, o_orderpriority AS prio,

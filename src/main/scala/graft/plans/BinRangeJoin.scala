@@ -130,5 +130,9 @@ object GraftPlans {
     val cur = spark.experimental.extraOptimizations
     if (!cur.exists(_.isInstanceOf[BinRangeJoin]))
       spark.experimental.extraOptimizations = cur :+ BinRangeJoin()
+    val strats = spark.experimental.extraStrategies
+    if (!strats.contains(org.apache.spark.sql.graft.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        strats :+ org.apache.spark.sql.graft.AsOfJoinStrategy
   }
 }
