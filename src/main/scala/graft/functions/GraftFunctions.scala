@@ -49,6 +49,11 @@ object GraftFunctions {
   def winnowStats(text: Column, k: Int, w: Int): Column =
     column(org.apache.spark.sql.graft.WinnowStats(expression(text), k, w))
 
+  /** The winnowing selection as a sorted distinct hash array — the dedup
+    * join key set; null below k+w−1 chars. */
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    column(org.apache.spark.sql.graft.WinnowFps(expression(text), k, w))
+
   /** Banded-LSH bucket codes from a constant hyperplane matrix (codegen):
     * one long code `t * 2^bits + bucket` per table. */
   def hyperplaneBuckets(v: Column, planes: Array[Float],

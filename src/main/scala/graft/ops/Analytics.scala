@@ -700,6 +700,42 @@ object Analytics {
     },
 
     GraftQuery(
+      "q190_cooccurrence_lift",
+      "Co-occurrence LIFT between event types — the affinity score behind 'users who X also Y', log-free: over per-user distinct type sets, lift(A,B) = P(A∧B)/(P(A)·P(B)) as exact integer ppm via the TWO-STEP floor division ((n_ab·1e6 div n_a)·N div n_b — the q159 step-order doctrine: every intermediate stays under 2^63 even at 10^9 users, where the single-expression numerator n_ab·N·1e6 would overflow; the oracle divides in the identical order). Distinct (user,type) pairs reduce to per-type counts and a type-pair self-join over per-user sets (≤ k² pairs per user, k = |event types| — bounded fan-out). lift > 1e6 ⇒ positive association.",
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events),
+        |m AS (SELECT event_type, count(*) AS cnt FROM ut GROUP BY 1),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_ab
+        |      FROM ut a JOIN ut b
+        |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.ta, p.tb, CAST(p.n_ab AS BIGINT) AS n_both,
+        |  CAST(((p.n_ab * 1000000) // ma.cnt) * n.n // mb.cnt AS BIGINT) AS lift_ppm
+        |FROM p JOIN m ma ON p.ta = ma.event_type
+        |JOIN m mb ON p.tb = mb.event_type CROSS JOIN n
+        |ORDER BY ta, tb""".stripMargin) { (s, d) =>
+      val ut = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val utP = graft.util.CacheOnce.persistForOneAction(ut)
+      val n = utP.agg(countDistinct(col("user_id")).as("n"))
+      val m = utP.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      val pairs = utP.select(col("user_id"), col("event_type").as("ta"))
+        .join(utP.select(col("user_id").as("ub"), col("event_type").as("tb")),
+          col("user_id") === col("ub") && col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(m.select(col("event_type").as("ta"), col("cnt").as("ca"))), "ta")
+        .join(broadcast(m.select(col("event_type").as("tb"), col("cnt").as("cb"))), "tb")
+        .crossJoin(broadcast(n))
+        // two-step floor division: n_ab·1e6 ≤ 1e15 at 10^9 users, and the
+        // quotient (≤ 1e6) times N stays ≤ 1e15 — never near 2^63; the
+        // oracle uses the identical step order, so results match exactly
+        .selectExpr("ta", "tb", "n_ab AS n_both",
+          "((n_ab * 1000000) div ca) * n div cb AS lift_ppm")
+        .orderBy(col("ta"), col("tb"))
+    },
+
+    GraftQuery(
       "q160_time_weighted_average",
       "Time-weighted average (TWAP): each event's value holds until the user's next event, weighted by the holding interval — Σ cents·Δt_seconds over ΣΔt_seconds per event type, exact integer numerator/denominator with a floored cents ratio. One lead() window per user partition; the metric every ops/trading pipeline wants instead of the naive row mean that over-weights bursts.",
       """WITH iv AS (SELECT event_type,

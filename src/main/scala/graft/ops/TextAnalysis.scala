@@ -248,6 +248,66 @@ object TextAnalysis {
     },
 
     GraftQuery(
+      "q189_winnow_dedup",
+      "Near-duplicate discovery through WINNOWING fingerprints — the MOSS pipeline end-to-end, two-tier by doctrine: the native winnow_fps kernel emits each doc's sorted distinct selected hashes (one codegen pass, ~2/(w+1) of the grams), candidates meet in fingerprint buckets with a df ≤ 20 boilerplate cut and ≥ 2 shared fingerprints (explicit spec, not hidden approximation), and survivors verify EXACTLY over the FULL uncapped fingerprint sets via the SortedIntersectCount merge-walk kernel — fingerprint-set Jaccard in integer ppm. Top-20 pairs by (jaccard, a, b) total order. The discovery tier shuffles fingerprints, never text.",
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, p,
+        |    CAST(('0x' || substr(md5(substr(t, p, 5)), 1, 8)) AS BIGINT) AS h
+        |  FROM d, unnest(generate_series(1, len(t) - 4)) AS u(p)
+        |  WHERE len(t) >= 8),
+        |win AS (SELECT doc_id, p,
+        |    min(h * 2097152 + (1048576 - p)) OVER (PARTITION BY doc_id
+        |      ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+        |    count(*) OVER (PARTITION BY doc_id) AS m
+        |  FROM g),
+        |sel AS (SELECT DISTINCT doc_id, mk // 2097152 AS fp
+        |        FROM win WHERE p <= m - 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sel GROUP BY doc_id),
+        |dfc AS (SELECT fp, count(*) AS df FROM sel GROUP BY fp),
+        |cand AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  JOIN dfc ON a.fp = dfc.fp
+        |  WHERE dfc.df <= 20
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ver AS (SELECT c.a, c.b, count(*) AS inter
+        |  FROM cand c JOIN sel x ON x.doc_id = c.a
+        |  JOIN sel y ON y.doc_id = c.b AND y.fp = x.fp
+        |  GROUP BY 1, 2)
+        |SELECT v.a, v.b, CAST(v.inter AS BIGINT) AS shared_fps,
+        |  CAST(v.inter * 1000000 // (sa.sz + sb.sz - v.inter) AS BIGINT) AS jaccard_ppm
+        |FROM ver v JOIN sz sa ON v.a = sa.doc_id JOIN sz sb ON v.b = sb.doc_id
+        |ORDER BY jaccard_ppm DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.winnowFps(
+            regexp_replace(trim(lower(col("text"))), "\\s+", " "), 5, 4).as("fps"))
+        .filter(col("fps").isNotNull)
+      val docsP = graft.util.CacheOnce.persistForOneAction(docs)
+      val sel = docsP.select(col("doc_id"), explode(col("fps")).as("fp"))
+      val dfc = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      val capped = sel.join(dfc.filter(col("df") <= 20), "fp")
+      val cand = capped.select(col("fp"), col("doc_id").as("a"))
+        .join(capped.select(col("fp").as("fp_b"), col("doc_id").as("b")),
+          col("fp") === col("fp_b") && col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared_capped"))
+        .filter(col("n_shared_capped") >= 2)
+      // exact tier: FULL uncapped sets, merge-walk intersection kernel
+      val fa = docsP.select(col("doc_id").as("a"), col("fps").as("fps_a"))
+      val fb = docsP.select(col("doc_id").as("b"), col("fps").as("fps_b"))
+      cand.join(fa, "a").join(fb, "b")
+        .select(col("a"), col("b"),
+          graft.functions.GraftFunctions
+            .sortedIntersectCount(col("fps_a"), col("fps_b")).as("inter"),
+          (size(col("fps_a")) + size(col("fps_b"))).cast("long").as("szsum"))
+        .selectExpr("a", "b", "inter AS shared_fps",
+          "inter * 1000000 div (szsum - inter) AS jaccard_ppm")
+        .orderBy(col("jaccard_ppm").desc, col("a"), col("b"))
+        .limit(20)
+    },
+
+    GraftQuery(
       "q165_span_corruption",
       "T5-style span-corruption sample generation: every 7th 3-token span is masked (deterministic positions — reproducible across engines and runs, unlike RNG corruption), the input keeps unmasked text with one <extra_id_k> sentinel per masked span, the target is the sentinel-delimited masked spans — the (input, target) pair layout of denoising pretraining. Embarrassingly parallel per doc; both rendered strings verified byte-for-byte via md5.",
       """WITH t AS (SELECT doc_id,

@@ -113,17 +113,53 @@ object TextKernels {
     * distinct set sorts the ≤m selected keys in place. */
   def winnowStats(s: UTF8String, k: Int, w: Int):
       org.apache.spark.sql.catalyst.InternalRow = {
+    val keys = winnowKeys(s, k, w)
+    if (keys == null) return null
+    val m = (s.numChars() - k + 1).toLong
+    var checksum = 0L
+    var i = 0
+    while (i < keys.length) { checksum += keys(i) / 2097152L; i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m, keys.length.toLong, checksum))
+  }
+
+  /** The winnowing SELECTION as a sorted distinct hash array — the variant
+    * dedup pipelines join on (q189): same algorithm as [[winnowStats]], but
+    * returns the distinct selected 32-bit hash VALUES, ascending. Sorted
+    * output feeds [[sortedIntersectCount]] directly for exact pair
+    * verification. Null below one full window. */
+  def winnowFps(s: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val stats = winnowKeys(s, k, w)
+    if (stats == null) return null
+    // decode keys → hashes, dedup (keys are sorted, equal hashes adjacent
+    // only if same key; different pos → same hash can repeat non-adjacent,
+    // so dedup via sort of decoded hashes)
+    val hs = new Array[Long](stats.length)
+    var i = 0
+    while (i < stats.length) { hs(i) = stats(i) / 2097152L; i += 1 }
+    java.util.Arrays.sort(hs)
+    var n = 0
+    var j = 0
+    while (j < hs.length) {
+      if (j == 0 || hs(j) != hs(j - 1)) { hs(n) = hs(j); n += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, n))
+  }
+
+  /** Shared winnowing core: the sorted DISTINCT selection keys
+    * (h·2^21 + (2^20 − pos)), or null when no full window fits. */
+  private def winnowKeys(s: UTF8String, k: Int, w: Int): Array[Long] = {
     val bytes = s.getBytes
     val chars = s.numChars()
     val m = chars - k + 1
-    if (m < w) return null // need at least one full window
+    if (m < w) return null
     val d = md5.get()
     val hs = new Array[Long](m)
-    if (bytes.length == chars) { // ASCII: byte windows ARE char windows
+    if (bytes.length == chars) {
       var i = 0
       while (i < m) {
-        d.reset()
-        d.update(bytes, i, k)
+        d.reset(); d.update(bytes, i, k)
         val h = d.digest()
         hs(i) = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
           ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
@@ -133,15 +169,13 @@ object TextKernels {
       var i = 0
       while (i < m) {
         val g = s.substring(i, i + k)
-        d.reset()
-        d.update(g.getBytes)
+        d.reset(); d.update(g.getBytes)
         val h = d.digest()
         hs(i) = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
           ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
         i += 1
       }
     }
-    // selection keys: min over each window picks (min hash, rightmost pos)
     val sel = new Array[Long](m - w + 1)
     var p = 0
     while (p <= m - w) {
@@ -156,18 +190,13 @@ object TextKernels {
       p += 1
     }
     java.util.Arrays.sort(sel)
-    var nFps = 0L
-    var checksum = 0L
-    var i = 0
-    while (i < sel.length) {
-      if (i == 0 || sel(i) != sel(i - 1)) {
-        nFps += 1
-        checksum += sel(i) / 2097152L // decode back to the hash
-      }
-      i += 1
+    var n = 0
+    var i2 = 0
+    while (i2 < sel.length) {
+      if (i2 == 0 || sel(i2) != sel(i2 - 1)) { sel(n) = sel(i2); n += 1 }
+      i2 += 1
     }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](m.toLong, nFps, checksum))
+    java.util.Arrays.copyOf(sel, n)
   }
 
   /** Per-document char-n-gram fingerprint in ONE pass: h60 over every
@@ -311,6 +340,32 @@ case class WinnowStats(child: Expression, k: Int, w: Int)
        """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): WinnowStats =
+    copy(child = newChild)
+}
+
+/** `winnow_fps(text, k, w)` — the winnowing selection as a sorted distinct
+  * hash array (see [[TextKernels.winnowFps]]); feeds dedup joins and
+  * [[SortedIntersectCount]] verification directly. */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1 && w >= 1, "gram size and window must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_fps"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.winnowFps(s.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.TextKernels.winnowFps($s, $k, $w);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
     copy(child = newChild)
 }
 
