@@ -736,6 +736,87 @@ object Analytics {
     },
 
     GraftQuery(
+      "q191_changepoint",
+      "Offline change-point detection per event type — the max-|cumulative-deviation| statistic (the classic CUSUM-family location estimate): daily cents totals, deviations SCALED BY n (d_i = x_i·n − total — multiplying through by n instead of subtracting the mean keeps everything integer, no division), running sum over the per-type day series, and the change point is the day maximizing |cumdev| (argmax-as-aggregate on the encoded (abs, -day) max — no second window pass; the encoding assumes |cumdev| < 2^43 — past that, split the argmax into the max-then-join two-pass form). The day frame is one row per (type, day); the heavy daily aggregate underneath is map-side combinable.",
+      """WITH x AS (SELECT event_type AS et,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS total FROM x GROUP BY et),
+        |c AS (SELECT x.et, x.day,
+        |    sum(x.cents * t.n - t.total) OVER (PARTITION BY x.et
+        |      ORDER BY x.day) AS cumdev
+        |  FROM x JOIN t ON x.et = t.et),
+        |m AS (SELECT et, max(abs(cumdev) * 1048576 + (1048575 - (day % 1048576))) AS enc
+        |      FROM c GROUP BY et)
+        |SELECT m.et AS event_type,
+        |  CAST(1048575 - (m.enc % 1048576) AS BIGINT) AS change_day,
+        |  CAST(m.enc // 1048576 AS BIGINT) AS max_abs_cumdev
+        |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+      val x = Tables.events(s, d)
+        .groupBy(col("event_type").as("et"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(sum(cents(col("value"))).as("cents"))
+      val t = x.groupBy(col("et")).agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("total"))
+      val c = x.join(t.withColumnRenamed("et", "tet"), col("et") === col("tet"))
+        .withColumn("cumdev", sum(col("cents") * col("n") - col("total"))
+          .over(Window.partitionBy(col("et")).orderBy(col("day"))))
+      // argmax day by (|cumdev| max, day min) in ONE encoded long: the day
+      // index is < 2^20 (epoch days), |cumdev| scaled into the high bits
+      c.groupBy(col("et").as("event_type"))
+        .agg(max(abs(col("cumdev")) * 1048576L +
+          (lit(1048575L) - col("day") % 1048576L)).as("enc"))
+        .selectExpr("event_type",
+          "1048575 - (enc % 1048576) AS change_day",
+          "enc div 1048576 AS max_abs_cumdev")
+        .orderBy(col("event_type"))
+    },
+
+    GraftQuery(
+      "q193_benford_census",
+      "Benford first-digit census over order totals — the fraud/aberration screen: leading digit of the cents amount by pure integer arithmetic (divide by 10 until < 10 — a CASE ladder over magnitude thresholds, no string cast, no log), exact counts and observed ppm shares. Fabricated amounts show up as a flat profile against Benford's falling curve; the census is one map-side-combinable aggregate.",
+      """WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE o_totalprice > 0),
+        |d AS (SELECT CASE
+        |    WHEN c >= 1000000000 THEN c // 1000000000
+        |    WHEN c >= 100000000 THEN c // 100000000
+        |    WHEN c >= 10000000 THEN c // 10000000
+        |    WHEN c >= 1000000 THEN c // 1000000
+        |    WHEN c >= 100000 THEN c // 100000
+        |    WHEN c >= 10000 THEN c // 10000
+        |    WHEN c >= 1000 THEN c // 1000
+        |    WHEN c >= 100 THEN c // 100
+        |    WHEN c >= 10 THEN c // 10
+        |    ELSE c END AS digit FROM v),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+        |SELECT digit, count(*) AS n_amounts,
+        |  CAST(count(*) * 1000000 // n.n AS BIGINT) AS share_ppm
+        |FROM d CROSS JOIN n GROUP BY digit, n.n ORDER BY digit""".stripMargin) { (s, d) =>
+      val v = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 0)
+        .select(cents(col("o_totalprice")).as("c"))
+      val dig = v.selectExpr("""CASE
+        | WHEN c >= 1000000000 THEN c div 1000000000
+        | WHEN c >= 100000000 THEN c div 100000000
+        | WHEN c >= 10000000 THEN c div 10000000
+        | WHEN c >= 1000000 THEN c div 1000000
+        | WHEN c >= 100000 THEN c div 100000
+        | WHEN c >= 10000 THEN c div 10000
+        | WHEN c >= 1000 THEN c div 1000
+        | WHEN c >= 100 THEN c div 100
+        | WHEN c >= 10 THEN c div 10
+        | ELSE c END AS digit""".stripMargin)
+      val n = dig.agg(count(lit(1)).as("n"))
+      dig.groupBy(col("digit")).agg(count(lit(1)).as("n_amounts"))
+        .crossJoin(broadcast(n))
+        .selectExpr("digit", "n_amounts",
+          "n_amounts * 1000000 div n AS share_ppm")
+        .orderBy(col("digit"))
+    },
+
+    GraftQuery(
       "q160_time_weighted_average",
       "Time-weighted average (TWAP): each event's value holds until the user's next event, weighted by the holding interval — Σ cents·Δt_seconds over ΣΔt_seconds per event type, exact integer numerator/denominator with a floored cents ratio. One lead() window per user partition; the metric every ops/trading pipeline wants instead of the naive row mean that over-weights bursts.",
       """WITH iv AS (SELECT event_type,

@@ -364,6 +364,47 @@ object ScaleOps {
     },
 
     GraftQuery(
+      "q192_keyspace_gap_census",
+      "Surrogate-key gap audit WITHOUT sorting the key frame — the sequence-integrity check that naively needs lag() over every distinct key (a full key-frame sort — dead at billions of keys): keys bucket into 1000-wide ranges (k div 1000 — map-side combinable), the EXPECTED bucket range is generated from the span (so fully-purged buckets are caught, not just deficient ones), a LEFT join scores present vs clipped width, and only gapped buckets surface, worst first. The audited stream carries deterministic 'deleted' rows (every 97th key, plus whole buckets where bucket%13=7 — simulated retention purges). Locates every gap to a 1000-key range in one aggregation; the lag() drill-down then runs on just the flagged buckets' keys.",
+      """WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |  WHERE o_orderkey % 97 <> 0 AND (o_orderkey // 1000) % 13 <> 7),
+        |span AS (SELECT min(k) AS lo, max(k) AS hi FROM k),
+        |b AS (SELECT k // 1000 AS bucket, count(*) AS present FROM k GROUP BY 1),
+        |bk AS (SELECT unnest(generate_series(lo // 1000, hi // 1000)) AS bucket,
+        |         lo, hi FROM span),
+        |e AS (SELECT bk.bucket, coalesce(b.present, 0) AS present,
+        |    least((bk.bucket + 1) * 1000 - 1, bk.hi)
+        |      - greatest(bk.bucket * 1000, bk.lo) + 1 AS expected
+        |  FROM bk LEFT JOIN b ON bk.bucket = b.bucket)
+        |SELECT bucket, CAST(present AS BIGINT) AS present,
+        |  CAST(expected AS BIGINT) AS expected,
+        |  CAST(expected - present AS BIGINT) AS missing
+        |FROM e WHERE present < expected
+        |ORDER BY missing DESC, bucket LIMIT 20""".stripMargin) { (s, d) =>
+      // audit target: the key stream with deterministic 'deleted' rows —
+      // every 97th key and two whole 1000-buckets per 13 (simulated purges)
+      val k = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 =!= 0 &&
+          expr("(o_orderkey div 1000) % 13") =!= 7)
+        .select(col("o_orderkey").as("k")).distinct()
+      val span = k.agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      val present = k.selectExpr("k div 1000 AS bucket")
+        .groupBy(col("bucket")).agg(count(lit(1)).as("present"))
+      // expected bucket range generated from the span — a frame of
+      // keyspace/1000 rows, so fully-missing buckets are audited too
+      span.select(explode(expr("sequence(lo div 1000, hi div 1000)")).as("bucket"),
+          col("lo"), col("hi"))
+        .join(present, Seq("bucket"), "left")
+        .selectExpr("bucket", "coalesce(present, 0) AS present",
+          "least((bucket + 1) * 1000 - 1, hi) - greatest(bucket * 1000, lo) + 1 AS expected")
+        .filter(col("present") < col("expected"))
+        .selectExpr("bucket", "present", "expected",
+          "expected - present AS missing")
+        .orderBy(col("missing").desc, col("bucket"))
+        .limit(20)
+    },
+
+    GraftQuery(
       "q115_partition_pruned_scan",
       "Hive-layout partition pruning: orders staged once as partitionBy(o_orderpriority) parquet, and the one-priority filter is resolved against DIRECTORY NAMES at planning time — four of five partitions contribute zero scan tasks and zero bytes read (ScaleOpsSpec pins inputFiles to the single matching directory). The standard layout for the 100 TB case where a hot predicate column has low cardinality: date, tenant, language, source.",
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
