@@ -817,6 +817,79 @@ object Analytics {
     },
 
     GraftQuery(
+      "q194_share_of_parent",
+      "Hierarchical share-of-parent readout — the drill-down every OLAP frontend computes per level: nation revenue as ppm of its region, region revenue as ppm of the grand total, in one pass — windows over the ALREADY-AGGREGATED nation frame (≤ 25 rows at any SF; the heavy work is the map-side-combinable revenue aggregate underneath). Exact integer ppm, total (region, nation) order.",
+      """WITH nv AS (SELECT r.r_name, n.n_name,
+        |    CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, cents,
+        |  CAST(cents * 1000000 // sum(cents) OVER (PARTITION BY r_name) AS BIGINT)
+        |    AS share_of_region_ppm,
+        |  CAST(sum(cents) OVER (PARTITION BY r_name) * 1000000
+        |    // sum(cents) OVER () AS BIGINT) AS region_share_ppm
+        |FROM nv ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      val nv = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(cents(col("o_totalprice"))).as("cents"))
+      val reg = Window.partitionBy(col("r_name"))
+      val all = Window.partitionBy()
+      nv.withColumn("rc", sum(col("cents")).over(reg))
+        .withColumn("tc", sum(col("cents")).over(all))
+        .selectExpr("r_name", "n_name", "cents",
+          "cents * 1000000 div rc AS share_of_region_ppm",
+          "rc * 1000000 div tc AS region_share_ppm")
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    GraftQuery(
+      "q195_merkle_bucket_diff",
+      "Anti-entropy table diff WITHOUT sorting or shipping rows — the Merkle/checksum-table replication audit: each side reduces to per-bucket (key div 1000) ORDER-INVARIANT fingerprints — bit_xor of the row-content h60 plus a row count (xor is commutative/associative, so partitioning and arrival order can't change it) — and only buckets whose (count, xor) disagree surface. Generation B derives from A deterministically (q141's mutation recipe: %37 dropped, %19 price-bumped). At two 100 TB replicas the comparison ships keyspace/1000 fingerprints, not rows; flagged buckets then drill down exactly.",
+      """WITH a AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |b AS (SELECT k, CASE WHEN k % 19 = 0 THEN v + 100 ELSE v END AS v
+        |      FROM a WHERE k % 37 <> 0),
+        |ha AS (SELECT k // 1000 AS bucket, count(*) AS n,
+        |    bit_xor(CAST(('0x' || substr(md5(k || ':' || v), 1, 15)) AS BIGINT)) AS x
+        |  FROM a GROUP BY 1),
+        |hb AS (SELECT k // 1000 AS bucket, count(*) AS n,
+        |    bit_xor(CAST(('0x' || substr(md5(k || ':' || v), 1, 15)) AS BIGINT)) AS x
+        |  FROM b GROUP BY 1)
+        |SELECT ha.bucket, CAST(ha.n AS BIGINT) AS n_a,
+        |  CAST(coalesce(hb.n, 0) AS BIGINT) AS n_b,
+        |  (ha.x IS DISTINCT FROM hb.x) AS xor_differs
+        |FROM ha LEFT JOIN hb ON ha.bucket = hb.bucket
+        |WHERE ha.n IS DISTINCT FROM hb.n OR ha.x IS DISTINCT FROM hb.x
+        |ORDER BY ha.bucket LIMIT 25""".stripMargin) { (s, d) =>
+      val a = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("v"))
+      val b = a.filter(col("k") % 37 =!= 0)
+        .select(col("k"),
+          when(col("k") % 19 === 0, col("v") + 100).otherwise(col("v")).as("v"))
+      def fingerprint(df: org.apache.spark.sql.DataFrame) = df
+        .select(expr("k div 1000").as("bucket"),
+          h60(concat(col("k").cast("string"), lit(":"), col("v").cast("string")))
+            .as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), bit_xor(col("h")).as("x"))
+      fingerprint(a).select(col("bucket"), col("n").as("n_a"), col("x").as("xa"))
+        .join(fingerprint(b)
+          .select(col("bucket"), col("n").as("n_b"), col("x").as("xb")),
+          Seq("bucket"), "left")
+        .filter(expr("NOT (n_a <=> n_b)") || expr("NOT (xa <=> xb)"))
+        .selectExpr("bucket", "n_a", "coalesce(n_b, 0) AS n_b",
+          "NOT (xa <=> xb) AS xor_differs")
+        .orderBy(col("bucket"))
+        .limit(25)
+    },
+
+    GraftQuery(
       "q160_time_weighted_average",
       "Time-weighted average (TWAP): each event's value holds until the user's next event, weighted by the holding interval — Σ cents·Δt_seconds over ΣΔt_seconds per event type, exact integer numerator/denominator with a floored cents ratio. One lead() window per user partition; the metric every ops/trading pipeline wants instead of the naive row mean that over-weights bursts.",
       """WITH iv AS (SELECT event_type,

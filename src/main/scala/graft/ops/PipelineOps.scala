@@ -552,6 +552,40 @@ object PipelineOps {
     },
 
     GraftQuery(
+      "q196_systematic_sample",
+      "Systematic (every-Nth-weight-unit) sampling — the deterministic weighted sampler for data mixtures: per language, docs in (doc_id) order accumulate n_chars weight, the step is ceil(total/16) weight units, and a doc is PICKED exactly when its weight span crosses a step boundary (floor(cum/step) > floor(cum_before/step)) — so every 1/16th of the corpus-by-weight contributes one doc, long docs proportionally likelier, zero randomness, reproducible across engines and partitionings. One cumulative window per language partition. Census output: picks, their weight share, and the exact picked-id checksum pinning the selection.",
+      """WITH w AS (SELECT lang, doc_id, n_chars AS wt FROM documents),
+        |t AS (SELECT lang, CAST(sum(wt) AS BIGINT) AS total FROM w GROUP BY lang),
+        |c AS (SELECT w.lang, w.doc_id, w.wt, t.total,
+        |    (t.total + 15) // 16 AS step,
+        |    coalesce(sum(w.wt) OVER (PARTITION BY w.lang
+        |      ORDER BY w.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS cb
+        |  FROM w JOIN t ON w.lang = t.lang),
+        |p AS (SELECT lang, doc_id, wt FROM c
+        |      WHERE (cb + wt) // step > cb // step)
+        |SELECT lang, count(*) AS n_picked,
+        |  CAST(sum(wt) AS BIGINT) AS picked_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS picked_id_sum
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars").as("wt"))
+      val t = w.groupBy(col("lang")).agg(sum(col("wt")).as("total"))
+      val cum = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      w.join(broadcast(t), "lang")
+        .withColumn("cb", coalesce(sum(col("wt")).over(cum), lit(0L)))
+        .selectExpr("lang", "doc_id", "wt", "cb",
+          "(total + 15) div 16 AS step")
+        .filter(expr("(cb + wt) div step > cb div step"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_picked"), sum(col("wt")).as("picked_chars"),
+          sum(col("doc_id")).as("picked_id_sum"))
+        .orderBy(col("lang"))
+    },
+
+    GraftQuery(
       "q94_mixture_sampling",
       "Balanced-mixture construction: per-language accept rate min(1, T/(k*n_l)) targets an equal share per language; membership is the deterministic integer predicate residue*k*n_l < 1000*T over an md5 residue — no floating-point rates, reproducible across engines and cluster sizes. Output: per language the corpus count and the kept count.",
       s"""WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM documents GROUP BY lang),
