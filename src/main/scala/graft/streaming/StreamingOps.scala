@@ -179,6 +179,51 @@ object StreamingOps {
     },
 
     GraftQuery(
+      "q197_stream_cdc_apply",
+      "Streaming CDC APPLY — each micro-batch UPSERTS (q173 MERGE, not append) the batch's latest state per user into the transactional sink: per batch, one window reduces the batch to its newest row per user (so the driver-side connector images are |users|, never |events|), the merge rewrites only key-range-matched files, and because the staged micro-batches are time-ordered, sequential batch-latest merges converge to the GLOBAL latest-per-user — the materialized-view maintenance loop every CDC consumer runs. Read-back equals the batch argmax oracle.",
+      """WITH l AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |SELECT event_type AS vendor,
+        |  CAST(event_id AS VARCHAR) AS description,
+        |  CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) AS picker_erk,
+        |  CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR) AS charge_code,
+        |  printf('U%09dD', user_id) AS po_number
+        |FROM l WHERE rn = 1 ORDER BY po_number""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dir = graft.util.Scratch.dir("graft-q197-sink").toString // fresh per run
+      val src = twoBatchEventsStream(s, d)
+        .filter(col("event_type") =!= SentinelType)
+      val q = src.writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          val images = batch
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("event_type"), col("event_id"),
+              unix_timestamp(col("ts")).as("tss"), cents(col("value")).as("c"),
+              col("user_id"))
+            .collect().toSeq.map { r =>
+              Map(
+                "vendor" -> r.getString(0),
+                "description" -> r.getLong(1).toString,
+                "picker_erk" -> r.getLong(2).toString,
+                "charge_code" -> r.getLong(3).toString,
+                "po_number" -> f"U${r.getLong(4)}%09dD")
+            }
+          require(graft.sources.FormSinkSource
+            .merge(dir, "po_number", images).nonEmpty,
+            "CDC apply lost a race in a single-writer stream")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.format(graft.sources.FormSinkSource.Format)
+        .option("path", dir).load()
+        .orderBy(col("po_number"))
+    },
+
+    GraftQuery(
       "q99_stream_custom_state",
       "Custom streaming state as a first-class query: flatMapGroupsWithState with EVENT-TIME TIMEOUT counts each user's 10-min-gap sessions — state carries (last ts, count) across micro-batches, emits exactly once per user when the watermark passes its timeout, and is removed. The helper's time-ordered batch split guarantees per-key in-order delivery across batches (within a batch the handler sorts). Oracle: batch gaps-and-islands session-start sum.",
       """WITH g AS (SELECT user_id,
