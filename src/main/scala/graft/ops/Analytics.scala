@@ -890,6 +890,60 @@ object Analytics {
     },
 
     GraftQuery(
+      "q198_multigrain_rollup",
+      "Multi-grain summary-table build in ONE scan — the materialization behind every time-series dashboard: year, year-month and year-month-day revenue produced together via GROUPING SETS over derived time columns (one pass over the fact table, partial aggregation map-side combined once — vs the 3-scan UNION ALL a naive build runs), grain labeled from grouping_id so the consumer can route. Exact cents, NULLS FIRST pinned on the rollup sort.",
+      """SELECT CASE grouping_id(y, mo, day)
+        |    WHEN 0 THEN 'day' WHEN 1 THEN 'month' ELSE 'year' END AS grain,
+        |  y, mo, day, count(*) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS rev_cents
+        |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |        CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |        CAST(day(o_orderdate) AS INTEGER) AS day,
+        |        CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders) t
+        |GROUP BY GROUPING SETS ((y), (y, mo), (y, mo, day))
+        |ORDER BY y NULLS FIRST, mo NULLS FIRST, day NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("day"),
+          cents(col("o_totalprice")).as("cents"))
+        .groupingSets(
+          Seq(Seq(col("y")), Seq(col("y"), col("mo")),
+            Seq(col("y"), col("mo"), col("day"))),
+          col("y"), col("mo"), col("day"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"),
+          expr("grouping_id(y, mo, day)").as("gid")) // must live in the agg
+        .selectExpr(
+          "CASE gid WHEN 0 THEN 'day' WHEN 1 THEN 'month' ELSE 'year' END AS grain",
+          "y", "mo", "day", "n_orders", "rev_cents")
+        .orderBy(col("y").asc_nulls_first, col("mo").asc_nulls_first,
+          col("day").asc_nulls_first)
+    },
+
+    GraftQuery(
+      "q199_cumulative_unique",
+      "Cumulative unique users by day — the all-time growth curve: each user contributes on their FIRST-EVER day only (min day per user — a map-side-combinable aggregate, not a window over events), first-day counts roll up by day, and the running total is a window over the tiny day frame. Linear in events with no distinct-state growth; the shape that still works when 'users' is billions of keys.",
+      """WITH f AS (SELECT user_id,
+        |    min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS first_day
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT first_day AS day, count(*) AS new_users
+        |      FROM f GROUP BY first_day)
+        |SELECT day, CAST(new_users AS BIGINT) AS new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS total_users
+        |FROM d ORDER BY day""".stripMargin) { (s, d) =>
+      val f = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(expr("unix_timestamp(ts) div 86400")).as("first_day"))
+      val byDay = f.groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      // running total over the day frame (one row per active day)
+      byDay.withColumn("total_users",
+          sum(col("new_users")).over(Window.orderBy(col("day"))))
+        .orderBy(col("day"))
+    },
+
+    GraftQuery(
       "q160_time_weighted_average",
       "Time-weighted average (TWAP): each event's value holds until the user's next event, weighted by the holding interval — Σ cents·Δt_seconds over ΣΔt_seconds per event type, exact integer numerator/denominator with a floored cents ratio. One lead() window per user partition; the metric every ops/trading pipeline wants instead of the naive row mean that over-weights bursts.",
       """WITH iv AS (SELECT event_type,
