@@ -308,6 +308,44 @@ object TextAnalysis {
     },
 
     GraftQuery(
+      "q200_corpus_datasheet",
+      "The corpus DATASHEET — the one-page per-language report a training-data release ships with (Datasheets-for-Datasets distilled to engine facts): doc and char volume, exact token totals, quality-pass counts (≥ 20 tokens AND ≥ 25% distinct-token ratio — the length + repetition screens, integer cross-multiplied), exact-duplicate census via md5 groups, and the duplication rate in ppm. ONE scan computes every per-doc fact (tokens, distinct tokens, content hash) before a single small per-language aggregate; the capstone that composes the q45-q48 text stack into the artifact a data consumer actually reads.",
+      """WITH d AS (SELECT lang, n_chars,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS toks,
+        |    len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> ''))) AS utoks,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents),
+        |u AS (SELECT lang, count(DISTINCT h) AS n_unique FROM d GROUP BY lang),
+        |a AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |    count(*) FILTER (WHERE toks >= 20 AND utoks * 4 >= toks) AS n_quality
+        |  FROM d GROUP BY lang)
+        |SELECT a.lang, a.n_docs, a.total_chars, a.total_tokens,
+        |  a.n_quality, CAST(u.n_unique AS BIGINT) AS n_unique,
+        |  CAST((a.n_docs - u.n_unique) * 1000000 // a.n_docs AS BIGINT) AS dup_ppm
+        |FROM a JOIN u ON a.lang = u.lang ORDER BY a.lang""".stripMargin) { (s, d) =>
+      val doc = Tables.documents(s, d).select(col("lang"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("toks"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("utoks"),
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"))
+      val docP = graft.util.CacheOnce.persistForOneAction(doc)
+      val u = docP.groupBy(col("lang"))
+        .agg(countDistinct(col("h")).as("n_unique"))
+      docP.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          sum(col("toks")).as("total_tokens"),
+          count(when(col("toks") >= 20 &&
+            col("utoks") * 4 >= col("toks"), 1)).as("n_quality"))
+        .join(u, "lang")
+        .selectExpr("lang", "n_docs", "total_chars", "total_tokens",
+          "n_quality", "n_unique",
+          "(n_docs - n_unique) * 1000000 div n_docs AS dup_ppm")
+        .orderBy(col("lang"))
+    },
+
+    GraftQuery(
       "q165_span_corruption",
       "T5-style span-corruption sample generation: every 7th 3-token span is masked (deterministic positions — reproducible across engines and runs, unlike RNG corruption), the input keeps unmasked text with one <extra_id_k> sentinel per masked span, the target is the sentinel-delimited masked spans — the (input, target) pair layout of denoising pretraining. Embarrassingly parallel per doc; both rendered strings verified byte-for-byte via md5.",
       """WITH t AS (SELECT doc_id,
