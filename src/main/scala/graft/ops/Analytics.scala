@@ -944,6 +944,86 @@ object Analytics {
     },
 
     GraftQuery(
+      "q201_lifecycle_funnel",
+      "Order-lifecycle latency funnel across TABLES — the fulfillment readout: per order, FIRST-ship and LAST-ship days reduce from lineitem (min/max aggregates, map-side combinable), the funnel counts orders → first line shipped ≤ 30d → FULLY shipped ≤ 60d, and the first-ship latency median comes out as an exact integer day value via histogram selection over the (priority, latency-days) frame (q137 doctrine — the latency DOMAIN is a few hundred values, so the selection window never touches row counts). One lineitem aggregate + one broadcast-sized histogram pass per priority.",
+      """WITH f AS (SELECT l_orderkey,
+        |    min(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400) AS first_d,
+        |    max(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400) AS last_d
+        |  FROM lineitem GROUP BY l_orderkey),
+        |o AS (SELECT o.o_orderpriority AS prio,
+        |    CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400 AS ord_d,
+        |    f.first_d, f.last_d
+        |  FROM orders o JOIN f ON o.o_orderkey = f.l_orderkey),
+        |h AS (SELECT prio, first_d - ord_d AS ship_days, count(*) AS f
+        |      FROM o GROUP BY 1, 2),
+        |cum AS (SELECT prio, ship_days, f,
+        |    sum(f) OVER (PARTITION BY prio ORDER BY ship_days) AS c,
+        |    sum(f) OVER (PARTITION BY prio) AS n FROM h),
+        |med AS (SELECT prio,
+        |    min(CASE WHEN c >= (n + 1) // 2 THEN ship_days END) AS med_ship_days
+        |  FROM cum GROUP BY prio),
+        |fun AS (SELECT prio, count(*) AS n_orders,
+        |    count(*) FILTER (WHERE first_d - ord_d <= 30) AS shipped_30d,
+        |    count(*) FILTER (WHERE last_d - ord_d <= 60) AS fully_shipped_60d
+        |  FROM o GROUP BY prio)
+        |SELECT fun.prio AS priority, fun.n_orders, fun.shipped_30d,
+        |  fun.fully_shipped_60d, CAST(med.med_ship_days AS BIGINT) AS med_ship_days
+        |FROM fun JOIN med ON fun.prio = med.prio ORDER BY priority""".stripMargin) { (s, d) =>
+      val f = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(min(expr("unix_timestamp(l_shipdate) div 86400")).as("first_d"),
+          max(expr("unix_timestamp(l_shipdate) div 86400")).as("last_d"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+          expr("unix_timestamp(o_orderdate) div 86400").as("ord_d"))
+        .join(f, col("o_orderkey") === col("l_orderkey"))
+      val oP = graft.util.CacheOnce.persistForOneAction(o)
+      val h = oP.select(col("prio"), (col("first_d") - col("ord_d")).as("ship_days"))
+        .groupBy(col("prio"), col("ship_days")).agg(count(lit(1)).as("f"))
+      val med = h
+        .withColumn("c", sum(col("f")).over(
+          Window.partitionBy(col("prio")).orderBy(col("ship_days"))))
+        .withColumn("n", sum(col("f")).over(Window.partitionBy(col("prio"))))
+        .groupBy(col("prio"))
+        .agg(min(when(col("c") >= expr("(n + 1) div 2"), col("ship_days")))
+          .as("med_ship_days"))
+      oP.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_orders"),
+          count(when(col("first_d") - col("ord_d") <= 30, 1)).as("shipped_30d"),
+          count(when(col("last_d") - col("ord_d") <= 60, 1)).as("fully_shipped_60d"))
+        .join(broadcast(med), "prio")
+        .selectExpr("prio AS priority", "n_orders", "shipped_30d",
+          "fully_shipped_60d", "med_ship_days")
+        .orderBy(col("priority"))
+    },
+
+    GraftQuery(
+      "q202_mrr",
+      "Mean reciprocal rank of conversion — the IR/recsys relevance metric made engine-exact: per user, events in (ts, event_id) order, the rank of the FIRST purchase (min over an encoded rank·2^20 argmin — no second pass), reciprocal as floored 1e6 div rank, and MRR as the floored mean over converting users. Plus the rank histogram (how deep users go before buying). Rational arithmetic throughout — no float 1/rank summation order to diverge.",
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        |  FROM events),
+        |fp AS (SELECT user_id, min(rk) AS first_purchase_rank
+        |       FROM r WHERE event_type = 'purchase' GROUP BY user_id),
+        |rr AS (SELECT user_id, first_purchase_rank,
+        |         1000000 // first_purchase_rank AS rr_ppm FROM fp)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converting,
+        |  CAST(min(first_purchase_rank) AS BIGINT) AS best_rank,
+        |  CAST(max(first_purchase_rank) AS BIGINT) AS worst_rank,
+        |  CAST(sum(rr_ppm) // count(*) AS BIGINT) AS mrr_ppm
+        |FROM rr""".stripMargin) { (s, d) =>
+      val r = Tables.events(s, d)
+        .withColumn("rk", row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      r.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("rk")).as("fpr"))
+        .selectExpr("fpr", "1000000 div fpr AS rr_ppm")
+        .agg(count(lit(1)).as("n_converting"),
+          min(col("fpr")).as("best_rank"), max(col("fpr")).as("worst_rank"),
+          expr("sum(rr_ppm) div count(1)").as("mrr_ppm"))
+    },
+
+    GraftQuery(
       "q160_time_weighted_average",
       "Time-weighted average (TWAP): each event's value holds until the user's next event, weighted by the holding interval — Σ cents·Δt_seconds over ΣΔt_seconds per event type, exact integer numerator/denominator with a floored cents ratio. One lead() window per user partition; the metric every ops/trading pipeline wants instead of the naive row mean that over-weights bursts.",
       """WITH iv AS (SELECT event_type,

@@ -105,7 +105,7 @@ object GraphOps {
 
     GraftQuery(
       "q176_bfs_distances",
-      s"BFS shortest-path distances ($BfsRounds rounds) from the minimum-id node over the part↔supplier graph — the frontier formulation: each round unions the current label frame with neighbors-at-distance+1 and keeps min(d) per node, a map-side-combinable aggregate. One O(E) equi-join + one min-agg per round (the BSP shape), `localCheckpoint` truncating the lineage between rounds exactly like q83's label propagation; labels are longs, never paths. Output: the distance histogram — reach of each BFS ring.",
+      s"BFS shortest-path distances ($BfsRounds rounds) from the minimum-id node over the part↔supplier graph — the frontier formulation: each round unions the current label frame with neighbors-at-distance+1 and keeps min(d) per node, a map-side-combinable aggregate. One O(E) equi-join + one min-agg per round (the BSP shape), `localCheckpoint` truncating the lineage between rounds exactly like q83's label propagation; labels are longs, never paths. (A frontier-only variant with per-round anti-joins was measured ~25% SLOWER here: this graph is dense bipartite — the frontier IS the graph by round 2, so the anti-join/distinct shuffles buy nothing; keep frontier-only for high-diameter graphs, min-agg for dense ones.) Output: the distance histogram — reach of each BFS ring.",
       bfsSql) { (s, d) =>
       val ed = Tables.lineitem(s, d)
         .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
