@@ -1024,6 +1024,48 @@ object Analytics {
     },
 
     GraftQuery(
+      "q203_groupwise_regression",
+      "Group-wise linear-trend slope — regression-as-aggregate, the BI trend line without a model server: per event type, slope of daily cents against the day index from the closed form (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), every sum decimal(38) (the q52 moments doctrine — ANSI-safe, no float summation order), x RECENTERED to days-since-corpus-start so magnitudes stay small, slope reported as exact integer numerator/denominator plus floored cents-per-day. One daily aggregate (map-side combinable) + one tiny per-type reduction.",
+      """WITH xd AS (SELECT event_type AS et,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+        |    CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+        |lo AS (SELECT min(d) AS lo FROM xd),
+        |day AS (SELECT et, d - lo.lo AS x, CAST(sum(c) AS BIGINT) AS y
+        |        FROM xd CROSS JOIN lo GROUP BY 1, 2),
+        |s AS (SELECT et, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM day GROUP BY et)
+        |SELECT et AS event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        |  CAST((n * sxy - sx * sy) // (n * sxx - sx * sx) AS BIGINT)
+        |    AS slope_cents_per_day
+        |FROM s ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dec = "decimal(38,0)"
+      val xd = Tables.events(s, d)
+        .select(col("event_type").as("et"),
+          expr("unix_timestamp(ts) div 86400").as("d"),
+          cents(col("value")).as("c"))
+      val lo = xd.agg(min(col("d")).as("lo"))
+      val day = xd.crossJoin(broadcast(lo))
+        .select(col("et"), (col("d") - col("lo")).as("x"), col("c"))
+        .groupBy(col("et"), col("x")).agg(sum(col("c")).as("y"))
+      val sums = day.groupBy(col("et"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x").cast(dec)).cast(dec).as("sx"),
+          sum(col("y").cast(dec)).cast(dec).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).cast(dec).as("sxx"),
+          sum((col("x").cast(dec) * col("y").cast(dec))).cast(dec).as("sxy"))
+      sums.selectExpr("et AS event_type", "CAST(n AS LONG) AS n_days",
+          "CAST(n * sxy - sx * sy AS LONG) AS slope_num",
+          "CAST(n * sxx - sx * sx AS LONG) AS slope_den",
+          "CAST((n * sxy - sx * sy) div (n * sxx - sx * sx) AS LONG) AS slope_cents_per_day")
+        .orderBy(col("event_type"))
+    },
+
+    GraftQuery(
       "q160_time_weighted_average",
       "Time-weighted average (TWAP): each event's value holds until the user's next event, weighted by the holding interval — Σ cents·Δt_seconds over ΣΔt_seconds per event type, exact integer numerator/denominator with a floored cents ratio. One lead() window per user partition; the metric every ops/trading pipeline wants instead of the naive row mean that over-weights bursts.",
       """WITH iv AS (SELECT event_type,
