@@ -1066,6 +1066,92 @@ object Analytics {
     },
 
     GraftQuery(
+      "q204_log2_latency_histogram",
+      "Power-of-two latency histogram (the HDR-histogram bucket layout ops dashboards use): per-user inter-event gaps in seconds, bucketed by integer floor(log2) computed as a COMPARISON LADDER (one CASE over the 2^k thresholds — no float log whose boundary rounding could differ between engines; the ladder STRING is built once in Scala and fed verbatim to BOTH the Spark plan and the DuckDB oracle, so the bucket function is definitionally identical). Census per event type and bucket with exact ppm shares; the gap computation is one lag window per user partition.",
+      {
+        val ladder = (19 to 1 by -1)
+          .map(i => s"WHEN gap >= ${1L << i} THEN $i").mkString(
+            "CASE ", " ", " ELSE 0 END")
+        s"""WITH g AS (SELECT event_type AS et,
+           |    CAST(floor(epoch(ts)) AS BIGINT)
+           |      - lag(CAST(floor(epoch(ts)) AS BIGINT))
+           |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           |  FROM events),
+           |b AS (SELECT et, $ladder AS bucket FROM g WHERE gap IS NOT NULL),
+           |n AS (SELECT et, count(*) AS n FROM b GROUP BY et)
+           |SELECT b.et AS event_type, CAST(b.bucket AS BIGINT) AS log2_bucket,
+           |  count(*) AS n_gaps,
+           |  CAST(count(*) * 1000000 // max(n.n) AS BIGINT) AS share_ppm
+           |FROM b JOIN n ON b.et = n.et
+           |GROUP BY b.et, b.bucket ORDER BY event_type, log2_bucket""".stripMargin
+      }) { (s, d) =>
+      val ladder = (19 to 1 by -1)
+        .map(i => s"WHEN gap >= ${1L << i} THEN $i").mkString(
+          "CASE ", " ", " ELSE 0 END")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val g = Tables.events(s, d)
+        .select(col("event_type").as("et"),
+          (unix_timestamp(col("ts")) - lag(unix_timestamp(col("ts")), 1).over(w))
+            .as("gap"))
+        .filter(col("gap").isNotNull)
+        .selectExpr("et", s"$ladder AS bucket")
+      val gP = graft.util.CacheOnce.persistForOneAction(g)
+      val n = gP.groupBy(col("et")).agg(count(lit(1)).as("n"))
+      gP.groupBy(col("et"), col("bucket"))
+        .agg(count(lit(1)).as("n_gaps"))
+        .join(broadcast(n), "et")
+        .selectExpr("et AS event_type", "CAST(bucket AS LONG) AS log2_bucket",
+          "n_gaps", "n_gaps * 1000000 div n AS share_ppm")
+        .orderBy(col("event_type"), col("log2_bucket"))
+    },
+
+    GraftQuery(
+      "q205_seasonal_anomaly",
+      "Seasonality-adjusted anomaly days — the monitoring readout that doesn't page you every weekend: per (event type, day-of-week phase) the MEDIAN daily cents by histogram selection (q137 doctrine, the per-phase value histogram never the rows), each day scored as signed ppm deviation from ITS OWN weekday baseline, top-10 by |deviation| with a total (dev, type, day) order. The weekday phase is day_index % 7 — pure integer phase, no calendar-library drift between engines.",
+      """WITH x AS (SELECT event_type AS et,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT et, day % 7 AS dow, cents, count(*) AS f
+        |      FROM x GROUP BY 1, 2, 3),
+        |cum AS (SELECT et, dow, cents, f,
+        |    sum(f) OVER (PARTITION BY et, dow ORDER BY cents) AS c,
+        |    sum(f) OVER (PARTITION BY et, dow) AS n FROM h),
+        |med AS (SELECT et, dow,
+        |    min(CASE WHEN c >= (n + 1) // 2 THEN cents END) AS med
+        |  FROM cum GROUP BY 1, 2),
+        |dev AS (SELECT x.et, x.day, x.cents, med.med,
+        |    (x.cents - med.med) * 1000000 // med.med AS dev_ppm
+        |  FROM x JOIN med ON x.et = med.et AND x.day % 7 = med.dow)
+        |SELECT et AS event_type, day, cents, med AS weekday_median,
+        |  CAST(dev_ppm AS BIGINT) AS dev_ppm
+        |FROM dev ORDER BY abs(dev_ppm) DESC, et, day LIMIT 10""".stripMargin) { (s, d) =>
+      val x = Tables.events(s, d)
+        .groupBy(col("event_type").as("et"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(sum(cents(col("value"))).as("cents"))
+      val xP = graft.util.CacheOnce.persistForOneAction(x)
+      val h = xP.selectExpr("et", "day % 7 AS dow", "cents")
+        .groupBy(col("et"), col("dow"), col("cents"))
+        .agg(count(lit(1)).as("f"))
+      val med = h
+        .withColumn("c", sum(col("f")).over(
+          Window.partitionBy(col("et"), col("dow")).orderBy(col("cents"))))
+        .withColumn("n", sum(col("f")).over(
+          Window.partitionBy(col("et"), col("dow"))))
+        .groupBy(col("et"), col("dow"))
+        .agg(min(when(col("c") >= expr("(n + 1) div 2"), col("cents")))
+          .as("med"))
+      xP.join(broadcast(med.withColumnRenamed("et", "met")),
+          col("et") === col("met") && col("day") % 7 === col("dow"))
+        .selectExpr("et AS event_type", "day", "cents",
+          "med AS weekday_median",
+          "(cents - med) * 1000000 div med AS dev_ppm")
+        .orderBy(abs(col("dev_ppm")).desc, col("event_type"), col("day"))
+        .limit(10)
+    },
+
+    GraftQuery(
       "q160_time_weighted_average",
       "Time-weighted average (TWAP): each event's value holds until the user's next event, weighted by the holding interval — Σ cents·Δt_seconds over ΣΔt_seconds per event type, exact integer numerator/denominator with a floored cents ratio. One lead() window per user partition; the metric every ops/trading pipeline wants instead of the naive row mean that over-weights bursts.",
       """WITH iv AS (SELECT event_type,
