@@ -25,18 +25,34 @@ def main():
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no parquet output"); n_fail += 1; continue
-        got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
+        grel = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'")
+        got = grel.df()
         if name not in oracles:
             ok = len(got) > 0
             print(f"{'ROWS' if ok else 'FAIL'} {name}: rows-only check, {len(got)} rows")
             n_rowsonly += ok; n_fail += (not ok); continue
         try:
-            exp = con.sql(oracles[name]).df()
+            erel = con.sql(oracles[name])
+            exp = erel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
         gcols, ecols = sorted(got.columns), sorted(exp.columns)
         if gcols != ecols:
             print(f"FAIL {name}: schema {gcols} vs oracle {ecols}"); n_fail += 1; continue
+        # The driver's hash is TYPE-sensitive at pandas-value granularity
+        # (round-8 casualties: DuckDB window sum(BIGINT) -> HUGEINT lands in
+        # pandas as float64, so 123 hashes as "123.0" vs Spark's "123";
+        # int32-vs-int64 width differences DO pass the driver — q16 etc. were
+        # green). Compare numpy dtype KIND per column: i/u equivalent ints,
+        # f floats, O objects, M datetimes, b bools.
+        def kind(s):
+            k = s.dtype.kind
+            return "i" if k in ("i", "u") else k
+        dbad = [(c, str(got[c].dtype), str(exp[c].dtype))
+                for c in gcols if kind(got[c]) != kind(exp[c])]
+        if dbad:
+            print(f"FAIL {name}: dtype-kind mismatch {dbad} (spark vs oracle)")
+            n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rowcount {len(got)} vs oracle {len(exp)}"); n_fail += 1; continue
         g = got[gcols].sort_values(gcols, kind="mergesort").reset_index(drop=True)

@@ -299,7 +299,7 @@ object PipelineOps {
         |        CAST(count(*) AS BIGINT) AS n
         |      FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
-        |  (n * 1000000) // sum(n) OVER (PARTITION BY from_type) AS p_ppm
+        |  (n * 1000000) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
         |FROM c ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

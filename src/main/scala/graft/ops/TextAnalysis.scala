@@ -425,7 +425,7 @@ object TextAnalysis {
         |      FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)),
         |c AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY 1, 2)
         |SELECT w1, w2, CAST(n AS BIGINT) AS n,
-        |  (CAST(n AS BIGINT) * 1000000) // sum(n) OVER (PARTITION BY w1) AS p_ppm
+        |  (CAST(n AS BIGINT) * 1000000) // CAST(sum(n) OVER (PARTITION BY w1) AS BIGINT) AS p_ppm
         |FROM c ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val c = Tables.documents(s, d)

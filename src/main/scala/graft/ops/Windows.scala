@@ -80,8 +80,8 @@ object Windows {
         |      FROM n JOIN nation na ON n.c_nationkey = na.n_nationkey
         |      JOIN region r ON na.n_regionkey = r.r_regionkey)
         |SELECT r_name, n_name, cents,
-        |  (cents * 1000000) // sum(cents) OVER (PARTITION BY r_name) AS region_share_ppm,
-        |  (cents * 1000000) // sum(cents) OVER () AS global_share_ppm
+        |  (cents * 1000000) // CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT) AS region_share_ppm,
+        |  (cents * 1000000) // CAST(sum(cents) OVER () AS BIGINT) AS global_share_ppm
         |FROM j ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
       val n = Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))

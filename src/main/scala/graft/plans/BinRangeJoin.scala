@@ -109,10 +109,19 @@ case class BinRangeJoin() extends Rule[LogicalPlan] with PredicateHelper {
     val pBin = Alias(IntegralDivide(b.t, width), "graft_bin_p")()
     val pointSide = Project(pointPlan.output :+ pBin, pointPlan)
     val iBin = AttributeReference("graft_bin_i", LongType)()
-    val intervalSide = Generate(
-      Explode(Sequence(
+    // An inverted interval (lo > hi) matches nothing under the naive plan,
+    // but Sequence(loBin, hiBin) THROWS on descending bounds — guard it so
+    // malformed rows drop (empty explode) instead of failing the query.
+    // A NULL bound makes the If predicate NULL -> false branch -> empty
+    // array, which is also the correct (no-match) outcome.
+    val bins = If(
+      LessThanOrEqual(b.lo, b.hi),
+      Sequence(
         IntegralDivide(b.lo, width), IntegralDivide(b.hi, width),
-        Some(Literal(1L)), Some(conf.sessionLocalTimeZone))),
+        Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
+      Literal.create(Seq.empty[Long], org.apache.spark.sql.types.ArrayType(LongType)))
+    val intervalSide = Generate(
+      Explode(bins),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(iBin), child = intervalPlan)
     val newCond = And(EqualTo(pBin.toAttribute, iBin), cond)

@@ -293,14 +293,22 @@ object FormSinkSource {
     * unsupported predicate shape throws instead of guessing: unlike scan
     * skipping (advisory), delete is a correctness boundary. */
   def delete(path: String, filter: sqlf.Filter): Option[Long] = {
+    // Pre-validate the predicate SHAPE with a dry-run 3VL evaluation against
+    // an all-null row: an unsupported filter (e.g. In containing null, which
+    // mayMatch passes through as may-match) must throw BEFORE any rewrite
+    // file exists — validating lazily inside the row loop would leave the
+    // already-written `deleted-*` survivor files as orphans until vacuum.
+    eval3(_ => None, filter)
     val (version, files, stats) = currentManifestFull(path)
     val (candidates, skipped) = files.partition(f => mayMatch(stats.get(f), filter))
     if (candidates.isEmpty) return Some(version) // stats prove a no-op
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val created = scala.collection.mutable.ArrayBuffer[Path]()
     val skippedSet = skipped.toSet
-    // name -> stats entry for the NEW manifest, preserving file order
-    val out = files.flatMap { f =>
+    // name -> stats entry for the NEW manifest, preserving file order;
+    // any failure mid-rewrite (IO, malformed line) removes the files this
+    // call created so an aborted delete leaves no orphans behind
+    val out = try files.flatMap { f =>
       if (skippedSet(f)) Seq(f -> stats.get(f))
       else {
         val lines = Files.readAllLines(dataDir(path).resolve(f)).asScala.toSeq
@@ -334,6 +342,9 @@ object FormSinkSource {
             maxs.view.mapValues(_.toString).toMap)))
         }
       }
+    } catch {
+      case e: Throwable =>
+        created.foreach(Files.deleteIfExists(_)); throw e
     }
     if (created.isEmpty && out.map(_._1) == files) return Some(version) // matched nothing
     if (tryPublishManifest(path, version + 1, out.map(_._1),
@@ -355,9 +366,28 @@ object FormSinkSource {
     * MERGE over columnar tables is q71's shuffle formulation). A cell
     * absent from an image writes NULL — images are total row replacements,
     * not patches. Returns the new version, or None if a concurrent commit
-    * won the swap (no partial state is ever visible). */
+    * won the swap (no partial state is ever visible).
+    *
+    * The image set is DRIVER-side by contract (it models the reference's
+    * driver-built POST bodies, and callers like q197/q173 reduce to
+    * latest-per-key first, so |images| = |keys|, never |events|). That
+    * contract is enforced, not assumed: more than
+    * `spark.graft.sink.maxMergeImages` (default 100k) images fails loud
+    * with this message instead of silently ballooning driver memory at a
+    * 100× key-cardinality scale-up. Past the cap the right tool is a
+    * DISTRIBUTED merge: shuffle both sides on the key and rewrite the
+    * sink's files per key-range partition (q71's columnar MERGE shape),
+    * which never materializes the source on one node. */
   def merge(path: String, keyCol: String,
             images: Seq[Map[String, String]]): Option[Long] = {
+    val cap = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.conf.get("spark.graft.sink.maxMergeImages", "100000").toLong)
+      .getOrElse(100000L)
+    require(images.size <= cap,
+      s"MERGE source has ${images.size} images, over the driver-side cap of " +
+        s"$cap (spark.graft.sink.maxMergeImages); reduce to latest-per-key " +
+        "upstream or use a distributed key-range rewrite instead of the " +
+        "driver-image API")
     require(schema.fieldNames.contains(keyCol), s"unknown key column $keyCol")
     require(images.forall(_.get(keyCol).exists(_ != null)),
       "every MERGE image needs a non-null key cell")

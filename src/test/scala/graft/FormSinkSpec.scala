@@ -426,6 +426,24 @@ class FormSinkSpec extends SparkSpec {
       FormSinkSource.delete(dir, f.AlwaysTrue))
   }
 
+  test("delete pre-validates the predicate: an unsupported shape writes NO rewrite files") {
+    import org.apache.spark.sql.{sources => f}
+    val dir = tmp()
+    feed(1, 100).repartition(1).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    val dataDir = new java.io.File(dir)
+    val before = dataDir.listFiles().map(_.getName).toSet
+    val (vBefore, _) = FormSinkSource.snapshotInfo(dir)
+    // In containing null: mayMatch passes it through as may-match, and the
+    // per-row 3VL evaluator rejects it — pre-validation must throw BEFORE
+    // any deleted-* survivor file exists, or the orphans linger till vacuum
+    intercept[IllegalArgumentException](FormSinkSource.delete(dir,
+      f.In("po_number", Array[Any]("U000000001D", null))))
+    assert(dataDir.listFiles().map(_.getName).toSet === before,
+      "aborted delete left rewrite files behind")
+    assert(FormSinkSource.snapshotInfo(dir)._1 === vBefore)
+  }
+
   test("merge updates all duplicate-key occurrences, skips excluded files, versions history") {
     val dir = tmp()
     def commit(lo: Int, hi: Int): Unit =
@@ -462,5 +480,25 @@ class FormSinkSpec extends SparkSpec {
     assert(FormSinkSource.merge(dir, "po_number",
       Seq.empty) === Some(vNow))
     assert(FormSinkSource.snapshotInfo(dir)._1 === vNow)
+  }
+
+  test("merge enforces the driver-side image cap: over-cap fails loud, not OOM") {
+    val dir = tmp()
+    feed(1, 10).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    val (vBefore, _) = FormSinkSource.snapshotInfo(dir)
+    def img(i: Int) = Map("vendor" -> "v", "description" -> "d",
+      "picker_erk" -> "2024-01-01", "charge_code" -> "C",
+      "po_number" -> f"U$i%09dD")
+    spark.conf.set("spark.graft.sink.maxMergeImages", "3")
+    try {
+      val e = intercept[IllegalArgumentException](
+        FormSinkSource.merge(dir, "po_number", (1 to 4).map(img)))
+      assert(e.getMessage.contains("maxMergeImages"), e.getMessage)
+      assert(e.getMessage.contains("distributed"), e.getMessage)
+      assert(FormSinkSource.snapshotInfo(dir)._1 === vBefore) // nothing published
+      // at the cap it proceeds normally
+      assert(FormSinkSource.merge(dir, "po_number", (1 to 3).map(img)).nonEmpty)
+    } finally spark.conf.unset("spark.graft.sink.maxMergeImages")
   }
 }

@@ -293,4 +293,27 @@ class PlanSpec extends SparkSpec {
       assert(got.nonEmpty)
     } finally spark.conf.set("spark.graft.binRangeJoin.width", "0")
   }
+
+  test("BinRangeJoin rule: inverted/dirty intervals drop instead of crashing Sequence") {
+    graft.plans.GraftPlans.install(spark)
+    import spark.implicits._
+    // one well-formed interval, one inverted (lo > hi), one NULL-bounded —
+    // the naive band join matches only the first; the rewrite must agree
+    // (Sequence on descending bounds would otherwise throw at runtime)
+    val points = Seq(1L -> 150L, 2L -> 9999L).toDF("pid", "t")
+    val intervals = Seq(
+      (10L, Some(100L), Some(200L)),   // matches pid=1
+      (11L, Some(500L), Some(400L)),   // inverted: matches nothing
+      (12L, None, Some(300L))          // NULL lo: matches nothing
+    ).toDF("iid", "lo", "hi")
+    def frame() = points.join(intervals,
+      col("t") >= col("lo") && col("t") <= col("hi"))
+    spark.conf.set("spark.graft.binRangeJoin.width", "100")
+    try {
+      val on = planOf(frame())
+      assert(on.contains("graft_bin"), on.take(3000))
+      val got = frame().select("pid", "iid").collect().toSeq
+      assert(got === Seq(org.apache.spark.sql.Row(1L, 10L)))
+    } finally spark.conf.set("spark.graft.binRangeJoin.width", "0")
+  }
 }
