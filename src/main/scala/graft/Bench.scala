@@ -70,24 +70,40 @@ object Bench {
         sweepCaches()
         t
       }
-      if (times.size < reps) None else Some(name -> times.min)
+      // keep (best, spread): the best is the least-contended observation of
+      // the fixed plan; the spread (max-min across reps) separates sandbox
+      // co-tenancy noise from a real plan regression without isolated re-runs
+      if (times.size < reps) None
+      else Some(name -> (times.min, times.max - times.min))
     }
     // ms precision keeps the one-line JSON short enough to survive the
     // driver's bounded stdout-tail capture (9-decimal floats overflowed it)
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, (t, _)) => s"\"" + k + "\":" + r3(t) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    // aggregate noise telemetry rides the stdout line; the PER-QUERY spread
+    // map goes only to the file (doubling the stdout entries risks the
+    // driver's tail-capture bound)
+    val spreadTotal = results.values.map(_._2).sum
+    val noisiest = results.toSeq.sortBy(-_._2._2).take(5)
+      .map { case (k, (_, s)) => s"\"" + k + "\":" + r3(s) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"reps":$reps,"spread_total":${r3(spreadTotal)},"noisiest":$noisiest,"sf":"$sfDir"}"""
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     println(line)
-    // also persist the JSON to a file: a truncated captured stdout must not
-    // lose the round's numbers (the env var lets the driver redirect it)
+    // also persist the JSON to a file — with the full per-query spread map —
+    // so a truncated captured stdout never loses the round's numbers (the
+    // env var lets the driver redirect it)
+    val qfull = results.map { case (k, (t, s)) =>
+      s"\"" + k + "\":{\"t\":" + r3(t) + ",\"spread\":" + r3(s) + "}"
+    }.mkString("{", ",", "}")
+    val fileLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"query_reps":$qfull,"errors":$errs,"reps":$reps,"spread_total":${r3(spreadTotal)},"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fileLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
     spark.stop()
   }

@@ -271,6 +271,47 @@ object SourcesAndUdfs {
         .agg(max(col("po_number")).as("wm"), count(lit(1)).as("n"))
     },
 
+    GraftQuery(
+      "q206_source_limit_page",
+      "R2 pagination as LIMIT-at-source: the reference pages its pipeline GET with server-side filter + order params — here a keyset page (pushed watermark filter, LIMIT k) is served INSIDE the DSv2 source as a COMPLETE limit pushdown (isPartiallyPushed=false, one partition = one request stream): the scan emits exactly the page in submission-id order and stops, so the \"server\" never materializes more than k rows. Oracle regenerates the deterministic row model.",
+      """WITH src AS (
+        |  SELECT i,
+        |    'V' || (i % 97) AS vendor,
+        |    printf('U%09dD', i) AS po_number,
+        |    (i * 137903) % 300000 AS amount_cents
+        |  FROM unnest(generate_series(0, 4999)) AS t(i))
+        |SELECT vendor, po_number, CAST(amount_cents AS BIGINT) AS amount_cents
+        |FROM src
+        |WHERE po_number > 'U000002500D' AND amount_cents < 150000
+        |ORDER BY i LIMIT 30""".stripMargin) { (s, d) =>
+      s.read.format("graft.sources.FormPipelineSource")
+        .option("rows", 5000).option("partitions", 8).load()
+        .filter(col("po_number") > "U000002500D" && col("amount_cents") < 150000L)
+        .select(col("vendor"), col("po_number"), col("amount_cents"))
+        .limit(30)
+    },
+
+    GraftQuery(
+      "q207_source_topn_page",
+      "R2's server-side order_by + pagination as TopN-at-source: ORDER BY amount DESC LIMIT k over the connector pushes the WHOLE TopN into the source (SupportsPushDownTopN, complete — Spark plans no residual sort or limit), which serves the page from a bounded heap of k ids: O(page) memory against an arbitrarily large \"table\" behind the endpoint. Ties broken by submission id on both sides.",
+      """WITH src AS (
+        |  SELECT i,
+        |    'C' || (i % 7) AS charge_code,
+        |    printf('U%09dD', i) AS po_number,
+        |    (i * 137903) % 300000 AS amount_cents
+        |  FROM unnest(generate_series(0, 4999)) AS t(i))
+        |SELECT charge_code, po_number, CAST(amount_cents AS BIGINT) AS amount_cents
+        |FROM src
+        |WHERE charge_code = 'C3'
+        |ORDER BY amount_cents DESC, i LIMIT 25""".stripMargin) { (s, d) =>
+      s.read.format("graft.sources.FormPipelineSource")
+        .option("rows", 5000).option("partitions", 8).load()
+        .filter(col("charge_code") === "C3")
+        .select(col("charge_code"), col("po_number"), col("amount_cents"))
+        .orderBy(col("amount_cents").desc)
+        .limit(25)
+    },
+
     GraftQuery.noOracle(
       "q81_request_signing",
       "R12 HMAC request signing, distributed: every row's pipeline request URI signed with the reference's StringToSign (verb+path-sans-/api+ts) and HMAC-SHA256 — built from codegen'd sha2/concat/unhex (no UDF). No SQL oracle (DuckDB 1.0 sha256 is VARCHAR-only, HMAC needs raw-byte intermediates); RFC 4231 known-answer + javax.crypto differential in AuthAndLoggingSpec.") { (s, d) =>

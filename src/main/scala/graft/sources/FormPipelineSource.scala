@@ -5,6 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.{expressions => sortexpr}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -118,10 +119,13 @@ private class FormTable(rows: Long, partitions: Int) extends Table with Supports
 
 private class FormScanBuilder(rows: Long, partitions: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = FormPipelineSource.schema
   private var aggs: Seq[PushedAgg] = Seq.empty
+  private var limit: Option[Int] = None
+  private var topN: Seq[(String, Boolean)] = Seq.empty // (field, ascending)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition(FormPipelineSource.supported)
@@ -165,7 +169,34 @@ private class FormScanBuilder(rows: Long, partitions: Int)
     true
   }
 
-  override def build(): Scan = new FormScan(rows, partitions, pushed, required, aggs)
+  /** R2's pagination as LIMIT-at-source: the reference's pipeline GET takes
+    * server-side `order_by` + filter params and pages the response
+    * (bin:79-86) — a `LIMIT k` (keyset page) or `ORDER BY c LIMIT k` (TopN
+    * page) on top of the pushed filter IS that request. The source serves a
+    * limited scan through ONE partition (a page is one request stream), so
+    * the pushdown is COMPLETE (`isPartiallyPushed = false`): Spark plans no
+    * residual limit/sort at all. At 100 TB the win is the same as the
+    * filter pushdown's: the "server" never materializes — and never ships —
+    * more than the page. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  /** Full TopN: single-column-reference sort orders only (the reference's
+    * `order_by=column` param — no expressions server-side). All columns are
+    * non-nullable by the row model, so null ordering never matters. */
+  override def pushTopN(orders: Array[sortexpr.SortOrder], l: Int): Boolean = {
+    val fields = orders.toSeq.map(o => fieldOf(o.expression()).map(
+      f => (f, o.direction() == sortexpr.SortDirection.ASCENDING)))
+    if (fields.isEmpty || fields.exists(_.isEmpty)) return false
+    topN = fields.map(_.get)
+    limit = Some(l)
+    true
+  }
+
+  /** One partition serves exactly the (sorted) page — nothing partial. */
+  override def isPartiallyPushed(): Boolean = false
+
+  override def build(): Scan =
+    new FormScan(rows, partitions, pushed, required, aggs, limit, topN)
 }
 
 /** One accepted source-side aggregate: MAX/MIN over a column, or COUNT(*). */
@@ -175,7 +206,10 @@ private case class PushedAgg(fn: String, field: String) {
 
 private class FormScan(rows: Long, partitions: Int,
                        pushed: Array[Filter], required: StructType,
-                       aggs: Seq[PushedAgg]) extends Scan with Batch {
+                       aggs: Seq[PushedAgg],
+                       limit: Option[Int] = None,
+                       topN: Seq[(String, Boolean)] = Seq.empty)
+    extends Scan with Batch {
   /** With a complete aggregate pushdown the scan's output row IS the final
     * result: one field per aggregate (MAX/MIN keep the column's type,
     * COUNT(*) is a long), exactly the schema Spark's pushdown rule expects. */
@@ -192,6 +226,10 @@ private class FormScan(rows: Long, partitions: Int,
   override def description(): String =
     s"FormPipelineScan rows=$rows PushedFilters: [${pushed.mkString(", ")}], " +
       s"PushedAggregates: [${aggs.mkString(", ")}], " +
+      limit.map(l => s"PushedLimit: $l" +
+        (if (topN.nonEmpty) topN.map { case (f, asc) =>
+          f + (if (asc) " ASC" else " DESC") }
+          .mkString(" PushedTopN: [", ", ", "], ") else ", ")).getOrElse("") +
       s"ReadSchema: ${readSchema().simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -200,13 +238,18 @@ private class FormScan(rows: Long, partitions: Int,
     // aggregate row (count=0, null max/min) because Spark plans no aggregate
     // exec to supply the empty-input row itself
     if (aggs.nonEmpty) return Array(FormRange(0L, rows))
+    // a pushed LIMIT/TopN is COMPLETE (isPartiallyPushed=false): one
+    // partition serves exactly the page, in the pushed order — fanning the
+    // page across ranges would make the global limit a cross-partition race
+    if (limit.isDefined) return Array(FormRange(0L, rows))
     val per = math.max(1L, (rows + partitions - 1) / partitions)
     (0L until rows by per).map(s =>
       FormRange(s, math.min(s + per, rows)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    if (aggs.isEmpty) new FormReaderFactory(pushed, required)
-    else new FormAggReaderFactory(pushed, aggs)
+    if (aggs.nonEmpty) new FormAggReaderFactory(pushed, aggs)
+    else if (limit.isDefined) new FormPageReaderFactory(pushed, required, limit.get, topN)
+    else new FormReaderFactory(pushed, required)
 }
 
 private case class FormRange(start: Long, end: Long) extends InputPartition
@@ -258,6 +301,71 @@ private class FormAggReaderFactory(pushed: Array[Filter], aggs: Seq[PushedAgg])
           }
         })
       }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Serves one LIMIT/TopN page "server-side". A bare LIMIT streams the first
+  * `limit` post-filter rows of the row model (the reference's default page
+  * order — submission id). A TopN keeps a bounded heap of `limit` rows
+  * ordered by the pushed sort, so memory is O(page), never O(table) — the
+  * only shape that survives a 100 TB "table" behind the endpoint. */
+private class FormPageReaderFactory(pushed: Array[Filter], required: StructType,
+                                    limit: Int, topN: Seq[(String, Boolean)])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[FormRange]
+    // total order over submission ids under the pushed sort; ties fall back
+    // to the id so the page is deterministic (the row model has no null cells)
+    def compare(a: Long, b: Long): Int = {
+      var c = 0
+      val it = topN.iterator
+      while (c == 0 && it.hasNext) {
+        val (field, asc) = it.next()
+        val cc = (FormPipelineSource.value(a, field), FormPipelineSource.value(b, field)) match {
+          case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+          case (x: String, y: String) =>
+            UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
+          case _ => 0
+        }
+        c = if (asc) cc else -cc
+      }
+      if (c != 0) c else java.lang.Long.compare(a, b)
+    }
+    val page: Iterator[Long] =
+      if (topN.isEmpty) {
+        // keyset page: first `limit` matches in id order, scan stops early
+        Iterator.range(r.start, r.end)
+          .filter(i => pushed.forall(FormPipelineSource.evaluate(_, i)))
+          .take(limit)
+      } else {
+        // bounded max-heap (worst of the kept page at the head)
+        val heap = new java.util.PriorityQueue[java.lang.Long](
+          math.max(1, limit), (x: java.lang.Long, y: java.lang.Long) => compare(y, x))
+        var i = r.start
+        while (i < r.end) {
+          if (pushed.forall(FormPipelineSource.evaluate(_, i))) {
+            heap.add(i)
+            if (heap.size > limit) heap.poll()
+          }
+          i += 1
+        }
+        val kept = new Array[Long](heap.size)
+        var j = kept.length - 1
+        while (j >= 0) { kept(j) = heap.poll(); j -= 1 } // heap pops worst-first
+        kept.iterator
+      }
+    new PartitionReader[InternalRow] {
+      private var cur = -1L
+      override def next(): Boolean = { val h = page.hasNext; if (h) cur = page.next(); h }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(required.fields.toSeq.map { f =>
+          FormPipelineSource.value(cur, f.name) match {
+            case s: String => UTF8String.fromString(s)
+            case other     => other
+          }
+        })
       override def close(): Unit = ()
     }
   }

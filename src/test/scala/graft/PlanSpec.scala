@@ -85,6 +85,35 @@ class PlanSpec extends SparkSpec {
     assert(df.count() === 99)
   }
 
+  test("DSv2 form source: LIMIT and TopN push into the source, no residual sort") {
+    // keyset page: pushed filter + complete LIMIT — the scan emits exactly
+    // the page (isPartiallyPushed=false), one partition = one request stream
+    val page = spark.read.format("graft.sources.FormPipelineSource")
+      .option("rows", 5000).load()
+      .filter(col("po_number") > "U000002500D")
+      .select(col("po_number"), col("amount_cents"))
+      .limit(30)
+    val pPlan = planOf(page)
+    assert(pPlan.contains("PushedLimit: 30"), pPlan.take(2000))
+    assert(page.count() === 30)
+    // TopN page: ORDER BY + LIMIT both execute server-side — the physical
+    // plan has NO TakeOrderedAndProject / Sort over the scan
+    val topn = spark.read.format("graft.sources.FormPipelineSource")
+      .option("rows", 5000).load()
+      .select(col("po_number"), col("amount_cents"))
+      .orderBy(col("amount_cents").desc)
+      .limit(10)
+    val tPlan = planOf(topn)
+    assert(tPlan.contains("PushedTopN"), tPlan.take(2000))
+    assert(tPlan.contains("amount_cents DESC"), tPlan.take(2000))
+    assert(!tPlan.contains("TakeOrderedAndProject") && !tPlan.contains("Sort "),
+      "residual sort survived the TopN pushdown:\n" + tPlan.take(2000))
+    val rows = topn.collect()
+    assert(rows.length === 10)
+    // the page really is the global top-10 by amount, served in pushed order
+    assert(rows.map(_.getLong(1)).toSeq === rows.map(_.getLong(1)).sorted(Ordering[Long].reverse).toSeq)
+  }
+
   test("DSv2 form source: ungrouped MAX/COUNT(*) execute inside the source") {
     // R3 end-to-end: the watermark MAX runs "server-side" like the
     // reference's sink-side last-row read (bin:53-69) — complete pushdown,
