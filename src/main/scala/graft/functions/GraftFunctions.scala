@@ -39,6 +39,11 @@ object GraftFunctions {
   def wordNGrams(toks: Column, n: Int): Column =
     column(WordNGrams(expression(toks), n))
 
+  /** Count of a token array's elements in a constant word set (codegen
+    * kernel) — equals `size(filter(toks, _.isInCollection(words)))`. */
+  def profileHits(toks: Column, words: Seq[String]): Column =
+    column(org.apache.spark.sql.graft.ProfileHits(expression(toks), words))
+
   /** Per-document rolling char-n-gram fingerprint: one kernel pass
     * returning struct(fp_min, fp_max, n_grams); null below n chars. */
   def charGramFingerprint(text: Column, n: Int): Column =

@@ -493,7 +493,7 @@ object TextAnalysis {
       // (the oracle's UNION ALL re-reads; Spark shouldn't)
       val scoreCols = profiles.map { case (lang, words) =>
         struct(lit(lang).as("pred"),
-          size(filter(col("toks"), t => t.isInCollection(words))).as("score"))
+          graft.functions.GraftFunctions.profileHits(col("toks"), words).as("score"))
       }
       val scored = docs
         .select(col("doc_id"), col("lang"), explode(array(scoreCols: _*)).as("s"))
@@ -535,7 +535,8 @@ object TextAnalysis {
       val m = t.select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         size(col("toks")).cast("long").as("n_tokens"),
-        size(filter(col("toks"), w => w.isInCollection(stopwords))).cast("long").as("n_stop"))
+        graft.functions.GraftFunctions.profileHits(col("toks"), stopwords)
+          .cast("long").as("n_stop"))
       m.filter(col("n_tokens") > 0)
         .select(col("doc_id"), col("n_chars"), col("n_tokens"),
           floor(lit(1000000.0) * (col("n_chars") - col("n_tokens") + 1) / col("n_tokens"))

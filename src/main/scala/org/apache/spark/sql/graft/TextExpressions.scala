@@ -243,6 +243,22 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](hs(0), hs(m - 1), distinct))
   }
+
+  /** Occurrences of tokens present in a constant word set — the q45
+    * language-ID scoring loop as one hash-probe pass. Equals
+    * `size(filter(toks, t -> t.isInCollection(words)))` (counts duplicate
+    * hits, like the oracle's `len(list_filter(...))`), without the
+    * interpreted per-element ArrayFilter lambda. */
+  def profileHits(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    var n = 0
+    var i = 0
+    val m = arr.numElements()
+    while (i < m) {
+      if (set.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
 }
 
 /** `tokenize(text)` — whitespace tokenizer as a single codegen kernel call. */
@@ -282,6 +298,38 @@ case class H60(child: Expression)
       s"org.apache.spark.sql.graft.TextKernels.h60($s)")
 
   override protected def withNewChildInternal(newChild: Expression): H60 =
+    copy(child = newChild)
+}
+
+/** `profile_hits(toks, words)` — count of a token array's elements present
+  * in a plan-time-constant word set, as one codegen kernel call. The set
+  * rides into the generated code as a reference object (one shared
+  * `HashSet[UTF8String]` per expression instance — with 5 language profiles
+  * that is 5 small sets per task, probed per token with no per-element
+  * lambda dispatch). */
+case class ProfileHits(child: Expression, words: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "profile_hits"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(4, words.size * 2))
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(arr: Any): Any =
+    TextKernels.profileHits(arr.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("profileSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, arr =>
+      s"org.apache.spark.sql.graft.TextKernels.profileHits($arr, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ProfileHits =
     copy(child = newChild)
 }
 

@@ -126,6 +126,34 @@ class KernelSpec extends SparkSpec {
     assert(r1(0) === Seq("one", "two"))
   }
 
+  test("profileHits kernel == interpreted isInCollection lambda on corpus and soup") {
+    val words = Seq("the", "a", "of", "and", "to", "is")
+    def lambda(c: org.apache.spark.sql.Column) =
+      size(filter(c, t => t.isInCollection(words)))
+    // corpus: every document, duplicate hits counted
+    val bad = Tables.documents(spark, sf)
+      .select(tokens(col("text")).as("toks"))
+      .select(graft.functions.GraftFunctions.profileHits(col("toks"), words).as("k"),
+        lambda(col("toks")).as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(bad === 0)
+    // edge cases: empty array, no hits, all hits, duplicates, near-misses
+    val cases = Seq(Seq.empty[String], Seq("x", "y"), Seq("the", "the", "the"),
+      Seq("THE", "The", "the"), Seq("a"), Seq("", "of", "ofx"))
+    val rows = cases.toDF("toks")
+      .select(graft.functions.GraftFunctions.profileHits(col("toks"), words).as("k"),
+        lambda(col("toks")).as("h"))
+      .collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      assert(r.getInt(0) === r.getInt(1), s"input $c") }
+    // null propagates
+    val n = Seq("x").toDF("s")
+      .select(graft.functions.GraftFunctions.profileHits(
+        lit(null).cast("array<string>"), words))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("vec_dot/vec_norm match HOF fold on the embeddings fixture") {
     val hofDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
