@@ -276,9 +276,18 @@ object EtlQueries {
       commit(0, 1000); commit(1000, 2000); commit(2000, 2500)
       // the predicate excludes commits 1-2 entirely: their 16 files are
       // pruned at planning from the manifest stats, only commit 3's are read
-      s.read.format(sinkFmt).option("path", dir).load()
+      val read = s.read.format(sinkFmt).option("path", dir).load()
         .filter(col("po_number") > "U000001999D")
         .orderBy(col("po_number"))
+      // evidence, not faith: a cheap probe materializes the scan, then the
+      // published census must show pruning ENGAGED (fewer files opened than
+      // the snapshot holds) — a silent skip-path regression fails the query
+      // itself, in verify and in bench, not just a spec
+      read.foreach((_: org.apache.spark.sql.Row) => ())
+      val (scanned, total) = graft.sources.FormSinkSource.lastScanFileCensus
+      require(scanned > 0 && scanned < total,
+        s"sink stats skipping did not engage: opened $scanned of $total files")
+      read
     },
 
     GraftQuery(

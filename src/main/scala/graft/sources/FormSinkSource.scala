@@ -513,6 +513,19 @@ object FormSinkSource {
     }
   }
 
+  // ---- scan observability --------------------------------------------
+
+  /** Census of the most recent sink scan's file pruning on this driver:
+    * (files actually opened, files in the snapshot). Planning runs
+    * driver-side, so a plain atomic is enough; the metric is evidence that
+    * stats skipping ENGAGED (FormSinkSpec, q110's self-check), independent
+    * of result correctness (the filter is re-applied post-scan anyway). */
+  private val scanCensus =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+  def lastScanFileCensus: (Int, Int) = scanCensus.get()
+  private[sources] def recordScanCensus(scanned: Int, total: Int): Unit =
+    scanCensus.set((scanned, total))
+
   // ---- manifest-stats file skipping ----------------------------------
   // The scan prunes whole FILES whose manifest min/max provably exclude a
   // pushed filter; the filter itself stays post-scan (Spark re-applies it
@@ -841,11 +854,16 @@ private class FormSinkScan(path: String, required: StructType,
 
   /** The snapshot's files minus those whose manifest stats prove no row can
     * satisfy every pushed filter — the delta read `po_number > wm` opens
-    * only the newest commit's files, not the whole append history. */
+    * only the newest commit's files, not the whole append history. The
+    * (survivors, snapshot-size) census is published to
+    * [[FormSinkSource.lastScanFileCensus]] so specs and queries can assert
+    * skipping actually engaged, not just that results were correct. */
   private def snapshot(): Seq[Path] = {
     val (names, stats) = snapshotNames()
-    names.filter(n => skip.forall(FormSinkSource.mayMatch(stats.get(n), _)))
-      .map(FormSinkSource.dataDir(path).resolve)
+    val survivors =
+      names.filter(n => skip.forall(FormSinkSource.mayMatch(stats.get(n), _)))
+    FormSinkSource.recordScanCensus(survivors.size, names.size)
+    survivors.map(FormSinkSource.dataDir(path).resolve)
   }
   override def readSchema(): StructType =
     if (aggs.isEmpty) required

@@ -148,12 +148,22 @@ object TextKernels {
   }
 
   /** Shared winnowing core: the sorted DISTINCT selection keys
-    * (h·2^21 + (2^20 − pos)), or null when no full window fits. */
+    * (h·2^21 + (2^20 − pos)), or null when no full window fits.
+    *
+    * DOMAIN LIMIT: the packed key reserves 21 bits for the rightmost-wins
+    * position term (2^20 − (pos+1)); a document with ≥ 2^20 grams (~1 MiB
+    * of text) would drive that term negative, borrow into the hash bits,
+    * and silently corrupt window-min ordering at hash boundaries. Such
+    * documents return null — the same visible fail-loud contract as the
+    * too-short path — rather than fingerprinting incorrectly. A 100 TB
+    * corpus pipeline chunks oversized documents upstream (the span-level
+    * dedup path), so the limit costs nothing in practice. */
   private def winnowKeys(s: UTF8String, k: Int, w: Int): Array[Long] = {
     val bytes = s.getBytes
     val chars = s.numChars()
     val m = chars - k + 1
     if (m < w) return null
+    if (m >= 1048576) return null // >= 2^20 grams: position term would overflow
     val d = md5.get()
     val hs = new Array[Long](m)
     if (bytes.length == chars) {

@@ -174,6 +174,47 @@ class FormSinkSpec extends SparkSpec {
     assert(Files.exists(orphan), "orphan cleanup is a vacuum's job, not a reader's")
   }
 
+  test("reference's duplicate-on-partial-apply is impossible through the sink commit") {
+    // The reference applies its batch as one POST per row with no
+    // transaction (SURVEY §3.4): a crash after k of n rows leaves k rows
+    // visible, and the natural retry (re-run the whole batch) DUPLICATES
+    // them. Simulate exactly that against a row-at-a-time appender, then
+    // show the manifest-swap commit path cannot produce the same state.
+    val batch = feed(1, 20).collect().toSeq
+    // --- the reference's shape: each row its own visible append ---
+    val rowDir = tmp()
+    def appendOne(r: org.apache.spark.sql.Row): Unit =
+      spark.createDataFrame(java.util.List.of(r), batch.head.schema)
+        .write.format(FormSinkSource.Format)
+        .mode(SaveMode.Append).option("path", rowDir).save()
+    val crashAfter = 12
+    batch.take(crashAfter).foreach(appendOne)      // ...then the "driver dies"
+    batch.foreach(appendOne)                        // blind retry of the batch
+    val rowwise = spark.read.format(FormSinkSource.Format)
+      .option("path", rowDir).load()
+    assert(rowwise.count() === crashAfter + batch.size,
+      "row-at-a-time apply + retry must show the duplicate anomaly")
+    // --- the sink's shape: all-or-nothing manifest swap ---
+    val txDir = tmp()
+    val df = feed(1, 20)
+    df.write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", txDir).save()
+    // the "crash" equivalent is phase-1-only (files staged, no manifest) —
+    // covered above; here the RETRY after a successful commit is the
+    // watermark-guarded delta (the connector's actual loop), which appends
+    // nothing because nothing is newer
+    val wm = spark.read.format(FormSinkSource.Format).option("path", txDir)
+      .load().agg(max("po_number")).collect().head.getString(0)
+    val retry = df.filter(col("po_number") > wm)
+    retry.write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", txDir).save()
+    val txRead = spark.read.format(FormSinkSource.Format)
+      .option("path", txDir).load()
+    assert(txRead.count() === batch.size, "transactional path duplicated rows")
+    assert(txRead.groupBy("po_number").count()
+      .filter(col("count") > 1).count() === 0)
+  }
+
   test("manifest versions serialize commits; truncate supersedes, not deletes, history") {
     val dir = tmp()
     feed(1, 100).write.format(FormSinkSource.Format)
@@ -292,6 +333,11 @@ class FormSinkSpec extends SparkSpec {
       .agg(max("po_number")).collect().head.getString(0))
     assert(delta.rdd.getNumPartitions === 1)
     assert(delta.count() === feed(201, 300).count())
+    // the published census agrees: the delta read OPENED 1 of 3 files
+    assert(FormSinkSource.lastScanFileCensus === (1, 3))
+    // and an unfiltered read opens everything (census shows no pruning)
+    assert(all.count() === 300)
+    assert(FormSinkSource.lastScanFileCensus === (3, 3))
   }
 
   test("skipping handles all-null columns and survives compaction (merged stats)") {

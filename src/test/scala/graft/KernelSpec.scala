@@ -256,6 +256,15 @@ class KernelSpec extends SparkSpec {
       .select(graft.functions.GraftFunctions.winnowStats(col("t"), 5, 4).as("ws"))
       .select(col("ws").isNull).as[Boolean].collect().toSeq
     assert(edge === Seq(true, false, true))
+    // oversized texts (>= 2^20 grams) fail VISIBLY to null — past that the
+    // packed key's 2^20 position term would underflow and corrupt the
+    // window-min ordering silently; just-under stays fingerprintable
+    val big = new String(Array.fill(1048576 + 4)('x')) // exactly 2^20 grams at k=5
+    val under = new String(Array.fill(1048575 + 4)('x'))
+    val sizes = Seq(big, under).toDF("t")
+      .select(graft.functions.GraftFunctions.winnowStats(col("t"), 5, 4).as("ws"))
+      .select(col("ws").isNull).as[Boolean].collect().toSeq
+    assert(sizes === Seq(true, false))
     // non-ASCII path agrees with the hex-md5 formulation (code-point grams)
     val uni = Seq("héllo wörld exämple tæxt").toDF("t")
     val kv = uni.select(graft.functions.GraftFunctions
