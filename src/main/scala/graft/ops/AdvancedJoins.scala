@@ -212,6 +212,46 @@ object AdvancedJoins {
         .groupBy(col("prio").as("effective_priority"))
         .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("sum_qty"))
         .orderBy(col("effective_priority"))
+    },
+
+    GraftQuery(
+      "q211_nearest_asof",
+      "NEAREST-direction as-of join with tolerance (pandas merge_asof direction='nearest'): each purchase matches the same user's temporally CLOSEST error within ±60 minutes — either direction, ties to the earlier event — completing the as-of family (q30 backward, q188 native backward). The user key carries the shuffle (an ordinary equi-join); the ±tolerance band is a residual filter, so pair volume is bounded by per-user activity in the window, and the per-purchase winner is an argmin-as-AGGREGATE over struct(|Δt|, ts, id) — map-side combinable, no per-purchase window sort. Unmatched purchases drop (inner semantics, like merge_asof with a tolerance miss).",
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT event_id AS e_id, user_id, epoch_us(ts) AS e_us
+        |      FROM events WHERE event_type = 'error'),
+        |j AS (SELECT p_id, e_id, e_us - p_us AS delta_us,
+        |        abs(e_us - p_us) AS a_us, e_us
+        |      FROM p JOIN e USING (user_id)
+        |      WHERE abs(e_us - p_us) <= 3600000000),
+        |r AS (SELECT p_id, e_id, delta_us,
+        |        row_number() OVER (PARTITION BY p_id
+        |                           ORDER BY a_us, e_us, e_id) AS rk
+        |      FROM j)
+        |SELECT p_id AS event_id, e_id AS err_event_id,
+        |  CAST(delta_us AS BIGINT) AS delta_us
+        |FROM r WHERE rk = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          expr("unix_micros(ts)").as("p_us"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("user_id"),
+          expr("unix_micros(ts)").as("e_us"))
+      val j = p.join(e, "user_id")
+        .select(col("p_id"), col("e_id"),
+          (col("e_us") - col("p_us")).as("delta_us"),
+          abs(col("e_us") - col("p_us")).as("a_us"), col("e_us"))
+        .filter(col("a_us") <= 3600000000L)
+      // argmin as an aggregate: min over struct(|Δ|, event time, id) is the
+      // oracle's (a_us, e_us, e_id) row_number order; delta rides along
+      j.groupBy(col("p_id"))
+        .agg(min(struct(col("a_us"), col("e_us"), col("e_id"),
+          col("delta_us"))).as("m"))
+        .select(col("p_id").as("event_id"), col("m.e_id").as("err_event_id"),
+          col("m.delta_us").as("delta_us"))
+        .orderBy(col("event_id"))
     }
   )
 }

@@ -364,6 +364,53 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_neighbors"), max(col("jac_ppm")).as("max_jac_ppm"))
         .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
+      "q210_entity_blocking",
+      "Entity-resolution candidate generation by MULTI-KEY BLOCKING over customers: pairs meet through block A (nation, balance-thousand bucket) OR block B (market segment, same bucket) — never through the C(n,2) cross product — then every candidate is scored inline on field agreements (same nation + same segment + balances within $100, cents-exact) and kept at score >= 2. The union of two narrow blocking passes is the standard recall lever (each block bounds pair volume to Σ block², like LSH banding bounds q40); scoring runs BEFORE the pair-dedupe shuffle (the q127 lesson), and bucket-straddling near-balances are the documented recall loss a second shifted-bucket block would close (the 2-bin trick of q125). Top-20 pairs by (score, ids) — pair-level evidence, not just a census.",
+      """WITH c AS (SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) // 100000 AS bucket
+        |  FROM customer),
+        |pa AS (SELECT a.k AS ka, b.k AS kb FROM c a JOIN c b
+        |       ON a.nat = b.nat AND a.bucket = b.bucket AND a.k < b.k),
+        |pb AS (SELECT a.k AS ka, b.k AS kb FROM c a JOIN c b
+        |       ON a.seg = b.seg AND a.bucket = b.bucket AND a.k < b.k),
+        |cand AS (SELECT ka, kb FROM pa UNION SELECT ka, kb FROM pb),
+        |scored AS (SELECT ka, kb,
+        |    CAST(CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END +
+        |         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END +
+        |         CASE WHEN abs(a.cents - b.cents) < 10000 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS score
+        |  FROM cand JOIN c a ON ka = a.k JOIN c b ON kb = b.k)
+        |SELECT ka, kb, score FROM scored WHERE score >= 2
+        |ORDER BY score DESC, ka, kb LIMIT 20""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select(
+        col("c_custkey").as("k"), col("c_nationkey").as("nat"),
+        col("c_mktsegment").as("seg"),
+        cents(col("c_acctbal")).as("cents"),
+        expr("CAST(floor(c_acctbal * 100) AS BIGINT) div 100000").as("bucket"))
+      def block(key: String) =
+        c.as("a").join(c.as("b"),
+            col(s"a.$key") === col(s"b.$key") &&
+              col("a.bucket") === col("b.bucket") && col("a.k") < col("b.k"))
+          .select(col("a.k").as("ka"), col("b.k").as("kb"))
+      // UNION (set) dedups pairs that met through both blocks
+      val cand = block("nat").union(block("seg")).distinct()
+      val a = c.select(col("k").as("ka"), col("nat").as("nat_a"),
+        col("seg").as("seg_a"), col("cents").as("cents_a"))
+      val b = c.select(col("k").as("kb"), col("nat").as("nat_b"),
+        col("seg").as("seg_b"), col("cents").as("cents_b"))
+      cand.join(a, "ka").join(b, "kb")
+        .select(col("ka"), col("kb"),
+          (when(col("nat_a") === col("nat_b"), 1).otherwise(0) +
+            when(col("seg_a") === col("seg_b"), 1).otherwise(0) +
+            when(abs(col("cents_a") - col("cents_b")) < 10000, 1).otherwise(0))
+            .cast("long").as("score"))
+        .filter(col("score") >= 2)
+        .orderBy(col("score").desc, col("ka"), col("kb"))
+        .limit(20)
     }
   )
 }

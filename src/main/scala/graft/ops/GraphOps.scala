@@ -168,6 +168,42 @@ object GraphOps {
         .agg(count(lit(1)).as("n_nodes"),
           coalesce(sum(col("cents")), lit(0L)).as("subtree_cents"))
         .orderBy(col("root"))
+    },
+
+    GraftQuery(
+      "q208_triangle_count",
+      "Triangle census over the supplier co-purchase graph (suppliers joined when they serve the same part): the clustering-coefficient primitive of community detection and fraud-ring analysis. Edges are oriented low-id -> high-id, so each triangle materializes exactly once as an a<b<c wedge-close (e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c)) — no 6x duplication, no dedup pass. Per-supplier participation via one explode of the 3 members. Scale: the wedge join is the cost driver (Σ deg² candidates); the id orientation bounds each wedge's fan to out-degree, and the skew-robust variant orients by (degree, id) — same count, heavy hitters get out-degree O(sqrt(E)) — noted as the 100 TB path since orientation choice never changes results.",
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |e AS (SELECT DISTINCT a.s AS u, b.s AS v
+        |      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |m AS (SELECT a AS s FROM tri
+        |      UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |SELECT s AS suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM m GROUP BY s ORDER BY n_triangles DESC, suppkey LIMIT 20""".stripMargin) { (s, d) =>
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .distinct()
+      // undirected edges, materialized once (both wedge sides + the closer
+      // read it), already oriented u < v
+      val e = graft.util.CacheOnce.persistForOneAction(
+        ps.as("a").join(ps.as("b"),
+            col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
+          .select(col("a.sk").as("u"), col("b.sk").as("v"))
+          .distinct())
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"),
+          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("suppkey"))
+        .groupBy(col("suppkey"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("suppkey"))
+        .limit(20)
     }
   )
 }

@@ -297,6 +297,47 @@ object Similarity {
         .select(col("vec_a"), col("vec_b"),
           floor(lit(1000000.0) * col("sim")).cast("long").as("cos_ppm"))
         .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    GraftQuery(
+      "q209_mutual_nn",
+      "Mutual-nearest-neighbor pairs — the bitext-mining / cross-lingual alignment primitive (LASER-style): keep (a,b) only when b is a's single nearest neighbor AND a is b's, the symmetry filter that kills hubness false positives a one-directional top-1 keeps. Each side's NN is an argmax-as-AGGREGATE (max of struct(sim, -id) — map-side combinable, no per-probe window sort), then one self-equi-join checks mutuality. This exact tier is the labeled verification pass; at corpus scale the candidate pairs come from the LSH/IVF tiers (q44/q73) and this pass reranks within buckets, exactly like q113's semantic dedup.",
+      s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |s AS (SELECT a.vec_id AS a, b.vec_id AS b,
+         |        CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+         |             ELSE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) END AS sim
+         |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT a, b, sim,
+         |        row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rk
+         |      FROM s),
+         |nn AS (SELECT a, b, sim FROM r WHERE rk = 1)
+         |SELECT x.a AS id_a, x.b AS id_b,
+         |  CAST(floor(1000000.0 * x.sim) AS BIGINT) AS cos_ppm
+         |FROM nn x JOIN nn y ON x.a = y.b AND x.b = y.a AND x.a < x.b
+         |ORDER BY id_a""".stripMargin) { (s, d) =>
+      val n = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      val x = n.select(col("vec_id").as("a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a"))
+      val y = n.select(col("vec_id").as("b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b"))
+      val pn  = col("nrm_a") * col("nrm_b")
+      val sim = when(pn === 0d, 0d)
+        .otherwise(dotProduct(col("emb_a"), col("emb_b")) / pn)
+      // argmax per side as an aggregate: max(struct(sim, -b)) is the same
+      // total order as the oracle's (sim DESC, b ASC) row_number
+      val nn = x.join(y, col("a") =!= col("b"))
+        .select(col("a"), col("b"), sim.as("sim"))
+        .groupBy(col("a"))
+        .agg(max(struct(col("sim"), (-col("b")).as("nb"))).as("m"))
+        .select(col("a"), (-col("m.nb")).as("b"), col("m.sim").as("sim"))
+      nn.as("x")
+        .join(nn.as("y"),
+          col("x.a") === col("y.b") && col("x.b") === col("y.a") &&
+            col("x.a") < col("x.b"))
+        .select(col("x.a").as("id_a"), col("x.b").as("id_b"),
+          floor(lit(1000000.0) * col("x.sim")).cast("long").as("cos_ppm"))
+        .orderBy(col("id_a"))
     }
   )
 }
