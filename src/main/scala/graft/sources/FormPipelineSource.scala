@@ -209,7 +209,25 @@ private class FormScan(rows: Long, partitions: Int,
                        aggs: Seq[PushedAgg],
                        limit: Option[Int] = None,
                        topN: Seq[(String, Boolean)] = Seq.empty)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
+
+  /** CBO-visible size: the row count the "server" declares (a REST
+    * pipeline's row count is one metadata call), capped by a pushed
+    * LIMIT/TopN, times the declared row width. A pushed filter's
+    * selectivity is unknown — the pre-filter count is the sound upper
+    * bound. Without stats a DSv2 relation is "unknown = huge" and can
+    * never auto-broadcast; with them a small form feed broadcasts like
+    * the dim table it is. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n =
+      if (aggs.nonEmpty) 1L
+      else limit.map(l => math.min(l.toLong, rows)).getOrElse(rows)
+    // declared row model: 2 longs + 5 short strings ≈ 64 bytes
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * 64L)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n)
+  }
   /** With a complete aggregate pushdown the scan's output row IS the final
     * result: one field per aggregate (MAX/MIN keep the column's type,
     * COUNT(*) is a long), exactly the schema Spark's pushdown rule expects. */

@@ -831,7 +831,26 @@ private class FormSinkScan(path: String, required: StructType,
                            aggs: Seq[PushedAgg],
                            versionAsOf: Option[Long],
                            changes: Option[(Long, Long)],
-                           skip: Seq[sqlf.Filter]) extends Scan with Batch {
+                           skip: Seq[sqlf.Filter])
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Runtime (join-driven) file pruning — dynamic partition pruning's DSv2
+    * form: when this table is the probe side of a broadcast join, Spark
+    * hands the scan the build side's join-key values as an `In` filter
+    * AFTER the build side executes, and the scan re-prunes whole files
+    * against the same manifest min/max the static skipper uses. A trickle
+    * dim join then opens only the files whose range covers some build key
+    * — at a 100 TB history that is the difference between scanning the
+    * table and scanning the delta. Advisory like all skipping: rows are
+    * still filtered by the join itself. */
+  private var runtime: Seq[sqlf.Filter] = Seq.empty
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    FormSinkSource.schema.fieldNames
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(filters: Array[sqlf.Filter]): Unit = {
+    runtime = filters.toSeq.filter(FormSinkSource.skippable)
+  }
   /** Snapshot resolution: a change-feed delta, a pinned manifest version
     * (time travel), or the newest committed manifest — as (names, stats). */
   private def snapshotNames(): (Seq[String], Map[String, FormSinkSource.FileStats]) =
@@ -860,8 +879,10 @@ private class FormSinkScan(path: String, required: StructType,
     * skipping actually engaged, not just that results were correct. */
   private def snapshot(): Seq[Path] = {
     val (names, stats) = snapshotNames()
+    // static pushed filters AND runtime join-key filters prune identically
+    val pruners = skip ++ runtime
     val survivors =
-      names.filter(n => skip.forall(FormSinkSource.mayMatch(stats.get(n), _)))
+      names.filter(n => pruners.forall(FormSinkSource.mayMatch(stats.get(n), _)))
     FormSinkSource.recordScanCensus(survivors.size, names.size)
     survivors.map(FormSinkSource.dataDir(path).resolve)
   }
@@ -887,6 +908,28 @@ private class FormSinkScan(path: String, required: StructType,
       Array(SinkAggPartition(snapshot().map(_.toString)))
     else snapshot()
       .map(p => SinkFilePartition(p.toString): InputPartition).toArray
+
+  /** Table statistics from the SAME manifest the skipper reads: exact row
+    * counts (commit-time collected) and on-disk bytes of the
+    * post-skip-pruned snapshot. Without this a DSv2 relation defaults to
+    * "unknown = huge", so Spark would never auto-broadcast the sink side
+    * of a join — with it, the watermark table joins like the dim table it
+    * is. Pruned-snapshot stats also mean a selective delta read reports
+    * only the files it will open (CBO sees the delta, not the history). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val (names, stats) = snapshotNames()
+    private val survivors =
+      names.filter(n => skip.forall(FormSinkSource.mayMatch(stats.get(n), _)))
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(survivors.map { n =>
+        try Files.size(FormSinkSource.dataDir(path).resolve(n))
+        catch { case _: Exception => 0L }
+      }.sum)
+    override def numRows(): java.util.OptionalLong =
+      if (survivors.forall(stats.contains))
+        java.util.OptionalLong.of(survivors.map(stats(_).rows).sum)
+      else java.util.OptionalLong.empty() // a stats-less legacy file: unknown
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     if (aggs.isEmpty) new FormSinkReaderFactory(required)
     else new FormSinkAggReaderFactory(aggs)

@@ -174,6 +174,33 @@ class FormSinkSpec extends SparkSpec {
     assert(Files.exists(orphan), "orphan cleanup is a vacuum's job, not a reader's")
   }
 
+  test("runtime join-key filtering prunes sink files AFTER the build side executes") {
+    val dir = tmp()
+    def commit(lo: Int, hi: Int): Unit =
+      feed(lo, hi).repartition(1).write.format(FormSinkSource.Format)
+        .mode(SaveMode.Append).option("path", dir).save()
+    commit(1, 100); commit(101, 200); commit(201, 300)
+    val sink = spark.read.format(FormSinkSource.Format).option("path", dir).load()
+    // dim: 5 keys, ALL in the third file's range — arrives with a selective
+    // predicate over a base relation, the shape the DPP planner rewards
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_orderkey").between(250, 254))
+      .select(expr("printf('U%09dD', o_orderkey)").as("po_number"))
+    val joined = sink.join(dim, "po_number")
+    val rows = joined.collect()
+    assert(rows.length === 5)
+    // the scan saw the build side's keys as a runtime In filter and opened
+    // ONLY the straddling file — 1 of 3 (the static plan had no filter at
+    // all; this pruning happened at execution)
+    val (scanned, total) = FormSinkSource.lastScanFileCensus
+    assert(total === 3, s"census $scanned/$total")
+    assert(scanned === 1, s"runtime filter did not prune: opened $scanned of $total")
+    // and the physical plan records the dynamic pruning subquery
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning") ||
+      plan.contains("RuntimeFilter"), plan.take(3000))
+  }
+
   test("reference's duplicate-on-partial-apply is impossible through the sink commit") {
     // The reference applies its batch as one POST per row with no
     // transaction (SURVEY §3.4): a crash after k of n rows leaves k rows

@@ -114,6 +114,35 @@ class PlanSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).toSeq === rows.map(_.getLong(1)).sorted(Ordering[Long].reverse).toSeq)
   }
 
+  test("DSv2 sources report statistics: small sides auto-broadcast with NO hint") {
+    // the pipeline source declares its row count -> Catalyst sees a
+    // dim-sized relation and picks BroadcastHashJoin on its own
+    val feed = spark.read.format("graft.sources.FormPipelineSource")
+      .option("rows", 500).load()
+      .select(col("po_number"), col("amount_cents"))
+    val stats = feed.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(500)), stats.toString)
+    assert(stats.sizeInBytes === BigInt(500 * 64), stats.toString)
+    val fact = Tables.orders(spark, sf)
+      .select(expr("printf('U%09dD', o_orderkey)").as("po_number"), col("o_totalprice"))
+    val joined = fact.join(feed, "po_number") // NO broadcast() hint
+    assert(planOf(joined).contains("BroadcastHashJoin"),
+      planOf(joined).take(3000))
+    // the sink reports exact manifest rows + on-disk bytes, post-pruning
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-sink").toString
+    graft.etl.WatermarkEtl.sourceFeed(spark, sf)
+      .filter(col("o_orderkey").between(1, 100)).drop("o_orderkey")
+      .write.format(graft.sources.FormSinkSource.Format)
+      .mode(org.apache.spark.sql.SaveMode.Append).option("path", dir).save()
+    val sink = spark.read.format(graft.sources.FormSinkSource.Format)
+      .option("path", dir).load()
+    val sstats = sink.queryExecution.optimizedPlan.stats
+    assert(sstats.rowCount.contains(BigInt(100)), sstats.toString)
+    assert(sstats.sizeInBytes > 0 && sstats.sizeInBytes < 100000, sstats.toString)
+    val sjoin = fact.join(sink, "po_number")
+    assert(planOf(sjoin).contains("BroadcastHashJoin"), planOf(sjoin).take(3000))
+  }
+
   test("DSv2 form source: ungrouped MAX/COUNT(*) execute inside the source") {
     // R3 end-to-end: the watermark MAX runs "server-side" like the
     // reference's sink-side last-row read (bin:53-69) — complete pushdown,
