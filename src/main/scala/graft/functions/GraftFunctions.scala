@@ -79,6 +79,13 @@ object GraftFunctions {
     column(org.apache.spark.sql.graft.MinHashAgg(expression(hs), as, bs, p)
       .toAggregateExpression())
 
+  /** Exact per-group top-k (key DESC, payload ASC) as a native bounded
+    * aggregate — array<struct<key,payload>> best→worst; map-side partial
+    * merge carries ≤2k longs per group instead of the group's rows. */
+  def topKAgg(key: Column, payload: Column, k: Int): Column =
+    column(org.apache.spark.sql.graft.TopKAgg(
+      expression(key), expression(payload), k).toAggregateExpression())
+
   /** (name, info, builder) triples for SQL registration. */
   val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),

@@ -786,6 +786,37 @@ object TextAnalysis {
           floor((col("n") - col("nd")) * 1000000L / col("n")).cast("long").as("rep_ppm"))
         .orderBy(col("rep_ppm").desc, col("doc_id"))
         .limit(100)
+    },
+
+    GraftQuery(
+      "q213_lm_coverage",
+      "Bigram-LM coverage filter — the perplexity-proxy quality screen a pretraining pipeline runs with a small reference LM: learn the 256 most frequent corpus bigrams (count DESC, lexicographic tie-break — a total order, so the learned table is deterministic at the frequency boundary), broadcast them, and measure per-language what fraction of each language's bigram mass the model covers, as exact ppm. The q166 estimation pass turned into the filtering signal: low coverage flags out-of-domain or degenerate text exactly like high perplexity does, without a single float. Probe volume is one hash lookup per bigram against the broadcast table — no token-stream shuffle at any corpus size (the bigram twin of q129's unigram OOV census).",
+      """WITH t AS (SELECT lang,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (SELECT lang, toks[i] || ' ' || toks[i+1] AS bg
+        |      FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        |v AS (SELECT bg FROM (SELECT bg, count(*) AS c FROM b
+        |                      GROUP BY bg ORDER BY c DESC, bg LIMIT 256)),
+        |j AS (SELECT b.lang, CASE WHEN v.bg IS NULL THEN 0 ELSE 1 END AS hit
+        |      FROM b LEFT JOIN v ON b.bg = v.bg)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(hit) AS BIGINT) AS n_covered,
+        |  (CAST(sum(hit) AS BIGINT) * 1000000) // count(*) AS coverage_ppm
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val b = Tables.documents(s, d)
+        .select(col("lang"), explode(shingles(tokens(col("text")), 2)).as("bg"))
+      val lm = b.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("bg"))
+        .limit(256)
+        .select(col("bg"), lit(1).as("known"))
+      b.join(broadcast(lm), Seq("bg"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("known").isNull, 0L).otherwise(1L)).as("n_covered"))
+        .selectExpr("lang", "n_bigrams", "n_covered",
+          "(n_covered * 1000000) div n_bigrams AS coverage_ppm")
+        .orderBy(col("lang"))
     }
   )
 }

@@ -215,6 +215,31 @@ object Windows {
         col("c_custkey"),
         count(lit(1)).over(w).as("n_within_100"))
         .orderBy(col("c_custkey"))
+    },
+
+    GraftQuery(
+      "q212_native_topk",
+      "Per-group top-5 via the engine's native bounded-heap AGGREGATE (TopKAgg, the §2.4 custom-aggregate tier): one ObjectHashAggregate with map-side partial merge carries a ≤2k-long buffer per (partition, segment) through the shuffle — vs the window formulation (q19), which shuffles the group's ROWS and sorts them (WindowGroupLimit prunes to k per partition but still moves rows). Same (cents DESC, orderkey ASC) total order, bit-identical output, differential-tested in KernelSpec; the declarative twin IS the oracle.",
+      """WITH c AS (SELECT o_orderkey, c_mktsegment,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT c_mktsegment, o_orderkey, cents,
+        |        row_number() OVER (PARTITION BY c_mktsegment
+        |                           ORDER BY cents DESC, o_orderkey) AS rk
+        |      FROM c)
+        |SELECT c_mktsegment, CAST(rk AS BIGINT) AS rk, o_orderkey, cents
+        |FROM r WHERE rk <= 5 ORDER BY c_mktsegment, rk""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("cents"))
+      c.groupBy(col("c_mktsegment"))
+        .agg(graft.functions.GraftFunctions
+          .topKAgg(col("cents"), col("o_orderkey"), 5).as("tk"))
+        .select(col("c_mktsegment"), posexplode(col("tk")).as(Seq("pos", "x")))
+        .select(col("c_mktsegment"), (col("pos") + 1).cast("long").as("rk"),
+          col("x.payload").as("o_orderkey"), col("x.key").as("cents"))
+        .orderBy(col("c_mktsegment"), col("rk"))
     }
   )
 }

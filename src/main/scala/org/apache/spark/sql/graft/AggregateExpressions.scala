@@ -97,3 +97,102 @@ case class MinHashAgg(
       newChildren: IndexedSeq[Expression]): MinHashAgg =
     copy(child = newChildren.head)
 }
+
+/** Exact per-group top-k as ONE native aggregate: keep the k best
+  * (key DESC, payload ASC — q19's rank order) pairs in a bounded sorted
+  * buffer. The declarative twin is `row_number() OVER (PARTITION BY g
+  * ORDER BY key DESC, payload) <= k`, which SORTS every group's full fact
+  * rows through a window exec; this aggregate plans as ObjectHashAggregate
+  * with map-side PARTIAL merge, so the shuffle carries one ≤2k-long buffer
+  * per (partition, group) instead of the group's rows — the difference
+  * between O(rows) and O(groups·k) shuffle volume on a 100 TB fact table.
+  * (Spark's own WindowGroupLimit prunes the window's input to k per
+  * partition but still shuffles rows and sorts; this carries buffers.)
+  *
+  * Buffer: interleaved [key0,payload0,…] kept sorted best→worst;
+  * inserts are O(k) array shifts — k is page-sized by contract (≤ ~1000),
+  * so update cost is bounded and allocation-free. Differentially tested
+  * against the window twin in KernelSpec.
+  */
+case class TopKAgg(
+    key: Expression,
+    payload: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Long]]
+  with ExpectsInputTypes {
+
+  require(k >= 1, "top-k needs k >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", LongType, nullable = false),
+    StructField("payload", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_agg"
+  override def children: Seq[Expression] = Seq(key, payload)
+
+  /** (kA,pA) ranks strictly better than (kB,pB)? key DESC, payload ASC. */
+  @inline private def better(ka: Long, pa: Long, kb: Long, pb: Long): Boolean =
+    ka > kb || (ka == kb && pa < pb)
+
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[Long] =
+    new scala.collection.mutable.ArrayBuffer[Long](2 * math.min(k, 16))
+
+  private def insert(buf: scala.collection.mutable.ArrayBuffer[Long],
+                     kv: Long, pv: Long): Unit = {
+    val n = buf.length / 2
+    if (n == k && !better(kv, pv, buf(2 * n - 2), buf(2 * n - 1))) return
+    // position = first slot whose element ranks worse than the newcomer
+    var i = 0
+    while (i < n && !better(kv, pv, buf(2 * i), buf(2 * i + 1))) i += 1
+    buf.insert(2 * i, kv)
+    buf.insert(2 * i + 1, pv)
+    if (buf.length / 2 > k) buf.remove(buf.length - 2, 2)
+  }
+
+  override def update(buf: scala.collection.mutable.ArrayBuffer[Long],
+                      input: InternalRow): scala.collection.mutable.ArrayBuffer[Long] = {
+    val kvAny = key.eval(input)
+    val pvAny = payload.eval(input)
+    // SQL aggregate semantics: rows with a null key or payload are skipped
+    if (kvAny != null && pvAny != null)
+      insert(buf, kvAny.asInstanceOf[Long], pvAny.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: scala.collection.mutable.ArrayBuffer[Long],
+                     other: scala.collection.mutable.ArrayBuffer[Long]): scala.collection.mutable.ArrayBuffer[Long] = {
+    var i = 0
+    while (i < other.length) { insert(buf, other(i), other(i + 1)); i += 2 }
+    buf
+  }
+
+  override def eval(buf: scala.collection.mutable.ArrayBuffer[Long]): Any =
+    new GenericArrayData((0 until buf.length / 2).map { i =>
+      InternalRow(buf(2 * i), buf(2 * i + 1))
+    }.toArray[Any])
+
+  override def serialize(buf: scala.collection.mutable.ArrayBuffer[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new scala.collection.mutable.ArrayBuffer[Long](bytes.length / 8)
+    var i = 0
+    while (i < bytes.length / 8) { buf += bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKAgg =
+    copy(key = newChildren(0), payload = newChildren(1))
+}

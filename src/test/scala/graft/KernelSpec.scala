@@ -154,6 +154,44 @@ class KernelSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("TopKAgg == row_number window twin, incl. ties, small groups, null keys") {
+    import org.apache.spark.sql.expressions.Window
+    // orders by priority: 5 groups, plenty of cent-ties at sf
+    val c = Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("g"), col("o_orderkey").as("id"),
+        cents(col("o_totalprice")).as("v"))
+    val k = 7
+    val agg = c.groupBy(col("g"))
+      .agg(graft.functions.GraftFunctions.topKAgg(col("v"), col("id"), k).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("pos", "x")))
+      .select(col("g"), (col("pos") + 1).as("rk"),
+        col("x.key").as("v"), col("x.payload").as("id"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    val win = c.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("g"), col("rk").cast("int").as("rk"), col("v"), col("id"))
+    assert(agg.exceptAll(win).count() === 0)
+    assert(win.exceptAll(agg).count() === 0)
+    // groups smaller than k emit their whole membership, ranked
+    import spark.implicits._
+    val tiny = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L))
+      .toDF("g", "id", "v")
+    val t = tiny.groupBy(col("g"))
+      .agg(graft.functions.GraftFunctions.topKAgg(col("v"), col("id"), 5).as("tk"))
+      .select(col("g"), col("tk"))
+      .orderBy(col("g")).collect()
+    assert(t(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getLong(0), r.getLong(1)))
+      === Seq((20L, 2L), (10L, 1L)))
+    assert(t(1).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getLong(0), r.getLong(1)))
+      === Seq((30L, 3L)))
+    // null keys are skipped like every SQL aggregate
+    val n = Seq(("a", Some(1L), Some(10L)), ("a", None, Some(99L)))
+      .toDF("g", "id", "v")
+      .groupBy(col("g"))
+      .agg(graft.functions.GraftFunctions.topKAgg(col("v"), col("id"), 3).as("tk"))
+      .select(size(col("tk"))).as[Int].head()
+    assert(n === 1)
+  }
+
   test("vec_dot/vec_norm match HOF fold on the embeddings fixture") {
     val hofDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
