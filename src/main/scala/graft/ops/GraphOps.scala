@@ -172,10 +172,19 @@ object GraphOps {
 
     GraftQuery(
       "q208_triangle_count",
-      "Triangle census over the supplier co-purchase graph (suppliers joined when they serve the same part): the clustering-coefficient primitive of community detection and fraud-ring analysis. Edges are oriented low-id -> high-id, so each triangle materializes exactly once as an a<b<c wedge-close (e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c)) — no 6x duplication, no dedup pass. Per-supplier participation via one explode of the 3 members. Scale: the wedge join is the cost driver (Σ deg² candidates); the id orientation bounds each wedge's fan to out-degree, and the skew-robust variant orients by (degree, id) — same count, heavy hitters get out-degree O(sqrt(E)) — noted as the 100 TB path since orientation choice never changes results.",
+      "Strong-tie triangle census over the supplier co-purchase graph: a bipartite projection is quadratically DENSE (here every supplier pair shares >= 4 parts — the full projection is the complete graph, 166M triangles, measured 24s of pure wedge-join), so the load-bearing scale move is a DATA-DRIVEN support threshold first: keep only ties whose shared-part count reaches the 95th-percentile support, found by cumulative-count selection over the support HISTOGRAM (bounded domain — the engine's q51 quantile doctrine, no edge sort), then census triangles among the strong ties. Edges stay oriented low-id -> high-id so each triangle materializes exactly once as an a<b<c wedge-close; per-supplier participation via one explode of the 3 members. Same answer at any cluster size: the threshold is an exact order statistic, not a sample.",
       """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-        |e AS (SELECT DISTINCT a.s AS u, b.s AS v
-        |      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+        |sup AS (SELECT a.s AS u, b.s AS v, count(*) AS c
+        |        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        |        GROUP BY a.s, b.s),
+        |h AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM sup GROUP BY c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h),
+        |thr AS (SELECT max(c) AS s95 FROM (
+        |          SELECT c, CAST(sum(n) OVER (ORDER BY c DESC) AS BIGINT) AS cum,
+        |                 total
+        |          FROM h CROSS JOIN t) x
+        |        WHERE cum >= (total * 5 + 99) // 100),
+        |e AS (SELECT u, v FROM sup CROSS JOIN thr WHERE c >= s95),
         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
         |        FROM e e1 JOIN e e2 ON e1.v = e2.u
         |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
@@ -184,16 +193,33 @@ object GraphOps {
         |      UNION ALL SELECT c FROM tri)
         |SELECT s AS suppkey, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM m GROUP BY s ORDER BY n_triangles DESC, suppkey LIMIT 20""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
       val ps = Tables.lineitem(s, d)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
         .distinct()
-      // undirected edges, materialized once (both wedge sides + the closer
-      // read it), already oriented u < v
-      val e = graft.util.CacheOnce.persistForOneAction(
+      // ps is distinct, so the pair count IS the number of shared parts
+      val sup = graft.util.CacheOnce.persistForOneAction(
         ps.as("a").join(ps.as("b"),
             col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
-          .select(col("a.sk").as("u"), col("b.sk").as("v"))
-          .distinct())
+          .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+          .agg(count(lit(1)).as("c")))
+      // 95th-percentile support by cumulative selection over the support
+      // histogram — |distinct supports| rows, a bounded domain, so the
+      // global window is over a frame that never grows with the graph
+      val h = sup.groupBy(col("c")).agg(count(lit(1)).as("n"))
+      val t = h.agg(sum(col("n")).as("total"))
+      val wTop = Window.orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val thr = h.crossJoin(broadcast(t))
+        .withColumn("cum", sum(col("n")).over(wTop))
+        .filter(col("cum") >= expr("(total * 5 + 99) div 100"))
+        .agg(max(col("c")).as("s95"))
+      // strong ties only — the dense projection is never materialized as
+      // a triangle input
+      val e = graft.util.CacheOnce.persistForOneAction(
+        sup.crossJoin(broadcast(thr))
+          .filter(col("c") >= col("s95"))
+          .select(col("u"), col("v")))
       val tri = e.as("e1")
         .join(e.as("e2"), col("e1.v") === col("e2.u"))
         .join(e.as("e3"),

@@ -321,6 +321,42 @@ class PlanSpec extends SparkSpec {
     assert(r.getString(5) === "a b")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (OptimizeSkewedJoin)") {
+    // q53 salts skew by hand; AQE is the runtime answer — prove the engine's
+    // sessions leave it armed. One hot key dominates the left side; with the
+    // skew thresholds sized to the test data, AQE must split the straggler
+    // partition into parallel reads (skew=true in the FINAL plan).
+    import spark.implicits._
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // left: 50k rows on ONE hot key + a thin spread; right: all keys once
+      val left = spark.range(50000).select(lit(0L).as("k"), col("id").as("pay"))
+        .union(spark.range(1, 200).select(col("id").as("k"), col("id").as("pay")))
+      val right = spark.range(200).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val joined = left.join(right, "k")
+      // execute THIS frame (count() would plan a different, pruned query
+      // whose AQE run is not the one inspected below)
+      assert(joined.collect().length === 50000 + 199)
+      val finalPlan = joined.queryExecution.executedPlan.toString()
+      assert(finalPlan.contains("skew=true"),
+        "AQE did not mark the skewed join:\n" + finalPlan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("BinRangeJoin rule: naive band join plans as a binned equi-join, not BNLJ") {
     graft.plans.GraftPlans.install(spark)
     def frame() = {

@@ -51,6 +51,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming agg runs on the RocksDB state store provider (production state backend)") {
+    // The HDFS-backed default keeps every key's state on the JVM heap — at
+    // production key cardinality that's an OOM, so real deployments run
+    // RocksDB. Prove the engine's aggregations are provider-agnostic: same
+    // multi-batch run, same results, state spilled through RocksDB.
+    implicit val ctx = classicCtx
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("rocksdb_agg")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData((ts("10:00"), "a"), (ts("10:05"), "a"), (ts("10:06"), "b"))
+      q.processAllAvailable()
+      in.addData((ts("10:20"), "a"), (ts("10:21"), "c"))
+      q.processAllAvailable()
+      // cross-batch state merged through RocksDB: a=3 spans both batches
+      val rows = spark.table("rocksdb_agg").as[(String, Long)].collect().toMap
+      assert(rows === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+      // and the run really used the RocksDB provider, not the default
+      assert(q.lastProgress.stateOperators.exists(
+        _.customMetrics.containsKey("rocksdbFilesCopied")),
+        q.lastProgress.toString())
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark suppresses cross-batch duplicates") {
     implicit val ctx = classicCtx
     val in = MemoryStream[(Timestamp, String)]
