@@ -367,6 +367,46 @@ object Dedup {
     },
 
     GraftQuery(
+      "q214_containment_dedup",
+      "CONTAINMENT near-dup detection — the asymmetric twin of q38's Jaccard: score each candidate pair by |A∩B| / |smaller side|, the measure that catches EXCERPTS and quotations (a 50-shingle doc wholly inside a 5000-shingle doc has Jaccard ~1% but containment 100% — symmetric dedup never sees it; containment-based filtering is how pretraining pipelines drop quoted/embedded duplicates). Same linear shingle-index join for |A∩B|, smaller side chosen by (size, id) so the score is deterministic on ties; exact integer ppm; pairs at >= 60%. Scale: identical candidate shape to q38 (posting join, stop-shingle/df-cap lever), one extra size compare.",
+      s"""WITH $tokCte,
+         |$shCte,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |dir AS (SELECT
+         |    CASE WHEN x.sz < y.sz OR (x.sz = y.sz) THEN doc_a ELSE doc_b END AS doc_small,
+         |    CASE WHEN x.sz < y.sz OR (x.sz = y.sz) THEN doc_b ELSE doc_a END AS doc_host,
+         |    (inter * 1000000) // least(x.sz, y.sz) AS containment_ppm
+         |  FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b)
+         |SELECT doc_small, doc_host, CAST(containment_ppm AS BIGINT) AS containment_ppm
+         |FROM dir WHERE containment_ppm >= 600000
+         |ORDER BY containment_ppm DESC, doc_small, doc_host LIMIT 50""".stripMargin) { (s, d) =>
+      val sh = graft.util.CacheOnce.persistForOneAction(
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh")))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      // the SMALLER side's coverage is the containment score; ties keep the
+      // lower id as the contained side, so the direction is a total order
+      val smallIsA = col("sz_a") <= col("sz_b")
+      pairs
+        .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+        .select(
+          when(smallIsA, col("doc_a")).otherwise(col("doc_b")).as("doc_small"),
+          when(smallIsA, col("doc_b")).otherwise(col("doc_a")).as("doc_host"),
+          expr("(inter * 1000000) div least(sz_a, sz_b)").as("containment_ppm"))
+        .filter(col("containment_ppm") >= 600000L)
+        .orderBy(col("containment_ppm").desc, col("doc_small"), col("doc_host"))
+        .limit(50)
+    },
+
+    GraftQuery(
       "q210_entity_blocking",
       "Entity-resolution candidate generation by MULTI-KEY BLOCKING over customers: pairs meet through block A (nation, balance-thousand bucket) OR block B (market segment, same bucket) — never through the C(n,2) cross product — then every candidate is scored inline on field agreements (same nation + same segment + balances within $100, cents-exact) and kept at score >= 2. The union of two narrow blocking passes is the standard recall lever (each block bounds pair volume to Σ block², like LSH banding bounds q40); scoring runs BEFORE the pair-dedupe shuffle (the q127 lesson), and bucket-straddling near-balances are the documented recall loss a second shifted-bucket block would close (the 2-bin trick of q125). Top-20 pairs by (score, ids) — pair-level evidence, not just a census.",
       """WITH c AS (SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
