@@ -1591,6 +1591,47 @@ object Analytics {
           unix_timestamp(col("session_window.end")).as("session_end_s"),
           col("n_events"))
         .orderBy(col("user_id"), col("session_start_s"))
+    },
+
+    GraftQuery(
+      "q215_auc_rank",
+      "EXACT AUC-ROC by rank-sum (Mann-Whitney U) — the classifier-evaluation metric every quality-filter model ships with, computed with zero floats: does event value predict purchase? Scores quantize to dollar buckets (a fixed ~560-value domain at ANY corpus size), one histogram aggregate counts (pos, neg) per bucket, a running negatives-below window over the BUCKET frame gives each bucket's pairwise wins, and tie buckets contribute the half-win term at 2x integer scale: auc_x2 = Σ pos·(2·neg_below + neg); auc_ppm = auc_x2·1e6 // (2·n_pos·n_neg). No row-level sort anywhere — the q51 selection doctrine applied to ranking evaluation (domain contract: n_pos·n_neg·2e6 < 2^63, i.e. ~2M positives × negatives per evaluation — per-slice AUCs at larger scale).",
+      """WITH s AS (SELECT CAST(floor(value) AS BIGINT) AS sc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |h AS (SELECT sc, CAST(sum(pos) AS BIGINT) AS np,
+        |        CAST(count(*) AS BIGINT) - CAST(sum(pos) AS BIGINT) AS nn
+        |      FROM s GROUP BY sc),
+        |r AS (SELECT sc, np, nn,
+        |        CAST(sum(nn) OVER (ORDER BY sc) AS BIGINT) - nn AS neg_below
+        |      FROM h),
+        |t AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |        CAST(sum(nn) AS BIGINT) AS n_neg FROM h)
+        |SELECT n_pos, n_neg,
+        |  (CAST(sum(np * (2 * neg_below + nn)) AS BIGINT) * 1000000)
+        |    // (2 * n_pos * n_neg) AS auc_ppm,
+        |  (CAST(sum(np * (2 * neg_below + nn)) AS BIGINT) * 1000000)
+        |    // (n_pos * n_neg) - 1000000 AS gini_ppm
+        |FROM r CROSS JOIN t GROUP BY n_pos, n_neg""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sc = Tables.events(s, d).select(
+        floor(col("value")).cast("long").as("sc"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      val h = sc.groupBy(col("sc"))
+        .agg(sum(col("pos")).as("np"),
+          (count(lit(1)) - sum(col("pos"))).as("nn"))
+      // the running window is over the ~560-row bucket histogram, never the
+      // event stream — same bounded-domain contract as every quantile here
+      val w = Window.orderBy(col("sc"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = h.withColumn("neg_below", sum(col("nn")).over(w) - col("nn"))
+      val t = h.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      r.crossJoin(broadcast(t))
+        .groupBy(col("n_pos"), col("n_neg"))
+        .agg(sum(col("np") * (lit(2) * col("neg_below") + col("nn"))).as("x2"))
+        .selectExpr("n_pos", "n_neg",
+          "(x2 * 1000000) div (2 * n_pos * n_neg) AS auc_ppm",
+          "(x2 * 1000000) div (n_pos * n_neg) - 1000000 AS gini_ppm")
     }
   )
 }

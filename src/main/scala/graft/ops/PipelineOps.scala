@@ -704,6 +704,29 @@ object PipelineOps {
         .select(col("doc_id"), nRed.cast("long").as("n_redacted"),
           length(red).cast("long").as("red_len"), md5(red).as("red_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
+      "q216_k_anonymity",
+      "k-anonymity census before a data release — the privacy gate run on any dataset leaving a pipeline: group customers by their quasi-identifier tuple (nation, market segment, $1000 balance bucket) and report the equivalence-class size distribution: how many classes and rows sit at each k, with k < 5 marking the re-identifiable tail a release would have to generalize or suppress (the census IS the decision input for generalization — the partner of q88's direct-identifier scan and q128's redaction). Two hash aggregates, both map-side combinable; class count is bounded by the QI domain product, so the k-histogram never scales with rows.",
+      """WITH qi AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) // 100000 AS bucket,
+        |    count(*) AS k
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(k * count(*) AS BIGINT) AS n_rows,
+        |  k < 5 AS reidentifiable
+        |FROM qi GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          expr("CAST(floor(c_acctbal * 100) AS BIGINT) div 100000").as("bucket"))
+        .agg(count(lit(1)).as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_classes"))
+        .select(col("k"), col("n_classes"),
+          (col("k") * col("n_classes")).as("n_rows"),
+          (col("k") < 5).as("reidentifiable"))
+        .orderBy(col("k"))
     }
   )
 }

@@ -291,6 +291,31 @@ object StreamingOps {
     },
 
     GraftQuery(
+      "q217_stream_topk",
+      "The native TopKAgg INSIDE a streaming aggregation: per event type, the running top-3 events by value over the multi-micro-batch stream (complete mode) — proving the custom TypedImperativeAggregate is streaming-safe end-to-end: its buffer serializes into the state store between micro-batches, merges with each batch's partials, and the final emit equals the batch row_number twin exactly. Per-group state is the bounded <=2k-long buffer — streaming top-k never accumulates the stream, the property that makes leaderboard state O(groups·k) forever.",
+      """WITH c AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT event_type, event_id, cents,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY cents DESC, event_id) AS rk
+        |      FROM c)
+        |SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id, cents
+        |FROM r WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin) { (s, d) =>
+      val agg = twoBatchEventsStream(s, d)
+        .filter(col("event_type") =!= SentinelType)
+        .select(col("event_type"), col("event_id"), cents(col("value")).as("cents"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.GraftFunctions
+          .topKAgg(col("cents"), col("event_id"), 3).as("tk"))
+      runToMemory(agg, s"q217_sink_${System.nanoTime()}", "complete")
+        .select(col("event_type"), posexplode(col("tk")).as(Seq("pos", "x")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+          col("x.payload").as("event_id"), col("x.key").as("cents"))
+        .orderBy(col("event_type"), col("rk"))
+    },
+
+    GraftQuery(
       "q60_stream_dedup",
       "Streaming deduplication: dropDuplicates on (user_id, event_type) over the event stream (append mode — each first-seen pair emits once; state bounded by key cardinality), then distinct-user counts per type.",
       """SELECT event_type, count(DISTINCT user_id) AS n_users
