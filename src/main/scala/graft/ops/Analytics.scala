@@ -1632,6 +1632,29 @@ object Analytics {
         .selectExpr("n_pos", "n_neg",
           "(x2 * 1000000) div (2 * n_pos * n_neg) AS auc_ppm",
           "(x2 * 1000000) div (n_pos * n_neg) - 1000000 AS gini_ppm")
+    },
+
+    GraftQuery(
+      "q218_decayed_popularity",
+      "Time-decayed popularity ranking with a power-of-2 halflife — trending/leaderboard scoring with ZERO floats: each event contributes 1e6 >> age_weeks (weekly halflife, anchored at the corpus max timestamp so the score is a pure function of the data), per-user sums ride one map-side-combinable aggregate, top-20 by (score, id). The shift count clamps at 30 BEFORE the shift on BOTH engines: Java/Spark shift distances wrap mod 64 (shiftright(x, 64) = x!) while DuckDB zeroes — an engine-divergence landmine the clamp removes (contributions are exactly 0 past 20 weeks anyway).",
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |s AS (SELECT user_id,
+        |    least((epoch_us(m) - epoch_us(ts)) // 604800000000, 30) AS w
+        |  FROM events CROSS JOIN mx),
+        |d AS (SELECT user_id, CAST(sum(1000000 >> w) AS BIGINT) AS decayed
+        |      FROM s GROUP BY user_id)
+        |SELECT user_id, decayed FROM d
+        |ORDER BY decayed DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
+      val mx = Tables.events(s, d).agg(max(col("ts")).as("m"))
+      Tables.events(s, d).crossJoin(broadcast(mx))
+        .selectExpr("user_id",
+          "least((unix_micros(m) - unix_micros(ts)) div 604800000000, 30) AS w")
+        .selectExpr("user_id",
+          "shiftright(1000000L, cast(w AS int)) AS contrib")
+        .groupBy(col("user_id"))
+        .agg(sum(col("contrib")).as("decayed"))
+        .orderBy(col("decayed").desc, col("user_id"))
+        .limit(20)
     }
   )
 }

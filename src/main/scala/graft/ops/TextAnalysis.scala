@@ -817,6 +817,33 @@ object TextAnalysis {
         .selectExpr("lang", "n_bigrams", "n_covered",
           "(n_covered * 1000000) div n_bigrams AS coverage_ppm")
         .orderBy(col("lang"))
+    },
+
+    GraftQuery(
+      "q219_vocab_novelty",
+      "Vocabulary novelty per ingest batch — the Heaps-law growth curve a crawl pipeline watches to decide when more data stops adding new language: documents arrive in batches (doc_id div 100 = ingest order), each token occurrence is NOVEL iff its token's first-ever batch is this one, and the per-batch novelty ratio (exact ppm) falls as the vocabulary saturates. One min-aggregate finds each token's first batch, one token-keyed join classifies occurrences — O(occurrences) shuffle, no vocabulary kept on any single node. A collapsing novelty curve is also the cheap drift alarm: it spikes when the source distribution changes.",
+      """WITH t AS (SELECT doc_id // 100 AS batch,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, min(batch) AS first_batch FROM t GROUP BY tok),
+        |j AS (SELECT t.batch,
+        |        CASE WHEN f.first_batch = t.batch THEN 1 ELSE 0 END AS novel
+        |      FROM t JOIN f ON t.tok = f.tok)
+        |SELECT batch, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(novel) AS BIGINT) AS n_novel,
+        |  (CAST(sum(novel) AS BIGINT) * 1000000) // count(*) AS novelty_ppm
+        |FROM j GROUP BY batch ORDER BY batch""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(expr("doc_id div 100").as("batch"),
+          explode(tokens(col("text"))).as("tok"))
+      val f = t.groupBy(col("tok")).agg(min(col("batch")).as("first_batch"))
+      t.join(f, "tok")
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("first_batch") === col("batch"), 1L).otherwise(0L)).as("n_novel"))
+        .selectExpr("batch", "n_tokens", "n_novel",
+          "(n_novel * 1000000) div n_tokens AS novelty_ppm")
+        .orderBy(col("batch"))
     }
   )
 }
