@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DataSource V2 `TableCatalog` that exposes the engine's transactional
+  * form-sink tables to plain SQL DDL/DML — the catalog-integration tier of
+  * the connector surface:
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.root = /data/graft-tables
+  *
+  *   CREATE TABLE graft.po.orders (vendor STRING, ..., po_number STRING)
+  *   INSERT INTO graft.po.orders SELECT ...
+  *   SELECT * FROM graft.po.orders WHERE po_number > 'U...'
+  *   DROP TABLE graft.po.orders
+  * }}}
+  *
+  * Identifier `ns1.ns2.table` maps to the directory `root/ns1/ns2/table`,
+  * which holds an ordinary [[FormSinkSource]] table (manifest log + data
+  * files) — every transactional property the sink proves in FormSinkSpec
+  * (atomic manifest-swap commits, versioned history, stats skipping,
+  * runtime filtering) is therefore available BY NAME through SQL. Schema is
+  * the reference's 5-string-column model by contract: CREATE TABLE accepts
+  * any all-string subset-compatible schema and stores the canonical one
+  * (reference §1.2 — cells are strings); non-string columns are rejected at
+  * CREATE time, same as the write path does.
+  *
+  * Catalog metadata itself is filesystem state (directories + the sink's
+  * own manifests) — no extra metastore to keep consistent, and concurrent
+  * writers are already serialized by the sink's optimistic manifest swap.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Paths.get(Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.root")))
+    Files.createDirectories(root)
+  }
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): Path =
+    ident.namespace().foldLeft(root)(_.resolve(_)).resolve(ident.name())
+  private def isTableDir(p: Path): Boolean =
+    Files.isDirectory(p.resolve("_manifests"))
+
+  // ---- tables ---------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = namespace.foldLeft(root)(_.resolve(_))
+    if (!Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
+    graft.util.Scratch.listEntries(ns)
+      .filter(isTableDir)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .sortBy(_.name())
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    new FormSinkSource().getTable(FormSinkSource.schema, Array.empty,
+      Map("path" -> dir.toString).asJava)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty, "form sink tables are unpartitioned")
+    val bad = schema.fields.filterNot(_.dataType == StringType)
+    require(bad.isEmpty,
+      s"form sink cells are strings (reference §1.2); non-string: ${bad.map(_.name).mkString(",")}")
+    val dir = dirOf(ident)
+    Files.createDirectories(FormSinkSource.manifestDir(dir.toString))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "form sink tables have a fixed string schema (reference §1.2)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!isTableDir(dir)) return false
+    graft.util.Scratch.deleteRecursively(dir)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!isTableDir(dirOf(oldIdent))) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(dirOf(newIdent).getParent)
+    Files.move(dirOf(oldIdent), dirOf(newIdent))
+  }
+
+  // ---- namespaces -----------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    graft.util.Scratch.listEntries(root)
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => Array(p.getFileName.toString))
+      .sortBy(_.head)
+      .toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val ns = namespace.foldLeft(root)(_.resolve(_))
+    if (!Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
+    graft.util.Scratch.listEntries(ns)
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    val ns = namespace.foldLeft(root)(_.resolve(_))
+    if (!Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
+    Map("location" -> ns.toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    Files.createDirectories(namespace.foldLeft(root)(_.resolve(_)))
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace metadata is its path")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val ns = namespace.foldLeft(root)(_.resolve(_))
+    if (!Files.isDirectory(ns)) return false
+    if (!cascade && graft.util.Scratch.listEntries(ns).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    graft.util.Scratch.deleteRecursively(ns)
+    true
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** The DSv2 TableCatalog tier: the engine's transactional sink tables
+  * reachable BY NAME from plain SQL — DDL (CREATE/DROP/RENAME TABLE,
+  * namespaces), DML (INSERT INTO/OVERWRITE, SELECT with pushdown), and the
+  * sink's manifest log underneath it all. */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val root = {
+    val dir = Files.createTempDirectory("graft-catalog").toString
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftcat.root", dir)
+    dir
+  }
+
+  test("CREATE/INSERT/SELECT/DROP a sink table through SQL by name") {
+    root
+    spark.sql("CREATE NAMESPACE graftcat.po")
+    spark.sql("""CREATE TABLE graftcat.po.orders (
+      vendor STRING, description STRING, picker_erk STRING,
+      charge_code STRING, po_number STRING)""")
+    // listed and loadable
+    assert(spark.sql("SHOW TABLES IN graftcat.po").collect()
+      .map(_.getString(1)).toSeq === Seq("orders"))
+    // SQL INSERT routes through the sink's manifest-swap commit
+    spark.sql("""INSERT INTO graftcat.po.orders VALUES
+      ('v1', 'd1', '2024-01-01', 'C1', 'U000000001D'),
+      ('v2', 'd2', '2024-01-02', 'C2', 'U000000002D')""")
+    spark.sql("""INSERT INTO graftcat.po.orders VALUES
+      ('v3', 'd3', '2024-01-03', 'C3', 'U000000003D')""")
+    val rows = spark.sql(
+      "SELECT po_number, vendor FROM graftcat.po.orders ORDER BY po_number")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows === Seq(("U000000001D", "v1"), ("U000000002D", "v2"),
+      ("U000000003D", "v3")))
+    // two INSERTs = two manifest versions on the table's own log
+    val dir = s"$root/po/orders"
+    assert(graft.sources.FormSinkSource.snapshotInfo(dir)._1 === 2L)
+    // pushed watermark filter still prunes files (delta-read shape, by name)
+    val delta = spark.sql(
+      "SELECT * FROM graftcat.po.orders WHERE po_number > 'U000000002D'")
+    assert(delta.count() === 1)
+    // first INSERT staged its 2 VALUES rows as 2 task files + 1 from the
+    // second — the watermark predicate opened only the straddling one
+    assert(graft.sources.FormSinkSource.lastScanFileCensus === (1, 3))
+    // RENAME moves the directory, history intact
+    spark.sql("ALTER TABLE graftcat.po.orders RENAME TO po.orders2")
+    assert(spark.sql("SELECT count(*) FROM graftcat.po.orders2")
+      .collect()(0).getLong(0) === 3)
+    // DROP removes it; reads now fail at resolution
+    spark.sql("DROP TABLE graftcat.po.orders2")
+    assert(spark.sql("SHOW TABLES IN graftcat.po").collect().isEmpty)
+    intercept[Exception](spark.sql("SELECT * FROM graftcat.po.orders2").collect())
+  }
+
+  test("CREATE TABLE rejects non-string columns; namespaces are real") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.bad")
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE graftcat.bad.t (vendor STRING, amount BIGINT)"))
+    assert(e.getMessage.contains("string"), e.getMessage)
+    assert(spark.sql("SHOW NAMESPACES IN graftcat").collect()
+      .map(_.getString(0)).contains("bad"))
+    spark.sql("DROP NAMESPACE graftcat.bad")
+  }
+
+  test("INSERT OVERWRITE truncates through the catalog (versioned, not erased)") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.ow")
+    spark.sql("""CREATE TABLE graftcat.ow.t (
+      vendor STRING, description STRING, picker_erk STRING,
+      charge_code STRING, po_number STRING)""")
+    spark.sql("INSERT INTO graftcat.ow.t VALUES ('a','a','a','a','U1')")
+    spark.sql("INSERT OVERWRITE graftcat.ow.t VALUES ('b','b','b','b','U2')")
+    val rows = spark.sql("SELECT vendor FROM graftcat.ow.t").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("b"))
+    // the overwrite SUPERSEDED the manifest log (v2 stacked on v1) — the
+    // version history is the audit trail; local truncate reclaims the old
+    // DATA files eagerly by documented design, so no versionAsOf read here
+    val dir = s"$root/ow/t"
+    assert(graft.sources.FormSinkSource.snapshotInfo(dir)._1 === 2L)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_manifests", "manifest-v0000000001.json")))
+    spark.sql("DROP TABLE graftcat.ow.t")
+  }
+}
