@@ -131,6 +131,50 @@ object EtlQueries {
     },
 
     GraftQuery(
+      "q220_catalog_etl_roundtrip",
+      "The q90 connector round trip driven ENTIRELY by SQL through the engine's TableCatalog (graft.sources.GraftCatalog): CREATE TABLE by name, seed with INSERT OVERWRITE ... SELECT from the DSv2 form source, compute the watermark with a scalar subquery over the named table, append the strictly-newer delta with INSERT INTO ... WHERE, and read the result back by name — the reference's cron tick as the four SQL statements an analyst would actually type. Same manifest-swap commits, pushed filters, and skipping stats as q90 underneath; the catalog adds only the name resolution.",
+      """WITH src AS (
+        |  SELECT i,
+        |    'V' || (i % 97) AS vendor,
+        |    'order ' || i AS description,
+        |    CAST(DATE '2020-01-01' + CAST(i % 365 AS INTEGER) AS VARCHAR) AS picker_erk,
+        |    'C' || (i % 7) AS charge_code,
+        |    printf('U%09dD', i) AS po_number
+        |  FROM unnest(generate_series(0, 2999)) AS t(i))
+        |SELECT vendor, description, picker_erk, charge_code, po_number
+        |FROM src WHERE po_number > 'U000000999D'
+        |ORDER BY po_number""".stripMargin) { (s, d) =>
+      // one catalog per session, rooted in a shutdown-hook-cleaned scratch
+      // dir; the table is recreated per invocation (OVERWRITE seeds it)
+      if (s.conf.getOption("spark.sql.catalog.graft_q220").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft_q220", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q220.root",
+          graft.util.Scratch.dir("graft-q220-catalog").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q220.po")
+      s.sql("""CREATE TABLE IF NOT EXISTS graft_q220.po.orders (
+        vendor STRING, description STRING, picker_erk STRING,
+        charge_code STRING, po_number STRING)""")
+      s.read.format("graft.sources.FormPipelineSource")
+        .option("rows", 3000).option("partitions", 8).load()
+        .createOrReplaceTempView("graft_q220_feed")
+      // seed: submissions 0..999 play the already-loaded sink table
+      s.sql("""INSERT OVERWRITE graft_q220.po.orders
+        SELECT vendor, description, picker_erk, charge_code, po_number
+        FROM graft_q220_feed WHERE submission_id < 1000""")
+      // the tick: watermark as a scalar subquery over the NAMED table,
+      // delta appended by name (both filters push into the DSv2 scans)
+      s.sql("""INSERT INTO graft_q220.po.orders
+        SELECT vendor, description, picker_erk, charge_code, po_number
+        FROM graft_q220_feed
+        WHERE po_number > (SELECT max(po_number) FROM graft_q220.po.orders)""")
+      s.sql("""SELECT vendor, description, picker_erk, charge_code, po_number
+        FROM graft_q220.po.orders
+        WHERE po_number > 'U000000999D'
+        ORDER BY po_number""")
+    },
+
+    GraftQuery(
       "q147_quality_gate",
       "Data-quality expectations gate — the error handling the reference has none of (SURVEY §3: any non-2xx is silently dropped), generalized: three declarative rules (key present, amount in range, date not in the future) evaluated in ONE pass; failing rows are routed to quarantine with the FIRST violated rule as the reason, passing rows aggregate downstream. One scan, a shared when-chain, no per-rule re-read; per-rule violation counts plus the clean aggregate in one result.",
       """WITH checked AS (SELECT o_orderkey, o_totalprice,
