@@ -252,6 +252,107 @@ object AdvancedJoins {
         .select(col("p_id").as("event_id"), col("m.e_id").as("err_event_id"),
           col("m.delta_us").as("delta_us"))
         .orderBy(col("event_id"))
+    },
+
+    GraftQuery(
+      "q221_window_funnel",
+      "windowFunnel — the ordered multi-step conversion operator of product analytics (ClickHouse/Amplitude): from each VIEW, how deep does the user get through view -> click -> purchase with STRICT ordering inside a 1-hour window anchored at the view? Each step is one user-anchored band join + an EARLIEST-next-step argmin aggregate (the q211 shape chained): the click must follow the view, the purchase must follow THAT click, all within the anchor window — no per-user event-list collection, no window sort over the stream, state bounded by per-user activity in the window at any scale. Output: the funnel-depth census.",
+      """WITH v AS (SELECT event_id AS vid, user_id, epoch_us(ts) AS vt
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS ct
+        |      FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS pt
+        |      FROM events WHERE event_type = 'purchase'),
+        |s1 AS (SELECT vid, v.user_id, vt, min(ct) AS ct
+        |       FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |         AND ct > vt AND ct <= vt + 3600000000
+        |       GROUP BY 1, 2, 3),
+        |s2 AS (SELECT vid, vt, s1.ct, min(pt) AS pt
+        |       FROM s1 LEFT JOIN p ON s1.user_id = p.user_id
+        |         AND s1.ct IS NOT NULL
+        |         AND pt > s1.ct AND pt <= vt + 3600000000
+        |       GROUP BY 1, 2, 3)
+        |SELECT CAST(CASE WHEN pt IS NOT NULL THEN 3
+        |            WHEN ct IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS depth,
+        |  count(*) AS n_funnels
+        |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("vid"), col("user_id"),
+          expr("unix_micros(ts)").as("vt"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), expr("unix_micros(ts)").as("ct"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), expr("unix_micros(ts)").as("pt"))
+      val s1 = v.join(c,
+          col("user_id") === col("cu") &&
+            col("ct") > col("vt") && col("ct") <= col("vt") + 3600000000L, "left")
+        .groupBy(col("vid"), col("user_id"), col("vt"))
+        .agg(min(col("ct")).as("ct"))
+      val s2 = s1.join(p,
+          col("user_id") === col("pu") && col("ct").isNotNull &&
+            col("pt") > col("ct") && col("pt") <= col("vt") + 3600000000L, "left")
+        .groupBy(col("vid"), col("vt"), col("ct"))
+        .agg(min(col("pt")).as("pt"))
+      s2.select(when(col("pt").isNotNull, 3L)
+          .when(col("ct").isNotNull, 2L).otherwise(1L).as("depth"))
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_funnels"))
+        .orderBy(col("depth"))
+    },
+
+    GraftQuery(
+      "q222_conversion_latency",
+      "Exact conversion-latency quantiles (p50/p90/p99 of view->earliest-purchase-within-1h, integer microseconds) WITHOUT a global sort: per-second histogram census -> cumulative counts over the <=3600 bucket rows locate each rank's bucket -> exact rank pick sorts ONLY the rows inside the hit buckets. The single-partition window touches bucket counts (bounded by the window length), never the conversion facts — the selection shape that stays exact at 100 TB where percentile_approx would have to give up exactness and a global ORDER BY window would collapse to one partition.",
+      """WITH v AS (SELECT event_id AS vid, user_id, epoch_us(ts) AS vt
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_us(ts) AS pt
+        |      FROM events WHERE event_type = 'purchase'),
+        |conv AS (SELECT vid, min(pt) - vt AS delta
+        |         FROM v JOIN p ON v.user_id = p.user_id
+        |           AND pt > vt AND pt <= vt + 3600000000
+        |         GROUP BY vid, vt),
+        |ranked AS (SELECT delta, row_number() OVER (ORDER BY delta) AS rn
+        |           FROM conv),
+        |n AS (SELECT count(*) AS n FROM conv),
+        |qs AS (SELECT * FROM (VALUES (500000), (900000), (990000)) t(q_ppm))
+        |SELECT CAST(q_ppm AS BIGINT) AS q_ppm, n.n AS n_conversions,
+        |  r.delta AS delta_us
+        |FROM qs CROSS JOIN n
+        |JOIN ranked r ON r.rn = (q_ppm * n.n + 999999) // 1000000
+        |ORDER BY q_ppm""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("vid"), col("user_id"),
+          expr("unix_micros(ts)").as("vt"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), expr("unix_micros(ts)").as("pt"))
+      val conv = v.join(p,
+          col("user_id") === col("pu") &&
+            col("pt") > col("vt") && col("pt") <= col("vt") + 3600000000L)
+        .groupBy(col("vid"), col("vt"))
+        .agg(min(col("pt")).as("pt"))
+        .select((col("pt") - col("vt")).as("delta"))
+        .withColumn("bucket", expr("delta div 1000000"))
+      val cum = conv.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bucket"))))
+      val n = conv.agg(count(lit(1)).as("n"))
+      val ks = Seq(500000L, 900000L, 990000L).toDF("q_ppm")
+        .crossJoin(n)
+        .withColumn("k", expr("(q_ppm * n + 999999) div 1000000"))
+      val targets = ks.join(cum,
+          col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+        .select(col("q_ppm"), col("n"), col("k"), col("bucket"),
+          (col("cum") - col("cnt")).as("prior"))
+      conv.join(broadcast(targets), "bucket")
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("q_ppm")).orderBy(col("delta"))))
+        .filter(col("rn") === col("k") - col("prior"))
+        .select(col("q_ppm"), col("n").as("n_conversions"),
+          col("delta").as("delta_us"))
+        .orderBy(col("q_ppm"))
     }
   )
 }
