@@ -1541,6 +1541,28 @@ object Analytics {
     },
 
     GraftQuery(
+      "q224_lateral_topk",
+      "Correlated LATERAL subquery with ORDER BY + LIMIT — top-2 customers by balance per nation written the way an analyst writes it. Catalyst's lateral decorrelation (DecorrelateInnerQuery) rewrites the per-row subquery into a single shuffled join + per-group limit instead of executing the inner query once per outer row — the difference between O(|nation|) subquery executions and one distributed plan. Ties broken by name for determinism.",
+      """SELECT n_name, t.c_name, t.bal_cents
+        |FROM nation, LATERAL (
+        |  SELECT c_name, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY bal_cents DESC, c_name LIMIT 2) t
+        |ORDER BY n_name, t.bal_cents DESC, t.c_name""".stripMargin) { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation_lv")
+      Tables.customer(s, d).createOrReplaceTempView("customer_lv")
+      s.sql(
+        """SELECT n_name, t.c_name, t.bal_cents
+          |FROM nation_lv, LATERAL (
+          |  SELECT c_name, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+          |  FROM customer_lv
+          |  WHERE c_nationkey = n_nationkey
+          |  ORDER BY bal_cents DESC, c_name LIMIT 2) t
+          |ORDER BY n_name, t.bal_cents DESC, t.c_name""".stripMargin)
+    },
+
+    GraftQuery(
       "q71_upsert_merge",
       "Snapshot upsert (MERGE semantics on immutable storage): current snapshot full-outer-joined with an update batch on the key, update wins via coalesce — inserts, updates and carried-over rows labeled.",
       """WITH cur AS (SELECT o_orderkey AS k, 'OLD' AS payload FROM orders WHERE o_orderkey <= 1000),

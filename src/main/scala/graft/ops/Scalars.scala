@@ -215,6 +215,46 @@ object Scalars {
           element_at(col("toks"), -1).as("last_token"),
           array_contains(col("toks"), "spark").as("has_spark"))
         .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
+      "q223_variant_shredding",
+      "Spark 4 VARIANT ingestion: heterogeneous JSON payloads (built in-query from orders x customer x nation so both engines shred the SAME bytes) parsed with parse_json into the binary VARIANT encoding, then shredded with typed variant_get path extraction — nested object path, typed long, and try_variant_get on an absent path proving null-not-error semantics. VARIANT beats from_json-to-wide-struct at scale because the binary encoding is parsed once at ingest and each variant_get is O(path) over the encoded tree, with no up-front schema contract for evolving payloads. Aggregated per extracted nation.",
+      """WITH j AS (SELECT json_object('id', o_orderkey,
+        |    'cust', json_object('nation', n_name,
+        |                        'bal_cents', CAST(floor(c_acctbal * 100) AS BIGINT)),
+        |    'price_cents', CAST(floor(o_totalprice * 100) AS BIGINT)) AS payload
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT json_extract_string(payload, '$.cust.nation') AS nation,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(json_extract(payload, '$.price_cents') AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  CAST(min(CAST(json_extract(payload, '$.cust.bal_cents') AS BIGINT)) AS BIGINT)
+        |    AS min_bal_cents,
+        |  count(json_extract_string(payload, '$.cust.segment')) AS n_with_segment
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val joined = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      val payload = to_json(struct(
+        col("o_orderkey").as("id"),
+        struct(col("n_name").as("nation"),
+          expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("bal_cents")).as("cust"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_cents")))
+      joined.select(parse_json(payload).as("v"))
+        .select(
+          variant_get(col("v"), "$.cust.nation", "string").as("nation"),
+          variant_get(col("v"), "$.price_cents", "long").as("price_cents"),
+          variant_get(col("v"), "$.cust.bal_cents", "long").as("bal_cents"),
+          try_variant_get(col("v"), "$.cust.segment", "string").as("segment"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"),
+          min(col("bal_cents")).as("min_bal_cents"),
+          count(col("segment")).as("n_with_segment"))
+        .orderBy(col("nation"))
     }
   )
 }
