@@ -159,6 +159,35 @@ object Analytics {
     },
 
     GraftQuery(
+      "q225_unpivot_melt",
+      "UNPIVOT/melt — the inverse of q50's pivot via the typed Dataset.unpivot API (Spark's native Unpivot plan node, not the stack() generator q101 uses): a wide per-priority aggregate (n/sum/max as BIGINT columns) melts to long (metric, value) form. Wide-to-long is a zero-shuffle narrow transform — each input row emits its metric rows locally — so it composes after the aggregate for free at any scale. The oracle is the dialect-portable UNION ALL formulation.",
+      """WITH w AS (SELECT o_orderpriority,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |    CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, metric, value FROM (
+        |  SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'sum_cents', sum_cents FROM w
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'max_cents', max_cents FROM w)
+        |ORDER BY o_orderpriority, metric""".stripMargin) { (s, d) =>
+      val cents = expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents).as("sum_cents"),
+          max(cents).as("max_cents"))
+        .unpivot(
+          ids = Array(col("o_orderpriority")),
+          values = Array(col("n_orders"), col("sum_cents"), col("max_cents")),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        .orderBy(col("o_orderpriority"), col("metric"))
+    },
+
+    GraftQuery(
       "q51_percentiles",
       "Exact rank-based percentiles per order priority: median as the sum of the two middle cents values (x2 — integer-exact, no interpolation), p90 as the discrete quantile at ceil(0.9 n). Ranks select by cumulative frequency over the per-group (value → count) histogram — bounded by the value domain, so no formulation sorts the order rows per group (the q137 scale shape; the oracle keeps the equivalent row_number form).",
       """WITH r AS (SELECT o_orderpriority,

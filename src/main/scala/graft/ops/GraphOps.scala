@@ -230,6 +230,29 @@ object GraphOps {
         .agg(count(lit(1)).as("n_triangles"))
         .orderBy(col("n_triangles").desc, col("suppkey"))
         .limit(20)
+    },
+
+    GraftQuery(
+      "q226_recursive_cte",
+      "NATIVE WITH RECURSIVE through spark.sql — Spark 4's UnionLoop recursion (q180 hand-rolls the same shape as an iterative driver loop; this is the engine doing it): every order key walks its ancestor chain k -> k div 10 down to the single-digit root, then a census per recursion depth. The frontier is re-planned per iteration like any self-referencing CTE; depth = digits(max key), so rounds grow logarithmically with scale and each round is one narrow projection + filter over the previous frontier — no join at all in this recursion.",
+      """WITH RECURSIVE chain AS (
+        |  SELECT o_orderkey AS k, o_orderkey AS cur, 0 AS depth FROM orders
+        |  UNION ALL
+        |  SELECT k, cur // 10, depth + 1 FROM chain WHERE cur >= 10)
+        |SELECT depth, count(*) AS n_nodes,
+        |  CAST(sum(cur) AS BIGINT) AS sum_keys,
+        |  CAST(count(DISTINCT cur) AS BIGINT) AS n_distinct
+        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_rcte")
+      s.sql(
+        """WITH RECURSIVE chain AS (
+          |  SELECT o_orderkey AS k, o_orderkey AS cur, 0 AS depth FROM orders_rcte
+          |  UNION ALL
+          |  SELECT k, cur div 10, depth + 1 FROM chain WHERE cur >= 10)
+          |SELECT depth, count(*) AS n_nodes,
+          |  sum(cur) AS sum_keys,
+          |  count(DISTINCT cur) AS n_distinct
+          |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
     }
   )
 }
