@@ -255,6 +255,33 @@ object Scalars {
           min(col("bal_cents")).as("min_bal_cents"),
           count(col("segment")).as("n_with_segment"))
         .orderBy(col("nation"))
+    },
+
+    GraftQuery(
+      "q228_xpath_extract",
+      "XPath extraction kernels over per-row XML built in-query with to_xml (both engines therefore shred identical bytes, like q223's VARIANT twin): typed scalar paths (xpath_long/xpath_string), a repeated-element path collected as an array (xpath), and a positional predicate path (tag[1]) — the Hive-compatible XML scalar surface. Extraction is per-row and codegen-adjacent (no DOM per file, one pull parser per value), so it rides inside whole-stage pipelines; verified through per-priority aggregates of the extracted values.",
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |  CAST(2 * count(*) AS BIGINT) AS n_tags,
+        |  count(DISTINCT o_orderstatus) AS n_first_tags
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val x = to_xml(struct(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio"),
+        array(col("o_orderstatus"), col("o_orderpriority")).as("tag")))
+      Tables.orders(s, d)
+        .select(x.as("xml"))
+        .select(
+          expr("xpath_long(xml, '/ROW/k')").as("k"),
+          expr("xpath_string(xml, '/ROW/prio')").as("prio"),
+          expr("size(xpath(xml, '/ROW/tag/text()'))").cast("long").as("n_tag"),
+          expr("xpath_string(xml, '/ROW/tag[1]')").as("first_tag"))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_keys"),
+          sum(col("n_tag")).as("n_tags"),
+          countDistinct(col("first_tag")).as("n_first_tags"))
+        .orderBy(col("prio"))
     }
   )
 }

@@ -215,6 +215,32 @@ object SourcesAndUdfs {
     },
 
     GraftQuery(
+      "q227_xml_source",
+      "XML scan via Spark 4's BUILT-IN xml format (spark-xml graduated into core): part staged as <part> row-tag XML with a nested <meta> element, read back with an explicit nested StructType (no inference pass) and rowTag streaming — the XML reader splits files by row tag, so a huge XML dump parallelizes like any text source instead of needing one DOM per file. Nested attributes project with dot paths; aggregated per brand.",
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size,
+        |  CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      val path = stage(d, "part_xml")
+      stageOnce(path) {
+        Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"),
+            struct(col("p_size"),
+              cents(col("p_retailprice")).as("price_cents")).as("meta"))
+          .write.mode("overwrite").format("xml").option("rowTag", "part").save(path)
+      }
+      s.read.format("xml")
+        .option("rowTag", "part")
+        .schema("p_partkey LONG, p_brand STRING, meta STRUCT<p_size: LONG, price_cents: LONG>")
+        .load(path)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("meta.p_size")).as("sum_size"),
+          sum(col("meta.price_cents")).as("sum_cents"))
+        .orderBy(col("p_brand"))
+    },
+
+    GraftQuery(
       "q66_udf_surface",
       "User-extension surface: a scalar Scala UDF (digit sum of the order key) and a typed Aggregator UDAF (exact integer average cents, (100*sum)/n floor division) — registered via udf()/functions.udaf and verified against arithmetic oracle equivalents.",
       """SELECT o_orderpriority, count(*) AS n,
