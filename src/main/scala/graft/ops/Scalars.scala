@@ -282,6 +282,29 @@ object Scalars {
           sum(col("n_tag")).as("n_tags"),
           countDistinct(col("first_tag")).as("n_first_tags"))
         .orderBy(col("prio"))
+    },
+
+    GraftQuery(
+      "q230_aes_tokenization",
+      "Deterministic PII tokenization with Spark's native aes_encrypt/aes_decrypt (AES-128-ECB + PKCS padding — ECB chosen precisely BECAUSE it is deterministic: equal plaintexts get equal tokens, so the token column still joins and count-distincts like the original; GCM's random IV would break that). Proves token cardinality preserves name cardinality and the decrypt round trip is lossless, per nation. The oracle sees only plaintext arithmetic — the crypto is Spark-side, verified by its observable invariants (q81's HMAC doctrine, made oracle-checkable).",
+      """SELECT c_nationkey, count(*) AS n,
+        |  count(DISTINCT c_name) AS n_tokens,
+        |  count(*) AS n_roundtrip_ok
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      // 16-byte key -> AES-128; base64 of the ciphertext is the join/count
+      // friendly token representation
+      val tok = expr("base64(aes_encrypt(c_name, 'graft-aes-key-16', 'ECB', 'PKCS'))")
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_name"), tok.as("token"))
+        .withColumn("token_bin", expr("unbase64(token)"))
+        .withColumn("plain",
+          expr("CAST(aes_decrypt(token_bin, 'graft-aes-key-16', 'ECB', 'PKCS') AS STRING)"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("token")).as("n_tokens"),
+          sum(when(col("plain") === col("c_name"), 1L).otherwise(0L))
+            .as("n_roundtrip_ok"))
+        .orderBy(col("c_nationkey"))
     }
   )
 }

@@ -142,6 +142,32 @@ object StreamingOps {
     * opened so far. Top-level so Spark can derive its product encoder. */
   case class SessionCountState(lastTsMs: Long, count: Long)
 
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Running (event count, cents sum) per user for q229. */
+  case class RunningTotals(n: Long, cents: Long)
+
+  /** transformWithState v2 processor for q229: one named ValueState per key,
+    * running totals folded over each micro-batch's rows, one update-mode
+    * emission per (key, batch) that saw input. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[RunningTotals] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[RunningTotals](
+        "totals", Encoders.product[RunningTotals], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var st = Option(totals.get()).getOrElse(RunningTotals(0L, 0L))
+      rows.foreach { case (_, c) => st = RunningTotals(st.n + 1, st.cents + c) }
+      totals.update(st)
+      Iterator.single((key, st.n, st.cents))
+    }
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -270,6 +296,41 @@ object StreamingOps {
       // state never emits; the filter is documentation more than necessity
       runToMemory(counted, s"q99_sink_${System.nanoTime()}", "append")
         .filter(col("user_id") =!= -1L)
+        .orderBy(col("user_id"))
+    },
+
+    GraftQuery(
+      "q229_stream_transform_with_state",
+      "Spark 4's transformWithState (arbitrary-state API v2, the successor to q99's flatMapGroupsWithState): a StatefulProcessor holds one typed ValueState[(n, cents)] per user in the RocksDB state store — the ONLY backend the v2 API runs on, i.e. this query exercises the production state path end-to-end — and emits the running per-user totals each micro-batch in update mode. Final totals are the max_by(n) emission per user; equals the batch aggregate exactly. v2 beats v1 at scale: named state variables are individually evictable (TTLConfig), timers are first-class, and state schema evolves independently of the handler function.",
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val counted = twoBatchEventsStream(s, d)
+        .select(col("user_id"), cents(col("value")).as("cents"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new RunningTotalsProcessor(), TimeMode.None(),
+          OutputMode.Update(), Encoders.product[(Long, Long, Long)])
+        .toDF("user_id", "n_events", "sum_cents")
+      val saved = s.conf.getOption(ProviderKey)
+      val updates = try {
+        s.conf.set(ProviderKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        runToMemory(counted, s"q229_sink_${System.nanoTime()}", "update")
+      } finally saved match {
+        case Some(v) => s.conf.set(ProviderKey, v)
+        case None    => s.conf.unset(ProviderKey)
+      }
+      updates
+        .filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"))
+        // totals are monotone in n_events, so the emission with the largest
+        // n_events IS the final state — max_by collapses the update stream
+        .agg(max(col("n_events")).as("n_events"),
+          expr("max_by(sum_cents, n_events)").as("sum_cents"))
         .orderBy(col("user_id"))
     },
 
