@@ -56,6 +56,65 @@ object Analytics {
     },
 
     GraftQuery(
+      "q232_linear_interpolation",
+      "Linear gap interpolation per user series — q117's ffill upgraded to the two-sided fill feature pipelines use for sensor/metric gaps: each user's hour grid spans their OWN [first, last] activity (sequence per bounds row, not a corpus-wide axis), missing hours take prev + (next-prev)*(h-ph) div (nh-ph) in pure integer cents from the bracketing known points (last/first IGNORE NULLS over opposing unbounded frames — two window passes, zero self-joins). Both window passes parallelize across the user partitioning; verified compactly per user.",
+      """WITH known AS (SELECT user_id,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS h,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM known GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS h FROM bounds),
+        |j AS (SELECT g.user_id, g.h, k.v,
+        |    CASE WHEN k.v IS NOT NULL THEN g.h END AS kh
+        |  FROM grid g LEFT JOIN known k ON g.user_id = k.user_id AND g.h = k.h),
+        |w AS (SELECT user_id, h, v,
+        |    last_value(kh IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    first_value(kh IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        |  FROM j),
+        |f AS (SELECT user_id, h, v,
+        |    coalesce(v, pv + (nv - pv) * (h - ph) // (nh - ph)) AS filled
+        |  FROM w)
+        |SELECT user_id, count(*) AS n_hours,
+        |  count(v) AS n_known,
+        |  CAST(count(*) - count(v) AS BIGINT) AS n_interp,
+        |  CAST(sum(filled) AS BIGINT) AS sum_filled
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val known = Tables.events(s, d)
+        .select(col("user_id"),
+          (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("h"),
+          cents(col("value")).as("c"))
+        .groupBy(col("user_id"), col("h"))
+        .agg(sum(col("c")).as("v"))
+      val grid = known.groupBy(col("user_id"))
+        .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(col("user_id"), explode(sequence(col("lo"), col("hi"), lit(3600L))).as("h"))
+      val prevW = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nextW = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(known, Seq("user_id", "h"), "left")
+        .withColumn("kh", when(col("v").isNotNull, col("h")))
+        .withColumn("ph", last(col("kh"), ignoreNulls = true).over(prevW))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(prevW))
+        .withColumn("nh", first(col("kh"), ignoreNulls = true).over(nextW))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(nextW))
+        .withColumn("filled", coalesce(col("v"),
+          col("pv") + expr("(nv - pv) * (h - ph) div (nh - ph)")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_hours"),
+          count(col("v")).as("n_known"),
+          (count(lit(1)) - count(col("v"))).cast("long").as("n_interp"),
+          sum(col("filled")).as("sum_filled"))
+        .orderBy(col("user_id"))
+    },
+
+    GraftQuery(
       "q124_rolling_anomaly",
       "Trailing-24h anomaly detection over hourly series, ENTIRELY in integers: with window sums n/S1/S2 (RANGE frame on the epoch-hour axis), the 3-sigma test (v-mean)^2 > 9*var rearranges to (v*n - S1)^2 > 9*(n*S2 - S1^2) — no division, no sqrt, no float, so the flag is bit-stable across engines and partitionings. Each series' window runs inside its own partition; the alert stream is tiny (flagged rows only). The monitoring pass a 100 TB ingest runs over its own throughput metrics.",
       """WITH ev AS (SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT)//3600)*3600 AS h,

@@ -727,6 +727,47 @@ object PipelineOps {
           (col("k") * col("n_classes")).as("n_rows"),
           (col("k") < 5).as("reidentifiable"))
         .orderBy(col("k"))
+    },
+
+    GraftQuery(
+      "q231_poisson_bootstrap",
+      "Deterministic Poisson bootstrap — the resampling scheme that makes bootstrap confidence intervals MERGEABLE at 100 TB (Chamandy et al., 'Estimating uncertainty for massive data streams'): instead of materializing B resampled copies, each row draws its multiplicity k ~ Poisson(1) from an md5-derived uniform against hardcoded cumulative ppm thresholds (shared integer constants both sides — no float RNG, rerun-stable, and the draw rides INSIDE the aggregate as a weight). One replicate per priority here; the B-replicate generalization is B weight columns in the same single pass.",
+      """WITH u AS (SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 1000000 AS u_ppm
+        |  FROM orders),
+        |k AS (SELECT o_orderpriority, cents,
+        |    CASE WHEN u_ppm < 367879 THEN 0 WHEN u_ppm < 735758 THEN 1
+        |         WHEN u_ppm < 919698 THEN 2 WHEN u_ppm < 980978 THEN 3
+        |         WHEN u_ppm < 996298 THEN 4 WHEN u_ppm < 999362 THEN 5
+        |         WHEN u_ppm < 999916 THEN 6 WHEN u_ppm < 999990 THEN 7
+        |         ELSE 8 END AS k
+        |  FROM u)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS boot_n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(k * cents) AS BIGINT) AS boot_sum_cents
+        |FROM k GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val u = expr("conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 8), 16, 10)")
+        .cast("long") % 1000000L
+      // cumulative ppm of Poisson(1): floor(1e6 * P(X <= i)) for i = 0..7
+      val k = when(col("u_ppm") < 367879L, 0L).when(col("u_ppm") < 735758L, 1L)
+        .when(col("u_ppm") < 919698L, 2L).when(col("u_ppm") < 980978L, 3L)
+        .when(col("u_ppm") < 996298L, 4L).when(col("u_ppm") < 999362L, 5L)
+        .when(col("u_ppm") < 999916L, 6L).when(col("u_ppm") < 999990L, 7L)
+        .otherwise(8L)
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          u.as("u_ppm"))
+        .withColumn("k", k)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("boot_n"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("k") * col("cents")).as("boot_sum_cents"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 }
