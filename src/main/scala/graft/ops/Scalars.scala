@@ -305,6 +305,27 @@ object Scalars {
           sum(when(col("plain") === col("c_name"), 1L).otherwise(0L))
             .as("n_roundtrip_ok"))
         .orderBy(col("c_nationkey"))
+    },
+
+    GraftQuery(
+      "q233_collated_grouping",
+      "Spark 4 collations: a mixed-case column (case flipped by key parity in-query) grouped under the UTF8_LCASE collation — the ENGINE's hash aggregate treats case variants as one key, no lower() rewrite in the grouping expression. That matters at scale: collation-aware grouping/joins keep the original bytes (no materialized normalized copy of a 100 TB string column) and the collation travels in the type, so every downstream comparison inherits it. Output key is normalized explicitly (the engine may surface either variant as the representative); binary distinct count per group proves both variants were really merged.",
+      """WITH m AS (SELECT CASE WHEN o_orderkey % 2 = 0
+        |      THEN upper(o_orderpriority) ELSE lower(o_orderpriority) END AS mixed
+        |  FROM orders)
+        |SELECT lower(mixed) AS prio, count(*) AS n,
+        |  count(DISTINCT mixed) AS n_case_variants
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val mixed = when(col("o_orderkey") % 2 === 0, upper(col("o_orderpriority")))
+        .otherwise(lower(col("o_orderpriority")))
+      Tables.orders(s, d)
+        .select(mixed.as("mixed"))
+        .groupBy(collate(col("mixed"), "UTF8_LCASE").as("prio_ci"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(collate(col("mixed"), "UTF8_BINARY")).as("n_case_variants"))
+        .select(lower(col("prio_ci")).cast("string").as("prio"),
+          col("n"), col("n_case_variants"))
+        .orderBy(col("prio"))
     }
   )
 }

@@ -391,6 +391,25 @@ object StreamingOps {
     },
 
     GraftQuery(
+      "q234_stream_dedup_watermark",
+      "dropDuplicatesWithinWatermark — the BOUNDED-state streaming dedup (q60's dropDuplicates keeps every key forever; this evicts a key's state once the watermark passes its event time + delay, the only dedup that survives an unbounded stream). Exercised against a genuinely duplicated feed: the staged corpus unioned with itself, so every event arrives twice across paired micro-batches; each emits exactly once. At-least-once sources (Kafka replays, retried file listings) are exactly this shape — dedup state stays O(keys-in-window), not O(stream).",
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val once  = twoBatchEventsStream(s, d)
+      val again = twoBatchEventsStream(s, d)
+      val dedup = once.union(again)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("event_type"), col("value"))
+      runToMemory(dedup, s"q234_sink_${System.nanoTime()}", "append")
+        .filter(col("event_id") =!= -1L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy(col("event_type"))
+    },
+
+    GraftQuery(
       "q61_stream_sliding",
       "Structured Streaming sliding windows (20-min length / 10-min slide) with watermark over the event stream; every event contributes to two windows — same arithmetic oracle as the batch sliding twin.",
       """WITH w AS (SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 600) - u.k) * 600 AS window_start_s,
