@@ -94,16 +94,24 @@ object Analytics {
       val grid = known.groupBy(col("user_id"))
         .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
         .select(col("user_id"), explode(sequence(col("lo"), col("hi"), lit(3600L))).as("h"))
+        // the explode inflates a ~|users|-row aggregate by ~720x; the explicit
+        // partition count keeps AQE from coalescing the (few-MB but row-heavy)
+        // grid back onto one task for the window sorts
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("user_id"))
       val prevW = Window.partitionBy(col("user_id")).orderBy(col("h"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val nextW = Window.partitionBy(col("user_id")).orderBy(col("h"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // "next known" via a DESCENDING growing frame: last-non-null over
+      // (h DESC, unbounded preceding..current) == first-non-null ahead — an
+      // O(n) incremental frame, where the ascending currentRow..unboundedFollowing
+      // formulation is O(n^2) per partition (Spark rescans the tail per row)
+      val nextW = Window.partitionBy(col("user_id")).orderBy(col("h").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       grid.join(known, Seq("user_id", "h"), "left")
         .withColumn("kh", when(col("v").isNotNull, col("h")))
         .withColumn("ph", last(col("kh"), ignoreNulls = true).over(prevW))
         .withColumn("pv", last(col("v"), ignoreNulls = true).over(prevW))
-        .withColumn("nh", first(col("kh"), ignoreNulls = true).over(nextW))
-        .withColumn("nv", first(col("v"), ignoreNulls = true).over(nextW))
+        .withColumn("nh", last(col("kh"), ignoreNulls = true).over(nextW))
+        .withColumn("nv", last(col("v"), ignoreNulls = true).over(nextW))
         .withColumn("filled", coalesce(col("v"),
           col("pv") + expr("(nv - pv) * (h - ph) div (nh - ph)")))
         .groupBy(col("user_id"))

@@ -264,12 +264,16 @@ object Scalars {
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
         |  CAST(2 * count(*) AS BIGINT) AS n_tags,
         |  count(DISTINCT o_orderstatus) AS n_first_tags
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+        |FROM orders WHERE o_orderkey % 8 = 0 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val x = to_xml(struct(
         col("o_orderkey").as("k"),
         col("o_orderpriority").as("prio"),
         array(col("o_orderstatus"), col("o_orderpriority")).as("tag")))
+      // deterministic 1/8 key slice: each XPath value costs a per-row XML
+      // parse (javax.xml pull parse — no codegen), so the demo bounds its
+      // input instead of DOM-parsing the whole fact table
       Tables.orders(s, d)
+        .filter(col("o_orderkey") % 8 === 0)
         .select(x.as("xml"))
         .select(
           expr("xpath_long(xml, '/ROW/k')").as("k"),
