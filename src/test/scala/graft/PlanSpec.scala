@@ -410,4 +410,31 @@ class PlanSpec extends SparkSpec {
       assert(got === Seq(org.apache.spark.sql.Row(1L, 10L)))
     } finally spark.conf.set("spark.graft.binRangeJoin.width", "0")
   }
+
+  test("InjectRuntimeFilter blooms the fact side of a selective shuffle join") {
+    // q104 builds this filter by hand for build sides the rule can't see;
+    // here we pin that Spark's own InjectRuntimeFilter fires when the join
+    // shuffles: the selectively-filtered orders side injects a
+    // bloom_filter_might_contain probe onto the lineitem scan, so non-member
+    // rows die before the exchange. Thresholds are lowered because the rule
+    // gates on application-side scan size (default 10GB).
+    val saved = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val orders = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val join = Tables.lineitem(spark, sf)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      val plan = planOf(join)
+      // physical plan prints might_contain(subquery ...) fed by bloom_filter_agg
+      assert(plan.toLowerCase.contains("might_contain"), plan.take(4000))
+      assert(plan.toLowerCase.contains("bloom_filter_agg"), plan.take(4000))
+      assert(join.collect().nonEmpty) // the filtered join still returns rows
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
