@@ -268,6 +268,43 @@ object EtlQueries {
     },
 
     GraftQuery(
+      "q235_sink_compaction",
+      "Small-file compaction on the transactional sink — the maintenance operation every streaming/incremental table needs at scale (a year of hourly micro-batch commits is 8760 tiny files; scan cost is per-file): four 200-row appends leave four data files, compact() rewrites them into ONE under a fresh manifest version with the inputs' min/max stats merged (so file-skipping still works), and concurrent readers never see a partial state — the swap is the same atomic manifest publish as any commit. The query proves contents survive byte-exactly and carries the before/after file census in its own output.",
+      """WITH src AS (
+        |  SELECT i,
+        |    'V' || (i % 97) AS vendor,
+        |    'C' || (i % 7) AS charge_code,
+        |    printf('U%09dD', i) AS po_number
+        |  FROM unnest(generate_series(0, 799)) AS t(i))
+        |SELECT charge_code, count(*) AS n,
+        |  count(DISTINCT po_number) AS n_po,
+        |  CAST(4 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after
+        |FROM src GROUP BY charge_code ORDER BY charge_code""".stripMargin) { (s, d) =>
+      val dir = graft.util.Scratch.dir("graft-q235-sink").toString // shutdown-hook cleanup
+      val sinkFmt = graft.sources.FormSinkSource.Format
+      // 4 partitions of 200 ids align 1:1 with the 200-id append ranges, so
+      // each commit lands exactly one data file (4 files -> 1 after compact)
+      val feed = s.read.format("graft.sources.FormPipelineSource")
+        .option("rows", 800).option("partitions", 4).load()
+      val five = feed.select(col("vendor"), col("description"),
+        col("picker_erk"), col("charge_code"), col("po_number"))
+      (0 until 4).foreach { b =>
+        five.where(feed("submission_id") >= b * 200 && feed("submission_id") < (b + 1) * 200)
+          .write.format(sinkFmt).mode(SaveMode.Append).option("path", dir).save()
+      }
+      val before = graft.sources.FormSinkSource.snapshotInfo(dir)._2.size
+      require(graft.sources.FormSinkSource.compact(dir).isDefined,
+        "compaction lost a concurrent-commit race in a single-writer test")
+      val after = graft.sources.FormSinkSource.snapshotInfo(dir)._2.size
+      s.read.format(sinkFmt).option("path", dir).load()
+        .groupBy(col("charge_code"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("po_number")).as("n_po"))
+        .withColumn("files_before", lit(before.toLong))
+        .withColumn("files_after", lit(after.toLong))
+        .orderBy(col("charge_code"))
+    },
+
+    GraftQuery(
       "q109_sink_changefeed",
       "Incremental downstream consumption: after three manifest-swap commits (0..999, 1000..1999, 2000..2499), changesFromVersion=1/changesToVersion=2 reads EXACTLY the second commit's rows — each commit's delta is readable once by advancing the version cursor, the consumer-side twin of the producer's watermark increment (and what a remote mutable table cannot offer at all). Only the delta's files are opened; the feed rejects ranges spanning a truncate/compaction rewrite.",
       """WITH src AS (

@@ -410,6 +410,26 @@ object StreamingOps {
     },
 
     GraftQuery(
+      "q236_stream_chained_stateful",
+      "TWO stateful operators chained in ONE streaming query (Spark 3.5+ watermark propagation, still rare in production engines): the doubled at-least-once feed first passes bounded-state dropDuplicatesWithinWatermark, then feeds a tumbling 30-min windowed aggregate — dedup state evicts behind the watermark, window state emits ahead of it, one checkpoint governs both. Without chaining this is two queries and an intermediate topic/table; here the exactly-once ingest-to-aggregate path is a single plan. Result equals the batch arithmetic on the deduplicated corpus.",
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 AS window_start_s,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val doubled = twoBatchEventsStream(s, d).union(twoBatchEventsStream(s, d))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .filter(col("event_id") =!= -1L) // sentinel still advances the watermark
+      val agg = doubled
+        .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      runToMemory(agg, s"q236_sink_${System.nanoTime()}", "append")
+        .select(unix_timestamp(col("window.start")).as("window_start_s"),
+          col("event_type"), col("n"), col("value_cents"))
+        .orderBy(col("window_start_s"), col("event_type"))
+    },
+
+    GraftQuery(
       "q61_stream_sliding",
       "Structured Streaming sliding windows (20-min length / 10-min slide) with watermark over the event stream; every event contributes to two windows — same arithmetic oracle as the batch sliding twin.",
       """WITH w AS (SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 600) - u.k) * 600 AS window_start_s,
