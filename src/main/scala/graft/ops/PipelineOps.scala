@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.functions.ColumnOps.{cents, shingles, tokens}
@@ -768,6 +769,92 @@ object PipelineOps {
           sum(col("cents")).as("sum_cents"),
           sum(col("k") * col("cents")).as("boot_sum_cents"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    GraftQuery(
+      "q237_constraint_suite",
+      "Declarative data-quality constraint suite (the Deequ/Great-Expectations contract run before any corpus ships): five named rules over lineitem — non-null key, composite-key uniqueness, numeric range, value-set membership, referential integrity into orders — evaluated as ONE row-local conditional aggregate plus one duplicate-group count plus one anti-join count, union'd into a (rule, n_checked, n_violations, passed) verdict table. At 100 TB the row-local rules share a single scan (no per-rule passes), uniqueness is a keyed count (no sort), and the FK check is a broadcast-able anti join — the suite costs ~one pass regardless of how many rules it carries.",
+      """WITH rowlocal AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_range,
+        |    sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS v_set
+        |  FROM lineitem),
+        |dup AS (SELECT CAST(count(*) AS BIGINT) AS groups,
+        |    CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS extra
+        |  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+        |fk AS (SELECT count(*) AS orphans FROM lineitem
+        |       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |verdict AS (
+        |  SELECT 'key_not_null' AS rule, n AS n_checked,
+        |    CAST(v_null AS BIGINT) AS n_violations FROM rowlocal
+        |  UNION ALL SELECT 'quantity_in_1_50', n, CAST(v_range AS BIGINT) FROM rowlocal
+        |  UNION ALL SELECT 'returnflag_in_set', n, CAST(v_set AS BIGINT) FROM rowlocal
+        |  UNION ALL SELECT 'key_unique', n, extra FROM rowlocal, dup
+        |  UNION ALL SELECT 'orderkey_fk', n, CAST(orphans AS BIGINT) FROM rowlocal, fk)
+        |SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
+        |FROM verdict ORDER BY rule""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val rowlocal = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_null"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
+          .as("v_range"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+          .as("v_set"))
+      val dup = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("c") > 1, col("c") - 1).otherwise(0L)).as("extra"))
+      val orphans = li.join(broadcast(Tables.orders(s, d).select(col("o_orderkey"))),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      val base = rowlocal.crossJoin(dup).crossJoin(orphans)
+      def rule(name: String, viol: Column) =
+        base.select(lit(name).as("rule"), col("n").as("n_checked"),
+          viol.cast("long").as("n_violations"))
+      rule("key_not_null", col("v_null"))
+        .unionAll(rule("quantity_in_1_50", col("v_range")))
+        .unionAll(rule("returnflag_in_set", col("v_set")))
+        .unionAll(rule("key_unique", col("extra")))
+        .unionAll(rule("orderkey_fk", col("orphans")))
+        .withColumn("passed", col("n_violations") === 0L)
+        .orderBy(col("rule"))
+    },
+
+    GraftQuery(
+      "q238_pps_systematic_sample",
+      "Probability-proportional-to-size systematic sampling in EXACT integer arithmetic — the mixture-construction primitive that samples documents proportional to a weight (here: order cents) with zero floats and zero RNG: per priority stratum, the running cents cumsum lays every order on a number line, step = total div k, and a row is drawn once per step-multiple its [cum-cents, cum) interval crosses — exactly k draws per stratum, heavier rows proportionally likelier, rerun-identical. The cumsum window runs inside each stratum's partition (no global sort); high-weight rows can legitimately be drawn multiple times (n_draws carries the multiplicity, as PPS requires).",
+      """WITH w AS (SELECT o_orderpriority AS prio, o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+        |      PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+        |      PARTITION BY o_orderpriority) AS BIGINT) AS total
+        |  FROM orders),
+        |sel AS (SELECT prio, k, cents,
+        |    (cum - 1) // (total // 5) - (cum - cents - 1) // (total // 5) AS n_draws
+        |  FROM w WHERE total >= 5)
+        |SELECT prio, k, cents, CAST(n_draws AS BIGINT) AS n_draws
+        |FROM sel WHERE n_draws > 0
+        |ORDER BY prio, k""".stripMargin) { (s, d) =>
+      val cents = expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+      val cumW = Window.partitionBy(col("prio")).orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.partitionBy(col("prio"))
+      val w = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"), col("o_orderkey").as("k"),
+          cents.as("cents"))
+        .withColumn("cum", sum(col("cents")).over(cumW))
+        .withColumn("total", sum(col("cents")).over(totW))
+        .withColumn("step", expr("total div 5"))
+        .withColumn("n_draws",
+          expr("(cum - 1) div step - (cum - cents - 1) div step"))
+      w.filter(col("total") >= 5)
+        .filter(col("n_draws") > 0)
+        .select(col("prio"), col("k"), col("cents"),
+          col("n_draws").cast("long").as("n_draws"))
+        .orderBy(col("prio"), col("k"))
     }
   )
 }
