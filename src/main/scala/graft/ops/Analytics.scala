@@ -1659,6 +1659,25 @@ object Analytics {
     },
 
     GraftQuery(
+      "q240_parameterized_sql",
+      "Parameterized SQL with named markers + the IDENTIFIER() clause — the injection-safe templating surface (Spark 3.4/3.5): the table NAME binds through IDENTIFIER(:tbl) (resolved as an identifier, never string-spliced) and the price cap binds as a typed :cap literal parameter; the parameters never touch the SQL text, so a hostile value cannot change the query shape. The per-priority census under the cap, with the cap echoed in-result.",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(25000000 AS BIGINT) AS cap_cents
+        |FROM orders WHERE CAST(floor(o_totalprice * 100) AS BIGINT) < 25000000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_param_v")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+          |  :cap AS cap_cents
+          |FROM IDENTIFIER(:tbl)
+          |WHERE CAST(floor(o_totalprice * 100) AS BIGINT) < :cap
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        Map("tbl" -> "orders_param_v", "cap" -> 25000000L))
+    },
+
+    GraftQuery(
       "q71_upsert_merge",
       "Snapshot upsert (MERGE semantics on immutable storage): current snapshot full-outer-joined with an update batch on the key, update wins via coalesce — inserts, updates and carried-over rows labeled.",
       """WITH cur AS (SELECT o_orderkey AS k, 'OLD' AS payload FROM orders WHERE o_orderkey <= 1000),

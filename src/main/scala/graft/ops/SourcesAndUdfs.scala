@@ -365,6 +365,45 @@ object SourcesAndUdfs {
         .groupBy(col("part"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("part"))
+    },
+
+    GraftQuery(
+      "q239_sorted_group_runs",
+      "Typed flatMapSortedGroups — the engine hands each key's rows PRE-SORTED by secondary sort columns (the MapReduce secondary-sort pattern as a first-class API): per user, the longest strictly-increasing cents run computed by a one-pass O(1)-state fold over the sorted iterator. No per-group collect, no window machinery — the shuffle's own sort order IS the group order, so state is (prev, run, best) regardless of group size. The oracle is the equivalent gaps-and-islands SQL; sequential per-group logic that windows CAN'T express (multi-variable state machines) rides the same API for free.",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |f AS (SELECT user_id, tsu, event_id, cents,
+        |    CASE WHEN cents > lag(cents) OVER (PARTITION BY user_id
+        |      ORDER BY tsu, event_id) THEN 0 ELSE 1 END AS brk FROM e),
+        |g AS (SELECT user_id, CAST(sum(brk) OVER (PARTITION BY user_id
+        |      ORDER BY tsu, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS grp FROM f),
+        |runs AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_run,
+        |  CAST(sum(len) AS BIGINT) AS n_events
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("tsu"),
+          col("event_id"), cents(col("value")).as("cents"))
+        .as[(Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapSortedGroups(col("tsu"), col("event_id")) {
+          (user: Long, rows: Iterator[(Long, Long, Long, Long)]) =>
+            var prev = Long.MinValue
+            var first = true
+            var run = 0L; var best = 0L; var n = 0L
+            rows.foreach { r =>
+              val c = r._4
+              run = if (first || c > prev) run + 1 else 1L
+              first = false
+              if (run > best) best = run
+              prev = c; n += 1
+            }
+            Iterator.single((user, best, n))
+        }
+        .toDF("user_id", "longest_run", "n_events")
+        .orderBy(col("user_id"))
     }
   )
 }
