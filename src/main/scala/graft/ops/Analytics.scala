@@ -1678,6 +1678,48 @@ object Analytics {
     },
 
     GraftQuery(
+      "q241_sql_udf",
+      "SQL-defined scalar functions (Spark 4's CREATE FUNCTION ... RETURN expr — a UDF with NO JVM closure): cents_of and a tiered price band defined in pure SQL, then used in an aggregate. Because the body is a SQL expression, Catalyst INLINES it at analysis time — it folds, pushes down, and codegens like any built-in, the property every closure-based UDF loses. The portable way to ship domain helpers with a 100 TB pipeline.",
+      """WITH b AS (SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN CAST(floor(o_totalprice * 100) AS BIGINT) < 10000000 THEN 'low'
+        |         WHEN CAST(floor(o_totalprice * 100) AS BIGINT) < 30000000 THEN 'mid'
+        |         ELSE 'high' END AS band
+        |  FROM orders)
+        |SELECT o_orderpriority, band, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_udf_v")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION cents_of(p DOUBLE)
+              |RETURNS BIGINT RETURN CAST(floor(p * 100) AS BIGINT)""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+              |RETURNS STRING RETURN
+              |  CASE WHEN cents_of(p) < 10000000 THEN 'low'
+              |       WHEN cents_of(p) < 30000000 THEN 'mid'
+              |       ELSE 'high' END""".stripMargin)
+      s.sql(
+        """SELECT o_orderpriority, price_band(o_totalprice) AS band,
+          |  count(*) AS n, sum(cents_of(o_totalprice)) AS sum_cents
+          |FROM orders_udf_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    },
+
+    GraftQuery(
+      "q242_execute_immediate",
+      "EXECUTE IMMEDIATE with USING parameters — dynamic SQL composed as DATA, executed with bound arguments (the warehouse-migration surface for query text arriving from tables/configs at run time). The statement string carries ? markers only; the priority filter binds through USING, so dynamic text still cannot be injected. Same census shape as q240 proving text-built and API-built parameterization agree.",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_exec_v")
+      s.sql("""EXECUTE IMMEDIATE
+              |  'SELECT o_orderstatus, count(*) AS n,
+              |     sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sum_cents
+              |   FROM orders_exec_v WHERE o_orderpriority = ?
+              |   GROUP BY o_orderstatus ORDER BY o_orderstatus'
+              |  USING '1-URGENT'""".stripMargin)
+    },
+
+    GraftQuery(
       "q71_upsert_merge",
       "Snapshot upsert (MERGE semantics on immutable storage): current snapshot full-outer-joined with an update batch on the key, update wins via coalesce — inserts, updates and carried-over rows labeled.",
       """WITH cur AS (SELECT o_orderkey AS k, 'OLD' AS payload FROM orders WHERE o_orderkey <= 1000),
