@@ -353,6 +353,46 @@ object AdvancedJoins {
         .select(col("q_ppm"), col("n").as("n_conversions"),
           col("delta").as("delta_us"))
         .orderBy(col("q_ppm"))
+    },
+
+    GraftQuery(
+      "q243_grid_spatial_join",
+      "Uniform-grid spatial self-join — the 2D generalization of q125's 1D bin trick and the workhorse behind every 'points within distance r' join: customers land on a 1024x1024 synthetic plane (md5-derived coordinates, rerun-stable), cell width = r makes any Chebyshev-r pair differ by <=1 cell per axis, the probe side explodes to its 3x3 neighborhood, and Catalyst plans ONE shuffled equi-join on the cell key — never a cross product. Each pair meets exactly once (only one of the 9 probe cells equals the build cell), so there is no dedupe shuffle; the Chebyshev residual filters inline. Pair volume = sum over cells of |cell|·|3x3 load|, linear for bounded density at ANY scale. Top-20 nearest pairs as evidence.",
+      """WITH p AS (SELECT c_custkey AS id,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 8)) AS BIGINT) % 1024 AS x,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 8)) AS BIGINT) % 1024 AS y
+        |  FROM customer),
+        |probe AS (SELECT id, x, y, (x // 8) + dx AS cx, (y // 8) + dy AS cy
+        |  FROM p CROSS JOIN (VALUES (-1), (0), (1)) dxs(dx)
+        |         CROSS JOIN (VALUES (-1), (0), (1)) dys(dy)),
+        |pairs AS (SELECT a.id AS ida, b.id AS idb,
+        |    greatest(abs(a.x - b.x), abs(a.y - b.y)) AS cheb
+        |  FROM p a JOIN probe b ON a.x // 8 = b.cx AND a.y // 8 = b.cy
+        |    AND a.id < b.id
+        |    AND abs(a.x - b.x) <= 8 AND abs(a.y - b.y) <= 8)
+        |SELECT ida, idb, CAST(cheb AS BIGINT) AS cheb
+        |FROM pairs ORDER BY cheb, ida, idb LIMIT 20""".stripMargin) { (s, d) =>
+      import s.implicits._
+      def coord(salt: String) =
+        expr(s"conv(substring(md5(CAST(c_custkey AS STRING) || '$salt'), 1, 8), 16, 10)")
+          .cast("long") % 1024L
+      val p = Tables.customer(s, d).select(col("c_custkey").as("id"),
+        coord("x").as("x"), coord("y").as("y"))
+      val offsets = Seq(-1L, 0L, 1L)
+      val probe = p.crossJoin(
+          broadcast(offsets.flatMap(dx => offsets.map(dx -> _)).toDF("dx", "dy")))
+        .select(col("id").as("idb"), col("x").as("xb"), col("y").as("yb"),
+          (expr("x div 8") + col("dx")).as("cx"),
+          (expr("y div 8") + col("dy")).as("cy"))
+      p.join(probe,
+          expr("x div 8") === col("cx") && expr("y div 8") === col("cy") &&
+            col("id") < col("idb") &&
+            abs(col("x") - col("xb")) <= 8 && abs(col("y") - col("yb")) <= 8)
+        .select(col("id").as("ida"), col("idb"),
+          greatest(abs(col("x") - col("xb")), abs(col("y") - col("yb")))
+            .cast("long").as("cheb"))
+        .orderBy(col("cheb"), col("ida"), col("idb"))
+        .limit(20)
     }
   )
 }

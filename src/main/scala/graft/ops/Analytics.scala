@@ -1720,6 +1720,50 @@ object Analytics {
     },
 
     GraftQuery(
+      "q244_ks_statistic",
+      "Two-sample Kolmogorov-Smirnov distance in EXACT integer arithmetic — the order-statistic drift test complementing q156's binned total variation: urgent vs low-priority order prices bucketed to $100 bins, per-bucket counts for both samples in one aggregate, cumulative counts over the bounded bucket frame, and D = max |cdf1 - cdf2| carried as the integer |cum1*n2 - cum2*n1| over the common denominator n1*n2 (ppm at the end, never a float CDF). The window runs over <=5000 bucket rows (value-domain bounded), not the orders — q215's rank-sum shape applied to distribution distance.",
+      """WITH s1 AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) // 10000 AS b,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS in1,
+        |    CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS in2
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |c AS (SELECT b, CAST(sum(in1) AS BIGINT) AS c1, CAST(sum(in2) AS BIGINT) AS c2
+        |      FROM s1 GROUP BY b),
+        |cum AS (SELECT b,
+        |    CAST(sum(c1) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum1,
+        |    CAST(sum(c2) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum2,
+        |    CAST(sum(c1) OVER () AS BIGINT) AS n1,
+        |    CAST(sum(c2) OVER () AS BIGINT) AS n2
+        |  FROM c)
+        |SELECT max(n1) AS n1, max(n2) AS n2,
+        |  CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_scaled,
+        |  CAST(max(abs(cum1 * n2 - cum2 * n1)) * 1000000 // (max(n1) * max(n2))
+        |    AS BIGINT) AS ks_ppm
+        |FROM cum""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT) div 10000").as("b"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("in1"),
+          when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L).as("in2"))
+        .groupBy(col("b"))
+        .agg(sum(col("in1")).as("c1"), sum(col("in2")).as("c2"))
+      // bucket frame is value-domain bounded (~5000 rows): the single-
+      // partition cumsum window is over buckets, never order rows
+      val cumW = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val allW = Window.partitionBy()
+      c.withColumn("cum1", sum(col("c1")).over(cumW))
+        .withColumn("cum2", sum(col("c2")).over(cumW))
+        .withColumn("n1", sum(col("c1")).over(allW))
+        .withColumn("n2", sum(col("c2")).over(allW))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("d_scaled"),
+          expr("CAST(max(abs(cum1 * n2 - cum2 * n1)) * 1000000 div (max(n1) * max(n2)) AS BIGINT)")
+            .as("ks_ppm"))
+    },
+
+    GraftQuery(
       "q71_upsert_merge",
       "Snapshot upsert (MERGE semantics on immutable storage): current snapshot full-outer-joined with an update batch on the key, update wins via coalesce — inserts, updates and carried-over rows labeled.",
       """WITH cur AS (SELECT o_orderkey AS k, 'OLD' AS payload FROM orders WHERE o_orderkey <= 1000),
