@@ -372,18 +372,22 @@ object AdvancedJoins {
         |    AND abs(a.x - b.x) <= 8 AND abs(a.y - b.y) <= 8)
         |SELECT ida, idb, CAST(cheb AS BIGINT) AS cheb
         |FROM pairs ORDER BY cheb, ida, idb LIMIT 20""".stripMargin) { (s, d) =>
-      import s.implicits._
       def coord(salt: String) =
         expr(s"conv(substring(md5(CAST(c_custkey AS STRING) || '$salt'), 1, 8), 16, 10)")
           .cast("long") % 1024L
       val p = Tables.customer(s, d).select(col("c_custkey").as("id"),
         coord("x").as("x"), coord("y").as("y"))
       val offsets = Seq(-1L, 0L, 1L)
-      val probe = p.crossJoin(
-          broadcast(offsets.flatMap(dx => offsets.map(dx -> _)).toDF("dx", "dy")))
+      // the 9-cell neighborhood expands via a literal-array explode (a pure
+      // Generate, no join node) — each probe row emits its 3x3 cells in place
+      val nbrs = offsets.flatMap(dx => offsets.map(dy =>
+        s"named_struct('dx', ${dx}L, 'dy', ${dy}L)")).mkString(",")
+      val probe = p
         .select(col("id").as("idb"), col("x").as("xb"), col("y").as("yb"),
-          (expr("x div 8") + col("dx")).as("cx"),
-          (expr("y div 8") + col("dy")).as("cy"))
+          explode(expr(s"array($nbrs)")).as("o"))
+        .select(col("idb"), col("xb"), col("yb"),
+          (expr("xb div 8") + col("o.dx")).as("cx"),
+          (expr("yb div 8") + col("o.dy")).as("cy"))
       p.join(probe,
           expr("x div 8") === col("cx") && expr("y div 8") === col("cy") &&
             col("id") < col("idb") &&

@@ -437,4 +437,24 @@ class PlanSpec extends SparkSpec {
       assert(join.collect().nonEmpty) // the filtered join still returns rows
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("grid spatial join plans as an equi-join on the cell key, never BNLJ (q243)") {
+    // the whole point of the 3x3 probe expansion is giving Catalyst an equi
+    // key; a regression to a distance-predicate-only join would silently plan
+    // a broadcast-nested-loop cross product
+    val plan = planOf(SparkEntry.queries("q243_grid_spatial_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("unpivot melts through one Expand projection, no shuffle added (q225)") {
+    val df = SparkEntry.queries("q225_unpivot_melt")(spark, sf)
+    val plan = planOf(df)
+    // Dataset.unpivot lowers to Expand: each row emits its metric rows in
+    // place — the plan must show Expand and exactly the aggregate's own
+    // exchanges (grouping + final orderBy), no extra one for the melt
+    assert(plan.contains("Expand"), plan.take(3000))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"unexpected exchange count $exchanges:\n" + plan.take(3000))
+  }
 }
