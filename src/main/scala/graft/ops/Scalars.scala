@@ -330,6 +330,46 @@ object Scalars {
         .select(lower(col("prio_ci")).cast("string").as("prio"),
           col("n"), col("n_case_variants"))
         .orderBy(col("prio"))
+    },
+
+    GraftQuery(
+      "q245_try_semantics",
+      "ANSI error-safe try_* surface — the difference between 'one malformed row NULLs out' and 'hour ten of a 100 TB job throws': try_cast over deliberately mixed clean/garbage/empty strings, try_add at Long.MaxValue (overflow -> NULL for every k>0, never a wrapped wrong number — and the corpus's k=0 row is the witness that valid sums pass through), try_element_at on out-of-range indices. Aggregated per priority so every NULL path is counted; the oracle mirrors each rule with TRY_CAST / literal NULL / native OOB-NULL list access.",
+      """WITH r AS (SELECT o_orderpriority AS prio, o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey AS VARCHAR)
+        |         WHEN o_orderkey % 3 = 1 THEN 'x' || CAST(o_orderkey AS VARCHAR)
+        |         ELSE '' END AS s
+        |  FROM orders),
+        |t AS (SELECT prio, k,
+        |    TRY_CAST(s AS BIGINT) AS parsed,
+        |    CASE WHEN k = 0 THEN 9223372036854775807 END AS add_over,
+        |    ([k % 2, k % 3])[CAST(k % 4 + 1 AS INTEGER)] AS elem
+        |  FROM r)
+        |SELECT prio, count(*) AS n,
+        |  count(parsed) AS n_parsed,
+        |  CAST(sum(coalesce(parsed, 0)) AS BIGINT) AS sum_parsed,
+        |  count(add_over) AS n_overflow_ok,
+        |  count(elem) AS n_elem,
+        |  CAST(sum(coalesce(elem, -1)) AS BIGINT) AS sum_elem
+        |FROM t GROUP BY prio ORDER BY prio""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"), col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 3 === 0, col("o_orderkey").cast("string"))
+            .when(col("o_orderkey") % 3 === 1,
+              concat(lit("x"), col("o_orderkey").cast("string")))
+            .otherwise(lit("")).as("s"))
+        .select(col("prio"), col("k"),
+          expr("try_cast(s AS BIGINT)").as("parsed"),
+          expr(s"try_add(${Long.MaxValue}L, k)").as("add_over"),
+          expr("try_element_at(array(k % 2, k % 3), CAST(k % 4 + 1 AS INT))").as("elem"))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"),
+          count(col("parsed")).as("n_parsed"),
+          sum(coalesce(col("parsed"), lit(0L))).as("sum_parsed"),
+          count(col("add_over")).as("n_overflow_ok"),
+          count(col("elem")).as("n_elem"),
+          sum(coalesce(col("elem"), lit(-1L))).as("sum_elem"))
+        .orderBy(col("prio"))
     }
   )
 }

@@ -144,6 +144,43 @@ object StreamingOps {
 
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
 
+  /** transformWithState v2 processor for q246: q99's session counter re-built
+    * on the v2 API with REAL event-time timers — state updates register a
+    * timer at lastTs+gap; when the watermark passes it, handleExpiredTimer
+    * emits the user's final count once and clears both state and timer. */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[SessionCountState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionCountState](
+        "session", Encoders.product[SessionCountState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 timers: TimerValues): Iterator[(Long, Long)] = {
+      val had = Option(st.get())
+      var cur = had.getOrElse(SessionCountState(Long.MinValue, 0L))
+      rows.map(_._2).toArray.sorted.foreach { t =>
+        cur =
+          if (cur.lastTsMs == Long.MinValue || t - cur.lastTsMs > gapMs)
+            SessionCountState(t, cur.count + 1)
+          else SessionCountState(t, cur.count)
+      }
+      st.update(cur)
+      // slide the expiry forward: drop the stale timer, arm the new one
+      had.foreach(h => getHandle.deleteTimer(h.lastTsMs + gapMs + 1))
+      getHandle.registerTimer(cur.lastTsMs + gapMs + 1)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+      val out = Option(st.get()).map(s => (key, s.count)).iterator
+      st.clear()
+      out
+    }
+  }
+
   /** Running (event count, cents sum) per user for q229. */
   case class RunningTotals(n: Long, cents: Long)
 
@@ -332,6 +369,41 @@ object StreamingOps {
         .agg(max(col("n_events")).as("n_events"),
           expr("max_by(sum_cents, n_events)").as("sum_cents"))
         .orderBy(col("user_id"))
+    },
+
+    GraftQuery(
+      "q246_stream_tws_timers",
+      "transformWithState with EVENT-TIME TIMERS — q99's session counter rebuilt on the v2 API's first-class timer surface: each batch slides the user's expiry timer (deleteTimer + registerTimer at lastTs+gap), and when the watermark passes it, handleExpiredTimer — a callback v1's flatMapGroupsWithState folds awkwardly into a hasTimedOut branch — emits the final count once and clears state. v1 and v2 must agree exactly with the batch gaps-and-islands oracle; timers survive micro-batch boundaries through the RocksDB store like any named state.",
+      """WITH g AS (SELECT user_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 10 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events)
+        |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val counted = twoBatchEventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), (expr("unix_micros(ts)") / 1000L).cast("long").as("tsMs"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new SessionTimerProcessor(600000L), TimeMode.EventTime(),
+          OutputMode.Append(), Encoders.product[(Long, Long)])
+        .toDF("user_id", "n_sessions")
+      val saved = s.conf.getOption(ProviderKey)
+      val out = try {
+        s.conf.set(ProviderKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        runToMemory(counted, s"q246_sink_${System.nanoTime()}", "append")
+      } finally saved match {
+        case Some(v) => s.conf.set(ProviderKey, v)
+        case None    => s.conf.unset(ProviderKey)
+      }
+      // the sentinel's own timer sits past the final watermark: never emits
+      out.filter(col("user_id") =!= -1L).orderBy(col("user_id"))
     },
 
     GraftQuery(
