@@ -1704,6 +1704,24 @@ object Analytics {
     },
 
     GraftQuery(
+      "q247_pipe_syntax",
+      "SQL pipe syntax (Spark 4's |> operator chain — queries written in dataflow order, the way the engine executes them): scan |> WHERE |> AGGREGATE..GROUP BY |> ORDER BY, each stage consuming the previous stage's output like a DataFrame chain but in pure SQL. Same plan as the nested-SELECT equivalent (the parser desugars, Catalyst sees one tree) — proven by matching the conventional-SQL oracle exactly.",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_pipe_v")
+      s.sql(
+        """FROM orders_pipe_v
+          ||> WHERE o_orderstatus = 'F'
+          ||> AGGREGATE count(*) AS n,
+          |     sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sum_cents
+          |   GROUP BY o_orderpriority
+          ||> SELECT o_orderpriority, n, sum_cents
+          ||> ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    GraftQuery(
       "q242_execute_immediate",
       "EXECUTE IMMEDIATE with USING parameters — dynamic SQL composed as DATA, executed with bound arguments (the warehouse-migration surface for query text arriving from tables/configs at run time). The statement string carries ? markers only; the priority filter binds through USING, so dynamic text still cannot be injected. Same census shape as q240 proving text-built and API-built parameterization agree.",
       """SELECT o_orderstatus, count(*) AS n,

@@ -407,6 +407,32 @@ object StreamingOps {
     },
 
     GraftQuery(
+      "q248_state_reader",
+      "The state-store DATA SOURCE (Spark 4's statestore format): after a checkpointed streaming aggregation runs, its internal state — the per-group aggregation buffers — is read back OFFLINE as a DataFrame (key.event_type, value.count, value.sum) straight from the checkpoint, no query running. This is the streaming-ops debugging/audit surface: inspect what a production job's state actually holds, reconcile it against the source of truth, size it per key — here the state buffers must equal the batch aggregate exactly, which is precisely the reconciliation a production runbook performs.",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val src = graft.util.Scratch.dir("graft-q248-src")
+      ev.coalesce(1).write.mode("overwrite").parquet(src.toString)
+      val ckpt = graft.util.Scratch.dir("graft-q248-ckpt").toString
+      val agg = s.readStream.schema(ev.schema).parquet(src.toString)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      val q = agg.writeStream.format("memory")
+        .queryName(s"q248_sink_${System.nanoTime()}")
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // the query is STOPPED; its durable state is now just data
+      s.read.format("statestore").option("path", ckpt).load()
+        .select(col("key.event_type").as("event_type"),
+          col("value.count").as("n"), col("value.sum").as("value_cents"))
+        .orderBy(col("event_type"))
+    },
+
+    GraftQuery(
       "q59_stream_tumbling",
       "Structured Streaming tumbling 30-min windows per event type over the events file stream (readStream -> withWatermark -> window -> memory sink, AvailableNow): identical result to the batch twin, verified against the batch-arithmetic oracle.",
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 AS window_start_s,
