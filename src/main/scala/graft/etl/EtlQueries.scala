@@ -147,6 +147,7 @@ object EtlQueries {
       // one catalog per session, rooted in a shutdown-hook-cleaned scratch
       // dir; the table is recreated per invocation (OVERWRITE seeds it)
       if (s.conf.getOption("spark.sql.catalog.graft_q220").isEmpty) {
+        // (also exercised by q249's catalog-resolved function)
         s.conf.set("spark.sql.catalog.graft_q220", "graft.sources.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft_q220.root",
           graft.util.Scratch.dir("graft-q220-catalog").toString)
@@ -265,6 +266,27 @@ object EtlQueries {
       s.read.format(sinkFmt).option("path", dir)
         .option("versionAsOf", 1).load()
         .orderBy(col("po_number"))
+    },
+
+    GraftQuery(
+      "q249_catalog_function",
+      "A DSv2 FunctionCatalog function — the engine's integer-money doctrine resolved BY NAME through the catalog: graft_q220.sys.cents(DOUBLE) is a ScalarFunction any SQL client wired to the catalog can call with zero session registration; bind() type-checks the call at analysis time and the magic-method `invoke(double): long` lets codegen call it directly (no row boxing). Same census as q01's money math, but the cents conversion travels WITH the catalog, not the session — how a platform ships domain UDFs to every consumer at once.",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_q220").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft_q220", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q220.root",
+          graft.util.Scratch.dir("graft-q220-catalog").toString)
+      }
+      Tables.orders(s, d).createOrReplaceTempView("orders_fncat_v")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  sum(graft_q220.sys.cents(o_totalprice)) AS sum_cents,
+          |  min(graft_q220.sys.cents(o_totalprice)) AS min_cents
+          |FROM orders_fncat_v
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
 
     GraftQuery(

@@ -5,7 +5,7 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{StringType, StructType}
@@ -39,7 +39,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * own manifests) — no extra metastore to keep consistent, and concurrent
   * writers are already serialized by the sink's optimistic manifest swap.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -147,5 +147,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
     graft.util.Scratch.deleteRecursively(ns)
     true
+  }
+
+  // ---- functions (DSv2 FunctionCatalog) -------------------------------
+  // The engine's domain helpers resolved BY NAME through the catalog —
+  // `SELECT graft.sys.cents(price)` works in any SQL client wired to the
+  // catalog, no session-level registration, and the bound function carries
+  // real input/result types (Catalyst validates the call at analysis time).
+  // A `sys` namespace is virtual: functions are code, not directories.
+
+  private val FnNs = Array("sys")
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.sameElements(FnNs) || super.namespaceExists(namespace)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(FnNs))
+      Array(Identifier.of(FnNs, "cents"))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    if (ident.namespace().sameElements(FnNs) && ident.name() == "cents")
+      GraftCatalog.CentsUnbound
+    else throw new NoSuchFunctionException(ident)
+}
+
+object GraftCatalog {
+
+  /** floor(x*100) money-cents — the library's integer-money doctrine as a
+    * catalog-resolved SQL function (ColumnOps.cents' SQL twin). */
+  object CentsUnbound extends functions.UnboundFunction {
+    override def name(): String = "cents"
+    override def description(): String = "cents(x DOUBLE) -> BIGINT: floor(x * 100)"
+    override def bind(inputType: StructType): functions.BoundFunction = {
+      require(inputType.fields.length == 1 &&
+        inputType.fields(0).dataType == org.apache.spark.sql.types.DoubleType,
+        s"cents(DOUBLE) called with ${inputType.simpleString}")
+      CentsBound
+    }
+  }
+
+  object CentsBound extends functions.ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+      Array(org.apache.spark.sql.types.DoubleType)
+    override def resultType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def name(): String = "cents"
+    override def canonicalName(): String = "graft.sys.cents"
+    override def produceResult(
+        input: org.apache.spark.sql.catalyst.InternalRow): java.lang.Long =
+      java.lang.Long.valueOf(math.floor(input.getDouble(0) * 100).toLong)
+    /** Magic method: Spark binds this directly in codegen (no InternalRow). */
+    def invoke(x: Double): Long = math.floor(x * 100).toLong
   }
 }

@@ -87,4 +87,21 @@ class GraftCatalogSpec extends SparkSpec {
       java.nio.file.Paths.get(dir, "_manifests", "manifest-v0000000001.json")))
     spark.sql("DROP TABLE graftcat.ow.t")
   }
+
+  test("FunctionCatalog: sys.cents resolves, type-checks, and computes") {
+    // discoverable
+    val listed = spark.sql("SHOW FUNCTIONS IN graftcat.sys").collect()
+      .map(_.getString(0))
+    assert(listed.exists(_.endsWith("cents")), listed.mkString(","))
+    // computes through the bound function (magic-method or produceResult)
+    val got = spark.sql(
+      "SELECT graftcat.sys.cents(x) FROM VALUES (12.345D), (-0.01D) t(x) ORDER BY 1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(-1L, 1234L)) // floor semantics, negatives included
+    // bind() rejects a wrong input type at ANALYSIS time, not at run time
+    val err = intercept[Exception] {
+      spark.sql("SELECT graftcat.sys.cents('not a double', 2)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cents"), err.getMessage)
+  }
 }
