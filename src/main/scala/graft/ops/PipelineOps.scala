@@ -855,6 +855,69 @@ object PipelineOps {
         .select(col("prio"), col("k"), col("cents"),
           col("n_draws").cast("long").as("n_draws"))
         .orderBy(col("prio"), col("k"))
+    },
+
+    GraftQuery(
+      "q250_release_capstone",
+      "Release-assembly capstone — the four stages every corpus release runs, composed as ONE declarative plan so Catalyst sees the whole lineage: (1) integer quality gate (length band + token census + mean token length band), (2) exact dedup by content hash keeping the smallest doc_id (argmin-as-aggregate, no window), (3) size-weighted PPS systematic selection of 10 docs per language over the survivors' n_chars cumsum (q238's primitive applied to corpus assembly), (4) the per-language release census. Every stage is a shuffle-on-key or a stratum-local window — the composition costs scan + 3 keyed exchanges at ANY scale, and the whole release is rerun-identical bit for bit.",
+      """WITH gated AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS n_toks,
+        |    md5(text) AS h
+        |  FROM documents
+        |  WHERE n_chars BETWEEN 100 AND 20000),
+        |q AS (SELECT * FROM gated
+        |      WHERE n_toks >= 10 AND n_chars <= 12 * n_toks),
+        |dedup AS (SELECT h, min(doc_id) AS doc_id FROM q GROUP BY h),
+        |kept AS (SELECT q.doc_id, q.lang, q.n_chars FROM q
+        |         JOIN dedup ON q.doc_id = dedup.doc_id),
+        |w AS (SELECT lang, doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS total
+        |  FROM kept),
+        |sel AS (SELECT lang, doc_id, n_chars,
+        |    (cum - 1) // (total // 10) - (cum - n_chars - 1) // (total // 10) AS nd
+        |  FROM w WHERE total >= 10),
+        |stats AS (SELECT lang, count(*) AS n_gated FROM gated GROUP BY lang),
+        |kstats AS (SELECT lang, count(*) AS n_kept,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars_kept FROM kept GROUP BY lang),
+        |sstats AS (SELECT lang, CAST(sum(nd) AS BIGINT) AS n_selected,
+        |    CAST(sum(nd * n_chars) AS BIGINT) AS chars_selected
+        |  FROM sel WHERE nd > 0 GROUP BY lang)
+        |SELECT s.lang, s.n_gated, k.n_kept, k.chars_kept,
+        |  ss.n_selected, ss.chars_selected
+        |FROM stats s JOIN kstats k ON s.lang = k.lang
+        |JOIN sstats ss ON s.lang = ss.lang
+        |ORDER BY s.lang""".stripMargin) { (s, d) =>
+      val gated = Tables.documents(s, d)
+        .filter(col("n_chars").between(100, 20000))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+            .cast("long").as("n_toks"),
+          md5(col("text")).as("h"))
+      val q = gated.filter(col("n_toks") >= 10 &&
+        col("n_chars") <= lit(12) * col("n_toks"))
+      val dedup = q.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+      val kept = q.join(dedup, col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val cumW = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sel = kept
+        .withColumn("cum", sum(col("n_chars")).over(cumW))
+        .withColumn("total", sum(col("n_chars")).over(Window.partitionBy(col("lang"))))
+        .filter(col("total") >= 10)
+        .withColumn("step", expr("total div 10"))
+        .withColumn("nd", expr("(cum - 1) div step - (cum - n_chars - 1) div step"))
+        .filter(col("nd") > 0)
+      val stats = gated.groupBy(col("lang")).agg(count(lit(1)).as("n_gated"))
+      val kstats = kept.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+      val sstats = sel.groupBy(col("lang"))
+        .agg(sum(col("nd")).as("n_selected"),
+          sum(col("nd") * col("n_chars")).as("chars_selected"))
+      stats.join(kstats, "lang").join(sstats, "lang")
+        .orderBy(col("lang"))
     }
   )
 }
