@@ -368,6 +368,29 @@ object SourcesAndUdfs {
     },
 
     GraftQuery(
+      "q252_csv_scalar_roundtrip",
+      "Scalar CSV codec surface (to_csv/from_csv — the per-VALUE twin of q64's file-level source, for CSV payloads embedded in a column the way Kafka ships them): each supplier row serializes to a CSV line with to_csv, parses back with from_csv under an explicit schema (no inference on the hot path), a deliberately malformed line exercises PERMISSIVE null-out semantics, and the round-tripped fields aggregate per nation. At scale this is the decode step of any 'CSV lines inside a message queue' ingest — per-row, codegen-adjacent, schema-checked at analysis time.",
+      """SELECT s_nationkey, count(*) AS n,
+        |  count(CASE WHEN s_suppkey % 10 <> 7 THEN 1 END) AS n_parsed,
+        |  CAST(sum(CASE WHEN s_suppkey % 10 <> 7
+        |       THEN CAST(floor(s_acctbal * 100) AS BIGINT) END) AS BIGINT) AS cents
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+      val line = expr("to_csv(named_struct('k', s_suppkey, 'b', CAST(floor(s_acctbal * 100) AS BIGINT)))")
+      Tables.supplier(s, d)
+        .select(col("s_nationkey"), col("s_suppkey"),
+          // every 10th key ships a corrupted payload: digits become text
+          when(col("s_suppkey") % 10 === 7, lit("oops,not-a-number"))
+            .otherwise(line).as("payload"))
+        .select(col("s_nationkey"),
+          expr("from_csv(payload, 'k LONG, b LONG')").as("rec"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          count(col("rec.b")).as("n_parsed"),
+          sum(col("rec.b")).as("cents"))
+        .orderBy(col("s_nationkey"))
+    },
+
+    GraftQuery(
       "q239_sorted_group_runs",
       "Typed flatMapSortedGroups — the engine hands each key's rows PRE-SORTED by secondary sort columns (the MapReduce secondary-sort pattern as a first-class API): per user, the longest strictly-increasing cents run computed by a one-pass O(1)-state fold over the sorted iterator. No per-group collect, no window machinery — the shuffle's own sort order IS the group order, so state is (prev, run, best) regardless of group size. The oracle is the equivalent gaps-and-islands SQL; sequential per-group logic that windows CAN'T express (multi-variable state machines) rides the same API for free.",
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,

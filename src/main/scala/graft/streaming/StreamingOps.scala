@@ -144,6 +144,33 @@ object StreamingOps {
 
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
 
+  /** transformWithState v2 processor for q251: MapState — one keyed sub-map
+    * per user (event_type -> count), the composite-state shape v1 forces into
+    * a single serialized blob. Each micro-batch updates only the touched
+    * sub-keys (RocksDB point writes, not whole-blob rewrites) and re-emits
+    * the touched (user, type, count) triples in update mode. */
+  class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, String, Long)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "typeCounts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+                                 timers: TimerValues): Iterator[(Long, String, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { case (_, et) =>
+        val cur = touched.getOrElse(et,
+          if (counts.containsKey(et)) counts.getValue(et) else 0L)
+        touched.update(et, cur + 1)
+      }
+      touched.foreach { case (et, n) => counts.updateValue(et, n) }
+      touched.iterator.map { case (et, n) => (key, et, n) }
+    }
+  }
+
   /** transformWithState v2 processor for q246: q99's session counter re-built
     * on the v2 API with REAL event-time timers — state updates register a
     * timer at lastTs+gap; when the watermark passes it, handleExpiredTimer
@@ -404,6 +431,37 @@ object StreamingOps {
       }
       // the sentinel's own timer sits past the final watermark: never emits
       out.filter(col("user_id") =!= -1L).orderBy(col("user_id"))
+    },
+
+    GraftQuery(
+      "q251_stream_tws_mapstate",
+      "transformWithState with MAP state — the keyed-sub-state shape (user -> {event_type -> count}) that v1's single state blob can't update incrementally: each micro-batch point-updates only the touched event types in the RocksDB map and re-emits those (user, type, count) triples in update mode; the final count per (user, type) is the max emission (counts are monotone). Completes the v2 state-type coverage alongside q229 (ValueState) and q246 (timers); equals the batch per-(user, type) census exactly.",
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val counted = twoBatchEventsStream(s, d)
+        .select(col("user_id"), col("event_type"))
+        .as[(Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new TypeCountsProcessor(), TimeMode.None(),
+          OutputMode.Update(), Encoders.product[(Long, String, Long)])
+        .toDF("user_id", "event_type", "n")
+      val saved = s.conf.getOption(ProviderKey)
+      val updates = try {
+        s.conf.set(ProviderKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        runToMemory(counted, s"q251_sink_${System.nanoTime()}", "update")
+      } finally saved match {
+        case Some(v) => s.conf.set(ProviderKey, v)
+        case None    => s.conf.unset(ProviderKey)
+      }
+      updates.filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n")).as("n"))
+        .orderBy(col("user_id"), col("event_type"))
     },
 
     GraftQuery(
