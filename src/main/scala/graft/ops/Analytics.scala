@@ -1613,6 +1613,33 @@ object Analytics {
     },
 
     GraftQuery(
+      "q253_map_higher_order",
+      "Map higher-order pipeline — the MapType algebra q69 only touches: per-priority (status -> count) and (status -> cents) maps built with map_from_entries over deterministically-sorted entry lists, combined KEY-WISE with map_zip_with (integer average per status, no join), pruned with map_filter, then exploded back to rows. Map-shaped aggregates carry a whole sub-table per group through one column — the feature-bundle representation ML pipelines pass between stages — and the lambdas run over already-aggregated group rows, never the fact table.",
+      """WITH g AS (SELECT o_orderpriority, o_orderstatus,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, o_orderstatus, c // n AS avg_cents
+        |FROM g WHERE c // n >= 15000000
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin) { (s, d) =>
+      val perStatus = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("c"))
+      perStatus.groupBy(col("o_orderpriority"))
+        .agg(
+          map_from_entries(sort_array(collect_list(struct(col("o_orderstatus"), col("n")))))
+            .as("counts"),
+          map_from_entries(sort_array(collect_list(struct(col("o_orderstatus"), col("c")))))
+            .as("cents"))
+        .select(col("o_orderpriority"),
+          explode(expr(
+            "map_filter(map_zip_with(counts, cents, (k, n, c) -> c div n), (k, v) -> v >= 15000000)"))
+            .as(Seq("o_orderstatus", "avg_cents")))
+        .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+    },
+
+    GraftQuery(
       "q70_sql_subqueries",
       "SQL entry point with subqueries: scalar subquery (above-average filter via exact integer cross-multiplication — no float average in a predicate), uncorrelated IN, and correlated NOT EXISTS, run through spark.sql over temp views.",
       """SELECT o_orderpriority, count(*) AS n

@@ -171,6 +171,37 @@ object StreamingOps {
     }
   }
 
+  /** transformWithState v2 processor for q254: ListState — a BOUNDED recency
+    * buffer (last 3 events) per user. appendList adds only the batch's rows;
+    * the trim rewrites the list only when it exceeds the bound, so state is
+    * O(bound) forever — the recommendation-feature shape (recent items per
+    * user) that must never buffer the stream. Rows carry (tsMs, eventId,
+    * type); batches arrive time-split, the handler sorts within the batch. */
+  class RecentEventsProcessor(bound: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String), (Long, Long, String)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var recent: ListState[(Long, Long, String)] = _
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[(Long, Long, String)](
+        "recent", Encoders.product[(Long, Long, String)], TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, String)],
+                                 timers: TimerValues): Iterator[(Long, Long, String)] = {
+      val batch = rows.map(r => (r._2, r._3, r._4)).toArray.sortBy(r => (r._1, r._2))
+      recent.appendList(batch)
+      val total = (if (seen.exists()) seen.get() else 0L) + batch.length
+      seen.update(total) // monotone census rides a ValueState NEXT TO the list
+      val all = recent.get().toArray
+      val last = all.takeRight(bound)
+      if (all.length > bound) recent.put(last) // trim: rewrite only past the bound
+      Iterator.single((key, total, last.map(_._3).mkString(",")))
+    }
+  }
+
   /** transformWithState v2 processor for q246: q99's session counter re-built
     * on the v2 API with REAL event-time timers — state updates register a
     * timer at lastTs+gap; when the watermark passes it, handleExpiredTimer
@@ -462,6 +493,44 @@ object StreamingOps {
         .groupBy(col("user_id"), col("event_type"))
         .agg(max(col("n")).as("n"))
         .orderBy(col("user_id"), col("event_type"))
+    },
+
+    GraftQuery(
+      "q254_stream_tws_liststate",
+      "transformWithState with LIST state — the bounded recency buffer (each user's last 3 event types) that powers recent-items features: appendList adds only the batch's rows, the list trims past the bound (state O(3) per user forever), and a ValueState counter alongside makes emissions monotone so the final snapshot is max_by(n_seen). Completes the v2 trio (q229 value, q251 map, here list). Oracle: the batch last-3-by-time window.",
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_seen,
+        |  string_agg(event_type, ',' ORDER BY rn DESC) AS last3
+        |FROM r WHERE rn <= 3
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val counted = twoBatchEventsStream(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("tsUs"),
+          col("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new RecentEventsProcessor(3), TimeMode.None(),
+          OutputMode.Update(), Encoders.product[(Long, Long, String)])
+        .toDF("user_id", "n_seen", "last3")
+      val saved = s.conf.getOption(ProviderKey)
+      val updates = try {
+        s.conf.set(ProviderKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        runToMemory(counted, s"q254_sink_${System.nanoTime()}", "update")
+      } finally saved match {
+        case Some(v) => s.conf.set(ProviderKey, v)
+        case None    => s.conf.unset(ProviderKey)
+      }
+      updates.filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"))
+        .agg(max(col("n_seen")).as("n_seen"),
+          expr("max_by(last3, n_seen)").as("last3"))
+        .orderBy(col("user_id"))
     },
 
     GraftQuery(
