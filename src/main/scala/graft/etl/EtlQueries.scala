@@ -290,6 +290,53 @@ object EtlQueries {
     },
 
     GraftQuery(
+      "q255_sink_replace_where",
+      "REPLACE WHERE on the transactional sink (DSv2 SupportsOverwrite / OVERWRITE_BY_FILTER — the backfill primitive of every table format): seed po 0..999, then df.writeTo(t).overwrite(po >= U500) atomically swaps the matching half for a 200-row corrected batch in ONE manifest version — copy-on-write against the predicate (stats-skipped files carry over byte-identical) plus the append, with no reader-visible gap between delete and insert. The overwrite predicate's 3VL shape is validated before any task runs; the pre-replace snapshot stays time-travelable. This is 'rewrite one bad day of a 100 TB log' without touching the other days.",
+      """WITH seed AS (
+        |  SELECT i, 'V' || (i % 97) AS vendor, 'C' || (i % 7) AS charge_code,
+        |    printf('U%09dD', i) AS po_number
+        |  FROM unnest(generate_series(0, 999)) AS t(i)
+        |  WHERE printf('U%09dD', i) < 'U000000500D'),
+        |fix AS (
+        |  SELECT i, 'NEW-V' || (i % 97) AS vendor, 'C' || (i % 7) AS charge_code,
+        |    printf('U%09dD', i) AS po_number
+        |  FROM unnest(generate_series(500, 699)) AS t(i)),
+        |u AS (SELECT vendor, charge_code, po_number FROM seed
+        |      UNION ALL SELECT vendor, charge_code, po_number FROM fix)
+        |SELECT charge_code, count(*) AS n,
+        |  count(CASE WHEN vendor LIKE 'NEW-%' THEN 1 END) AS n_fixed,
+        |  min(po_number) AS min_po, max(po_number) AS max_po
+        |FROM u GROUP BY charge_code ORDER BY charge_code""".stripMargin) { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_q220").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft_q220", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q220.root",
+          graft.util.Scratch.dir("graft-q220-catalog").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q220.rw")
+      s.sql("""CREATE TABLE IF NOT EXISTS graft_q220.rw.orders (
+        vendor STRING, description STRING, picker_erk STRING,
+        charge_code STRING, po_number STRING)""")
+      val feed = s.read.format("graft.sources.FormPipelineSource")
+        .option("rows", 1000).option("partitions", 4).load()
+      val five = feed.select(col("vendor"), col("description"),
+        col("picker_erk"), col("charge_code"), col("po_number"))
+      // seed the full keyspace, truncating any previous invocation's state
+      five.writeTo("graft_q220.rw.orders").overwrite(lit(true))
+      // the corrected backfill batch: po 500..699 with amended vendors
+      val fix = five
+        .where(feed("submission_id") >= 500 && feed("submission_id") < 700)
+        .withColumn("vendor", concat(lit("NEW-"), col("vendor")))
+      fix.writeTo("graft_q220.rw.orders")
+        .overwrite(col("po_number") >= "U000000500D")
+      s.table("graft_q220.rw.orders")
+        .groupBy(col("charge_code"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("vendor").startsWith("NEW-"), 1)).as("n_fixed"),
+          min(col("po_number")).as("min_po"), max(col("po_number")).as("max_po"))
+        .orderBy(col("charge_code"))
+    },
+
+    GraftQuery(
       "q235_sink_compaction",
       "Small-file compaction on the transactional sink — the maintenance operation every streaming/incremental table needs at scale (a year of hourly micro-batch commits is 8760 tiny files; scan cost is per-file): four 200-row appends leave four data files, compact() rewrites them into ONE under a fresh manifest version with the inputs' min/max stats merged (so file-skipping still works), and concurrent readers never see a partial state — the swap is the same atomic manifest publish as any commit. The query proves contents survive byte-exactly and carries the before/after file census in its own output.",
       """WITH src AS (

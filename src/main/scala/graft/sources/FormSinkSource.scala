@@ -300,14 +300,30 @@ object FormSinkSource {
     // already-written `deleted-*` survivor files as orphans until vacuum.
     eval3(_ => None, filter)
     val (version, files, stats) = currentManifestFull(path)
+    val (out, created) = rewriteSurvivors(path, version, files, stats, filter)
+    if (created.isEmpty && out.map(_._1) == files)
+      return Some(version) // stats proved a no-op or the predicate matched nothing
+    if (tryPublishManifest(path, version + 1, out.map(_._1),
+        out.collect { case (n, Some(fs)) => n -> fs }.toMap))
+      Some(version + 1)
+    else { created.foreach(Files.deleteIfExists(_)); None } // lost the race
+  }
+
+  /** Copy-on-write core shared by delete() and predicate OVERWRITE: given a
+    * manifest snapshot, returns the new manifest entries with filter-TRUE
+    * rows removed (stats-skipped files untouched, straddling files rewritten
+    * as `deleted-*`, emptied files dropped) plus the rewrite files this call
+    * created — WITHOUT publishing. The caller owns the manifest swap and
+    * must delete `created` if it loses the version race. Any failure
+    * mid-rewrite removes the created files before rethrowing. */
+  private[sources] def rewriteSurvivors(path: String, version: Long,
+      files: Seq[String], stats: Map[String, FileStats], filter: sqlf.Filter)
+      : (Seq[(String, Option[FileStats])], Seq[Path]) = {
     val (candidates, skipped) = files.partition(f => mayMatch(stats.get(f), filter))
-    if (candidates.isEmpty) return Some(version) // stats prove a no-op
+    if (candidates.isEmpty) return (files.map(f => f -> stats.get(f)), Seq.empty)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val created = scala.collection.mutable.ArrayBuffer[Path]()
     val skippedSet = skipped.toSet
-    // name -> stats entry for the NEW manifest, preserving file order;
-    // any failure mid-rewrite (IO, malformed line) removes the files this
-    // call created so an aborted delete leaves no orphans behind
     val out = try files.flatMap { f =>
       if (skippedSet(f)) Seq(f -> stats.get(f))
       else {
@@ -346,11 +362,7 @@ object FormSinkSource {
       case e: Throwable =>
         created.foreach(Files.deleteIfExists(_)); throw e
     }
-    if (created.isEmpty && out.map(_._1) == files) return Some(version) // matched nothing
-    if (tryPublishManifest(path, version + 1, out.map(_._1),
-        out.collect { case (n, Some(fs)) => n -> fs }.toMap))
-      Some(version + 1)
-    else { created.foreach(Files.deleteIfExists(_)); None } // lost the race
+    (out, created.toSeq)
   }
 
   /** MERGE (upsert) keyed on `keyCol` — `MERGE INTO t USING s ON t.k = s.k
@@ -478,7 +490,7 @@ object FormSinkSource {
                                   f: sqlf.Filter): Boolean =
     eval3(get, f).contains(true)
 
-  private def eval3(get: String => Option[String],
+  private[sources] def eval3(get: String => Option[String],
                     f: sqlf.Filter): Option[Boolean] = {
     def bin(x: String) = UTF8String.fromString(x)
     def cmp(c: String, v: String): Option[Int] =
@@ -617,7 +629,7 @@ private class FormSinkTable(path: String) extends Table
   override def schema(): StructType = FormSinkSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FormSinkScanBuilder(path,
@@ -639,12 +651,28 @@ private class FormSinkTable(path: String) extends Table
 // ---- write path: stage per task, publish on driver commit ----
 
 private class FormSinkWriteBuilder(path: String, schema: StructType, jobId: String)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsOverwrite {
   private var truncateFirst = false
+  private var replaceWhere: Option[sqlf.Filter] = None
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  /** Predicate OVERWRITE (`df.writeTo(t).overwrite(cond)` / REPLACE WHERE):
+    * rows matching the conjunction are replaced by the batch, everything
+    * else survives — one atomic manifest swap for the delete AND the
+    * append. AlwaysTrue degenerates to truncate. The filter shape is
+    * validated HERE (3VL dry run), so an unsupported predicate fails the
+    * write before any task runs. */
+  override def overwrite(filters: Array[sqlf.Filter]): WriteBuilder = {
+    if (filters.isEmpty || filters.contains(sqlf.AlwaysTrue)) truncateFirst = true
+    else {
+      val combined = filters.reduce[sqlf.Filter](sqlf.And(_, _))
+      FormSinkSource.eval3(_ => None, combined) // shape check, fail fast
+      replaceWhere = Some(combined)
+    }
+    this
+  }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new FormSinkBatchWrite(path, schema, truncateFirst, jobId)
+      new FormSinkBatchWrite(path, schema, truncateFirst, replaceWhere, jobId)
   }
 }
 
@@ -653,7 +681,9 @@ private case class StagedFileMessage(fileName: String, rows: Long,
                                      maxs: Map[String, String]) extends WriterCommitMessage
 
 private class FormSinkBatchWrite(path: String, schema: StructType,
-                                 truncateFirst: Boolean, jobId: String) extends BatchWrite {
+                                 truncateFirst: Boolean,
+                                 replaceWhere: Option[sqlf.Filter],
+                                 jobId: String) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new FormSinkWriterFactory(path, schema, jobId)
@@ -670,7 +700,7 @@ private class FormSinkBatchWrite(path: String, schema: StructType,
     // manifest log (a cron tick with an empty delta would otherwise add one
     // junk version per tick, and change-feed consumers would page through
     // them). A truncate with no rows IS meaningful — it empties the table.
-    if (names.isEmpty && !truncateFirst) {
+    if (names.isEmpty && !truncateFirst && replaceWhere.isEmpty) {
       FormSinkSource.sweepStaging(staging)
       return
     }
@@ -692,15 +722,31 @@ private class FormSinkBatchWrite(path: String, schema: StructType,
     var published = false
     while (!published) {
       val (version, current, currentStats) = FormSinkSource.currentManifestFull(path)
-      val visible = (if (truncateFirst) Seq.empty else current) ++ names
+      // REPLACE WHERE: copy-on-write the snapshot's files against the
+      // predicate (stats-skipped files carry over untouched), then stack
+      // this job's new files on top — ONE swap covers delete + append, so
+      // no reader ever sees the gap between them. Losing the race deletes
+      // this attempt's rewrite files and redoes them against the winner.
+      val (survivors, rewrites) = replaceWhere match {
+        case Some(f) =>
+          val (out, created) =
+            FormSinkSource.rewriteSurvivors(path, version, current, currentStats, f)
+          (out, created)
+        case None =>
+          (if (truncateFirst) Seq.empty else current.map(n => n -> currentStats.get(n)),
+            Seq.empty[Path])
+      }
+      val visible = survivors.map(_._1) ++ names
       // carry the surviving files' stats forward — a commit must never
       // degrade an older file from "skippable" back to "always read"
-      val stats = (if (truncateFirst) Map.empty[String, FormSinkSource.FileStats]
-                   else currentStats) ++ newStats
+      val stats = survivors.collect { case (n, Some(fs)) => n -> fs }.toMap ++ newStats
       published = FormSinkSource.tryPublishManifest(path, version + 1, visible, stats)
+      if (!published) rewrites.foreach(Files.deleteIfExists(_))
       // truncate drops the old files from the manifest; physically delete
       // them only AFTER the swap (readers of the old manifest mid-scan keep
-      // their snapshot on a real object store; locally best-effort)
+      // their snapshot on a real object store; locally best-effort).
+      // REPLACE WHERE keeps superseded originals like delete() does — time
+      // travel to the pre-replace version still works until vacuum.
       if (published && truncateFirst)
         current.foreach(n =>
           Files.deleteIfExists(FormSinkSource.dataDir(path).resolve(n)))

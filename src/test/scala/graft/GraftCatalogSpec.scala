@@ -88,6 +88,35 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graftcat.ow.t")
   }
 
+  test("REPLACE WHERE: predicate overwrite is one atomic swap, 3VL-safe") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.rw")
+    spark.sql("""CREATE TABLE IF NOT EXISTS graftcat.rw.t (
+      vendor STRING, description STRING, picker_erk STRING,
+      charge_code STRING, po_number STRING)""")
+    def row(v: String, po: String) = (v, "d", "2020-01-01", "C1", po)
+    Seq(row("a", "U1"), row("b", "U2"), row("c", "U3"), (null: String, "d", "2020-01-01", "C1", null: String))
+      .toDF("vendor", "description", "picker_erk", "charge_code", "po_number")
+      .writeTo("graftcat.rw.t").append()
+    val v1 = graft.sources.FormSinkSource.snapshotInfo(s"$root/rw/t")._1
+    // replace po_number >= U2: drops U2,U3; the NULL po row is UNKNOWN under
+    // 3VL and must SURVIVE (matching what DELETE WHERE does)
+    Seq(row("z", "U9"))
+      .toDF("vendor", "description", "picker_erk", "charge_code", "po_number")
+      .writeTo("graftcat.rw.t").overwrite(col("po_number") >= "U2")
+    val got = spark.sql(
+      "SELECT vendor, po_number FROM graftcat.rw.t ORDER BY po_number NULLS FIRST")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq((null, null), ("a", "U1"), ("z", "U9")))
+    // exactly ONE version advanced: delete + append in the same swap
+    assert(graft.sources.FormSinkSource.snapshotInfo(s"$root/rw/t")._1 === v1 + 1)
+    // time travel to the pre-replace snapshot still sees U2/U3
+    val before = spark.read.format(graft.sources.FormSinkSource.Format)
+      .option("path", s"$root/rw/t").option("versionAsOf", v1).load()
+    assert(before.count() === 4)
+    spark.sql("DROP TABLE graftcat.rw.t")
+  }
+
   test("FunctionCatalog: sys.cents resolves, type-checks, and computes") {
     // discoverable
     val listed = spark.sql("SHOW FUNCTIONS IN graftcat.sys").collect()
