@@ -337,6 +337,41 @@ object EtlQueries {
     },
 
     GraftQuery(
+      "q256_sink_sql_delete",
+      "SQL DELETE FROM on the sink (DSv2 SupportsDelete — the statement, not an API call): after seeding po 0..999 through the catalog, plain `DELETE FROM t WHERE po_number >= ... AND charge_code = ...` runs the sink's copy-on-write delete — stats-skipped files untouched, straddling files rewritten, one manifest swap, canDeleteWhere failing loud on unsupported shapes. With q255's REPLACE WHERE and q220's INSERT surface this completes the DML triad every table format owes its users: INSERT / DELETE / predicate OVERWRITE, all by name from SQL.",
+      """WITH seed AS (
+        |  SELECT i, 'V' || (i % 97) AS vendor, 'C' || (i % 7) AS charge_code,
+        |    printf('U%09dD', i) AS po_number
+        |  FROM unnest(generate_series(0, 999)) AS t(i)),
+        |kept AS (SELECT * FROM seed
+        |  WHERE NOT (po_number >= 'U000000800D' AND charge_code = 'C3'))
+        |SELECT charge_code, count(*) AS n,
+        |  min(po_number) AS min_po, max(po_number) AS max_po
+        |FROM kept GROUP BY charge_code ORDER BY charge_code""".stripMargin) { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_q220").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft_q220", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q220.root",
+          graft.util.Scratch.dir("graft-q220-catalog").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q220.dl")
+      s.sql("""CREATE TABLE IF NOT EXISTS graft_q220.dl.orders (
+        vendor STRING, description STRING, picker_erk STRING,
+        charge_code STRING, po_number STRING)""")
+      val feed = s.read.format("graft.sources.FormPipelineSource")
+        .option("rows", 1000).option("partitions", 4).load()
+      feed.select(col("vendor"), col("description"),
+          col("picker_erk"), col("charge_code"), col("po_number"))
+        .writeTo("graft_q220.dl.orders").overwrite(lit(true)) // reset per run
+      s.sql("""DELETE FROM graft_q220.dl.orders
+              |WHERE po_number >= 'U000000800D' AND charge_code = 'C3'""".stripMargin)
+      s.table("graft_q220.dl.orders")
+        .groupBy(col("charge_code"))
+        .agg(count(lit(1)).as("n"),
+          min(col("po_number")).as("min_po"), max(col("po_number")).as("max_po"))
+        .orderBy(col("charge_code"))
+    },
+
+    GraftQuery(
       "q235_sink_compaction",
       "Small-file compaction on the transactional sink — the maintenance operation every streaming/incremental table needs at scale (a year of hourly micro-batch commits is 8760 tiny files; scan cost is per-file): four 200-row appends leave four data files, compact() rewrites them into ONE under a fresh manifest version with the inputs' min/max stats merged (so file-skipping still works), and concurrent readers never see a partial state — the swap is the same atomic manifest publish as any commit. The query proves contents survive byte-exactly and carries the before/after file census in its own output.",
       """WITH src AS (

@@ -520,6 +520,8 @@ object FormSinkSource {
         case _                                 => None
       }
       case sqlf.Not(x) => eval3(get, x).map(!_)
+      case _: sqlf.AlwaysTrue  => Some(true)  // DELETE with no WHERE
+      case _: sqlf.AlwaysFalse => Some(false)
       case other => throw new IllegalArgumentException(
         s"form sink delete: unsupported predicate shape $other")
     }
@@ -624,12 +626,28 @@ object FormSinkSource {
 }
 
 private class FormSinkTable(path: String) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"form_sink($path)"
   override def schema(): StructType = FormSinkSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  /** SQL `DELETE FROM t WHERE ...` lands here (metadata-only delete in
+    * Spark's taxonomy — the sink's copy-on-write delete IS metadata-level:
+    * one manifest swap, stats-skipped files untouched). canDeleteWhere
+    * routes unsupported predicate shapes to a loud analysis failure instead
+    * of a wrong partial delete; the swap retries past concurrent commits. */
+  override def canDeleteWhere(filters: Array[sqlf.Filter]): Boolean =
+    scala.util.Try(FormSinkSource.eval3(_ => None,
+      filters.reduceOption[sqlf.Filter](sqlf.And(_, _)).getOrElse(sqlf.AlwaysTrue))).isSuccess
+  override def deleteWhere(filters: Array[sqlf.Filter]): Unit = {
+    val combined =
+      filters.reduceOption[sqlf.Filter](sqlf.And(_, _)).getOrElse(sqlf.AlwaysTrue)
+    var done = false
+    while (!done) done = FormSinkSource.delete(path, combined).isDefined
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FormSinkScanBuilder(path,
