@@ -494,9 +494,16 @@ class FormSinkSpec extends SparkSpec {
     assert(FormSinkSource.delete(dir,
       f.EqualTo("po_number", "Z-absent")) === Some(vBefore))
     assert(FormSinkSource.snapshotInfo(dir)._1 === vBefore)
-    // unsupported shapes are fatal: delete is a correctness boundary
+    // AlwaysTrue is the SQL `DELETE FROM t` (no WHERE) shape routed through
+    // SupportsDelete: it deletes every row — including null cells, which no
+    // comparison predicate can reach under 3VL — in one published version
+    assert(FormSinkSource.delete(dir, f.AlwaysTrue) === Some(vBefore + 1))
+    assert(spark.read.format(FormSinkSource.Format).option("path", dir)
+      .load().count() === 0)
+    // genuinely unsupported shapes are still fatal: delete is a correctness
+    // boundary and must never guess at a predicate it cannot evaluate
     intercept[IllegalArgumentException](
-      FormSinkSource.delete(dir, f.AlwaysTrue))
+      FormSinkSource.delete(dir, f.EqualTo("po_number", 42)))
   }
 
   test("delete pre-validates the predicate: an unsupported shape writes NO rewrite files") {
