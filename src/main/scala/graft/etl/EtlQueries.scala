@@ -372,6 +372,67 @@ object EtlQueries {
     },
 
     GraftQuery(
+      "q257_sink_sql_update_merge",
+      "SQL UPDATE and MERGE INTO on the sink (DSv2 SupportsRowLevelOperations, group-based ReplaceData): UPDATE retags po 0..199's charge codes, then MERGE INTO upserts a 100-row source — 150..199 matched-updated, 1000..1049 not-matched-inserted — each statement ONE atomic whole-group rewrite (the row-level scan refuses file skipping and runtime group filtering: a pruned file would lose its carry-over rows at the replace commit — the correctness subtlety group-based DML lives or dies on). With INSERT (q220), DELETE (q256) and REPLACE WHERE (q255) this completes the ANSI DML surface by name from SQL.",
+      """WITH seed AS (
+        |  SELECT i, 'V' || (i % 97) AS vendor, 'C' || (i % 7) AS charge_code,
+        |    printf('U%09dD', i) AS po_number
+        |  FROM unnest(generate_series(0, 999)) AS t(i)),
+        |updated AS (
+        |  SELECT i, vendor,
+        |    CASE WHEN po_number < 'U000000200D' THEN 'RETAG' ELSE charge_code END AS charge_code,
+        |    po_number
+        |  FROM seed),
+        |src AS (
+        |  SELECT i, 'M-V' || (i % 97) AS vendor, 'CM' AS charge_code,
+        |    printf('U%09dD', i) AS po_number
+        |  FROM unnest(generate_series(150, 199)) AS t(i)
+        |  UNION ALL
+        |  SELECT i, 'M-V' || (i % 97), 'CM', printf('U%09dD', i)
+        |  FROM unnest(generate_series(1000, 1049)) AS t(i)),
+        |merged AS (
+        |  SELECT coalesce(s.i, u.i) AS i,
+        |    coalesce(s.vendor, u.vendor) AS vendor,
+        |    coalesce(s.charge_code, u.charge_code) AS charge_code,
+        |    coalesce(s.po_number, u.po_number) AS po_number
+        |  FROM updated u FULL OUTER JOIN src s ON u.po_number = s.po_number)
+        |SELECT charge_code, count(*) AS n,
+        |  min(po_number) AS min_po, max(po_number) AS max_po
+        |FROM merged GROUP BY charge_code ORDER BY charge_code""".stripMargin) { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_q220").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft_q220", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q220.root",
+          graft.util.Scratch.dir("graft-q220-catalog").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q220.rl")
+      s.sql("""CREATE TABLE IF NOT EXISTS graft_q220.rl.orders (
+        vendor STRING, description STRING, picker_erk STRING,
+        charge_code STRING, po_number STRING)""")
+      val feed = s.read.format("graft.sources.FormPipelineSource")
+        .option("rows", 1050).option("partitions", 4).load()
+      val five = feed.select(col("vendor"), col("description"),
+        col("picker_erk"), col("charge_code"), col("po_number"))
+      five.where(feed("submission_id") < 1000)
+        .writeTo("graft_q220.rl.orders").overwrite(lit(true)) // reset per run
+      s.sql("""UPDATE graft_q220.rl.orders SET charge_code = 'RETAG'
+              |WHERE po_number < 'U000000200D'""".stripMargin)
+      five.where(feed("submission_id") >= 150 && feed("submission_id") < 200 ||
+          feed("submission_id") >= 1000)
+        .withColumn("vendor", concat(lit("M-"), col("vendor")))
+        .withColumn("charge_code", lit("CM"))
+        .createOrReplaceTempView("graft_q257_src")
+      s.sql("""MERGE INTO graft_q220.rl.orders t USING graft_q257_src s
+              |ON t.po_number = s.po_number
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.table("graft_q220.rl.orders")
+        .groupBy(col("charge_code"))
+        .agg(count(lit(1)).as("n"),
+          min(col("po_number")).as("min_po"), max(col("po_number")).as("max_po"))
+        .orderBy(col("charge_code"))
+    },
+
+    GraftQuery(
       "q235_sink_compaction",
       "Small-file compaction on the transactional sink — the maintenance operation every streaming/incremental table needs at scale (a year of hourly micro-batch commits is 8760 tiny files; scan cost is per-file): four 200-row appends leave four data files, compact() rewrites them into ONE under a fresh manifest version with the inputs' min/max stats merged (so file-skipping still works), and concurrent readers never see a partial state — the swap is the same atomic manifest publish as any commit. The query proves contents survive byte-exactly and carries the before/after file census in its own output.",
       """WITH src AS (

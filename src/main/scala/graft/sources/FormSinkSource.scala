@@ -627,7 +627,8 @@ object FormSinkSource {
 
 private class FormSinkTable(path: String) extends Table
     with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"form_sink($path)"
   override def schema(): StructType = FormSinkSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -663,6 +664,36 @@ private class FormSinkTable(path: String) extends Table
     require(bad.isEmpty,
       s"form sink cells are strings (reference §1.2); non-string: ${bad.map(_.name).mkString(",")}")
     new FormSinkWriteBuilder(path, info.schema(), info.queryId())
+  }
+
+  /** SQL UPDATE and MERGE INTO land here (group-based row-level operations,
+    * the rewrite framework behind every table format's DML): Spark reads the
+    * affected group through the op's scan, applies the UPDATE/MERGE logic in
+    * its own plan (carrying unchanged rows along), and the op's write
+    * REPLACES the group. The sink's one group is the whole table — honest for
+    * a 5-column form table (the reference's world); a partitioned 100 TB
+    * layout would report per-file groups via runtime filtering instead. The
+    * replacement commit is the same atomic truncate+append manifest swap as
+    * every other mutation, so readers never observe a half-applied UPDATE.
+    * DELETE never routes here: canDeleteWhere accepts first (metadata tier). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new FormSinkRowLevelOperation(path, info.command())
+}
+
+private class FormSinkRowLevelOperation(
+    path: String, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"form_sink $cmd (whole-table group)"
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FormSinkScanBuilder(path, None, None, rowLevel = true)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // the write carries the WHOLE rewritten group: replacement == truncate
+    // of the scanned snapshot + append of the new rows, one manifest swap
+    val b = new FormSinkWriteBuilder(path, info.schema(), info.queryId())
+    b.truncate()
+    b
   }
 }
 
@@ -809,10 +840,18 @@ private class FormSinkDataWriter(file: Path, schema: StructType)
   override def write(row: InternalRow): Unit = {
     val node = mapper.createObjectNode()
     rows += 1
+    // ReplaceData (SQL UPDATE/MERGE) hands the writer rows with Spark's
+    // leading __row_operation marker still attached (Spark 4.1 keeps it for
+    // per-operation metrics); the write schema reports only the data
+    // columns, so consume the LAST schema.length fields. Plain appends have
+    // numFields == schema.length and offset 0.
+    val off = row.numFields - schema.length
+    require(off >= 0 && off <= 1,
+      s"row width ${row.numFields} does not match write schema ${schema.length}")
     schema.fields.zipWithIndex.foreach { case (f, i) =>
-      if (row.isNullAt(i)) node.putNull(f.name)
+      if (row.isNullAt(i + off)) node.putNull(f.name)
       else {
-        val v = row.getUTF8String(i)
+        val v = row.getUTF8String(i + off)
         // clone: getUTF8String may return a mutable buffer-backed view
         if (mins(i) == null || v.compareTo(mins(i)) < 0) mins(i) = v.clone()
         if (maxs(i) == null || v.compareTo(maxs(i)) > 0) maxs(i) = v.clone()
@@ -836,7 +875,8 @@ private class FormSinkDataWriter(file: Path, schema: StructType)
 // ---- read path: one partition per committed file, pruned columns ----
 
 private class FormSinkScanBuilder(path: String, versionAsOf: Option[Long],
-                                  changes: Option[(Long, Long)])
+                                  changes: Option[(Long, Long)],
+                                  rowLevel: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -852,7 +892,10 @@ private class FormSinkScanBuilder(path: String, versionAsOf: Option[Long],
     * handled instead would make the coarse file stats the correctness
     * boundary — pruning must stay an optimization. */
   override def pushFilters(filters: Array[sqlf.Filter]): Array[sqlf.Filter] = {
-    skip = filters.filter(FormSinkSource.skippable)
+    // the row-level (UPDATE/MERGE) scan must read EVERY row of the snapshot
+    // its write will replace: file skipping here would silently drop the
+    // carry-over rows of pruned files at the truncate-replace commit
+    if (!rowLevel) skip = filters.filter(FormSinkSource.skippable)
     filters
   }
   override def pushedFilters(): Array[sqlf.Filter] = skip
@@ -887,8 +930,24 @@ private class FormSinkScanBuilder(path: String, versionAsOf: Option[Long],
     true
   }
 
-  override def build(): Scan =
-    new FormSinkScan(path, required, aggs, versionAsOf, changes, skip.toSeq)
+  override def build(): Scan = {
+    val scan = new FormSinkScan(path, required, aggs, versionAsOf, changes, skip.toSeq)
+    // the row-level scan hides SupportsRuntimeFiltering: Spark's runtime
+    // group-filtering rule would otherwise prune "groups" (with no metadata
+    // group columns, whole rows) out of the scan, and the truncate-replace
+    // write would lose every pruned row. One table = one group, read whole.
+    if (rowLevel) new FormSinkRowLevelScan(scan) else scan
+  }
+}
+
+/** Delegating Scan/Batch WITHOUT the runtime-filtering marker interface —
+  * see build() above. */
+private class FormSinkRowLevelScan(inner: FormSinkScan) extends Scan with Batch {
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = inner.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory = inner.createReaderFactory()
+  override def description(): String = s"rowlevel ${inner.description()}"
 }
 
 private class FormSinkScan(path: String, required: StructType,

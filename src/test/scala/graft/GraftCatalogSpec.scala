@@ -117,6 +117,36 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graftcat.rw.t")
   }
 
+  test("SQL UPDATE and MERGE INTO rewrite through row-level operations") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.rl")
+    spark.sql("""CREATE TABLE IF NOT EXISTS graftcat.rl.t (
+      vendor STRING, description STRING, picker_erk STRING,
+      charge_code STRING, po_number STRING)""")
+    def row(v: String, c: String, po: String) = (v, "d", "2020-01-01", c, po)
+    Seq(row("a", "C1", "U1"), row("b", "C2", "U2"), row("c", "C1", "U3"))
+      .toDF("vendor", "description", "picker_erk", "charge_code", "po_number")
+      .writeTo("graftcat.rl.t").append()
+    // UPDATE: one atomic group rewrite; non-matching rows carried unchanged
+    spark.sql("UPDATE graftcat.rl.t SET vendor = 'X' WHERE charge_code = 'C1'")
+    assert(spark.sql("SELECT vendor FROM graftcat.rl.t ORDER BY po_number")
+      .collect().map(_.getString(0)).toSeq === Seq("X", "b", "X"))
+    // MERGE INTO: matched update + not-matched insert in ONE statement
+    Seq(row("m", "C9", "U2"), row("n", "C9", "U4"))
+      .toDF("vendor", "description", "picker_erk", "charge_code", "po_number")
+      .createOrReplaceTempView("rl_source")
+    spark.sql("""MERGE INTO graftcat.rl.t t USING rl_source s
+      ON t.po_number = s.po_number
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val after = spark.sql(
+      "SELECT po_number, vendor, charge_code FROM graftcat.rl.t ORDER BY po_number")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(after === Seq(("U1", "X", "C1"), ("U2", "m", "C9"),
+      ("U3", "X", "C1"), ("U4", "n", "C9")))
+    spark.sql("DROP TABLE graftcat.rl.t")
+  }
+
   test("FunctionCatalog: sys.cents resolves, type-checks, and computes") {
     // discoverable
     val listed = spark.sql("SHOW FUNCTIONS IN graftcat.sys").collect()
