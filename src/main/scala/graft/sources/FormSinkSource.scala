@@ -192,15 +192,43 @@ object FormSinkSource {
       Files.deleteIfExists(staging)
     }
 
+  /** Streaming-epoch watermarks: the newest manifest's optional
+    * `epochs: {queryId -> last committed epochId}` map. Carried forward by
+    * every streaming commit and consulted BEFORE committing an epoch, so a
+    * replayed micro-batch after a restart is recognized and skipped — the
+    * manifest swap and the epoch record are the SAME atomic publication,
+    * which is what makes streaming-into-the-sink exactly-once. */
+  private[sources] def currentEpochs(path: String): Map[String, Long] = {
+    val newest = graft.util.Scratch.listEntries(manifestDir(path))
+      .flatMap(p => p.getFileName.toString match {
+        case ManifestName(v) => Some(v.toLong -> p)
+        case _               => None
+      }).maxByOption(_._1)
+    newest match {
+      case None => Map.empty
+      case Some((_, p)) =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        Option(mapper.readTree(Files.readAllBytes(p)).get("epochs")).map { e =>
+          e.properties().iterator().asScala
+            .map(en => en.getKey -> en.getValue.asLong()).toMap
+        }.getOrElse(Map.empty)
+    }
+  }
+
   private[sources] def tryPublishManifest(path: String, version: Long,
                                           visible: Seq[String],
-                                          stats: Map[String, FileStats] = Map.empty): Boolean = {
+                                          stats: Map[String, FileStats] = Map.empty,
+                                          epochs: Map[String, Long] = Map.empty): Boolean = {
     val d = manifestDir(path)
     Files.createDirectories(d)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     val arr = node.putArray("files")
     visible.foreach(arr.add)
+    if (epochs.nonEmpty) {
+      val e = node.putObject("epochs")
+      epochs.foreach { case (q, ep) => e.put(q, ep) }
+    }
     val statsNode = node.putObject("stats")
     visible.foreach { n =>
       stats.get(n).foreach { fs =>
@@ -265,7 +293,8 @@ object FormSinkSource {
       }
     } finally out.close()
     if (tryPublishManifest(path, version + 1, Seq(mergedName),
-        mergedStats.map { case (_, fs) => mergedName -> fs }))
+        mergedStats.map { case (_, fs) => mergedName -> fs },
+        currentEpochs(path)))
       Some(version + 1)
     else { Files.deleteIfExists(merged); None } // lost to a concurrent commit
   }
@@ -304,7 +333,8 @@ object FormSinkSource {
     if (created.isEmpty && out.map(_._1) == files)
       return Some(version) // stats proved a no-op or the predicate matched nothing
     if (tryPublishManifest(path, version + 1, out.map(_._1),
-        out.collect { case (n, Some(fs)) => n -> fs }.toMap))
+        out.collect { case (n, Some(fs)) => n -> fs }.toMap,
+        currentEpochs(path)))
       Some(version + 1)
     else { created.foreach(Files.deleteIfExists(_)); None } // lost the race
   }
@@ -479,7 +509,8 @@ object FormSinkSource {
     }
     if (created.isEmpty) return Some(version) // nothing matched, nothing new
     if (tryPublishManifest(path, version + 1, out.map(_._1).toSeq,
-        out.collect { case (n, Some(fs)) => n -> fs }.toMap))
+        out.collect { case (n, Some(fs)) => n -> fs }.toMap,
+        currentEpochs(path)))
       Some(version + 1)
     else { created.foreach(Files.deleteIfExists(_)); None } // lost the race
   }
@@ -633,7 +664,8 @@ private class FormSinkTable(path: String) extends Table
   override def schema(): StructType = FormSinkSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE)
 
   /** SQL `DELETE FROM t WHERE ...` lands here (metadata-only delete in
     * Spark's taxonomy — the sink's copy-on-write delete IS metadata-level:
@@ -722,6 +754,75 @@ private class FormSinkWriteBuilder(path: String, schema: StructType, jobId: Stri
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new FormSinkBatchWrite(path, schema, truncateFirst, replaceWhere, jobId)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new FormSinkStreamingWrite(path, schema, jobId)
+  }
+}
+
+/** Native Structured Streaming sink (`writeStream.toTable` / format(...)):
+  * each micro-batch epoch commits through the SAME manifest swap as a batch
+  * append, and the manifest additionally records `{queryId -> epochId}` IN
+  * the same atomic publication — so a micro-batch replayed after a restart
+  * (offset log ahead of sink state) is detected by its epoch number and
+  * skipped, never double-appended. That makes the sink end-to-end
+  * exactly-once under the file-stream source's replayable offsets, without
+  * foreachBatch (the q116 formulation this supersedes for plain appends). */
+private class FormSinkStreamingWrite(path: String, schema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new FormSinkStreamingWriterFactory(path, schema, queryId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val staging = FormSinkSource.stagingDir(path, s"$queryId-epoch-$epochId")
+    val staged = messages.collect { case m: StagedFileMessage if m.rows > 0 => m }
+      .sortBy(_.fileName)
+    val names = staged.map(_.fileName).toSeq
+    val newStats = staged.map(m =>
+      m.fileName -> FormSinkSource.FileStats(m.rows, m.mins, m.maxs)).toMap
+    var published = false
+    while (!published) {
+      val (version, current, currentStats) = FormSinkSource.currentManifestFull(path)
+      val epochs = FormSinkSource.currentEpochs(path)
+      // replayed epoch (restart re-ran a committed micro-batch): drop it
+      if (epochs.get(queryId).exists(_ >= epochId)) {
+        FormSinkSource.sweepStaging(staging)
+        return
+      }
+      if (names.isEmpty) { published = true } // empty batch: no version churn
+      else {
+        names.foreach { name =>
+          val target = FormSinkSource.dataDir(path).resolve(name)
+          if (!Files.exists(target)) // replay-safe: an earlier attempt moved it
+            Files.move(staging.resolve(name), target, StandardCopyOption.ATOMIC_MOVE)
+        }
+        published = FormSinkSource.tryPublishManifest(path, version + 1,
+          current ++ names, currentStats ++ newStats,
+          epochs + (queryId -> epochId))
+      }
+    }
+    FormSinkSource.sweepStaging(staging)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    FormSinkSource.sweepStaging(
+      FormSinkSource.stagingDir(path, s"$queryId-epoch-$epochId"))
+}
+
+/** Task-side streaming writer factory — a named top-level class so the
+  * closure ships only (path, schema, queryId), never the driver-side write. */
+private class FormSinkStreamingWriterFactory(path: String, schema: StructType,
+                                             queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] = {
+    val staging = FormSinkSource.stagingDir(path, s"$queryId-epoch-$epochId")
+    Files.createDirectories(staging)
+    val name =
+      f"stream-$epochId%05d-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.jsonl"
+    new FormSinkDataWriter(staging.resolve(name), schema)
   }
 }
 
@@ -789,7 +890,8 @@ private class FormSinkBatchWrite(path: String, schema: StructType,
       // carry the surviving files' stats forward — a commit must never
       // degrade an older file from "skippable" back to "always read"
       val stats = survivors.collect { case (n, Some(fs)) => n -> fs }.toMap ++ newStats
-      published = FormSinkSource.tryPublishManifest(path, version + 1, visible, stats)
+      published = FormSinkSource.tryPublishManifest(path, version + 1, visible, stats,
+        FormSinkSource.currentEpochs(path))
       if (!published) rewrites.foreach(Files.deleteIfExists(_))
       // truncate drops the old files from the manifest; physically delete
       // them only AFTER the swap (readers of the old manifest mid-scan keep

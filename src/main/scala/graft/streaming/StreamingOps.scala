@@ -534,6 +534,35 @@ object StreamingOps {
     },
 
     GraftQuery(
+      "q258_stream_native_sink",
+      "NATIVE streaming write into the transactional sink — writeStream straight at the DSv2 table (STREAMING_WRITE capability), no foreachBatch shim: every micro-batch epoch is one manifest-swap commit that records {queryId -> epochId} IN the same atomic publication, so a replayed micro-batch after a crash-restart is recognized by its epoch and skipped — end-to-end exactly-once from the file-stream source's replayable offsets to the table, the property q116's foreachBatch route could only get per-batch. Read back through the committed manifest and verified against the batch census.",
+      """SELECT event_type AS vendor, count(*) AS n,
+        |  min(CAST(event_id AS VARCHAR)) AS min_id
+        |FROM events WHERE event_id >= 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dir = graft.util.Scratch.dir("graft-q258-sink").toString
+      val ckpt = graft.util.Scratch.dir("graft-q258-ckpt").toString
+      val sinkFmt = graft.sources.FormSinkSource.Format
+      val stream = twoBatchEventsStream(s, d)
+        .filter(col("event_id") >= 0) // sentinel stays out of the table
+        .select(col("event_type").as("vendor"),
+          lit("event").as("description"),
+          date_format(col("ts"), "yyyy-MM-dd").as("picker_erk"),
+          lit("C0").as("charge_code"),
+          col("event_id").cast("string").as("po_number"))
+      val q = stream.writeStream
+        .format(sinkFmt).option("path", dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.format(sinkFmt).option("path", dir).load()
+        .groupBy(col("vendor"))
+        .agg(count(lit(1)).as("n"), min(col("po_number")).as("min_id"))
+        .orderBy(col("vendor"))
+    },
+
+    GraftQuery(
       "q248_state_reader",
       "The state-store DATA SOURCE (Spark 4's statestore format): after a checkpointed streaming aggregation runs, its internal state — the per-group aggregation buffers — is read back OFFLINE as a DataFrame (key.event_type, value.count, value.sum) straight from the checkpoint, no query running. This is the streaming-ops debugging/audit surface: inspect what a production job's state actually holds, reconcile it against the source of truth, size it per key — here the state buffers must equal the batch aggregate exactly, which is precisely the reconciliation a production runbook performs.",
       """SELECT event_type, count(*) AS n,

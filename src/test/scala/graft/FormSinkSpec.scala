@@ -581,4 +581,34 @@ class FormSinkSpec extends SparkSpec {
       assert(FormSinkSource.merge(dir, "po_number", (1 to 3).map(img)).nonEmpty)
     } finally spark.conf.unset("spark.graft.sink.maxMergeImages")
   }
+
+  test("streaming epochs are exactly-once: a replayed micro-batch is skipped") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp()
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
+    val src = Files.createTempDirectory("graft-sink-stream-src")
+    val rows = feed(1, 100)
+    rows.coalesce(1).write.mode("overwrite").parquet(src.toString)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(rows.schema).parquet(src.toString)
+        .writeStream.format(FormSinkSource.Format)
+        .option("path", dir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val n = rows.count()
+    def tableCount() = spark.read.format(FormSinkSource.Format)
+      .option("path", dir).load().count()
+    assert(tableCount() === n)
+    val (v1, _) = FormSinkSource.snapshotInfo(dir)
+    // simulate the crash-replay window: wipe the SINK's commit record of the
+    // epoch... no — the epoch record IS in the manifest; instead delete the
+    // source's checkpoint commit log so the restarted query re-runs batch 0
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+    commits.foreach(_.delete())
+    runOnce() // replays epoch 0 against the sink
+    assert(tableCount() === n, "replayed epoch was double-committed")
+    assert(FormSinkSource.snapshotInfo(dir)._1 === v1, "replay advanced the version")
+  }
 }
