@@ -665,7 +665,7 @@ private class FormSinkTable(path: String) extends Table
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   /** SQL `DELETE FROM t WHERE ...` lands here (metadata-only delete in
     * Spark's taxonomy — the sink's copy-on-write delete IS metadata-level:
@@ -1158,6 +1158,45 @@ private class FormSinkScan(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     if (aggs.isEmpty) new FormSinkReaderFactory(required)
     else new FormSinkAggReaderFactory(aggs)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FormSinkMicroBatchStream(path, required)
+}
+
+/** The sink as a STREAMING SOURCE — the manifest log IS the offset axis:
+  * each committed version is an offset, a micro-batch reads exactly the
+  * files the versions in (start, end] added (the change feed, q109, driven
+  * by the engine's own offset tracking instead of a manual cursor), and the
+  * checkpoint's offset log makes downstream consumption exactly-once across
+  * restarts. Append-only by the same contract as the change feed: a range
+  * spanning a truncate/compaction rewrite fails loud rather than replaying
+  * rewritten history. */
+private case class SinkVersionOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+private class FormSinkMicroBatchStream(path: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  override def initialOffset(): Offset = SinkVersionOffset(0L)
+  override def latestOffset(): Offset =
+    SinkVersionOffset(FormSinkSource.currentManifest(path)._1)
+  override def deserializeOffset(json: String): Offset =
+    SinkVersionOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[SinkVersionOffset].v
+    val to = end.asInstanceOf[SinkVersionOffset].v
+    if (from >= to) Array.empty
+    else FormSinkSource.addedFilesBetween(path, from, to)._1
+      .map(n => SinkFilePartition(
+        FormSinkSource.dataDir(path).resolve(n).toString): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FormSinkReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private case class SinkAggPartition(files: Seq[String]) extends InputPartition

@@ -563,6 +563,40 @@ object StreamingOps {
     },
 
     GraftQuery(
+      "q259_sink_stream_source",
+      "The sink as a STREAMING SOURCE (DSv2 MICRO_BATCH_READ): the manifest log is the offset axis — three batch commits seed versions 1..3, readStream on the table turns each version's added files into a micro-batch (q109's change feed driven by the engine's offset tracking, checkpointed, restart-safe), and a streaming aggregate consumes them. Together with q258's epoch-recording writes the sink is now a full streaming TABLE: exactly-once in, exactly-once out, which is the contract that lets a 100 TB pipeline chain tables instead of topics.",
+      """WITH src AS (
+        |  SELECT i, 'V' || (i % 5) AS vendor, printf('U%09dD', i) AS po_number
+        |  FROM unnest(generate_series(0, 899)) AS t(i))
+        |SELECT vendor, count(*) AS n, min(po_number) AS min_po, max(po_number) AS max_po
+        |FROM src GROUP BY vendor ORDER BY vendor""".stripMargin) { (s, d) =>
+      val dir = graft.util.Scratch.dir("graft-q259-sink").toString
+      val ckpt = graft.util.Scratch.dir("graft-q259-ckpt").toString
+      val sinkFmt = graft.sources.FormSinkSource.Format
+      val feed = s.read.format("graft.sources.FormPipelineSource")
+        .option("rows", 900).option("partitions", 3).load()
+      val rows = feed.select(
+        concat(lit("V"), expr("submission_id % 5")).as("vendor"),
+        lit("d").as("description"), lit("2020-01-01").as("picker_erk"),
+        lit("C0").as("charge_code"), col("po_number"), col("submission_id"))
+      (0 until 3).foreach { b => // three manifest versions = three offsets
+        rows.where(col("submission_id") >= b * 300 && col("submission_id") < (b + 1) * 300)
+          .drop("submission_id")
+          .write.format(sinkFmt).mode("append").option("path", dir).save()
+      }
+      val agg = s.readStream.format(sinkFmt).option("path", dir).load()
+        .groupBy(col("vendor"))
+        .agg(count(lit(1)).as("n"),
+          min(col("po_number")).as("min_po"), max(col("po_number")).as("max_po"))
+      val q = agg.writeStream.format("memory")
+        .queryName(s"q259_sink_${System.nanoTime()}")
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(q.name).orderBy(col("vendor"))
+    },
+
+    GraftQuery(
       "q248_state_reader",
       "The state-store DATA SOURCE (Spark 4's statestore format): after a checkpointed streaming aggregation runs, its internal state — the per-group aggregation buffers — is read back OFFLINE as a DataFrame (key.event_type, value.count, value.sum) straight from the checkpoint, no query running. This is the streaming-ops debugging/audit surface: inspect what a production job's state actually holds, reconcile it against the source of truth, size it per key — here the state buffers must equal the batch aggregate exactly, which is precisely the reconciliation a production runbook performs.",
       """SELECT event_type, count(*) AS n,
