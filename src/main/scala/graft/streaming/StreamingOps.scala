@@ -597,6 +597,49 @@ object StreamingOps {
     },
 
     GraftQuery(
+      "q260_stream_table_to_table",
+      "Tables, not topics — the medallion-architecture hop as ONE streaming query: readStream from sink table A (manifest-version offsets, q259) -> transform (vendor normalization + a derived charge band) -> writeStream into sink table B (epoch-recording exactly-once commits, q258). Offsets checkpoint against A, epochs record in B, so the hop is exactly-once end to end and restartable at either side — the structural primitive that replaces a message bus with transactional tables all the way down a 100 TB pipeline. Verified by the census of B.",
+      """WITH src AS (
+        |  SELECT i, 'V' || (i % 5) AS vendor, printf('U%09dD', i) AS po_number
+        |  FROM unnest(generate_series(0, 599)) AS t(i)),
+        |hop AS (SELECT lower(vendor) AS vendor,
+        |    CASE WHEN i % 5 < 2 THEN 'low' ELSE 'high' END AS charge_code,
+        |    po_number
+        |  FROM src)
+        |SELECT vendor, charge_code, count(*) AS n, max(po_number) AS max_po
+        |FROM hop GROUP BY vendor, charge_code ORDER BY vendor, charge_code""".stripMargin) { (s, d) =>
+      val dirA = graft.util.Scratch.dir("graft-q260-a").toString
+      val dirB = graft.util.Scratch.dir("graft-q260-b").toString
+      val ckpt = graft.util.Scratch.dir("graft-q260-ckpt").toString
+      val sinkFmt = graft.sources.FormSinkSource.Format
+      val feed = s.read.format("graft.sources.FormPipelineSource")
+        .option("rows", 600).option("partitions", 3).load()
+      val rows = feed.select(
+        concat(lit("V"), expr("submission_id % 5")).as("vendor"),
+        lit("d").as("description"), lit("2020-01-01").as("picker_erk"),
+        lit("C0").as("charge_code"), col("po_number"), col("submission_id"))
+      (0 until 2).foreach { b => // two source versions = two micro-batches
+        rows.where(col("submission_id") >= b * 300 && col("submission_id") < (b + 1) * 300)
+          .drop("submission_id")
+          .write.format(sinkFmt).mode("append").option("path", dirA).save()
+      }
+      val hop = s.readStream.format(sinkFmt).option("path", dirA).load()
+        .select(lower(col("vendor")).as("vendor"),
+          col("description"), col("picker_erk"),
+          when(expr("CAST(substring(vendor, 2) AS INT) % 5") < 2, "low")
+            .otherwise("high").as("charge_code"),
+          col("po_number"))
+      val q = hop.writeStream.format(sinkFmt)
+        .option("path", dirB).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.format(sinkFmt).option("path", dirB).load()
+        .groupBy(col("vendor"), col("charge_code"))
+        .agg(count(lit(1)).as("n"), max(col("po_number")).as("max_po"))
+        .orderBy(col("vendor"), col("charge_code"))
+    },
+
+    GraftQuery(
       "q248_state_reader",
       "The state-store DATA SOURCE (Spark 4's statestore format): after a checkpointed streaming aggregation runs, its internal state — the per-group aggregation buffers — is read back OFFLINE as a DataFrame (key.event_type, value.count, value.sum) straight from the checkpoint, no query running. This is the streaming-ops debugging/audit surface: inspect what a production job's state actually holds, reconcile it against the source of truth, size it per key — here the state buffers must equal the batch aggregate exactly, which is precisely the reconciliation a production runbook performs.",
       """SELECT event_type, count(*) AS n,
