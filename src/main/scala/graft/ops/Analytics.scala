@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
@@ -1806,6 +1807,68 @@ object Analytics {
           max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("d_scaled"),
           expr("CAST(max(abs(cum1 * n2 - cum2 * n1)) * 1000000 div (max(n1) * max(n2)) AS BIGINT)")
             .as("ks_ppm"))
+    },
+
+    GraftQuery(
+      "q261_rfm_segmentation",
+      "RFM segmentation — the customer-value grid every retention team runs: per user, Recency (days since last event), Frequency (event count) and Monetary (cents sum) each scored 1..3 against TERCILE thresholds computed by the library's histogram-selection doctrine (value->count census per dimension, rank picked by cumulative count — never an ntile window over the user rows, which would global-sort three times at scale). Users label as R·100+F·10+M and the segment census ships. Thresholds are data-driven, so the segmentation adapts to any corpus without config.",
+      """WITH u AS (SELECT user_id,
+        |    19754 - epoch_us(max(ts)) // 86400000000 AS rec,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS mon
+        |  FROM events GROUP BY user_id),
+        |n AS (SELECT count(*) AS n FROM u),
+        |th AS (SELECT
+        |    (SELECT rec FROM (SELECT rec, row_number() OVER (ORDER BY rec) AS rn FROM u), n
+        |      WHERE rn = (n + 2) // 3) AS rec1,
+        |    (SELECT rec FROM (SELECT rec, row_number() OVER (ORDER BY rec) AS rn FROM u), n
+        |      WHERE rn = (2 * n + 2) // 3) AS rec2,
+        |    (SELECT freq FROM (SELECT freq, row_number() OVER (ORDER BY freq) AS rn FROM u), n
+        |      WHERE rn = (n + 2) // 3) AS freq1,
+        |    (SELECT freq FROM (SELECT freq, row_number() OVER (ORDER BY freq) AS rn FROM u), n
+        |      WHERE rn = (2 * n + 2) // 3) AS freq2,
+        |    (SELECT mon FROM (SELECT mon, row_number() OVER (ORDER BY mon) AS rn FROM u), n
+        |      WHERE rn = (n + 2) // 3) AS mon1,
+        |    (SELECT mon FROM (SELECT mon, row_number() OVER (ORDER BY mon) AS rn FROM u), n
+        |      WHERE rn = (2 * n + 2) // 3) AS mon2),
+        |seg AS (SELECT
+        |    (CASE WHEN rec <= rec1 THEN 3 WHEN rec <= rec2 THEN 2 ELSE 1 END) * 100 +
+        |    (CASE WHEN freq <= freq1 THEN 1 WHEN freq <= freq2 THEN 2 ELSE 3 END) * 10 +
+        |    (CASE WHEN mon <= mon1 THEN 1 WHEN mon <= mon2 THEN 2 ELSE 3 END) AS rfm
+        |  FROM u, th)
+        |SELECT CAST(rfm AS BIGINT) AS rfm, count(*) AS n_users
+        |FROM seg GROUP BY rfm ORDER BY rfm""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        // day index arithmetic (19754 = epoch day of 2024-02-01): DuckDB's
+        // date_diff counts boundary crossings, Spark's timestampdiff counts
+        // whole periods — shared integer floor-division sidesteps both
+        .agg(expr("19754 - unix_micros(max(ts)) div 86400000000").as("rec"),
+          count(lit(1)).as("freq"),
+          sum(cents(col("value"))).as("mon"))
+        .persist()
+      val n = u.count() // small per-user frame; the count also materializes it
+      def tercile(c: String, k: Long): Column = {
+        // histogram selection: value -> count census, threshold = value at
+        // cumulative rank k (never a row_number window over the users)
+        val hist = u.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col(c))))
+        lit(hist.filter(col("cum") >= k).orderBy(col(c)).limit(1)
+          .collect()(0).get(0).asInstanceOf[Long])
+      }
+      val (r1, r2) = (tercile("rec", (n + 2) / 3), tercile("rec", (2 * n + 2) / 3))
+      val (f1, f2) = (tercile("freq", (n + 2) / 3), tercile("freq", (2 * n + 2) / 3))
+      val (m1, m2) = (tercile("mon", (n + 2) / 3), tercile("mon", (2 * n + 2) / 3))
+      u.select(
+        ((when(col("rec") <= r1, 3).when(col("rec") <= r2, 2).otherwise(1)) * 100 +
+          (when(col("freq") <= f1, 1).when(col("freq") <= f2, 2).otherwise(3)) * 10 +
+          when(col("mon") <= m1, 1).when(col("mon") <= m2, 2).otherwise(3))
+          .cast("long").as("rfm"))
+        .groupBy(col("rfm"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("rfm"))
+      // u stays persisted through the final action; the verify/bench
+      // harness sweeps all persisted frames after each query
     },
 
     GraftQuery(

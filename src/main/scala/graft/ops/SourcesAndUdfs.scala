@@ -368,6 +368,49 @@ object SourcesAndUdfs {
     },
 
     GraftQuery(
+      "q262_clamped_running_balance",
+      "Clamped running balance — the ledger fold window functions CANNOT express (each step depends non-linearly on the previous state: bal = max(0, bal + delta)): per user, signups/views/clicks credit cents, purchases/errors debit, and the balance floors at zero with every clamp counted. One flatMapSortedGroups pass, O(1) state, engine-sorted groups (q239's API carrying a genuine state machine). The oracle is the honest WITH RECURSIVE step-by-step evaluation — the only way SQL can say it, and exactly why the typed fold is the scale path.",
+      """WITH RECURSIVE e AS (SELECT user_id,
+        |    CASE WHEN event_type IN ('purchase', 'error')
+        |         THEN -CAST(floor(value * 100) AS BIGINT)
+        |         ELSE CAST(floor(value * 100) AS BIGINT) END AS delta,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |last AS (SELECT user_id, max(rn) AS last_rn FROM e GROUP BY user_id),
+        |b AS (
+        |  SELECT user_id, rn, greatest(0, delta) AS bal,
+        |    CASE WHEN delta < 0 THEN 1 ELSE 0 END AS clamps
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, greatest(0, b.bal + e.delta),
+        |    b.clamps + CASE WHEN b.bal + e.delta < 0 THEN 1 ELSE 0 END
+        |  FROM b JOIN e ON e.user_id = b.user_id AND e.rn = b.rn + 1)
+        |SELECT b.user_id, CAST(b.bal AS BIGINT) AS final_cents,
+        |  CAST(b.clamps AS BIGINT) AS n_clamps
+        |FROM b JOIN last ON b.user_id = last.user_id AND b.rn = last.last_rn
+        |ORDER BY b.user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("tsu"), col("event_id"),
+          when(col("event_type").isin("purchase", "error"),
+            -cents(col("value"))).otherwise(cents(col("value"))).as("delta"))
+        .as[(Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapSortedGroups(col("tsu"), col("event_id")) {
+          (user: Long, rows: Iterator[(Long, Long, Long, Long)]) =>
+            var bal = 0L; var clamps = 0L
+            rows.foreach { r =>
+              val next = bal + r._4
+              if (next < 0) { bal = 0L; clamps += 1 } else bal = next
+            }
+            Iterator.single((user, bal, clamps))
+        }
+        .toDF("user_id", "final_cents", "n_clamps")
+        .orderBy(col("user_id"))
+    },
+
+    GraftQuery(
       "q252_csv_scalar_roundtrip",
       "Scalar CSV codec surface (to_csv/from_csv — the per-VALUE twin of q64's file-level source, for CSV payloads embedded in a column the way Kafka ships them): each supplier row serializes to a CSV line with to_csv, parses back with from_csv under an explicit schema (no inference on the hot path), a deliberately malformed line exercises PERMISSIVE null-out semantics, and the round-tripped fields aggregate per nation. At scale this is the decode step of any 'CSV lines inside a message queue' ingest — per-row, codegen-adjacent, schema-checked at analysis time.",
       """SELECT s_nationkey, count(*) AS n,
