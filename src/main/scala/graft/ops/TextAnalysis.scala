@@ -36,6 +36,78 @@ object TextAnalysis {
   def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
+      "q264_lang_vocab_overlap",
+      "Cross-language vocabulary overlap — the corpus-comparability matrix (shared loanwords/numerals across language shards, a contamination smell when it spikes): per language the top-50 tokens by frequency (ties broken by token for determinism), then every language PAIR's intersection via a token-keyed equi-join over the 250-row vocab frame (never a pairwise array cross product) and exact Jaccard in ppm. The per-lang top-k is a WindowGroupLimit over an already-aggregated (lang, token) census — bounded by vocabulary, not corpus.",
+      """WITH tok AS (SELECT lang, unnest(list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |top AS (SELECT lang, token FROM (
+        |    SELECT lang, token,
+        |      row_number() OVER (PARTITION BY lang ORDER BY c DESC, token) AS rn
+        |    FROM cnt) WHERE rn <= 50),
+        |pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS common
+        |  FROM top a JOIN top b ON a.token = b.token AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT lang_a, lang_b, common,
+        |  common * 1000000 // (100 - common) AS jaccard_ppm
+        |FROM pairs ORDER BY lang_a, lang_b""".stripMargin) { (s, d) =>
+      val cnt = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      import org.apache.spark.sql.expressions.Window
+      val top = cnt
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("c").desc, col("token"))))
+        .filter(col("rn") <= 50)
+        .select(col("lang"), col("token"))
+      val a = top.select(col("lang").as("lang_a"), col("token"))
+      val b = top.select(col("lang").as("lang_b"), col("token").as("token_b"))
+      a.join(b, col("token") === col("token_b") && col("lang_a") < col("lang_b"))
+        .groupBy(col("lang_a"), col("lang_b"))
+        .agg(count(lit(1)).as("common"))
+        .withColumn("jaccard_ppm", expr("common * 1000000 div (100 - common)"))
+        .orderBy(col("lang_a"), col("lang_b"))
+    },
+
+    GraftQuery(
+      "q263_url_canonicalization",
+      "URL canonicalization — the dedup-key normalization every web-corpus pipeline runs before exact dedup (CommonCrawl-style): mixed-case scheme/host lowered, default :443 port stripped, fragment dropped, utm_* tracking params removed, surviving query params SORTED — so the same resource under cosmetic variants (param order flipped by row parity, a unique utm_ tag per row) collapses to one canonical key. The Spark side does the real string surgery (regexp part extraction, filter/array_sort/array_join over the param list); the oracle constructs the expected canonical form analytically. Census: raw distinct stays per-row, canonical collapses ~n -> 50.",
+      """WITH u AS (SELECT o_orderpriority AS prio, o_orderkey AS k,
+        |    'https://shop.example.com/p/' || (o_orderkey % 50) || '?a=2&b=1' AS canon
+        |  FROM orders)
+        |SELECT prio, count(*) AS n,
+        |  count(DISTINCT k) AS n_raw,
+        |  count(DISTINCT canon) AS n_canon,
+        |  min(canon) AS min_canon
+        |FROM u GROUP BY prio ORDER BY prio""".stripMargin) { (s, d) =>
+      val raw = expr(
+        """concat('HTTPS://Shop.Example.COM:443/p/', o_orderkey % 50,
+          |  CASE WHEN o_orderkey % 2 = 0 THEN '?b=1&a=2' ELSE '?a=2&b=1' END,
+          |  '&utm_s=', o_orderkey, '#frag')""".stripMargin)
+      Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"), col("o_orderkey").as("k"),
+          raw.as("url"))
+        .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
+        .withColumn("proto", lower(regexp_extract(col("nofrag"), "^([A-Za-z]+)://", 1)))
+        .withColumn("host",
+          regexp_replace(lower(regexp_extract(col("nofrag"), "://([^/]+)", 1)), ":443$", ""))
+        .withColumn("path", regexp_extract(col("nofrag"), "://[^/]+(/[^?]*)", 1))
+        .withColumn("query", regexp_extract(col("nofrag"), "\\?(.*)$", 1))
+        .withColumn("canon_q", expr(
+          "array_join(array_sort(filter(split(query, '&'), p -> NOT startswith(p, 'utm_'))), '&')"))
+        .withColumn("canon", concat(col("proto"), lit("://"), col("host"), col("path"),
+          when(col("canon_q") =!= "", concat(lit("?"), col("canon_q"))).otherwise(lit(""))))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("url")).as("n_raw"),
+          countDistinct(col("canon")).as("n_canon"),
+          min(col("canon")).as("min_canon"))
+        .orderBy(col("prio"))
+    },
+
+    GraftQuery(
       "q129_vocab_coverage",
       "Tokenizer vocabulary coverage: learn a 256-entry vocabulary (top tokens by corpus frequency, lexicographic tie-break) and measure per-language out-of-vocabulary rates as exact integer ppm. The vocab is an explicitly broadcast 256-row frame — the membership probe is a map-side hash lookup at any corpus size, never a shuffle of the token stream; the OOV census is the go/no-go check before committing a tokenizer to a 100 TB pretraining run.",
       """WITH t AS (SELECT lang,
