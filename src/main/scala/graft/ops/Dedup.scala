@@ -111,6 +111,70 @@ object Dedup {
   def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
+      "q265_minhash_calibration",
+      "MinHash ESTIMATOR CALIBRATION — the evaluation every dedup deployment owes its threshold choice: for every doc pair sharing a shingle, the exact 3-gram Jaccard (q38's verification tier) meets the 32-component signature estimate (matching components x 31250 ppm), bucketed by exact-similarity decile with pair count, mean estimate and mean absolute error per bucket. This is how you pick the LSH band threshold empirically: the bucket where |error| stops drowning the signal IS the operating point. All integer ppm; the signature join touches the 460-row signature frame, not the corpus.",
+      {
+        val hs = s"${h60Sql("sh")} % $P"
+        val mins = hashParams.zipWithIndex.map { case ((a, b), i) =>
+          s"min(($a*hs + $b) % $P) AS mh" + f"$i%02d"
+        }.mkString(", ")
+        val sigList = hashParams.indices.map(i => f"mh$i%02d").mkString("[", ", ", "]")
+        s"""WITH $tokCte,
+           |$shCte,
+           |h AS (SELECT doc_id, $hs AS hs FROM sh),
+           |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+           |sigl AS (SELECT doc_id, $sigList AS sig FROM sig),
+           |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2),
+           |pairs AS (SELECT doc_a, doc_b,
+           |    CAST(floor(1000000.0 * inter / (x.sz + y.sz - inter)) AS BIGINT) AS exact_ppm,
+           |    CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+           |      q -> CASE WHEN q[1] = q[2] THEN 1 ELSE 0 END)) * 31250 AS BIGINT) AS est_ppm
+           |  FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+           |  JOIN sigl sa ON sa.doc_id = doc_a JOIN sigl sb ON sb.doc_id = doc_b)
+           |SELECT exact_ppm // 100000 AS decile, count(*) AS n_pairs,
+           |  CAST(sum(est_ppm) // count(*) AS BIGINT) AS mean_est_ppm,
+           |  CAST(sum(exact_ppm) // count(*) AS BIGINT) AS mean_exact_ppm,
+           |  CAST(sum(abs(est_ppm - exact_ppm)) // count(*) AS BIGINT) AS mean_abs_err_ppm
+           |FROM pairs GROUP BY decile ORDER BY decile""".stripMargin
+      }) { (s, d) =>
+      val sh = graft.util.CacheOnce.persistForOneAction(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh")))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val as = hashParams.map(_._1).toArray
+      val bs = hashParams.map(_._2).toArray
+      val sig = sh.withColumn("hs", pmod(h60(col("sh")), lit(P)))
+        .groupBy(col("doc_id"))
+        .agg(graft.functions.GraftFunctions.minhashAgg(col("hs"), as, bs, P).as("sig"))
+      val pairs = inter
+        .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+        .select(
+          expr("CAST(floor(1000000.0 * inter / (sza + szb - inter)) AS BIGINT)")
+            .as("exact_ppm"),
+          (expr("aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (acc, v) -> acc + v)")
+            * 31250L).as("est_ppm"))
+      pairs
+        .groupBy(expr("exact_ppm div 100000").as("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("CAST(sum(est_ppm) div count(*) AS BIGINT)").as("mean_est_ppm"),
+          expr("CAST(sum(exact_ppm) div count(*) AS BIGINT)").as("mean_exact_ppm"),
+          expr("CAST(sum(abs(est_ppm - exact_ppm)) div count(*) AS BIGINT)")
+            .as("mean_abs_err_ppm"))
+        .orderBy(col("decile"))
+    },
+
+    GraftQuery(
       "q37_exact_dedup",
       "Exact dedup as hash-groupBy: normalize whitespace/case, group by md5 of the normalized text (16-byte shuffle keys, not documents), keep min(doc_id) as canonical.",
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
