@@ -207,6 +207,92 @@ object Similarity {
     },
 
     GraftQuery(
+      "q266_ann_recall",
+      "ANN RECALL EVALUATION — q265's calibration doctrine applied to similarity search: for 50 probe vectors, IVF(nprobe=2) top-5 (q73's index shape) meets the brute-force exact top-5, and recall@5 = |intersection| per probe ships as a histogram plus the corpus mean in ppm. This is the accuracy-vs-cost dial of every vector index: nprobe trades the recall this query MEASURES against the candidate volume it scans — deploying an index without this number is guessing. Brute force runs only over the 50-probe sample (the labeled-verification tier); the IVF side touches only its probed lists.",
+      s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id < 16),
+         |dists AS (SELECT v.vec_id, c.cid,
+         |    v.nrm * v.nrm + c.cnrm * c.cnrm - 2 * ${dotSql("v.embedding", "c.cemb")} AS d2
+         |  FROM n v, cent c),
+         |asgn AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         |    FROM dists) WHERE rk = 1),
+         |probes AS (SELECT vec_id AS probe_id FROM n WHERE vec_id >= 16 AND vec_id < 66),
+         |plists AS (SELECT p.probe_id, d.cid FROM probes p
+         |  JOIN dists d ON d.vec_id = p.probe_id
+         |  QUALIFY row_number() OVER (PARTITION BY p.probe_id ORDER BY d.d2, d.cid) <= 2),
+         |sim AS (SELECT p.probe_id, v.vec_id,
+         |    CASE WHEN pn.nrm * v.nrm = 0 THEN 0.0
+         |         ELSE ${dotSql("pn.embedding", "v.embedding")} / (pn.nrm * v.nrm) END AS sim
+         |  FROM probes p JOIN n pn ON pn.vec_id = p.probe_id
+         |  CROSS JOIN n v WHERE v.vec_id <> p.probe_id),
+         |exact AS (SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rk
+         |    FROM sim) WHERE rk <= 5),
+         |ivf AS (SELECT probe_id, vec_id FROM (
+         |    SELECT s.probe_id, s.vec_id,
+         |      row_number() OVER (PARTITION BY s.probe_id ORDER BY s.sim DESC, s.vec_id) AS rk
+         |    FROM sim s JOIN plists pl ON pl.probe_id = s.probe_id
+         |    JOIN asgn a ON a.vec_id = s.vec_id AND a.cid = pl.cid)
+         |  WHERE rk <= 5),
+         |rec AS (SELECT e.probe_id,
+         |    CAST(count(i.vec_id) AS BIGINT) AS hits
+         |  FROM exact e LEFT JOIN ivf i
+         |    ON i.probe_id = e.probe_id AND i.vec_id = e.vec_id
+         |  GROUP BY e.probe_id),
+         |g AS (SELECT hits AS recall_x5, count(*) AS n_probes FROM rec GROUP BY hits)
+         |SELECT recall_x5, n_probes,
+         |  CAST(sum(recall_x5 * n_probes) OVER () * 1000000
+         |       // (sum(n_probes) OVER () * 5) AS BIGINT) AS mean_recall_ppm
+         |FROM g ORDER BY recall_x5""".stripMargin) { (s, d) =>
+      val n = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      val cent = n.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+      val d2 = col("nrm") * col("nrm") + col("cnrm") * col("cnrm") -
+        lit(2) * dotProduct(col("embedding"), col("cemb"))
+      val dists = n.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), d2.as("d2"))
+      val byDist = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      val ranked = dists.withColumn("rk", row_number().over(byDist))
+      val asgn = ranked.filter(col("rk") === 1).select(col("vec_id"), col("cid"))
+      val plists = ranked.filter(col("vec_id") >= 16 && col("vec_id") < 66 && col("rk") <= 2)
+        .select(col("vec_id").as("probe_id"), col("cid"))
+      val p = n.filter(col("vec_id") >= 16 && col("vec_id") < 66)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"),
+          col("nrm").as("pnrm"))
+      val v = n.select(col("vec_id"), col("embedding").as("vemb"), col("nrm").as("vnrm"))
+      val nn = col("pnrm") * col("vnrm")
+      val simC = when(nn === 0d, 0d)
+        .otherwise(dotProduct(col("pemb"), col("vemb")) / nn)
+      // the 50-probe brute-force frame feeds both rankings: compute once
+      val sim = graft.util.CacheOnce.persistForOneAction(
+        p.crossJoin(v).filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), simC.as("sim")))
+      val bySim = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+      val exact = sim.withColumn("rk", row_number().over(bySim))
+        .filter(col("rk") <= 5).select(col("probe_id"), col("vec_id"))
+      val ivf = sim.join(plists, "probe_id")
+        .join(asgn.select(col("vec_id"), col("cid").as("acid")), "vec_id")
+        .filter(col("cid") === col("acid"))
+        .select(col("probe_id"), col("vec_id"), col("sim"))
+        .withColumn("rk", row_number().over(bySim))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id").as("ivf_pid"), col("vec_id").as("ivf_id"))
+      val rec = exact.join(ivf,
+          col("probe_id") === col("ivf_pid") && col("vec_id") === col("ivf_id"),
+          "left_outer")
+        .groupBy(col("probe_id"))
+        .agg(count(col("ivf_id")).as("hits"))
+      rec.groupBy(col("hits").as("recall_x5"))
+        .agg(count(lit(1)).as("n_probes"))
+        .withColumn("mean_recall_ppm",
+          expr("sum(recall_x5 * n_probes) OVER () * 1000000 div (sum(n_probes) OVER () * 5)"))
+        .orderBy(col("recall_x5"))
+    },
+
+    GraftQuery(
       "q78_label_embedding_stats",
       "Per-label embedding statistics: count, min/max/avg vector norm in ppm (per-row norms are bit-identical doubles, quantized before the exact integer aggregate), and the label's dominant first LSH-table bucket (argmax with total tie-break) — the class-profile pass of an embedding corpus.",
       s"""WITH n AS (SELECT label, ${normSql("embedding")} AS nrm,
