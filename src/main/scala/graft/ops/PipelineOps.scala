@@ -441,6 +441,73 @@ object PipelineOps {
     },
 
     GraftQuery(
+      "q267_quantization_sim_error",
+      "Quantization SIMILARITY error — the third leg of the evaluation tripod (q265 dedup calibration, q266 ANN recall): does q86's int8 compression preserve what the index actually consumes, the COSINE? 200 deterministic vector pairs (id, id+100) score cosine on originals and on int8-reconstructed vectors; |cos_q - cos_f| ships bucketed per 1000 ppm with the corpus mean. Per-element reconstruction error (q86) can look small while angular error compounds — this query measures the failure mode that matters, and its number is the go/no-go for shipping the compressed index.",
+      {
+        def dotD(a: String, b: String) =
+          s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        def normD(x: String) =
+          s"sqrt(list_sum(list_transform($x, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))"
+        def cosD(a: String, b: String) =
+          s"CASE WHEN ${normD(a)} * ${normD(b)} = 0 THEN 0.0 ELSE ${dotD(a, b)} / (${normD(a)} * ${normD(b)}) END"
+        s"""WITH r AS (SELECT vec_id, embedding,
+           |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+           |    CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE) AS span
+           |  FROM embeddings),
+           |rec AS (SELECT vec_id, embedding,
+           |    CASE WHEN span = 0 THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+           |         ELSE list_transform(embedding, x ->
+           |           least(255, CAST(floor((CAST(x AS DOUBLE) - mn) * 255 / span) AS BIGINT))
+           |             * span / 255 + mn) END AS remb
+           |  FROM r),
+           |pairs AS (SELECT a.vec_id AS ida,
+           |    CAST(floor(1000000.0 * ${cosD("a.embedding", "b.embedding")}) AS BIGINT) AS cf,
+           |    CAST(floor(1000000.0 * ${cosD("a.remb", "b.remb")}) AS BIGINT) AS cq
+           |  FROM rec a JOIN rec b ON b.vec_id = a.vec_id + 100
+           |  WHERE a.vec_id < 200),
+           |e AS (SELECT abs(cf - cq) AS err FROM pairs),
+           |g AS (SELECT err // 1000 AS bucket, count(*) AS n_pairs FROM e GROUP BY 1)
+           |SELECT bucket, n_pairs,
+           |  CAST(sum(bucket * n_pairs) OVER () * 1000 // sum(n_pairs) OVER () AS BIGINT)
+           |    AS mean_bucket_floor_ppm
+           |FROM g ORDER BY bucket""".stripMargin
+      }) { (s, d) =>
+      val mn = array_min(col("embedding")).cast("double")
+      val span = array_max(col("embedding")).cast("double") - mn
+      val rec = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), mn.as("mn"), span.as("span"))
+        .select(col("vec_id"), col("embedding"),
+          when(col("span") === 0.0, transform(col("embedding"), _ => lit(0.0)))
+            .otherwise(transform(col("embedding"), x =>
+              least(lit(255L), floor((x.cast("double") - col("mn")) * 255 / col("span"))
+                .cast("long")).cast("double") * col("span") / 255 + col("mn")))
+            .as("remb"))
+      def dotD(a: Column, b: Column) =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      def normD(x: Column) =
+        sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+      def cosD(a: Column, b: Column) = {
+        val nn = normD(a) * normD(b)
+        when(nn === 0.0, 0.0).otherwise(dotD(a, b) / nn)
+      }
+      val a = rec.select(col("vec_id").as("ida"), col("embedding").as("ea"), col("remb").as("ra"))
+        .filter(col("ida") < 200)
+      val b = rec.select((col("vec_id") - 100).as("idb"), col("embedding").as("eb"),
+        col("remb").as("rb"))
+      val pairs = a.join(b, col("ida") === col("idb"))
+        .select(
+          floor(lit(1000000.0) * cosD(col("ea"), col("eb"))).cast("long").as("cf"),
+          floor(lit(1000000.0) * cosD(col("ra"), col("rb"))).cast("long").as("cq"))
+      pairs.select(abs(col("cf") - col("cq")).as("err"))
+        .groupBy(expr("err div 1000").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("mean_bucket_floor_ppm",
+          expr("CAST(sum(bucket * n_pairs) OVER () * 1000 div sum(n_pairs) OVER () AS BIGINT)"))
+        .orderBy(col("bucket"))
+    },
+
+    GraftQuery(
       "q93_sequence_packing",
       "Concat-and-chunk sequence packing (the GPT-style pretraining layout): per source, documents in doc_id order are conceptually concatenated and split into 2048-token context chunks; chunk_id = floor(preceding-token-count / 2048) via one window prefix-sum — no driver loop, no UDF, deterministic across engines and partitionings. Output: per (source, chunk) the docs spanned and token totals.",
       """WITH t AS (SELECT doc_id, source,
