@@ -22,6 +22,67 @@ object Relational {
   def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
+      "q268_tpch_q3",
+      "TPC-H Q3 (shipping priority) in exact cents: the canonical 3-table selective star join — BUILDING-segment customers x pre-cutoff orders x post-cutoff lineitems, revenue = sum(extprice*(1-disc)) carried as cents*(100-disc_pct) integer products, top-10 by revenue. The optimizer's job IS this query: both filters reach their scans, the small filtered customer side broadcasts, and the join order follows selectivity — the plan every warehouse is graded on.",
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |       * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_x100,
+        |  CAST(strftime(o_orderdate, '%Y-%m-%d') AS VARCHAR) AS o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue_x100 DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val rev = expr("CAST(floor(l_extendedprice * 100) AS BIGINT)") *
+        (lit(100L) - expr("CAST(floor(l_discount * 100) AS BIGINT)"))
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d).filter(col("o_orderdate") < "1995-03-15"),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_shipdate") > "1995-03-15"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(rev).as("revenue_x100"))
+        .select(col("l_orderkey"), col("revenue_x100"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .orderBy(col("revenue_x100").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    GraftQuery(
+      "q269_tpch_q5",
+      "TPC-H Q5 (local supplier volume): the SIX-table star — region -> nation -> customer -> orders -> lineitem -> supplier, with the famous twist that the supplier must sit in the CUSTOMER's nation (the second nationkey equality closes the cycle). Exercises the optimizer's join reordering across dim chains: region/nation broadcast, the fact joins shuffle on their keys, and the cycle-closing predicate lands on the supplier join, never as a post-hoc filter over a cross product. Exact cents revenue per nation.",
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |       * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_x100
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue_x100 DESC, n_name""".stripMargin) { (s, d) =>
+      val rev = expr("CAST(floor(l_extendedprice * 100) AS BIGINT)") *
+        (lit(100L) - expr("CAST(floor(l_discount * 100) AS BIGINT)"))
+      Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(rev).as("revenue_x100"))
+        .orderBy(col("revenue_x100").desc, col("n_name"))
+    },
+
+    GraftQuery(
       "q01_pricing_summary",
       "TPC-H Q1-style scan+aggregate: group lineitem by flag/status with exact-cents money sums (reference op R10 count + G aggregation).",
       """SELECT l_returnflag, l_linestatus,
