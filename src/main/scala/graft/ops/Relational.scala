@@ -83,6 +83,58 @@ object Relational {
     },
 
     GraftQuery(
+      "q270_tpch_q18",
+      "TPC-H Q18 (large-volume customers): orders whose total lineitem quantity clears a HAVING threshold, rejoined to customers and their line detail — the aggregate-then-semi-join shape: the heavy groupBy runs ONCE over lineitem, its survivors (a tiny key set) drive every downstream join, so the fact table is never rescanned per candidate. Quantity is integral in the fixture; all sums exact longs.",
+      """WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+        |SELECT c_custkey, o_orderkey,
+        |  CAST(strftime(o_orderdate, '%Y-%m-%d') AS VARCHAR) AS o_orderdate,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |  big.total_qty
+        |FROM big JOIN orders ON o_orderkey = big.l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY total_cents DESC, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      big.join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("total_cents"),
+          col("total_qty"))
+        .orderBy(col("total_cents").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    GraftQuery(
+      "q271_tpch_q17",
+      "TPC-H Q17 (small-quantity-order revenue): lines below 20% of their part's average quantity — the correlated-average threshold rewritten as one per-part aggregate joined back, and the fractional comparison cross-multiplied into exact integers (qty * 5 * n_lines < sum_qty, no float average in any predicate — the q70 doctrine on the canon's most float-prone query). Output: forgone revenue in cents / 7 exactly via integer division with remainder-safe x7 scaling.",
+      """WITH pa AS (SELECT l_partkey AS pk, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem GROUP BY l_partkey),
+        |small AS (SELECT l_extendedprice
+        |  FROM lineitem JOIN pa ON l_partkey = pk
+        |  WHERE CAST(l_quantity AS BIGINT) * 5 * n < sq)
+        |SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) // 7 AS BIGINT) AS avg_yearly_cents
+        |FROM small""".stripMargin) { (s, d) =>
+      val pa = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sq"))
+      Tables.lineitem(s, d)
+        .join(pa, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity").cast("long") * 5 * col("n") < col("sq"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).as("total_cents"),
+          expr("CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) div 7 AS BIGINT)")
+            .as("avg_yearly_cents"))
+    },
+
+    GraftQuery(
       "q01_pricing_summary",
       "TPC-H Q1-style scan+aggregate: group lineitem by flag/status with exact-cents money sums (reference op R10 count + G aggregation).",
       """SELECT l_returnflag, l_linestatus,
