@@ -135,6 +135,60 @@ object Relational {
     },
 
     GraftQuery(
+      "q272_tpch_q22",
+      "TPC-H Q22 (global market opportunity, adapted to this fixture where every customer has ordered): above-average-balance customers with NO LARGE order (none over $200k) — a global scalar aggregate feeding a predicate (cross-multiplied to exact integers, no float average), then an ANTI join against the filtered orders, grouped by nation. The three-stage shape (tiny global aggregate -> broadcast -> anti join) is the canon's test of subquery decorrelation; here it is written directly as the plan the optimizer should reach.",
+      """WITH pos AS (SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer WHERE c_acctbal > 0.0),
+        |stats AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s FROM pos),
+        |rich AS (SELECT c_custkey, c_nationkey, cents FROM pos, stats
+        |         WHERE cents * n > s),
+        |never AS (SELECT r.* FROM rich r
+        |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                            WHERE o.o_custkey = r.c_custkey
+        |                              AND o.o_totalprice > 200000.0))
+        |SELECT c_nationkey, count(*) AS n_custs,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM never GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      val pos = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 0.0)
+        .select(col("c_custkey"), col("c_nationkey"),
+          expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val stats = pos.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      pos.crossJoin(broadcast(stats))
+        .filter(col("cents") * col("n") > col("s"))
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 200000.0)
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_custs"), sum(col("cents")).as("total_cents"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    GraftQuery(
+      "q273_tpch_q4",
+      "TPC-H Q4 (order priority checking, adapted: 'late' = some line shipped >60 days after the order date): per priority, how many orders have AT LEAST ONE late line — the canonical EXISTS, planned as a left-semi join so each order matches at most once no matter how many lines are late (a plain inner join would double-count, the classic EXISTS-rewrite bug). Day arithmetic in integer epoch-day floors, both engines.",
+      """WITH late AS (SELECT DISTINCT l_orderkey
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE epoch_us(l_shipdate) // 86400000000
+        |      > epoch_us(o_orderdate) // 86400000000 + 60)
+        |SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders JOIN late ON late.l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val late = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000") >
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000") + 60)
+        .select(col("l_orderkey"))
+      Tables.orders(s, d)
+        .join(late, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_late_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    GraftQuery(
       "q01_pricing_summary",
       "TPC-H Q1-style scan+aggregate: group lineitem by flag/status with exact-cents money sums (reference op R10 count + G aggregation).",
       """SELECT l_returnflag, l_linestatus,
