@@ -189,6 +189,45 @@ object Relational {
     },
 
     GraftQuery(
+      "q274_tpch_q7",
+      "TPC-H Q7 (volume shipping, adapted): cross-nation trade — for every (supplier nation, customer nation) pair with supp <> cust, yearly revenue in exact cents; top 20 lanes. Two independent dimension chains hang off the same fact row (supplier's nation via l_suppkey, customer's via o_custkey -> c_nationkey), both nation lookups broadcast, the fact shuffles once on its join keys — the shape that shows a planner can hold two star arms apart without cartesian confusion.",
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(o_orderdate) AS INTEGER) AS l_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |       * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_x100
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |WHERE s_nationkey <> c_nationkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_x100 DESC, supp_nation, cust_nation, l_year
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val rev = expr("CAST(floor(l_extendedprice * 100) AS BIGINT)") *
+        (lit(100L) - expr("CAST(floor(l_discount * 100) AS BIGINT)"))
+      val sn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val cn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .join(broadcast(sn), col("snk") === col("s_nationkey"))
+        .join(broadcast(cn), col("cnk") === col("c_nationkey"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("o_orderdate")).as("l_year"))
+        .agg(sum(rev).as("revenue_x100"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"), col("revenue_x100"))
+        .orderBy(col("revenue_x100").desc, col("supp_nation"),
+          col("cust_nation"), col("l_year"))
+        .limit(20)
+    },
+
+    GraftQuery(
       "q01_pricing_summary",
       "TPC-H Q1-style scan+aggregate: group lineitem by flag/status with exact-cents money sums (reference op R10 count + G aggregation).",
       """SELECT l_returnflag, l_linestatus,
