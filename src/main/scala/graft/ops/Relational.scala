@@ -136,7 +136,7 @@ object Relational {
 
     GraftQuery(
       "q272_tpch_q22",
-      "TPC-H Q22 (global market opportunity, adapted to this fixture where every customer has ordered): above-average-balance customers with NO LARGE order (none over $200k) — a global scalar aggregate feeding a predicate (cross-multiplied to exact integers, no float average), then an ANTI join against the filtered orders, grouped by nation. The three-stage shape (tiny global aggregate -> broadcast -> anti join) is the canon's test of subquery decorrelation; here it is written directly as the plan the optimizer should reach.",
+      "TPC-H Q22 (global market opportunity, adapted to this fixture where every customer has ordered): above-average-balance customers with NO LARGE order (none over $400k) — a global scalar aggregate feeding a predicate (cross-multiplied to exact integers, no float average), then an ANTI join against the filtered orders, grouped by nation. The three-stage shape (tiny global aggregate -> broadcast -> anti join) is the canon's test of subquery decorrelation; here it is written directly as the plan the optimizer should reach.",
       """WITH pos AS (SELECT c_custkey, c_nationkey,
         |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
         |  FROM customer WHERE c_acctbal > 0.0),
@@ -146,7 +146,7 @@ object Relational {
         |never AS (SELECT r.* FROM rich r
         |          WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                            WHERE o.o_custkey = r.c_custkey
-        |                              AND o.o_totalprice > 200000.0))
+        |                              AND o.o_totalprice > 400000.0))
         |SELECT c_nationkey, count(*) AS n_custs,
         |  CAST(sum(cents) AS BIGINT) AS total_cents
         |FROM never GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
@@ -157,7 +157,7 @@ object Relational {
       val stats = pos.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
       pos.crossJoin(broadcast(stats))
         .filter(col("cents") * col("n") > col("s"))
-        .join(Tables.orders(s, d).filter(col("o_totalprice") > 200000.0)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
             .select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
