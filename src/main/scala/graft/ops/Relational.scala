@@ -228,6 +228,67 @@ object Relational {
     },
 
     GraftQuery(
+      "q275_tpch_q10",
+      "TPC-H Q10 (returned-item reporting): customers ranked by the revenue they RETURNED (l_returnflag = 'R') in a quarter — fact filtered first, then the dimension chain (customer, nation) joins the pre-aggregated loss, top 20. The plan lesson: aggregate the fact table BEFORE joining the wide customer row, so the join moves |customers-with-returns| rows, not |lineitems|. Exact cents revenue.",
+      """WITH ret AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_x100
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, n_name,
+        |  CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents, rev_x100
+        |FROM ret JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |ORDER BY rev_x100 DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      val rev = expr("CAST(floor(l_extendedprice * 100) AS BIGINT)") *
+        (lit(100L) - expr("CAST(floor(l_discount * 100) AS BIGINT)"))
+      val ret = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-07-01"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(rev).as("rev_x100"))
+      ret.join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("acctbal_cents"),
+          col("rev_x100"))
+        .orderBy(col("rev_x100").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    GraftQuery(
+      "q276_tpch_q14",
+      "TPC-H Q14 (promotion effect): what share of a month's revenue came from PROMO-type parts — the conditional-sum-over-sum percentage, in exact ppm by integer cross division (promo_rev * 1e6 // total_rev), never a float ratio. One fact-dim join, both sums in a single aggregate pass over the same rows — the canon's reminder that a 'percentage query' is one scan, not two.",
+      """WITH m AS (SELECT p_type,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100) AS BIGINT)) AS rev
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS promo_x100,
+        |  CAST(sum(rev) AS BIGINT) AS total_x100,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 1000000
+        |       // sum(rev) AS BIGINT) AS promo_ppm
+        |FROM m""".stripMargin) { (s, d) =>
+      val rev = expr("CAST(floor(l_extendedprice * 100) AS BIGINT)") *
+        (lit(100L) - expr("CAST(floor(l_discount * 100) AS BIGINT)"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-03-01" && col("l_shipdate") < "1996-04-01")
+        .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+        .select(col("p_type"), rev.as("rev"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0L)).as("promo_x100"),
+          sum(col("rev")).as("total_x100"),
+          expr("CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 1000000 div sum(rev) AS BIGINT)")
+            .as("promo_ppm"))
+    },
+
+    GraftQuery(
       "q01_pricing_summary",
       "TPC-H Q1-style scan+aggregate: group lineitem by flag/status with exact-cents money sums (reference op R10 count + G aggregation).",
       """SELECT l_returnflag, l_linestatus,
