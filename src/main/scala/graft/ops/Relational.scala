@@ -289,6 +289,49 @@ object Relational {
     },
 
     GraftQuery(
+      "q277_tpch_q6",
+      "TPC-H Q6 (forecasting revenue change): the pure scan-filter-aggregate — a year of lineitems in a discount band and quantity cap, potential revenue = sum(extprice * disc) as exact cents x discount-percent integer products. No join, no group: the query IS the pushdown test — every predicate must reach the parquet scan (discount in [5,7]% maps to the cents-integer band) and the single aggregate runs map-side till the final 1-row reduce.",
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |       * CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_x100
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(floor(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24.0""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+          expr("CAST(floor(l_discount * 100) AS BIGINT)").between(5, 7) &&
+          col("l_quantity") < 24.0)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)") *
+            expr("CAST(floor(l_discount * 100) AS BIGINT)")).as("revenue_x100"))
+    },
+
+    GraftQuery(
+      "q278_tpch_q19",
+      "TPC-H Q19 (discounted revenue, adapted to this part schema): the famous OR-of-ANDs — three disjunctive (brand, size-band, quantity-band) arm predicates over the lineitem x part join. The optimizer test hiding inside: the common `p_partkey = l_partkey` conjunct must still drive an equi-join (hash, not nested-loop) with the disjunction as a post-join filter, and the per-arm constraints must not leak across arms. Exact cents revenue.",
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |       * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_x100
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin) { (s, d) =>
+      val rev = expr("CAST(floor(l_extendedprice * 100) AS BIGINT)") *
+        (lit(100L) - expr("CAST(floor(l_discount * 100) AS BIGINT)"))
+      def arm(brand: String, szLo: Int, szHi: Int, qLo: Double, qHi: Double) =
+        col("p_brand") === brand && col("p_size").between(szLo, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+        .filter(arm("Brand#1", 1, 15, 1.0, 20.0) ||
+          arm("Brand#2", 10, 30, 10.0, 30.0) ||
+          arm("Brand#3", 20, 50, 20.0, 50.0))
+        .agg(count(lit(1)).as("n_lines"), sum(rev).as("revenue_x100"))
+    },
+
+    GraftQuery(
       "q01_pricing_summary",
       "TPC-H Q1-style scan+aggregate: group lineitem by flag/status with exact-cents money sums (reference op R10 count + G aggregation).",
       """SELECT l_returnflag, l_linestatus,
