@@ -447,6 +447,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("disjunctive OR-of-ANDs still plans an equi-join on the common conjunct (q278)") {
+    // TPC-H Q19's trap: if the planner can't see p_partkey = l_partkey
+    // through the three OR arms it degenerates to a nested-loop cross
+    // product. Pin the hash/sort-merge join with the disjunction as a
+    // residual condition or post-join filter.
+    val plan = planOf(SparkEntry.queries("q278_tpch_q19")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("unpivot melts through one Expand projection, no shuffle added (q225)") {
     val df = SparkEntry.queries("q225_unpivot_melt")(spark, sf)
     val plan = planOf(df)
