@@ -1872,6 +1872,81 @@ object Analytics {
     },
 
     GraftQuery(
+      "q279_session_depth",
+      "Session-depth distribution + bounce rate — the engagement histogram product teams read daily: native session_window(10 min) sessions per user, depth bucketed 1/2/3/4/5+ (the '5+' cap keeps the output schema fixed at any scale), each bucket's share of all sessions in exact ppm via a window total over the 5-row bucket frame. Depth-1 sessions ARE the bounce rate: the first row of this result is the number every growth dashboard leads with.",
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 10 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |d AS (SELECT count(*) AS depth FROM s GROUP BY user_id, sid),
+        |b AS (SELECT least(depth, 5) AS bucket, count(*) AS n_sessions
+        |      FROM d GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS depth_bucket, n_sessions,
+        |  CAST(n_sessions * 1000000 // sum(n_sessions) OVER () AS BIGINT) AS share_ppm
+        |FROM b ORDER BY depth_bucket""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("depth"))
+        .select(least(col("depth"), lit(5L)).as("depth_bucket"))
+        .groupBy(col("depth_bucket"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .withColumn("share_ppm",
+          expr("n_sessions * 1000000 div sum(n_sessions) OVER ()"))
+        .orderBy(col("depth_bucket"))
+    },
+
+    GraftQuery(
+      "q280_conversion_survival",
+      "Time-to-conversion survival curve — signup cohort's cumulative conversion by day offset (the discrete Kaplan-Meier every activation team plots): each user's first signup meets their first subsequent purchase, the day-offset census aggregates ONCE, and the cumulative curve for offsets 0..7 is a running sum over that tiny bounded frame — never a per-user-per-day scan. Exact ppm of the signup cohort; users who never convert are the censored tail (they appear in the denominator, never the numerator).",
+      """WITH su AS (SELECT user_id,
+        |    min(epoch_us(ts)) // 86400000000 AS sday
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (SELECT su.user_id,
+        |    min(epoch_us(e.ts) // 86400000000) - su.sday AS dd
+        |  FROM su JOIN events e ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) // 86400000000 >= su.sday
+        |  GROUP BY su.user_id, su.sday),
+        |census AS (SELECT dd, count(*) AS n FROM conv GROUP BY dd),
+        |cohort AS (SELECT count(*) AS n_cohort FROM su),
+        |ks AS (SELECT unnest(generate_series(0, 7)) AS k)
+        |SELECT k, n_cohort,
+        |  CAST(coalesce((SELECT sum(n) FROM census WHERE dd <= k), 0) AS BIGINT)
+        |    AS n_converted,
+        |  CAST(coalesce((SELECT sum(n) FROM census WHERE dd <= k), 0) * 1000000
+        |       // n_cohort AS BIGINT) AS conv_ppm
+        |FROM ks, cohort ORDER BY k""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(expr("min(unix_micros(ts)) div 86400000000").as("sday"))
+      val conv = su.join(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("pu"), expr("unix_micros(ts) div 86400000000").as("pday")),
+          col("user_id") === col("pu") && col("pday") >= col("sday"))
+        .groupBy(col("user_id"), col("sday"))
+        .agg((min(col("pday")) - col("sday")).as("dd"))
+        .select(col("dd"))
+      val census = conv.groupBy(col("dd")).agg(count(lit(1)).as("n"))
+      val cohort = su.agg(count(lit(1)).as("n_cohort"))
+      val ks = Seq.range(0L, 8L).toDF("k")
+      // census is a bounded day-offset frame: broadcast both tiny sides
+      ks.crossJoin(broadcast(cohort))
+        .join(broadcast(census), col("dd") <= col("k"), "left_outer")
+        .groupBy(col("k"), col("n_cohort"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_converted"))
+        .withColumn("conv_ppm", expr("n_converted * 1000000 div n_cohort"))
+        .orderBy(col("k"))
+    },
+
+    GraftQuery(
       "q71_upsert_merge",
       "Snapshot upsert (MERGE semantics on immutable storage): current snapshot full-outer-joined with an update batch on the key, update wins via coalesce — inserts, updates and carried-over rows labeled.",
       """WITH cur AS (SELECT o_orderkey AS k, 'OLD' AS payload FROM orders WHERE o_orderkey <= 1000),
