@@ -1947,6 +1947,65 @@ object Analytics {
     },
 
     GraftQuery(
+      "q281_peak_concurrency",
+      "Peak concurrency — max simultaneous sessions (the capacity number every on-call dashboard tracks): 10-min-gap sessions become [start, end) intervals, each interval SPLITS at day boundaries so the +1/-1 sweep-line runs per day partition (the trick that turns the classic single-global-sort formulation into a partitioned window at any scale), ends process before starts at equal instants (half-open semantics), and each day reports its peak with the FIRST microsecond that reached it. The global answer is then a 30-row max.",
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 10 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |iv AS (SELECT epoch_us(min(ts)) AS su,
+        |             epoch_us(max(ts)) + 600000000 AS eu
+        |      FROM s GROUP BY user_id, sid),
+        |days AS (SELECT su, eu, unnest(generate_series(su // 86400000000,
+        |                                (eu - 1) // 86400000000)) AS day
+        |  FROM iv),
+        |clipped AS (SELECT day,
+        |    greatest(su, day * 86400000000) AS cs,
+        |    least(eu, (day + 1) * 86400000000) AS ce
+        |  FROM days),
+        |pts AS (SELECT day, cs AS us, 1 AS delta FROM clipped
+        |        UNION ALL SELECT day, ce, -1 FROM clipped),
+        |cum AS (SELECT day, us, delta,
+        |    CAST(sum(delta) OVER (PARTITION BY day ORDER BY us, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        |  FROM pts)
+        |SELECT day, CAST(max(c) AS BIGINT) AS peak,
+        |  CAST(min(CASE WHEN c = (SELECT max(c2.c) FROM cum c2 WHERE c2.day = cum.day)
+        |           THEN us END) AS BIGINT) AS first_peak_us
+        |FROM cum GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      val iv = Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(expr("unix_micros(min(ts))").as("su"),
+          (expr("unix_micros(max(ts))") + 600000000L).as("eu"))
+        .select(col("su"), col("eu"))
+      val clipped = iv
+        .select(col("su"), col("eu"),
+          explode(sequence(expr("su div 86400000000"),
+            expr("(eu - 1) div 86400000000"))).as("day"))
+        .select(col("day"),
+          greatest(col("su"), col("day") * 86400000000L).as("cs"),
+          least(col("eu"), (col("day") + 1) * 86400000000L).as("ce"))
+      val pts = clipped.select(col("day"), col("cs").as("us"), lit(1).as("delta"))
+        .unionAll(clipped.select(col("day"), col("ce").as("us"), lit(-1).as("delta")))
+      val sweep = Window.partitionBy(col("day")).orderBy(col("us"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = pts.withColumn("c", sum(col("delta")).over(sweep))
+      val dayPeak = Window.partitionBy(col("day"))
+      cum.withColumn("peak", max(col("c")).over(dayPeak))
+        .groupBy(col("day"), col("peak"))
+        .agg(min(when(col("c") === col("peak"), col("us"))).as("first_peak_us"))
+        .select(col("day"), col("peak").cast("long").as("peak"),
+          col("first_peak_us").cast("long").as("first_peak_us"))
+        .orderBy(col("day"))
+    },
+
+    GraftQuery(
       "q71_upsert_merge",
       "Snapshot upsert (MERGE semantics on immutable storage): current snapshot full-outer-joined with an update batch on the key, update wins via coalesce — inserts, updates and carried-over rows labeled.",
       """WITH cur AS (SELECT o_orderkey AS k, 'OLD' AS payload FROM orders WHERE o_orderkey <= 1000),
