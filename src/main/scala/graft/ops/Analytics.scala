@@ -2006,6 +2006,65 @@ object Analytics {
     },
 
     GraftQuery(
+      "q282_seasonal_naive_backtest",
+      "Seasonal-naive forecast backtest — the baseline every forecasting system must beat before it ships (M-competition doctrine): forecast(day) = actual(day - 7), evaluated over the corpus's last two weeks per event type, with MAE and MAPE-proxy in exact integer cents/ppm (|err| ppm of actual, summed and floor-divided — no float loss metric). The lag join is a self-join on (type, day-7) over the tiny daily aggregate, not a window over facts; a model that can't beat THIS number has no business replacing it.",
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT max(day) AS mx FROM daily),
+        |joined AS (SELECT a.event_type, a.day, a.cents AS actual, f.cents AS forecast
+        |  FROM daily a JOIN daily f
+        |    ON f.event_type = a.event_type AND f.day = a.day - 7, span
+        |  WHERE a.day > span.mx - 14)
+        |SELECT event_type, count(*) AS n_days,
+        |  CAST(sum(abs(actual - forecast)) // count(*) AS BIGINT) AS mae_cents,
+        |  CAST(sum(abs(actual - forecast) * 1000000 // actual) // count(*) AS BIGINT)
+        |    AS mape_ppm
+        |FROM joined GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(cents(col("value"))).as("cents"))
+      val mx = daily.agg(max(col("day")).as("mx"))
+      val f = daily.select(col("event_type").as("fet"), col("day").as("fday"),
+        col("cents").as("forecast"))
+      daily.join(f, col("fet") === col("event_type") && col("fday") === col("day") - 7)
+        .crossJoin(broadcast(mx))
+        .filter(col("day") > col("mx") - 14)
+        .select(col("event_type"), col("cents").as("actual"), col("forecast"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("CAST(sum(abs(actual - forecast)) div count(*) AS BIGINT)").as("mae_cents"),
+          expr("CAST(sum(abs(actual - forecast) * 1000000 div actual) div count(*) AS BIGINT)")
+            .as("mape_ppm"))
+        .orderBy(col("event_type"))
+    },
+
+    GraftQuery(
+      "q283_topk_with_ties",
+      "Top-k INCLUDING ties — the semantic sibling q19's row_number cannot express: the top-3 revenue DAYS per event type where every day tying the 3rd place survives (RANK, not ROW_NUMBER — 'WITH TIES' in ANSI FETCH). Ties are real in cents-quantized daily sums; arbitrarily dropping one tied day is a correctness bug in any leaderboard that feeds payouts. Same WindowGroupLimit-eligible shape, different rank function — the one-token change that changes the contract.",
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, cents,
+        |    rank() OVER (PARTITION BY event_type ORDER BY cents DESC) AS rk
+        |  FROM daily)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, cents, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3
+        |ORDER BY event_type, rk, day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(cents(col("value"))).as("cents"))
+      daily.withColumn("rk", rank().over(
+          Window.partitionBy(col("event_type")).orderBy(col("cents").desc)))
+        .filter(col("rk") <= 3)
+        .select(col("event_type"), col("day").cast("long").as("day"),
+          col("cents"), col("rk").cast("long").as("rk"))
+        .orderBy(col("event_type"), col("rk"), col("day"))
+    },
+
+    GraftQuery(
       "q71_upsert_merge",
       "Snapshot upsert (MERGE semantics on immutable storage): current snapshot full-outer-joined with an update batch on the key, update wins via coalesce — inserts, updates and carried-over rows labeled.",
       """WITH cur AS (SELECT o_orderkey AS k, 'OLD' AS payload FROM orders WHERE o_orderkey <= 1000),
