@@ -2065,6 +2065,88 @@ object Analytics {
     },
 
     GraftQuery(
+      "q284_cohort_ltv",
+      "Cohort LTV curve — cumulative purchase revenue per signup-week cohort by age week (the unit-economics grid under every payback-period decision): cohorts from first signup, purchase cents bucketed by (cohort_week, age_week), one census aggregate, and the cumulative curve runs per cohort over the bounded age frame. Per-user-average LTV in exact cents via integer division; the (cohort x age) triangle never touches raw events twice.",
+      """WITH su AS (SELECT user_id,
+        |    min(epoch_us(ts)) // 604800000000 AS cw
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |size_ AS (SELECT cw, count(*) AS n_users FROM su GROUP BY cw),
+        |rev AS (SELECT su.cw,
+        |    epoch_us(e.ts) // 604800000000 - su.cw AS age,
+        |    CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM su JOIN events e ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) // 604800000000 >= su.cw
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT cw, age, CAST(sum(cents) OVER (PARTITION BY cw ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM rev)
+        |SELECT cum.cw AS cohort_week, cum.age, cum.cum_cents, size_.n_users,
+        |  CAST(cum.cum_cents // size_.n_users AS BIGINT) AS ltv_cents_per_user
+        |FROM cum JOIN size_ ON size_.cw = cum.cw
+        |ORDER BY cohort_week, age""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(expr("min(unix_micros(ts)) div 604800000000").as("cw"))
+      val size = su.groupBy(col("cw")).agg(count(lit(1)).as("n_users"))
+      val rev = su.join(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("pu"),
+              expr("unix_micros(ts) div 604800000000").as("pw"),
+              cents(col("value")).as("c")),
+          col("user_id") === col("pu") && col("pw") >= col("cw"))
+        .groupBy(col("cw"), (col("pw") - col("cw")).as("age"))
+        .agg(sum(col("c")).as("cents"))
+      val cumW = Window.partitionBy(col("cw")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum_cents", sum(col("cents")).over(cumW))
+        .join(broadcast(size), "cw")
+        .select(col("cw").as("cohort_week"), col("age"), col("cum_cents"),
+          col("n_users"), expr("cum_cents div n_users").as("ltv_cents_per_user"))
+        .orderBy(col("cohort_week"), col("age"))
+    },
+
+    GraftQuery(
+      "q285_abc_classification",
+      "ABC / Pareto classification — parts ranked by revenue, classified A (first 70% of cumulative revenue), B (to 90%), C (the tail): the inventory-policy segmentation behind every warehouse's cycle-count schedule. The running share is a cumsum over the PART-level aggregate (a bounded dimension, not the fact table), the class boundary compares integer cross-products (cum*100 vs total*k — no float percentages), and the census proves the famous skew: class A is always a sliver of parts carrying most of the money.",
+      """WITH pr AS (SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY l_partkey),
+        |rk AS (SELECT l_partkey, cents,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS total
+        |  FROM pr),
+        |cls AS (SELECT cents,
+        |    CASE WHEN cum * 100 <= total * 70 THEN 'A'
+        |         WHEN cum * 100 <= total * 90 THEN 'B' ELSE 'C' END AS abc
+        |  FROM rk)
+        |SELECT abc, count(*) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(cents) * 1000000 // max(total) AS BIGINT) AS share_ppm
+        |FROM cls, (SELECT CAST(sum(cents) AS BIGINT) AS total FROM pr) t
+        |GROUP BY abc ORDER BY abc""".stripMargin) { (s, d) =>
+      val pr = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+      // the cumsum window runs over |parts| rows — a bounded dimension; at
+      // 100 TB this frame is still ~200k rows, not the fact table
+      val cumW = Window.orderBy(col("cents").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rk = pr.withColumn("cum", sum(col("cents")).over(cumW))
+        .withColumn("total", sum(col("cents")).over(Window.partitionBy()))
+      rk.select(col("cents"), col("total"),
+          when(col("cum") * 100 <= col("total") * 70, "A")
+            .when(col("cum") * 100 <= col("total") * 90, "B")
+            .otherwise("C").as("abc"))
+        .groupBy(col("abc"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"),
+          expr("CAST(sum(cents) * 1000000 div max(total) AS BIGINT)").as("share_ppm"))
+        .orderBy(col("abc"))
+    },
+
+    GraftQuery(
       "q71_upsert_merge",
       "Snapshot upsert (MERGE semantics on immutable storage): current snapshot full-outer-joined with an update batch on the key, update wins via coalesce — inserts, updates and carried-over rows labeled.",
       """WITH cur AS (SELECT o_orderkey AS k, 'OLD' AS payload FROM orders WHERE o_orderkey <= 1000),
