@@ -2147,6 +2147,55 @@ object Analytics {
     },
 
     GraftQuery(
+      "q286_order_aging",
+      "Receivables-style order aging — open ('O') orders bucketed by age at a fixed cutoff (0-30 / 31-60 / 61-90 / 90+ days, the AR report finance closes every month on): age in integer epoch-day arithmetic, bucket by comparison ladder, exact cents exposure per (priority, bucket). One scan, one aggregate; the cutoff is a pinned literal so the report is rerun-identical.",
+      """WITH o AS (SELECT o_orderpriority,
+        |    19754 - epoch_us(o_orderdate) // 86400000000 AS age_days,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus = 'O'),
+        |b AS (SELECT o_orderpriority,
+        |    CASE WHEN age_days <= 30 THEN '0-30' WHEN age_days <= 60 THEN '31-60'
+        |         WHEN age_days <= 90 THEN '61-90' ELSE '90+' END AS bucket,
+        |    cents FROM o WHERE age_days >= 0)
+        |SELECT o_orderpriority, bucket, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS exposure_cents
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "O")
+        .select(col("o_orderpriority"),
+          (lit(19754L) - expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+            .as("age_days"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .filter(col("age_days") >= 0)
+        .withColumn("bucket",
+          when(col("age_days") <= 30, "0-30").when(col("age_days") <= 60, "31-60")
+            .when(col("age_days") <= 90, "61-90").otherwise("90+"))
+        .groupBy(col("o_orderpriority"), col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("exposure_cents"))
+        .orderBy(col("o_orderpriority"), col("bucket"))
+    },
+
+    GraftQuery(
+      "q287_dow_hour_heatmap",
+      "Day-of-week x hour-of-day activity heatmap — the 7x24 traffic matrix capacity planning and anomaly baselines both start from: UTC hour truncation in integer epoch arithmetic (epoch-day + 4) % 7 gives the weekday without any locale/timezone library divergence — 1970-01-01 was a Thursday, the classic cross-engine trap pinned by construction. Cell share in exact ppm of the whole corpus.",
+      """WITH c AS (SELECT
+        |    CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+        |    CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hod,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT dow, hod, n,
+        |  CAST(n * 1000000 // sum(n) OVER () AS BIGINT) AS share_ppm
+        |FROM c ORDER BY dow, hod""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
+          expr("(unix_micros(ts) % 86400000000) div 3600000000").as("hod"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_ppm", expr("n * 1000000 div sum(n) OVER ()"))
+        .orderBy(col("dow"), col("hod"))
+    },
+
+    GraftQuery(
       "q71_upsert_merge",
       "Snapshot upsert (MERGE semantics on immutable storage): current snapshot full-outer-joined with an update batch on the key, update wins via coalesce — inserts, updates and carried-over rows labeled.",
       """WITH cur AS (SELECT o_orderkey AS k, 'OLD' AS payload FROM orders WHERE o_orderkey <= 1000),
