@@ -2196,6 +2196,71 @@ object Analytics {
     },
 
     GraftQuery(
+      "q288_supplier_sla",
+      "Supplier on-time-shipment SLA — per supplier, the share of lines shipped within 30 days of the order (the scorecard procurement reviews quarterly): integer epoch-day lateness, on-time share in exact ppm, and a volume floor (>= 20 lines) so the league table never ranks a supplier on three data points. Worst 20 suppliers by on-time rate; the fact join aggregates BEFORE the supplier dimension attaches.",
+      """WITH l AS (SELECT l_suppkey,
+        |    CASE WHEN epoch_us(l_shipdate) // 86400000000
+        |              - epoch_us(o_orderdate) // 86400000000 <= 30
+        |         THEN 1 ELSE 0 END AS ontime
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |agg AS (SELECT l_suppkey, count(*) AS n_lines,
+        |    CAST(sum(ontime) AS BIGINT) AS n_ontime
+        |  FROM l GROUP BY l_suppkey HAVING count(*) >= 20)
+        |SELECT s_suppkey, s_name, n_lines, n_ontime,
+        |  CAST(n_ontime * 1000000 // n_lines AS BIGINT) AS ontime_ppm
+        |FROM agg JOIN supplier ON s_suppkey = l_suppkey
+        |ORDER BY ontime_ppm, s_suppkey LIMIT 20""".stripMargin) { (s, d) =>
+      val agg = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_suppkey"),
+          when(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000") -
+            expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000") <= 30, 1L)
+            .otherwise(0L).as("ontime"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("ontime")).as("n_ontime"))
+        .filter(col("n_lines") >= 20)
+      agg.join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_lines"), col("n_ontime"),
+          expr("CAST(n_ontime * 1000000 div n_lines AS BIGINT)").as("ontime_ppm"))
+        .orderBy(col("ontime_ppm"), col("s_suppkey"))
+        .limit(20)
+    },
+
+    GraftQuery(
+      "q289_market_hhi",
+      "Herfindahl-Hirschman concentration per brand market — how concentrated is each part-brand's supplier base: supplier revenue shares in ppm (integer cross division), HHI = sum of squared shares // 1e6 (bounded by 1e6 = monopoly; the antitrust 2500-threshold scales to 250000 here). Shares compute over the (brand, supplier) aggregate — two keyed reductions, no window over facts; the floor-division convention is shared by both engines so the concentration index is bit-stable.",
+      """WITH bs AS (SELECT p_brand, l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT p_brand, CAST(sum(cents) AS BIGINT) AS total,
+        |    count(*) AS n_suppliers
+        |  FROM bs GROUP BY p_brand),
+        |sh AS (SELECT bs.p_brand, cents * 1000000 // total AS share_ppm
+        |  FROM bs JOIN tot ON tot.p_brand = bs.p_brand)
+        |SELECT sh.p_brand, max(tot.n_suppliers) AS n_suppliers,
+        |  CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+        |FROM sh JOIN tot ON tot.p_brand = sh.p_brand
+        |GROUP BY sh.p_brand ORDER BY hhi_ppm DESC, sh.p_brand LIMIT 20""".stripMargin) { (s, d) =>
+      val bs = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("l_suppkey"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+      val tot = bs.groupBy(col("p_brand").as("tb"))
+        .agg(sum(col("cents")).as("total"), count(lit(1)).as("n_suppliers"))
+      bs.join(tot, col("tb") === col("p_brand"))
+        .select(col("p_brand"), col("n_suppliers"),
+          expr("cents * 1000000 div total").as("share_ppm"))
+        .groupBy(col("p_brand"))
+        .agg(max(col("n_suppliers")).as("n_suppliers"),
+          expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)").as("hhi_ppm"))
+        .orderBy(col("hhi_ppm").desc, col("p_brand"))
+        .limit(20)
+    },
+
+    GraftQuery(
       "q71_upsert_merge",
       "Snapshot upsert (MERGE semantics on immutable storage): current snapshot full-outer-joined with an update batch on the key, update wins via coalesce — inserts, updates and carried-over rows labeled.",
       """WITH cur AS (SELECT o_orderkey AS k, 'OLD' AS payload FROM orders WHERE o_orderkey <= 1000),
