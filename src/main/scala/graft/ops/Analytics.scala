@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
@@ -2258,6 +2258,44 @@ object Analytics {
           expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)").as("hhi_ppm"))
         .orderBy(col("hhi_ppm").desc, col("p_brand"))
         .limit(20)
+    },
+
+    GraftQuery(
+      "q290_fd_discovery",
+      "Functional-dependency discovery (Metanome-style profiling): does A -> B hold? For each candidate pair, |distinct A| vs |distinct (A,B)| — equal iff the dependency holds, and the difference COUNTS the violating A-values exactly. Four candidates over orders/customer probe both a true key dependency and deliberate non-dependencies; each check is two distinct-aggregates over a projected pair, unioned into one verdict table. This is how schema inference decides what is safe to use as a join key or a dedup identity on data nobody documented.",
+      """WITH c1 AS (SELECT 'o_orderkey->o_custkey' AS fd,
+        |    count(DISTINCT o_orderkey) AS lhs_distinct,
+        |    count(DISTINCT (o_orderkey, o_custkey)) AS pair_distinct
+        |  FROM orders),
+        |c2 AS (SELECT 'o_custkey->o_orderpriority',
+        |    count(DISTINCT o_custkey),
+        |    count(DISTINCT (o_custkey, o_orderpriority)) FROM orders),
+        |c3 AS (SELECT 'c_custkey->c_mktsegment',
+        |    count(DISTINCT c_custkey),
+        |    count(DISTINCT (c_custkey, c_mktsegment)) FROM customer),
+        |c4 AS (SELECT 'c_nationkey->c_mktsegment',
+        |    count(DISTINCT c_nationkey),
+        |    count(DISTINCT (c_nationkey, c_mktsegment)) FROM customer),
+        |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |      UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)
+        |SELECT fd, lhs_distinct, pair_distinct,
+        |  pair_distinct = lhs_distinct AS holds,
+        |  CAST(pair_distinct - lhs_distinct AS BIGINT) AS n_violating_groups
+        |FROM u ORDER BY fd""".stripMargin) { (s, d) =>
+      def check(df: DataFrame, name: String, a: String, b: String) =
+        df.agg(countDistinct(col(a)).as("lhs_distinct"),
+            countDistinct(col(a), col(b)).as("pair_distinct"))
+          .select(lit(name).as("fd"), col("lhs_distinct"), col("pair_distinct"))
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      check(o, "o_orderkey->o_custkey", "o_orderkey", "o_custkey")
+        .unionAll(check(o, "o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))
+        .unionAll(check(c, "c_custkey->c_mktsegment", "c_custkey", "c_mktsegment"))
+        .unionAll(check(c, "c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"))
+        .withColumn("holds", col("pair_distinct") === col("lhs_distinct"))
+        .withColumn("n_violating_groups",
+          (col("pair_distinct") - col("lhs_distinct")).cast("long"))
+        .orderBy(col("fd"))
     },
 
     GraftQuery(
