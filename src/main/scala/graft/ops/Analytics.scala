@@ -1811,33 +1811,44 @@ object Analytics {
 
     GraftQuery(
       "q261_rfm_segmentation",
-      "RFM segmentation — the customer-value grid every retention team runs: per user, Recency (days since last event), Frequency (event count) and Monetary (cents sum) each scored 1..3 against TERCILE thresholds computed by the library's histogram-selection doctrine (value->count census per dimension, rank picked by cumulative count — never an ntile window over the user rows, which would global-sort three times at scale). Users label as R·100+F·10+M and the segment census ships. Thresholds are data-driven, so the segmentation adapts to any corpus without config.",
-      """WITH u AS (SELECT user_id,
-        |    19754 - epoch_us(max(ts)) // 86400000000 AS rec,
-        |    count(*) AS freq,
-        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS mon
-        |  FROM events GROUP BY user_id),
-        |n AS (SELECT count(*) AS n FROM u),
-        |th AS (SELECT
-        |    (SELECT rec FROM (SELECT rec, row_number() OVER (ORDER BY rec) AS rn FROM u), n
-        |      WHERE rn = (n + 2) // 3) AS rec1,
-        |    (SELECT rec FROM (SELECT rec, row_number() OVER (ORDER BY rec) AS rn FROM u), n
-        |      WHERE rn = (2 * n + 2) // 3) AS rec2,
-        |    (SELECT freq FROM (SELECT freq, row_number() OVER (ORDER BY freq) AS rn FROM u), n
-        |      WHERE rn = (n + 2) // 3) AS freq1,
-        |    (SELECT freq FROM (SELECT freq, row_number() OVER (ORDER BY freq) AS rn FROM u), n
-        |      WHERE rn = (2 * n + 2) // 3) AS freq2,
-        |    (SELECT mon FROM (SELECT mon, row_number() OVER (ORDER BY mon) AS rn FROM u), n
-        |      WHERE rn = (n + 2) // 3) AS mon1,
-        |    (SELECT mon FROM (SELECT mon, row_number() OVER (ORDER BY mon) AS rn FROM u), n
-        |      WHERE rn = (2 * n + 2) // 3) AS mon2),
-        |seg AS (SELECT
-        |    (CASE WHEN rec <= rec1 THEN 3 WHEN rec <= rec2 THEN 2 ELSE 1 END) * 100 +
-        |    (CASE WHEN freq <= freq1 THEN 1 WHEN freq <= freq2 THEN 2 ELSE 3 END) * 10 +
-        |    (CASE WHEN mon <= mon1 THEN 1 WHEN mon <= mon2 THEN 2 ELSE 3 END) AS rfm
-        |  FROM u, th)
-        |SELECT CAST(rfm AS BIGINT) AS rfm, count(*) AS n_users
-        |FROM seg GROUP BY rfm ORDER BY rfm""".stripMargin) { (s, d) =>
+      "RFM segmentation — the customer-value grid every retention team runs: per user, Recency (days since last event), Frequency (event count) and Monetary each scored 1..3 against TERCILE thresholds computed by the library's histogram-selection doctrine (value->count census per dimension, threshold picked by cumulative count). The monetary axis is an unbounded-domain per-user cents sum (effectively unique per user), so it is first quantized onto the q204 power-of-2 comparison ladder — the census stays a BOUNDED ~40-value histogram at any corpus size instead of a |users|-sized single-task sort. All six thresholds come from ONE dim-tagged union job (window partitioned by dimension, never an unpartitioned global sort). Users label as R·100+F·10+M and the segment census ships.",
+      {
+        val ladder = (40 to 1 by -1)
+          .map(i => s"WHEN mon >= ${1L << i} THEN $i").mkString(
+            "CASE ", " ", " ELSE 0 END")
+        s"""WITH u AS (SELECT user_id,
+           |    19754 - epoch_us(max(ts)) // 86400000000 AS rec,
+           |    count(*) AS freq,
+           |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS mon
+           |  FROM events GROUP BY user_id),
+           |u2 AS (SELECT rec, freq, $ladder AS mon_b FROM u),
+           |n AS (SELECT count(*) AS n FROM u2),
+           |th AS (SELECT
+           |    (SELECT rec FROM (SELECT rec, row_number() OVER (ORDER BY rec) AS rn FROM u2), n
+           |      WHERE rn = (n + 2) // 3) AS rec1,
+           |    (SELECT rec FROM (SELECT rec, row_number() OVER (ORDER BY rec) AS rn FROM u2), n
+           |      WHERE rn = (2 * n + 2) // 3) AS rec2,
+           |    (SELECT freq FROM (SELECT freq, row_number() OVER (ORDER BY freq) AS rn FROM u2), n
+           |      WHERE rn = (n + 2) // 3) AS freq1,
+           |    (SELECT freq FROM (SELECT freq, row_number() OVER (ORDER BY freq) AS rn FROM u2), n
+           |      WHERE rn = (2 * n + 2) // 3) AS freq2,
+           |    (SELECT mon_b FROM (SELECT mon_b, row_number() OVER (ORDER BY mon_b) AS rn FROM u2), n
+           |      WHERE rn = (n + 2) // 3) AS mon1,
+           |    (SELECT mon_b FROM (SELECT mon_b, row_number() OVER (ORDER BY mon_b) AS rn FROM u2), n
+           |      WHERE rn = (2 * n + 2) // 3) AS mon2),
+           |seg AS (SELECT
+           |    (CASE WHEN rec <= rec1 THEN 3 WHEN rec <= rec2 THEN 2 ELSE 1 END) * 100 +
+           |    (CASE WHEN freq <= freq1 THEN 1 WHEN freq <= freq2 THEN 2 ELSE 3 END) * 10 +
+           |    (CASE WHEN mon_b <= mon1 THEN 1 WHEN mon_b <= mon2 THEN 2 ELSE 3 END) AS rfm
+           |  FROM u2, th)
+           |SELECT CAST(rfm AS BIGINT) AS rfm, count(*) AS n_users
+           |FROM seg GROUP BY rfm ORDER BY rfm""".stripMargin
+      }) { (s, d) =>
+      // the same comparison ladder string feeds both engines (q204 doctrine):
+      // no float log2 whose boundary rounding could differ
+      val ladder = (40 to 1 by -1)
+        .map(i => s"WHEN mon >= ${1L << i} THEN $i").mkString(
+          "CASE ", " ", " ELSE 0 END")
       val u = Tables.events(s, d)
         .groupBy(col("user_id"))
         // day index arithmetic (19754 = epoch day of 2024-02-01): DuckDB's
@@ -1846,23 +1857,30 @@ object Analytics {
         .agg(expr("19754 - unix_micros(max(ts)) div 86400000000").as("rec"),
           count(lit(1)).as("freq"),
           sum(cents(col("value"))).as("mon"))
+        .selectExpr("rec", "freq", s"CAST(($ladder) AS BIGINT) AS mon_b")
         .persist()
       val n = u.count() // small per-user frame; the count also materializes it
-      def tercile(c: String, k: Long): Column = {
-        // histogram selection: value -> count census, threshold = value at
-        // cumulative rank k (never a row_number window over the users)
-        val hist = u.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-          .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col(c))))
-        lit(hist.filter(col("cum") >= k).orderBy(col(c)).limit(1)
-          .collect()(0).get(0).asInstanceOf[Long])
-      }
-      val (r1, r2) = (tercile("rec", (n + 2) / 3), tercile("rec", (2 * n + 2) / 3))
-      val (f1, f2) = (tercile("freq", (n + 2) / 3), tercile("freq", (2 * n + 2) / 3))
-      val (m1, m2) = (tercile("mon", (n + 2) / 3), tercile("mon", (2 * n + 2) / 3))
+      val (k1, k2) = ((n + 2) / 3, (2 * n + 2) / 3)
+      // ONE threshold job: per-dimension value->count censuses union'd with a
+      // dim tag; cumulative window PARTITIONED by dim over bounded domains
+      // (rec: date range, freq: per-user activity range, mon_b: <=40 rungs) —
+      // min value whose cumulative count reaches rank k IS the k-th order
+      // statistic, matching the oracle's row_number selection exactly
+      val th = Seq("rec", "freq", "mon_b")
+        .map(c => u.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+          .select(lit(c).as("dim"), col("v"), col("cnt")))
+        .reduce(_ unionByName _)
+        .withColumn("cum",
+          sum(col("cnt")).over(Window.partitionBy(col("dim")).orderBy(col("v"))))
+        .groupBy(col("dim"))
+        .agg(min(when(col("cum") >= k1, col("v"))).as("t1"),
+          min(when(col("cum") >= k2, col("v"))).as("t2"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val ((r1, r2), (f1, f2), (m1, m2)) = (th("rec"), th("freq"), th("mon_b"))
       u.select(
         ((when(col("rec") <= r1, 3).when(col("rec") <= r2, 2).otherwise(1)) * 100 +
           (when(col("freq") <= f1, 1).when(col("freq") <= f2, 2).otherwise(3)) * 10 +
-          when(col("mon") <= m1, 1).when(col("mon") <= m2, 2).otherwise(3))
+          when(col("mon_b") <= m1, 1).when(col("mon_b") <= m2, 2).otherwise(3))
           .cast("long").as("rfm"))
         .groupBy(col("rfm"))
         .agg(count(lit(1)).as("n_users"))
@@ -2019,7 +2037,9 @@ object Analytics {
         |  WHERE a.day > span.mx - 14)
         |SELECT event_type, count(*) AS n_days,
         |  CAST(sum(abs(actual - forecast)) // count(*) AS BIGINT) AS mae_cents,
-        |  CAST(sum(abs(actual - forecast) * 1000000 // actual) // count(*) AS BIGINT)
+        |  CAST(sum(CASE WHEN actual > 0
+        |             THEN abs(actual - forecast) * 1000000 // actual END)
+        |    // nullif(count(CASE WHEN actual > 0 THEN 1 END), 0) AS BIGINT)
         |    AS mape_ppm
         |FROM joined GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       val daily = Tables.events(s, d)
@@ -2035,7 +2055,13 @@ object Analytics {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_days"),
           expr("CAST(sum(abs(actual - forecast)) div count(*) AS BIGINT)").as("mae_cents"),
-          expr("CAST(sum(abs(actual - forecast) * 1000000 div actual) div count(*) AS BIGINT)")
+          // MAPE ratio guarded to actual > 0 on BOTH engines: a zero-cents
+          // day would make DuckDB error on //0 while Spark div yields NULL
+          // (silently skipped by sum) — the two sides must exclude the same
+          // days; nullif keeps an all-zero type NULL instead of erroring
+          expr("""CAST(sum(CASE WHEN actual > 0
+                    THEN abs(actual - forecast) * 1000000 div actual END)
+                  div nullif(count(CASE WHEN actual > 0 THEN 1 END), 0) AS BIGINT)""")
             .as("mape_ppm"))
         .orderBy(col("event_type"))
     },

@@ -48,10 +48,13 @@ object TextAnalysis {
         |    FROM cnt) WHERE rn <= 50),
         |pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS common
         |  FROM top a JOIN top b ON a.token = b.token AND a.lang < b.lang
-        |  GROUP BY 1, 2)
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT lang, count(*) AS sz FROM top GROUP BY lang)
         |SELECT lang_a, lang_b, common,
-        |  common * 1000000 // (100 - common) AS jaccard_ppm
-        |FROM pairs ORDER BY lang_a, lang_b""".stripMargin) { (s, d) =>
+        |  common * 1000000 // (sa.sz + sb.sz - common) AS jaccard_ppm
+        |FROM pairs JOIN sz sa ON sa.lang = pairs.lang_a
+        |JOIN sz sb ON sb.lang = pairs.lang_b
+        |ORDER BY lang_a, lang_b""".stripMargin) { (s, d) =>
       val cnt = Tables.documents(s, d)
         .select(col("lang"), explode(tokens(col("text"))).as("token"))
         .groupBy(col("lang"), col("token"))
@@ -64,10 +67,18 @@ object TextAnalysis {
         .select(col("lang"), col("token"))
       val a = top.select(col("lang").as("lang_a"), col("token"))
       val b = top.select(col("lang").as("lang_b"), col("token").as("token_b"))
+      // Jaccard denominator from the ACTUAL per-language top-k sizes, not a
+      // hardcoded 100: a language shard with under 50 distinct tokens would
+      // silently mislabel the metric (both engines agreed on the wrong
+      // number, so only the formula itself can be right — ADVICE r9)
+      val sz = top.groupBy(col("lang")).agg(count(lit(1)).as("sz"))
       a.join(b, col("token") === col("token_b") && col("lang_a") < col("lang_b"))
         .groupBy(col("lang_a"), col("lang_b"))
         .agg(count(lit(1)).as("common"))
-        .withColumn("jaccard_ppm", expr("common * 1000000 div (100 - common)"))
+        .join(broadcast(sz.select(col("lang").as("lang_a"), col("sz").as("sza"))), "lang_a")
+        .join(broadcast(sz.select(col("lang").as("lang_b"), col("sz").as("szb"))), "lang_b")
+        .withColumn("jaccard_ppm", expr("common * 1000000 div (sza + szb - common)"))
+        .select(col("lang_a"), col("lang_b"), col("common"), col("jaccard_ppm"))
         .orderBy(col("lang_a"), col("lang_b"))
     },
 

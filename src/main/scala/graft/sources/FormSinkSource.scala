@@ -950,6 +950,19 @@ private class FormSinkDataWriter(file: Path, schema: StructType)
     val off = row.numFields - schema.length
     require(off >= 0 && off <= 1,
       s"row width ${row.numFields} does not match write schema ${schema.length}")
+    // validate the assumption, don't just infer from width: the skipped
+    // leading field must BE the __row_operation marker (an int in 1..6 per
+    // RowDeltaUtils; a misplaced string column reads as its packed
+    // offset-word here, >= 56 for this schema) — if a future Spark appends
+    // a TRAILING metadata column instead, this fails loud rather than
+    // shifting every cell one column left under the wrong field names
+    if (off == 1) {
+      val marker = row.getInt(0)
+      require(marker >= org.apache.spark.sql.catalyst.util.RowDeltaUtils.DELETE_OPERATION &&
+        marker <= org.apache.spark.sql.catalyst.util.RowDeltaUtils.WRITE_WITH_METADATA_OPERATION,
+        s"leading extra field is not a row-operation marker (got $marker); " +
+          "refusing to guess which side of the row holds the data columns")
+    }
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       if (row.isNullAt(i + off)) node.putNull(f.name)
       else {

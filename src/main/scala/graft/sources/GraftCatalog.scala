@@ -85,6 +85,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val bad = schema.fields.filterNot(_.dataType == StringType)
     require(bad.isEmpty,
       s"form sink cells are strings (reference §1.2); non-string: ${bad.map(_.name).mkString(",")}")
+    // the sink's column set is canonical (reference §1.2): loadTable always
+    // reports FormSinkSource.schema, so a CREATE TABLE with other column
+    // names would "succeed" and then fail confusingly at first SELECT with
+    // unresolved columns. Fail loud HERE, pointing at the canonical schema.
+    val canonical = FormSinkSource.schema.fieldNames.toSet
+    val unknown = schema.fieldNames.filterNot(canonical)
+    require(unknown.isEmpty,
+      s"form sink tables have the fixed column set ${canonical.toSeq.sorted.mkString("(", ", ", ")")}; " +
+        s"unknown column(s): ${unknown.mkString(", ")}")
     val dir = dirOf(ident)
     Files.createDirectories(FormSinkSource.manifestDir(dir.toString))
     loadTable(ident)
