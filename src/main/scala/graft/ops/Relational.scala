@@ -332,6 +332,119 @@ object Relational {
     },
 
     GraftQuery(
+      "q291_tpch_q11",
+      "TPC-H Q11 shape (important stock values, adapted: no partsupp table, so per-part shipped value from one nation's suppliers stands in for supplycost x availqty): GROUP BY part HAVING sum(value) > A SCALAR SUBQUERY that re-aggregates the same nation-filtered join — the decorrelation canon's 'HAVING over a global-fraction threshold'. Catalyst must plan the subquery ONCE (a reused one-row aggregate, never a per-group re-execution); the fraction compare is cross-multiplied (sum * 2000 > total) so no float division touches the gate. Declared in pure SQL so the subquery machinery itself is what's exercised.",
+      """SELECT l_partkey AS partkey,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE n_name = 'NATION_8'
+        |GROUP BY l_partkey
+        |HAVING sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) * 2000 >
+        |  (SELECT sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |   FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |   JOIN nation ON n_nationkey = s_nationkey WHERE n_name = 'NATION_8')
+        |ORDER BY value_cents DESC, partkey""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q291")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q291")
+      Tables.nation(s, d).createOrReplaceTempView("nation_q291")
+      s.sql(
+        """SELECT l_partkey AS partkey,
+          |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+          |FROM lineitem_q291 JOIN supplier_q291 ON s_suppkey = l_suppkey
+          |JOIN nation_q291 ON n_nationkey = s_nationkey
+          |WHERE n_name = 'NATION_8'
+          |GROUP BY l_partkey
+          |HAVING sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) * 2000 >
+          |  (SELECT sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+          |   FROM lineitem_q291 JOIN supplier_q291 ON s_suppkey = l_suppkey
+          |   JOIN nation_q291 ON n_nationkey = s_nationkey WHERE n_name = 'NATION_8')
+          |ORDER BY value_cents DESC, partkey""".stripMargin)
+    },
+
+    GraftQuery(
+      "q292_tpch_q20",
+      "TPC-H Q20 shape (suppliers with excess stock, adapted: the (suppkey, partkey) one-year shipped aggregate stands in for partsupp.availqty): the canon's hardest nesting — an IN whose subquery contains ANOTHER IN (selective part filter) AND a CORRELATED SCALAR subquery (half of that pair's all-time shipped quantity) correlated on TWO columns. Catalyst must rewrite the outer IN to a semi-join, the inner IN to a semi-join, and decorrelate the scalar into an aggregate-join — zero per-row subquery execution. Cross-multiplied integer compare (2*q > total), no float.",
+      """SELECT s_name, s_suppkey
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT g.sk FROM (
+        |      SELECT l_suppkey AS sk, l_partkey AS pk2,
+        |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q97
+        |      FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |      GROUP BY 1, 2) g
+        |    WHERE g.pk2 IN (SELECT p_partkey FROM part WHERE p_brand IN ('Brand#1','Brand#2'))
+        |      AND g.q97 * 2 > (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+        |                       FROM lineitem l2
+        |                       WHERE l2.l_partkey = g.pk2 AND l2.l_suppkey = g.sk))
+        |ORDER BY s_name""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q292")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q292")
+      Tables.nation(s, d).createOrReplaceTempView("nation_q292")
+      Tables.part(s, d).createOrReplaceTempView("part_q292")
+      s.sql(
+        """SELECT s_name, s_suppkey
+          |FROM supplier_q292 JOIN nation_q292 ON s_nationkey = n_nationkey
+          |WHERE n_name = 'NATION_3'
+          |  AND s_suppkey IN (
+          |    SELECT g.sk FROM (
+          |      SELECT l_suppkey AS sk, l_partkey AS pk2,
+          |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q97
+          |      FROM lineitem_q292
+          |      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          |      GROUP BY 1, 2) g
+          |    WHERE g.pk2 IN (SELECT p_partkey FROM part_q292 WHERE p_brand IN ('Brand#1','Brand#2'))
+          |      AND g.q97 * 2 > (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+          |                       FROM lineitem_q292 l2
+          |                       WHERE l2.l_partkey = g.pk2 AND l2.l_suppkey = g.sk))
+          |ORDER BY s_name""".stripMargin)
+    },
+
+    GraftQuery(
+      "q293_tpch_q21",
+      "TPC-H Q21 shape (suppliers who kept orders waiting, adapted: 'late' = shipped more than 90 days after order date, since the fixture has no commit/receipt dates): the multi-EXISTS canon — for each late line of a finished order, EXISTS another supplier on the same order (multi-supplier orders only) AND NOT EXISTS another supplier ALSO late on it (sole culprit). The NOT EXISTS correlates on the order key AND the OUTER order date inequality — Catalyst must plan a semi-join plus an anti-join with the non-equi lateness predicate as a join filter, never a per-row probe. The count ranks the worst blockers.",
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |  AND n_name = 'NATION_21'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q293")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q293")
+      Tables.nation(s, d).createOrReplaceTempView("nation_q293")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q293")
+      s.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM supplier_q293
+          |JOIN lineitem_q293 l1 ON s_suppkey = l1.l_suppkey
+          |JOIN orders_q293 o ON o.o_orderkey = l1.l_orderkey
+          |JOIN nation_q293 ON s_nationkey = n_nationkey
+          |WHERE o.o_orderstatus = 'F'
+          |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          |  AND n_name = 'NATION_21'
+          |  AND EXISTS (SELECT 1 FROM lineitem_q293 l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem_q293 l3
+          |              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          |                AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 100""".stripMargin)
+    },
+
+    GraftQuery(
       "q01_pricing_summary",
       "TPC-H Q1-style scan+aggregate: group lineitem by flag/status with exact-cents money sums (reference op R10 count + G aggregation).",
       """SELECT l_returnflag, l_linestatus,
@@ -492,13 +605,27 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     },
 
-    GraftQuery.noOracle(
+    GraftQuery(
       "q09_approx_distinct",
-      "HyperLogLog++ approximate distinct — the 100 TB path where exact distinct would shuffle every key. No SQL oracle (sketch internals differ); bounded-error property is ScalaTest-checked vs exact counts.") { (s, d) =>
+      "HyperLogLog++ approximate distinct — the 100 TB path where exact distinct would shuffle every key — upgraded from rows-only to a HASH-GATED error-bound witness: the estimate itself is engine-specific sketch output DuckDB cannot reproduce, so the COMPARED columns are the exact distinct counts plus a boolean asserting |approx - exact| <= 6% of exact (3x the rsd=0.02 budget). The oracle computes the same exact counts and expects TRUE — so a sketch whose error drifts past the bound FAILS the gate instead of hiding behind a rows-only check. The estimate is deterministic for a fixed corpus, so the boolean is stable, and the per-round spec differential still covers the raw estimate path.",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_within_bound, TRUE AS orders_within_bound
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          // integer-exact 6% bound check: abs error * 100 <= exact * 6
+          (abs(col("ap") - col("exact_parts")) * 100 <= col("exact_parts") * 6)
+            .as("parts_within_bound"),
+          (abs(col("ao") - col("exact_orders")) * 100 <= col("exact_orders") * 6)
+            .as("orders_within_bound"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -457,6 +457,42 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("HAVING-over-scalar-subquery executes the subquery once, never per group (q291)") {
+    // TPC-H Q11's trap: the global-total scalar subquery must plan as ONE
+    // Subquery node feeding the Filter, not a re-aggregation per group. A
+    // per-row/per-group execution would show no Subquery node at all (it
+    // would be inlined under a nested-loop) — pin exactly one, plus the
+    // absence of any nested-loop join.
+    val plan = planOf(SparkEntry.queries("q291_tpch_q11")(spark, sf))
+    // each subquery id prints twice (expression ref + node header) — count
+    // DISTINCT ids: exactly one subquery plan, no ReusedSubquery duplicates
+    val ids = "Subquery subquery#(\\d+)".r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(ids.size == 1, plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("nested IN + correlated scalar subquery fully decorrelates (q292)") {
+    // TPC-H Q20's shape: outer IN -> semi-join, inner IN -> semi-join, and
+    // the two-column-correlated scalar subquery -> an aggregate joined back
+    // on its correlation keys. Nothing may remain as a per-row probe: no
+    // nested-loop join, no unresolved in-subquery in the executed plan.
+    val plan = planOf(SparkEntry.queries("q292_tpch_q20")(spark, sf))
+    assert("LeftSemi".r.findAllIn(plan).size >= 2, plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.toLowerCase.contains("in-subquery"), plan.take(3000))
+  }
+
+  test("EXISTS + correlated NOT EXISTS plan as semi + anti hash joins (q293)") {
+    // TPC-H Q21's shape: EXISTS -> LeftSemi, NOT EXISTS (correlated on the
+    // order key AND an outer-date inequality) -> LeftAnti with the non-equi
+    // lateness predicate as a join filter — never a per-row re-scan of
+    // lineitem per outer row.
+    val plan = planOf(SparkEntry.queries("q293_tpch_q21")(spark, sf))
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("unpivot melts through one Expand projection, no shuffle added (q225)") {
     val df = SparkEntry.queries("q225_unpivot_melt")(spark, sf)
     val plan = planOf(df)
