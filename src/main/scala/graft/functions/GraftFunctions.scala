@@ -86,6 +86,13 @@ object GraftFunctions {
     column(org.apache.spark.sql.graft.TopKAgg(
       expression(key), expression(payload), k).toAggregateExpression())
 
+  /** Collect up to `cap` longs per group with a cap+1th overflow witness —
+    * buffer memory is physically bounded on update AND merge, so a
+    * degenerate group cannot blow an executor the way collect_list can. */
+  def cappedCollect(v: Column, cap: Int): Column =
+    column(org.apache.spark.sql.graft.CappedCollectAgg(
+      expression(v), cap).toAggregateExpression())
+
   /** (name, info, builder) triples for SQL registration. */
   val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),

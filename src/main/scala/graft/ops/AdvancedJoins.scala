@@ -337,6 +337,8 @@ object AdvancedJoins {
         .withColumn("bucket", expr("delta div 1000000"))
       val cum = conv.groupBy(col("bucket"))
         .agg(count(lit(1)).as("cnt"))
+        // bound: bucket = seconds-to-convert within the 1h attribution
+        // window, so the frame is <= 3600 rows at any corpus size
         .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bucket"))))
       val n = conv.agg(count(lit(1)).as("n"))
       val ks = Seq(500000L, 900000L, 990000L).toDF("q_ppm")

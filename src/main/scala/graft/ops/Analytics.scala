@@ -615,6 +615,8 @@ object Analytics {
       val o = Tables.orders(s, d)
         .select(floor(col("o_totalprice")).cast("long").as("v"))
       val h = o.groupBy(col("v")).agg(count(lit(1)).as("f"))
+      // bound: the frame is the whole-dollar value census (price domain
+      // saturates at ~500k values regardless of row count), never the rows
       val cum = h.withColumn("c", sum(col("f")).over(Window.orderBy(col("v"))))
       val t = h.agg(sum(col("f")).as("n"))
         .select(explode(sequence(lit(1L), lit(8L))).as("bucket"), col("n"))
@@ -2135,7 +2137,7 @@ object Analytics {
 
     GraftQuery(
       "q285_abc_classification",
-      "ABC / Pareto classification — parts ranked by revenue, classified A (first 70% of cumulative revenue), B (to 90%), C (the tail): the inventory-policy segmentation behind every warehouse's cycle-count schedule. The running share is a cumsum over the PART-level aggregate (a bounded dimension, not the fact table), the class boundary compares integer cross-products (cum*100 vs total*k — no float percentages), and the census proves the famous skew: class A is always a sliver of parts carrying most of the money.",
+      "ABC / Pareto classification — parts ranked by revenue, classified A (first 70% of cumulative revenue), B (to 90%), C (the tail): the inventory-policy segmentation behind every warehouse's cycle-count schedule. The part dimension SCALES (TPC-H grows parts with SF), so the global cumsum is a RANGE-PARTITIONED TWO-PHASE prefix sum — range-shuffle on the rank key, per-partition running sums, a ~32-row offset window, offsets joined back — never a single-task global window. Class boundaries compare integer cross-products (cum*100 vs total*k — no float percentages); the census proves the famous skew: class A is always a sliver of parts carrying most of the money.",
       """WITH pr AS (SELECT l_partkey,
         |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM lineitem GROUP BY l_partkey),
@@ -2156,12 +2158,32 @@ object Analytics {
       val pr = Tables.lineitem(s, d)
         .groupBy(col("l_partkey"))
         .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).as("cents"))
-      // the cumsum window runs over |parts| rows — a bounded dimension; at
-      // 100 TB this frame is still ~200k rows, not the fact table
-      val cumW = Window.orderBy(col("cents").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val rk = pr.withColumn("cum", sum(col("cents")).over(cumW))
-        .withColumn("total", sum(col("cents")).over(Window.partitionBy()))
+      // |parts| GROWS with SF (TPC-H scales the part dimension), so a global
+      // Window.orderBy cumsum here would be a one-task sort of the whole
+      // dimension at 100 TB. Two-phase instead: range-shuffle on the rank
+      // key (sorted ranges land on partitions 0..N-1 in key order), running
+      // sum WITHIN each partition, per-partition totals offset by a window
+      // over the ~N-row partition census, offsets broadcast back. Exact
+      // prefix sum, parallelism N, the only global window is N rows.
+      val ranged = pr
+        .repartitionByRange(32, col("cents").desc, col("l_partkey"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint() // pin the sampled range boundaries: pid must be
+                           // identical between the offsets pass and the join
+      val inPart = ranged.withColumn("cum_in",
+        sum(col("cents")).over(Window.partitionBy(col("pid"))
+          .orderBy(col("cents").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val census = ranged.groupBy(col("pid")).agg(sum(col("cents")).as("psum"))
+      val offsets = census
+        .withColumn("offset",
+          coalesce(sum(col("psum")).over(Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("offset"))
+      val totalRow = census.agg(sum(col("psum")).as("total"))
+      val rk = inPart.join(broadcast(offsets), "pid")
+        .withColumn("cum", col("cum_in") + col("offset"))
+        .crossJoin(broadcast(totalRow))
       rk.select(col("cents"), col("total"),
           when(col("cum") * 100 <= col("total") * 70, "A")
             .when(col("cum") * 100 <= col("total") * 90, "B")

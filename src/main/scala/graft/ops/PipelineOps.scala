@@ -36,20 +36,24 @@ object PipelineOps {
   private[graft] val DefaultMaxBucket = 64
 
   /** Symmetric (src, dst) candidate pairs of docs sharing a band bucket,
-    * with buckets larger than `maxBucket` excluded. One window count over
-    * the (band, key) shuffle sizes every bucket without a second scan. */
+    * with buckets larger than `maxBucket` excluded. ONE (band, key) shuffle:
+    * bucket members ride a memory-capped native collect (CappedCollectAgg —
+    * the buffer physically cannot exceed cap+1 longs on update OR merge, so
+    * a degenerate mega-bucket cannot blow an executor the way collect_list
+    * would), overflowed buckets (size = cap+1 witness) are dropped whole,
+    * and pairs expand in place from each surviving ≤cap-long array. r9's
+    * window-count cap shuffled AND sorted the full bands frame under both
+    * sides of a self-join — the +0.9s drift its audit flagged; this is one
+    * map-side-combinable aggregate and no join at all. */
   private[graft] def bandedPairs(bands: DataFrame, maxBucket: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val kept = bands
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    kept.as("a")
-      .join(kept.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val buckets = bands.groupBy(col("band"), col("key"))
+      .agg(graft.functions.GraftFunctions.cappedCollect(col("doc_id"), maxBucket)
+        .as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    buckets
+      .select(explode(col("members")).as("src"), col("members"))
+      .select(col("src"), explode(col("members")).as("dst"))
+      .filter(col("src") =!= col("dst"))
       .distinct()
   }
 
@@ -563,6 +567,7 @@ object PipelineOps {
           "(1000 * wt) div tot AS base", "(1000 * wt) % tot AS rem")
       val l = a.agg(sum(col("base")).as("sb"))
       a.crossJoin(broadcast(l))
+        // bound: one row per LANGUAGE (a fixed vocabulary, ~tens of values)
         .withColumn("rk",
           row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
         .selectExpr("lang", "n AS n_docs", "wt AS weight",

@@ -196,3 +196,76 @@ case class TopKAgg(
       newChildren: IndexedSeq[Expression]): TopKAgg =
     copy(key = newChildren(0), payload = newChildren(1))
 }
+
+/** Memory-capped group collect: gather up to `cap` long values per group and
+  * STOP — one value past the cap is kept as an overflow sentinel (so callers
+  * can tell "exactly cap" from "more than cap"), everything beyond is
+  * dropped at update AND merge time. Built for LSH bucket-pair generation
+  * (reference pipeline's dedup tier): the bucket member list must ride ONE
+  * (band, key) shuffle, but a degenerate mega-bucket (boilerplate docs all
+  * hashing alike) must not materialize an unbounded array the way
+  * `collect_list` would — this buffer physically cannot exceed cap+1
+  * elements on any code path, executor memory stays bounded no matter how
+  * pathological the corpus. Map-side partial merge applies: the shuffle
+  * carries ≤(cap+1) longs per (partition, group).
+  */
+case class CappedCollectAgg(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Long]]
+  with ExpectsInputTypes {
+
+  require(cap >= 1, "capped collect needs cap >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "capped_collect"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[Long] =
+    new scala.collection.mutable.ArrayBuffer[Long](math.min(cap + 1, 16))
+
+  override def update(buf: scala.collection.mutable.ArrayBuffer[Long],
+                      input: InternalRow): scala.collection.mutable.ArrayBuffer[Long] = {
+    if (buf.length <= cap) { // cap+1th value admitted as the overflow witness
+      val v = child.eval(input)
+      if (v != null) buf += v.asInstanceOf[Long]
+    }
+    buf
+  }
+
+  override def merge(buf: scala.collection.mutable.ArrayBuffer[Long],
+                     other: scala.collection.mutable.ArrayBuffer[Long]): scala.collection.mutable.ArrayBuffer[Long] = {
+    var i = 0
+    while (i < other.length && buf.length <= cap) { buf += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: scala.collection.mutable.ArrayBuffer[Long]): Any =
+    new GenericArrayData(buf.toArray)
+
+  override def serialize(buf: scala.collection.mutable.ArrayBuffer[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new scala.collection.mutable.ArrayBuffer[Long](bytes.length / 8)
+    var i = 0
+    while (i < bytes.length / 8) { buf += bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CappedCollectAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CappedCollectAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CappedCollectAgg =
+    copy(child = newChildren(0))
+}

@@ -321,4 +321,25 @@ class KernelSpec extends SparkSpec {
       .agg(sum(expr("mk div 2097152"))).as[Long].head()
     assert(kv === tv)
   }
+
+  test("cappedCollect: bounded buffer, overflow witness, merge respects the cap") {
+    import spark.implicits._
+    // a 200-member group and a 3-member group with cap 64: the big group's
+    // array must come back EXACTLY cap+1 long (the overflow witness — never
+    // the full 200, the executor-memory guarantee), the small group intact
+    val df = ((0L until 200L).map(v => ("big", v)) ++ Seq(("small", 1000L),
+      ("small", 1001L), ("small", 1002L))).toDF("g", "v")
+      .repartition(8) // force partial buffers so merge() paths execute
+    val out = df.groupBy(col("g"))
+      .agg(graft.functions.GraftFunctions.cappedCollect(col("v"), 64).as("m"))
+      .select(col("g"), size(col("m")).as("n"))
+      .as[(String, Int)].collect().toMap
+    assert(out("big") === 65, "overflowed bucket must carry exactly cap+1")
+    assert(out("small") === 3)
+    // under-cap semantics match collect_list exactly (order-insensitive)
+    val a = df.filter(col("g") === "small").groupBy(col("g"))
+      .agg(graft.functions.GraftFunctions.cappedCollect(col("v"), 64).as("m"))
+      .select(explode(col("m"))).as[Long].collect().toSet
+    assert(a === Set(1000L, 1001L, 1002L))
+  }
 }
