@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-generated parquet tables (TESTDATA.md). All access
   * goes through `spark.read.parquet` so Catalyst owns column pruning,
@@ -27,18 +27,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects natively; read it as a long (legacy conf) and convert to a
-    * microsecond timestamp. The driver data is µs-aligned (verified:
-    * epoch_ns % 1000 == 0 for every row), so `div 1000` is lossless and the
-    * DuckDB oracle — which reads the nanos directly — sees identical values.
+  /** `events.ts` normalization — the driver has shipped it two ways:
+    *   - parquet TIMESTAMP(NANOS), which Spark's reader rejects natively:
+    *     read as long (legacy conf) and convert; the data is µs-aligned
+    *     (verified: epoch_ns % 1000 == 0), so `div 1000` is lossless;
+    *   - parquet TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark
+    *     reads as TIMESTAMP_NTZ: cast to TIMESTAMP. Every session in this
+    *     repo pins spark.sql.session.timeZone=UTC, so the cast re-tags the
+    *     same microsecond value (no wall-clock shift) and DuckDB — which
+    *     reads the µs directly — sees identical values.
+    * Either way downstream code gets a plain TIMESTAMP column usable with
+    * `unix_micros`, window frames and watermarks.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

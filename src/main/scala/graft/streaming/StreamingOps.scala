@@ -38,9 +38,17 @@ object StreamingOps {
       .schema(batch.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // µs NTZ encoding (see Tables.events): same value under the
+        // repo-wide UTC session timezone, re-tagged so watermarks and
+        // window frames get a plain TIMESTAMP
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Run a streaming frame to completion (AvailableNow) into a memory sink
