@@ -887,6 +887,242 @@ object Relational {
         .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
           sum(col("n_cust")).as("n_customers"))
         .orderBy(col("r_name"))
+    },
+
+    GraftQuery(
+      "q294_tpch_q2",
+      "TPC-H Q2 shape (minimum-cost supplier, adapted: no partsupp table, so the per-(part,supplier) supply cost is the minimum observed extended price in cents — derived once in a CTE both the outer query and the correlated subquery reuse): for EUROPE suppliers of mid-size LARGE parts, keep only the pairs achieving the REGIONAL minimum cost for their part. The decorrelation canon's 'correlated scalar min over a reused relation': Catalyst must plan the CTE once, turn the = (SELECT min ...) into an aggregate-join on p_partkey, and never re-execute the region chain per part.",
+      """WITH ps AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |         min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT CAST(floor(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+        |       s_name, n_name, p_partkey, ps.cost_cents
+        |FROM part JOIN ps ON p_partkey = ps.pk
+        |JOIN supplier ON s_suppkey = ps.sk
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+        |  AND ps.cost_cents = (
+        |    SELECT min(ps2.cost_cents)
+        |    FROM ps ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = ps2.sk
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE ps2.pk = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q294")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q294")
+      Tables.nation(s, d).createOrReplaceTempView("nation_q294")
+      Tables.region(s, d).createOrReplaceTempView("region_q294")
+      Tables.part(s, d).createOrReplaceTempView("part_q294")
+      s.sql(
+        """WITH ps AS (
+          |  SELECT l_partkey AS pk, l_suppkey AS sk,
+          |         min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+          |  FROM lineitem_q294 GROUP BY 1, 2)
+          |SELECT CAST(floor(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+          |       s_name, n_name, p_partkey, ps.cost_cents
+          |FROM part_q294 JOIN ps ON p_partkey = ps.pk
+          |JOIN supplier_q294 ON s_suppkey = ps.sk
+          |JOIN nation_q294 ON s_nationkey = n_nationkey
+          |JOIN region_q294 ON n_regionkey = r_regionkey
+          |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+          |  AND ps.cost_cents = (
+          |    SELECT min(ps2.cost_cents)
+          |    FROM ps ps2
+          |    JOIN supplier_q294 s2 ON s2.s_suppkey = ps2.sk
+          |    JOIN nation_q294 n2 ON s2.s_nationkey = n2.n_nationkey
+          |    JOIN region_q294 r2 ON n2.n_regionkey = r2.r_regionkey
+          |    WHERE ps2.pk = p_partkey AND r2.r_name = 'EUROPE')
+          |ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+          |LIMIT 100""".stripMargin)
+    },
+
+    GraftQuery(
+      "q295_tpch_q8",
+      "TPC-H Q8 (national market share): of the PROMO-part revenue that AMERICA-region customers generated in 1995-1996, what ppm came from NATION_7 suppliers, per year. The 7-table star with nation playing TWO roles (customer's nation gates the market region; supplier's nation is the share dimension) — the optimizer must broadcast both nation branches and the region chain, keep the two roles separate, and plan one shuffle per fact join. Share as an integer ppm via cross-multiplied div, never float division.",
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CASE WHEN sn_name = 'NATION_7' THEN rev ELSE 0 END) * 1000000
+        |       // sum(rev) AS BIGINT) AS share_ppm,
+        |  CAST(sum(rev) AS BIGINT) AS total_x100
+        |FROM (
+        |  SELECT o_orderdate, n2.n_name AS sn_name,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100) AS BIGINT)) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n1.n_regionkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01') mkt
+        |GROUP BY 1 ORDER BY o_year""".stripMargin) { (s, d) =>
+      val rev = expr("CAST(floor(l_extendedprice * 100) AS BIGINT)") *
+        (lit(100L) - expr("CAST(floor(l_discount * 100) AS BIGINT)"))
+      val custNation = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_rk"))
+      val suppNation = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1997-01-01"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(custNation), col("cn_key") === col("c_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+          col("r_regionkey") === col("cn_rk"))
+        .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(suppNation), col("sn_key") === col("s_nationkey"))
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")),
+          col("p_partkey") === col("l_partkey"))
+        .select(year(col("o_orderdate")).as("o_year"), col("sn_name"), rev.as("rev"))
+        .groupBy(col("o_year"))
+        .agg(
+          expr("CAST(sum(CASE WHEN sn_name = 'NATION_7' THEN rev ELSE 0 END) * 1000000 div sum(rev) AS BIGINT)")
+            .as("share_ppm"),
+          sum(col("rev")).as("total_x100"))
+        .orderBy(col("o_year"))
+    },
+
+    GraftQuery(
+      "q296_tpch_q9",
+      "TPC-H Q9 shape (product-type profit, adapted: no partsupp supplycost, so cost = retail price cents x quantity and both terms are carried on the x10000 integer grid): profit by SUPPLIER nation and order year over parts named '% widget%' — the like-filter star whose aggregate spans every fact row that survives a part-name scan filter. Grades: the p_name LIKE filter must prune the part side BEFORE the join (broadcast of the filtered dim), and the nation/year group must map-side combine; profit can be negative, which pins two's-complement sum behavior on both engines.",
+      """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(floor(l_discount * 100) AS BIGINT))
+        |         - CAST(floor(p_retailprice * 100) AS BIGINT)
+        |           * CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS profit_x10k
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY n_name, 2
+        |ORDER BY n_name, o_year DESC""".stripMargin) { (s, d) =>
+      val profit = expr("CAST(floor(l_extendedprice * 100) AS BIGINT)") *
+        (lit(100L) - expr("CAST(floor(l_discount * 100) AS BIGINT)")) -
+        expr("CAST(floor(p_retailprice * 100) AS BIGINT)") *
+          expr("CAST(l_quantity AS BIGINT)") * lit(100L)
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_name").like("%widget%"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(profit).as("profit_x10k"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    },
+
+    GraftQuery(
+      "q297_tpch_q12",
+      "TPC-H Q12 shape (shipping modes & priority, adapted: the fixture has no l_shipmode/commitdate, so the group axis is the ship-DELAY band — FAST <=30d, NORMAL 31-60d, SLOW >60d from order date to ship date): per band, how many lines belong to critical-priority orders vs not. The canon's join + dual conditional count: one orders⋈lineitem shuffle, the CASE counts fold into a single aggregate pass, and the delay arithmetic is date-integer (no timestamps in the group key).",
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
+        |            WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 'NORMAL'
+        |            ELSE 'SLOW' END AS delay_band,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY delay_band""".stripMargin) { (s, d) =>
+      val band = when(datediff(col("l_shipdate"), col("o_orderdate")) <= 30, "FAST")
+        .when(datediff(col("l_shipdate"), col("o_orderdate")) <= 60, "NORMAL")
+        .otherwise("SLOW")
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d)
+            .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(band.as("delay_band"))
+        .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!isHigh, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("delay_band"))
+    },
+
+    GraftQuery(
+      "q298_tpch_q13",
+      "TPC-H Q13 (customer order-count distribution): LEFT OUTER customer⋈orders with an ON-clause filter (non-default-priority orders only — the adaptation of the canonical o_comment NOT LIKE), count per customer INCLUDING zero-order customers, then the distribution of those counts. The two-level aggregate whose correctness hinges on outer-join null semantics: count(o_orderkey) must skip nulls, the zero bucket must survive, and the ON-filter must NOT become a WHERE (which would silently drop the zero row).",
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "4-NOT SPECIFIED",
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    GraftQuery(
+      "q299_tpch_q15",
+      "TPC-H Q15 (top supplier): quarterly revenue per supplier in a CTE consumed TWICE — once as the join input, once inside the = (SELECT max(...)) gate. The view-reuse canon: Catalyst must evaluate the revenue aggregate once (CTE dedup / subquery reuse), plan the max as a one-row broadcast gate, and return every supplier tied at the top. Ties are real under exact cents, which is why the oracle carries no LIMIT.",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev_x100
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev_x100
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_rev_x100 = (SELECT max(total_rev_x100) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q299")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q299")
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+          |         * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev_x100
+          |  FROM lineitem_q299
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+          |  GROUP BY 1)
+          |SELECT s_suppkey, s_name, total_rev_x100
+          |FROM supplier_q299 JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_rev_x100 = (SELECT max(total_rev_x100) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin)
+    },
+
+    GraftQuery(
+      "q300_tpch_q16",
+      "TPC-H Q16 shape (parts/supplier relationship, adapted: the (part,supplier) catalog is the DISTINCT pairs observed in lineitem, and the excluded-supplier set — the canonical complaints NOT IN — is suppliers with negative account balance): distinct-supplier counts per (brand, type, size) class over a size IN-list. Grades the null-aware NOT IN -> anti-join rewrite (never a per-row probe), distinct-pair dedup BEFORE the dim join, and a count(DISTINCT) on top of it.",
+      """SELECT p_brand, p_type, p_size, count(DISTINCT ps.sk) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem) ps
+        |JOIN part ON p_partkey = ps.pk
+        |WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND ps.sk NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q300")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q300")
+      Tables.part(s, d).createOrReplaceTempView("part_q300")
+      s.sql(
+        """SELECT p_brand, p_type, p_size, count(DISTINCT ps.sk) AS supplier_cnt
+          |FROM (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem_q300) ps
+          |JOIN part_q300 ON p_partkey = ps.pk
+          |WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+          |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+          |  AND ps.sk NOT IN (SELECT s_suppkey FROM supplier_q300 WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+          |LIMIT 100""".stripMargin)
     }
   )
 }

@@ -493,6 +493,37 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("correlated min-cost subquery decorrelates to an aggregate-join (q294)") {
+    // TPC-H Q2's trap: `cost = (SELECT min(...) WHERE ps2.pk = p_partkey)`
+    // must rewrite to a grouped-min aggregate joined back on the part key —
+    // a per-outer-row re-execution of the region chain would surface as a
+    // nested-loop join. Only equi joins may remain.
+    val plan = planOf(SparkEntry.queries("q294_tpch_q2")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("top-supplier max gate plans as one scalar subquery, not per row (q299)") {
+    // TPC-H Q15: the revenue CTE feeds both the join and the
+    // = (SELECT max(...)) gate; the max must be ONE one-row subquery plan
+    // (distinct subquery id count 1 — a ReusedSubquery under the same id is
+    // the desired sharing), never an inlined nested-loop re-aggregation.
+    val plan = planOf(SparkEntry.queries("q299_tpch_q15")(spark, sf))
+    val ids = "Subquery subquery#(\\d+)".r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(ids.size == 1, plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("NOT IN excluded-supplier set plans as a null-aware anti join (q300)") {
+    // TPC-H Q16's trap: NOT IN is null-sensitive, and the naive plan is a
+    // per-row probe of the supplier subquery. Spark's single-column
+    // null-aware anti join keeps it a hash build — pin LeftAnti with no
+    // nested-loop fallback.
+    val plan = planOf(SparkEntry.queries("q300_tpch_q16")(spark, sf))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("unpivot melts through one Expand projection, no shuffle added (q225)") {
     val df = SparkEntry.queries("q225_unpivot_melt")(spark, sf)
     val plan = planOf(df)
