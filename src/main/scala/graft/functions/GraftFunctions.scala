@@ -86,6 +86,14 @@ object GraftFunctions {
     column(org.apache.spark.sql.graft.TopKAgg(
       expression(key), expression(payload), k).toAggregateExpression())
 
+  /** Misra–Gries heavy-hitters summary: ≤ k−1 (token, est) entries per
+    * group with the mergeable-summaries guarantee est ≤ true ≤ est + n/k —
+    * the one-pass dominant-token census that replaces a corpus-wide token
+    * groupBy at scale (buffer bytes shuffle, not distinct-token rows). */
+  def misraGries(token: Column, k: Int): Column =
+    column(org.apache.spark.sql.graft.MisraGriesAgg(
+      expression(token), k).toAggregateExpression())
+
   /** Collect up to `cap` longs per group with a cap+1th overflow witness —
     * buffer memory is physically bounded on update AND merge, so a
     * degenerate group cannot blow an executor the way collect_list can. */

@@ -115,11 +115,19 @@ object AdvancedJoins {
       val p = Tables.part(s, d).filter(col("p_retailprice") > 905.0)
         .select(col("p_brand"), col("p_partkey"), col("p_size"))
       val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_size").as("size_a"))
-      val b = p.select(col("p_brand").as("brand_b"), col("p_partkey").as("key_b"), col("p_size").as("size_b"))
+      // Equi-ize the |size diff| <= 2 band: side b explodes to its 5
+      // covering sizes, so the join is a PLAIN equi-join on (brand, size)
+      // and each qualifying pair matches EXACTLY once (size_a hits one
+      // exploded value) — no dedupe pass. The brand-only equi anchor was
+      // quadratic per brand (the sf1 run measured 31x at 10x parts: every
+      // high-price pair in a brand met the inequality residual); per
+      // (brand, size) buckets are sf-stable in TPC-H, so this is linear.
+      val b = p.select(col("p_brand").as("brand_b"), col("p_partkey").as("key_b"),
+          explode(sequence(col("p_size") - 2, col("p_size") + 2)).as("size_b"))
       a.join(b,
         col("p_brand") === col("brand_b") &&
-          col("key_a") < col("key_b") &&
-          abs(col("size_a") - col("size_b")) <= 2)
+          col("size_a") === col("size_b") &&
+          col("key_a") < col("key_b"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("p_brand"))

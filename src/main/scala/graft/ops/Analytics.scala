@@ -2190,7 +2190,11 @@ object Analytics {
             .otherwise("C").as("abc"))
         .groupBy(col("abc"))
         .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"),
-          expr("CAST(sum(cents) * 1000000 div max(total) AS BIGINT)").as("share_ppm"))
+          // 128-bit ppm: corpus-total cents * 1e6 overflows Long at ~10x
+          // sf0.1 revenue (caught by the sf1 run) — route the product
+          // through DECIMAL(38,0), exactly what the oracle's HUGEINT does
+          expr("CAST((CAST(sum(cents) AS DECIMAL(38,0)) * 1000000) div CAST(max(total) AS DECIMAL(38,0)) AS BIGINT)")
+            .as("share_ppm"))
         .orderBy(col("abc"))
     },
 

@@ -515,6 +515,99 @@ object Dedup {
         .filter(col("score") >= 2)
         .orderBy(col("score").desc, col("ka"), col("kb"))
         .limit(20)
+    },
+
+    GraftQuery(
+      "q301_incremental_dedup",
+      "INCREMENTAL corpus-update dedup — the production path every training corpus runs on refresh day: an incoming batch (source src19) is screened against the EXISTING corpus (every other source) without ever comparing corpus-vs-corpus. Delta signatures probe the corpus' banded LSH buckets (at 100 TB that bucket table is a PERSISTED index maintained across runs; here it is derived in-plan from the same signature frame), colliding candidates are exact-verified by sorted-fingerprint intersection, and the output is the per-incoming-doc admission verdict: candidate count, verified-dup count (3-gram Jaccard >= 0.5), keep/reject. Fixed 25-row surface regardless of hit rate, so the oracle gate is exercised even when the batch is clean. Cost shape: |delta| x bucket-collisions, NEVER |corpus|^2 — re-running yesterday's full dedup to admit 0.1% new data is the anti-pattern this operator exists to avoid.",
+      {
+        val hs = s"${h60Sql("sh")} % $P"
+        val mins = hashParams.zipWithIndex.map { case ((a, b), i) =>
+          s"min(($a*hs + $b) % $P) AS mh" + f"$i%02d"
+        }.mkString(", ")
+        val bandSelects = (0 until NumBands).map { b =>
+          val key = (0 until RowsPerBand)
+            .map(r => f"mh${b * RowsPerBand + r}%02d").mkString(" || ',' || ")
+          s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH $tokCte,
+           |$shCte,
+           |h AS (SELECT doc_id, $hs AS hs FROM sh),
+           |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |src AS (SELECT doc_id, source FROM documents),
+           |cand AS (SELECT DISTINCT da.doc_id AS did, ca.doc_id AS cid
+           |  FROM bands da JOIN src sd ON sd.doc_id = da.doc_id AND sd.source = 'src19'
+           |  JOIN bands ca ON ca.band = da.band AND ca.key = da.key
+           |  JOIN src sc ON sc.doc_id = ca.doc_id AND sc.source <> 'src19'),
+           |sz AS (SELECT doc_id, count(DISTINCT hs) AS sz FROM h GROUP BY doc_id),
+           |inter AS (SELECT c.did, c.cid, count(DISTINCT x.hs) AS inter
+           |  FROM cand c JOIN h x ON x.doc_id = c.did
+           |  JOIN h y ON y.doc_id = c.cid AND y.hs = x.hs
+           |  GROUP BY 1, 2),
+           |jac AS (SELECT c.did, c.cid,
+           |    CASE WHEN 1000000.0 * coalesce(i.inter, 0)
+           |         / (x.sz + y.sz - coalesce(i.inter, 0)) >= 500000
+           |         THEN 1 ELSE 0 END AS is_match
+           |  FROM cand c
+           |  LEFT JOIN inter i ON i.did = c.did AND i.cid = c.cid
+           |  JOIN sz x ON x.doc_id = c.did JOIN sz y ON y.doc_id = c.cid),
+           |verd AS (SELECT did, count(*) AS n_candidates,
+           |    sum(is_match) AS n_dups
+           |  FROM jac GROUP BY did)
+           |SELECT s.doc_id,
+           |  CAST(coalesce(v.n_candidates, 0) AS BIGINT) AS n_candidates,
+           |  CAST(coalesce(v.n_dups, 0) AS BIGINT) AS n_dups,
+           |  coalesce(v.n_dups, 0) > 0 AS is_dup
+           |FROM src s LEFT JOIN verd v ON v.did = s.doc_id
+           |WHERE s.source = 'src19'
+           |ORDER BY s.doc_id""".stripMargin
+      }) { (s, d) =>
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val sig = minhashSignatures(s, d)
+      val bandCols = (0 until NumBands).map { b =>
+        val key = concat_ws(",",
+          (0 until RowsPerBand).map(r => col(f"mh${b * RowsPerBand + r}%02d")): _*)
+        struct(lit(b).as("band"), key.as("key"))
+      }
+      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      // the corpus side of this join is the persisted bucket index in
+      // production; the delta side is small, so it broadcasts to the buckets
+      val deltaBands = bands.join(
+        broadcast(src.filter(col("source") === "src19")), "doc_id")
+        .select(col("doc_id").as("did"), col("band"), col("key"))
+      val corpusBands = bands.join(
+        broadcast(src.filter(col("source") =!= "src19")), "doc_id")
+        .select(col("doc_id").as("cid"), col("band"), col("key"))
+      val cand = deltaBands.join(corpusBands, Seq("band", "key"))
+        .select(col("did"), col("cid")).distinct()
+      // exact verification on candidates only: one sorted-fingerprint array
+      // per doc, codegen merge-walk intersection — never a shingle re-join
+      val shSets = graft.util.CacheOnce.persistForOneAction(
+        shingleHashes(s, d).groupBy(col("doc_id"))
+          .agg(sort_array(collect_set(col("hs"))).as("hset"))
+          .withColumn("sz", size(col("hset"))))
+      val verified = cand
+        .join(shSets.select(col("doc_id").as("did"), col("hset").as("set_a"),
+          col("sz").as("sz_a")), "did")
+        .join(shSets.select(col("doc_id").as("cid"), col("hset").as("set_b"),
+          col("sz").as("sz_b")), "cid")
+        .withColumn("inter",
+          graft.functions.GraftFunctions.sortedIntersectCount(col("set_a"), col("set_b")))
+        .withColumn("is_match",
+          when(lit(1000000.0) * col("inter")
+            / (col("sz_a") + col("sz_b") - col("inter")) >= 500000, 1L).otherwise(0L))
+        .groupBy(col("did"))
+        .agg(count(lit(1)).as("n_candidates"), sum(col("is_match")).as("n_dups"))
+      src.filter(col("source") === "src19")
+        .join(verified, col("did") === col("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          (coalesce(col("n_dups"), lit(0L)) > 0).as("is_dup"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -243,7 +243,15 @@ object GraphOps {
         |  CAST(sum(cur) AS BIGINT) AS sum_keys,
         |  CAST(count(DISTINCT cur) AS BIGINT) AS n_distinct
         |FROM chain GROUP BY depth ORDER BY depth""".stripMargin) { (s, d) =>
-      Tables.orders(s, d).createOrReplaceTempView("orders_rcte")
+      val orders = Tables.orders(s, d)
+      orders.createOrReplaceTempView("orders_rcte")
+      // Spark's recursion row-limit governor (default 1e6) exists to catch
+      // unbounded recursion; THIS recursion is provably bounded at
+      // |orders| x digits(max key) <= |orders| x 20, so size the governor to
+      // that bound instead of failing at 10x data (caught by the sf1 run:
+      // 1.5M orders x 7 digits = 10.5M chain rows > 1e6).
+      s.conf.set("spark.sql.cteRecursionRowLimit",
+        math.max(1000000L, orders.count() * 20L).toString)
       s.sql(
         """WITH RECURSIVE chain AS (
           |  SELECT o_orderkey AS k, o_orderkey AS cur, 0 AS depth FROM orders_rcte

@@ -614,12 +614,20 @@ object Relational {
         |  TRUE AS parts_within_bound, TRUE AS orders_within_bound
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
+      val li = Tables.lineitem(s, d)
+      // The sketches run in their OWN aggregation, joined back on the 3-row
+      // group key: mixing countDistinct with approx_count_distinct in one
+      // agg makes Catalyst's Expand-based mixed-distinct plan carry the
+      // multi-KB HLL buffer as per-DISTINCT-KEY state (millions of buffers
+      // — measured 50s vs 3.9s+1.8s split at sf1, Q09Probe). Two scans of
+      // a pruned 3-column parquet beat one scan with quadratic state.
+      val exact = li.groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+      val sketch = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+      exact.join(broadcast(sketch), "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
           // integer-exact 6% bound check: abs error * 100 <= exact * 6
           (abs(col("ap") - col("exact_parts")) * 100 <= col("exact_parts") * 6)

@@ -927,6 +927,41 @@ object TextAnalysis {
         .selectExpr("batch", "n_tokens", "n_novel",
           "(n_novel * 1000000) div n_tokens AS novelty_ppm")
         .orderBy(col("batch"))
+    },
+
+    GraftQuery(
+      "q302_token_heavy_hitters",
+      "Corpus-dominant tokens via a native Misra-Gries(64) summary aggregate, HASH-GATED like q09: the sketch itself is engine-specific, so the COMPARED columns are the exact counts of every token with frequency > n/64 plus two booleans asserting the mergeable-summaries guarantee held (est <= exact, and (exact - est) * 64 <= n) — a missing or out-of-bound sketch entry fails the gate. The 100 TB point: the sketch pass shuffles one <=63-entry buffer per partition instead of one row per distinct token (billions for web text); the exact groupBy here is the labeled calibration tier that makes the sketch's error a measured fact. Sketch + total row count ride ONE aggregate pass over the token stream.",
+      """WITH tok AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM tok),
+        |f AS (SELECT token, count(*) AS exact_cnt FROM tok GROUP BY token)
+        |SELECT token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+        |  TRUE AS lower_ok, TRUE AS upper_ok
+        |FROM f, n WHERE exact_cnt * 64 > n.n
+        |ORDER BY exact_cnt DESC, token""".stripMargin) { (s, d) =>
+      val k = 64
+      val tok = graft.util.CacheOnce.persistForOneAction(
+        Tables.documents(s, d).select(explode(tokens(col("text"))).as("token")))
+      // one pass builds the sketch AND the total count n
+      val sk = tok.agg(
+        graft.functions.GraftFunctions.misraGries(col("token"), k).as("hh"),
+        count(lit(1)).as("n"))
+      val est = sk.select(col("n"), explode(col("hh")).as("e"))
+        .select(col("n"), col("e.token").as("token"), col("e.est").as("est"))
+      // calibration tier: exact counts, heavy set = freq * k > n
+      val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      exact.crossJoin(broadcast(sk.select(col("n"))))
+        .filter(col("exact_cnt") * k > col("n"))
+        .join(broadcast(est.drop("n")), Seq("token"), "left_outer")
+        .select(col("token"), col("exact_cnt"),
+          // guarantee: est <= true (undercount only) ...
+          (col("est").isNotNull && col("est") <= col("exact_cnt")).as("lower_ok"),
+          // ... and true - est <= n/k, integer-exact via cross-multiply
+          (col("est").isNotNull &&
+            (col("exact_cnt") - col("est")) * k <= col("n")).as("upper_ok"))
+        .orderBy(col("exact_cnt").desc, col("token"))
     }
   )
 }

@@ -269,3 +269,129 @@ case class CappedCollectAgg(
       newChildren: IndexedSeq[Expression]): CappedCollectAgg =
     copy(child = newChildren(0))
 }
+
+/** Misra–Gries heavy-hitters summary (Misra & Gries 1982; merge rule from
+  * Agarwal et al., "Mergeable Summaries", PODS 2012) as ONE native bounded
+  * aggregate: at most `k − 1` (token, counter) entries per buffer on every
+  * code path — update evicts by the classic decrement-all step, merge sums
+  * matching counters then subtracts the k-th largest counter and drops the
+  * non-positive remainder.
+  *
+  * Guarantee carried to the caller (and VERIFIED by q302's calibration
+  * query against exact counts): for every item,
+  * `est ≤ true_count ≤ est + n/k` where n is the group's total row count —
+  * so every item with frequency above n/k is PRESENT in the summary.
+  *
+  * Scale shape: the 100 TB question this answers is "what are the corpus'
+  * dominant tokens" WITHOUT a corpus-wide token groupBy — the full exact
+  * aggregate shuffles one row per distinct token (billions for web text);
+  * this plans as ObjectHashAggregate whose shuffle carries one ≤(k−1)-entry
+  * buffer per partition, i.e. kilobytes, and the merge is associative and
+  * commutative so map-side partial aggregation applies. The exact groupBy
+  * in q302 is the labeled calibration tier, not the operating path.
+  */
+case class MisraGriesAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.HashMap[org.apache.spark.unsafe.types.UTF8String, Long]]
+  with ExpectsInputTypes {
+
+  import org.apache.spark.unsafe.types.UTF8String
+  private type Buf = scala.collection.mutable.HashMap[UTF8String, Long]
+
+  require(k >= 2, "misra-gries needs k >= 2")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("est", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "misra_gries_agg"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): Buf = new Buf
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val t = v.asInstanceOf[UTF8String]
+      buf.get(t) match {
+        case Some(c) => buf.update(t, c + 1)
+        case None =>
+          if (buf.size < k - 1) buf.update(t.clone(), 1L)
+          else {
+            // decrement-all: the newcomer and one unit of every counter
+            // annihilate; k-way cancellation is what bounds the error at n/k
+            val dead = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+            buf.foreach { case (key, c) =>
+              if (c == 1L) dead += key else buf.update(key, c - 1)
+            }
+            dead.foreach(buf.remove)
+          }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Buf, other: Buf): Buf = {
+    other.foreach { case (t, c) => buf.update(t, buf.getOrElse(t, 0L) + c) }
+    if (buf.size > k - 1) {
+      // subtract the k-th largest counter from all (Agarwal et al. §3.1):
+      // at most k−1 survive and the per-item undercount stays ≤ n/k overall
+      val vals = buf.values.toArray
+      java.util.Arrays.sort(vals)
+      val t = vals(vals.length - k) // k-th largest
+      val dead = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+      buf.foreach { case (key, c) =>
+        if (c - t <= 0L) dead += key else buf.update(key, c - t)
+      }
+      dead.foreach(buf.remove)
+    }
+    buf
+  }
+
+  override def eval(buf: Buf): Any = {
+    // deterministic surface: est DESC, token ASC byte order
+    val arr = buf.toArray.sortWith { case ((ta, ca), (tb, cb)) =>
+      ca > cb || (ca == cb && ta.compareTo(tb) < 0)
+    }
+    new GenericArrayData(arr.map { case (t, c) => InternalRow(t, c): Any })
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    var bytes = 4
+    buf.foreach { case (t, _) => bytes += 4 + t.numBytes() + 8 }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(buf.size)
+    buf.foreach { case (t, c) =>
+      val tb = t.getBytes
+      bb.putInt(tb.length); bb.put(tb); bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Buf
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val tb = new Array[Byte](len)
+      bb.get(tb)
+      buf.update(UTF8String.fromBytes(tb), bb.getLong)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGriesAgg =
+    copy(child = newChildren.head)
+}
