@@ -472,15 +472,23 @@ object Dedup {
 
     GraftQuery(
       "q210_entity_blocking",
-      "Entity-resolution candidate generation by MULTI-KEY BLOCKING over customers: pairs meet through block A (nation, balance-thousand bucket) OR block B (market segment, same bucket) — never through the C(n,2) cross product — then every candidate is scored inline on field agreements (same nation + same segment + balances within $100, cents-exact) and kept at score >= 2. The union of two narrow blocking passes is the standard recall lever (each block bounds pair volume to Σ block², like LSH banding bounds q40); scoring runs BEFORE the pair-dedupe shuffle (the q127 lesson), and bucket-straddling near-balances are the documented recall loss a second shifted-bucket block would close (the 2-bin trick of q125). Top-20 pairs by (score, ids) — pair-level evidence, not just a census.",
+      "Entity-resolution candidate generation by MULTI-KEY BLOCKING over customers: pairs meet through block A (nation, balance-thousand bucket) OR block B (market segment, same bucket) — never through the C(n,2) cross product — then every candidate is scored inline on field agreements (same nation + same segment + balances within $100, cents-exact) and kept at score >= 2. The union of two narrow blocking passes is the standard recall lever (each block bounds pair volume to Σ block², like LSH banding bounds q40), and blocks are CAPPED at 64 deterministically-ranked members (fixed keys + growing data = quadratic blocks; the sf1 board measured 53x at 10x rows before the cap — production re-blocks on a finer key at saturation); scoring runs BEFORE the pair-dedupe shuffle (the q127 lesson), and bucket-straddling near-balances are the documented recall loss a second shifted-bucket block would close (the 2-bin trick of q125). Top-20 pairs by (score, ids) — pair-level evidence, not just a census.",
       """WITH c AS (SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
         |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
         |    CAST(floor(c_acctbal * 100) AS BIGINT) // 100000 AS bucket
         |  FROM customer),
-        |pa AS (SELECT a.k AS ka, b.k AS kb FROM c a JOIN c b
-        |       ON a.nat = b.nat AND a.bucket = b.bucket AND a.k < b.k),
-        |pb AS (SELECT a.k AS ka, b.k AS kb FROM c a JOIN c b
-        |       ON a.seg = b.seg AND a.bucket = b.bucket AND a.k < b.k),
+        |ca AS (SELECT k, nat, seg, bucket,
+        |       row_number() OVER (PARTITION BY nat, bucket ORDER BY k) AS rn
+        |     FROM c),
+        |cb AS (SELECT k, seg, bucket,
+        |       row_number() OVER (PARTITION BY seg, bucket ORDER BY k) AS rn
+        |     FROM c),
+        |pa AS (SELECT a.k AS ka, b.k AS kb FROM ca a JOIN ca b
+        |       ON a.nat = b.nat AND a.bucket = b.bucket AND a.k < b.k
+        |      AND a.rn <= 64 AND b.rn <= 64),
+        |pb AS (SELECT a.k AS ka, b.k AS kb FROM cb a JOIN cb b
+        |       ON a.seg = b.seg AND a.bucket = b.bucket AND a.k < b.k
+        |      AND a.rn <= 64 AND b.rn <= 64),
         |cand AS (SELECT ka, kb FROM pa UNION SELECT ka, kb FROM pb),
         |scored AS (SELECT ka, kb,
         |    CAST(CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END +
@@ -495,11 +503,23 @@ object Dedup {
         col("c_mktsegment").as("seg"),
         cents(col("c_acctbal")).as("cents"),
         expr("CAST(floor(c_acctbal * 100) AS BIGINT) div 100000").as("bucket"))
-      def block(key: String) =
-        c.as("a").join(c.as("b"),
+      // block-size governor (mirrored in the oracle): members rank
+      // deterministically within their block and only the first 64 pair up.
+      // Blocks grow linearly with customers under FIXED blocking keys, so
+      // uncapped Σ block² is quadratic (the sf1 board measured 53x at 10x
+      // rows); production re-blocks on a finer key when the census shows
+      // saturation, and the cap bounds candidate volume until then. No
+      // effect at the oracle-gated SFs (max block ~27 members).
+      def block(key: String) = {
+        val ranked = c.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(key), col("bucket")).orderBy(col("k"))))
+          .filter(col("rn") <= 64)
+        ranked.as("a").join(ranked.as("b"),
             col(s"a.$key") === col(s"b.$key") &&
               col("a.bucket") === col("b.bucket") && col("a.k") < col("b.k"))
           .select(col("a.k").as("ka"), col("b.k").as("kb"))
+      }
       // UNION (set) dedups pairs that met through both blocks
       val cand = block("nat").union(block("seg")).distinct()
       val a = c.select(col("k").as("ka"), col("nat").as("nat_a"),

@@ -1131,6 +1131,47 @@ object Relational {
           |GROUP BY p_brand, p_type, p_size
           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
           |LIMIT 100""".stripMargin)
+    },
+
+    GraftQuery(
+      "q303_quantile_sketch_calibration",
+      "Approximate-quantile CALIBRATION, hash-gated like q09/q302 — the last sketch in the engine without a measured error: percentile_approx(accuracy=1000) promises rank error <= n/1000, and this query VERIFIES it per (returnflag, p in {0.5, 0.9, 0.99}) by ranking the sketch's returned value against the actual column (rank = count(c <= v)) and asserting |1000*rank - p_mil*n| <= n + 1000, all integer cross-products. The COMPARED columns are group size, the exact interpolated quantile (floored cents — both engines' (n-1)p linear interpolation), and the bound boolean; the sketch value itself stays engine-side. At 100 TB the sketch IS the operating path (bounded GK state, map-side mergeable) and the exact percentile here is the labeled calibration tier.",
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+        |g AS (SELECT flag, count(*) AS n,
+        |    quantile_cont(c, 0.5) AS q500, quantile_cont(c, 0.9) AS q900,
+        |    quantile_cont(c, 0.99) AS q990
+        |  FROM li GROUP BY flag)
+        |SELECT flag, p_mil, CAST(n AS BIGINT) AS n,
+        |  CAST(floor(CASE p_mil WHEN 500 THEN q500 WHEN 900 THEN q900
+        |             ELSE q990 END) AS BIGINT) AS exact_q,
+        |  TRUE AS bound_ok
+        |FROM g, (VALUES (500), (900), (990)) p(p_mil)
+        |ORDER BY flag, p_mil""".stripMargin) { (s, d) =>
+      val li = graft.util.CacheOnce.persistForOneAction(
+        Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+          cents(col("l_extendedprice")).as("c")))
+      val pMils = Seq(500, 900, 990)
+      val probs = array(pMils.map(p => lit(p / 1000.0)): _*)
+      val g = li.groupBy(col("flag")).agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("c"), probs, lit(1000)).as("aq"),
+        expr("percentile(c, array(0.5D, 0.9D, 0.99D))").as("eq"))
+      // one row per (flag, p): the sketch value to be ranked + the exact twin
+      val qrows = g.select(col("flag"), col("n"),
+        posexplode(arrays_zip(col("aq"), col("eq"))).as(Seq("i", "z")))
+        .select(col("flag"), col("n"),
+          element_at(array(pMils.map(lit): _*), col("i") + 1).as("p_mil"),
+          col("z.aq").as("av"), floor(col("z.eq")).cast("long").as("exact_q"))
+      // calibration rank pass: count(c <= sketch value) per group — a 9-row
+      // broadcast against one more scan of the cached 2-column frame
+      li.join(broadcast(qrows), "flag")
+        .groupBy(col("flag"), col("p_mil"), col("n"), col("exact_q"))
+        .agg(sum(when(col("c") <= col("av"), 1L).otherwise(0L)).as("rank"))
+        .select(col("flag"), col("p_mil"), col("n"), col("exact_q"),
+          (abs(col("rank") * 1000 - col("p_mil") * col("n")) <= col("n") + 1000)
+            .as("bound_ok"))
+        .orderBy(col("flag"), col("p_mil"))
     }
   )
 }

@@ -167,6 +167,38 @@ object ScaleOps {
     },
 
     GraftQuery(
+      "q304_bloom_fpr_calibration",
+      "Bloom-filter CALIBRATION, hash-gated like q09/q302/q303 — q104 prunes with a bloom sketch, so the sketch's two contracts get measured: (1) ZERO false negatives — every inserted member must test positive (the property the semi-join prune's correctness rests on), emitted as an exact count the oracle pins at 0; (2) the false-positive rate, probed with a domain-shifted key set guaranteed disjoint from the members (custkey + 1e9), asserted under 2x the filter's 3% design point via integer cross-multiply (fp * 1e6 <= probes * 60000). The filter is sized to the ACTUAL member count (one planning-time scalar job — bloom sizing is a plan decision, exactly what InjectRuntimeFilter does with its build-side estimate), so the measured FPR tracks the design point at every SF instead of saturating at 10x.",
+      """SELECT CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+        |  CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(0 AS BIGINT) AS n_false_negatives,
+        |  TRUE AS fpr_within_bound
+        |FROM customer""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val dim = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      // sizing scalar: the filter must know its load factor at plan time
+      val nMembers = dim.count()
+      val bloom = dim.agg(BloomShim.bloomFilterAgg(
+        xxhash64(col("c_custkey")), math.max(nMembers, 64L)).as("bf"))
+      val bf = BloomShim.scalarOf(bloom)
+      // false-negative census over the members themselves (must be 0)
+      val fnRow = dim.agg(sum(when(
+        !BloomShim.bloomMightContain(bf, xxhash64(col("c_custkey"))), 1L)
+        .otherwise(0L)).as("n_false_negatives"))
+      // FPR probe: every custkey shifted past the key domain — disjoint by
+      // construction, same cardinality profile as real probe traffic
+      val fpRow = cust.select((col("c_custkey") + 1000000000L).as("pk"))
+        .agg(sum(when(
+          BloomShim.bloomMightContain(bf, xxhash64(col("pk"))), 1L)
+          .otherwise(0L)).as("fp"), count(lit(1)).as("n_probes"))
+      fpRow.crossJoin(broadcast(fnRow))
+        .select(lit(nMembers).as("n_members"), col("n_probes"),
+          col("n_false_negatives"),
+          (col("fp") * 1000000L <= col("n_probes") * 60000L).as("fpr_within_bound"))
+    },
+
+    GraftQuery(
       "q105_span_dedup",
       s"Exact duplicated-span dedup (Lee et al., 'Deduplicating Training Data Makes Language Models Better'): segment each doc into non-overlapping $SegW-token runs, and a run occurrence survives only if it is the GLOBAL first occurrence (min doc_id, then min offset) of that segment — the token-level duplication doc-level hashing (q37) cannot see. All shuffles key on the 16-byte md5 of the segment, never the text; per-doc kept/total counts are the dedup report.",
       s"""WITH $tokCte,

@@ -333,16 +333,20 @@ object Similarity {
 
     GraftQuery(
       "q44_lsh_ann_pairs",
-      "Banded hyperplane-LSH ANN (16 tables x 4 sign bits, md5-derived planes): candidates are distinct id-pairs sharing any (table, bucket) — linear shuffle volume, the 100 TB path — then exact-verified at cosine >= 0.40 by joining the vectors back. ~92% recall of the brute-force q42 pairs at a fraction of the comparisons.",
+      "Banded hyperplane-LSH ANN (16 tables x 4 sign bits, md5-derived planes): candidates are distinct id-pairs sharing any (table, bucket) — then exact-verified at cosine >= 0.40 by joining the vectors back. ~92% recall of the brute-force q42 pairs at a fraction of the comparisons. Buckets are CAPPED at 256 members (deterministic: rank by vec_id — mirrored in the oracle), because with fixed sign bits bucket occupancy grows linearly with the corpus and within-bucket pairing quadratically (the sf1 board measured 61x at 10x vectors before the cap); past the cap a production deployment re-banding with more bits/tables is the recall-preserving move, and the cap is the governor that keeps candidate volume linear until then. No cap effect at the oracle-gated SFs (max occupancy ~125).",
       s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
          |bk AS (SELECT e.vec_id, planes.p // ${BitsPerTable} AS t,
          |         sum(CASE WHEN ${dotSql("planes.rv", "e.embedding")} > 0
          |                  THEN 1 << (planes.p % ${BitsPerTable}) ELSE 0 END) AS bkt
          |       FROM n e, $planesSql
          |       GROUP BY e.vec_id, planes.p // ${BitsPerTable}),
+         |bkr AS (SELECT vec_id, t, bkt,
+         |         row_number() OVER (PARTITION BY t, bkt ORDER BY vec_id) AS rn
+         |       FROM bk),
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |         FROM bk a JOIN bk b
-         |           ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         |         FROM bkr a JOIN bkr b
+         |           ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+         |          AND a.rn <= 256 AND b.rn <= 256),
          |v AS (SELECT c.vec_a, c.vec_b,
          |        CASE WHEN x.nrm * y.nrm = 0 THEN 0.0
          |             ELSE ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) END AS sim
@@ -356,6 +360,13 @@ object Similarity {
       // (table, bucket) is joined as the single encoded code column
       val bk = n.select(col("vec_id"),
         explode(lshBucketCodes(col("embedding"))).as("code"))
+        // capped bucket (doc above): rank members deterministically, pair
+        // only the first 256 — the window runs over the id-only bucket
+        // index, partitioned by code, so it parallelizes across buckets
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("code")).orderBy(col("vec_id"))))
+        .filter(col("rn") <= 256)
+        .drop("rn")
       // candidate generation on ids only (no vectors through the shuffle);
       // the bucket index is (corpus × tables) rows — it SCALES WITH THE
       // CORPUS, so no broadcast hint: AQE broadcasts it at small SF and
