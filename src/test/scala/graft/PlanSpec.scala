@@ -524,6 +524,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("incremental dedup probes buckets with equi joins only (q301)") {
+    // The delta-vs-corpus screen must never degenerate to a nested-loop
+    // over the corpus: band probe and verification joins are all equi.
+    val plan = planOf(SparkEntry.queries("q301_incremental_dedup")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("Misra-Gries sketch plans as ObjectHashAggregate with partial merge (q302)") {
+    // The TypedImperativeAggregate must take the ObjectHashAggregate path
+    // (map-side partial buffers through the shuffle), not sort-based
+    // fallback — that buffer-not-rows shuffle IS the operator's scale claim.
+    val plan = planOf(SparkEntry.queries("q302_token_heavy_hitters")(spark, sf))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(plan.contains("misra_gries_agg"), plan.take(3000))
+  }
+
   test("unpivot melts through one Expand projection, no shuffle added (q225)") {
     val df = SparkEntry.queries("q225_unpivot_melt")(spark, sf)
     val plan = planOf(df)
