@@ -73,6 +73,21 @@ object Dedup {
     sig.select(cols: _*)
   }
 
+  /** Banded LSH bucket keys of a signature frame: (doc_id, band, key) with
+    * one row per (doc, band). This IS the persisted bucket-index schema the
+    * incremental path (q301) maintains across corpus refreshes — a plain
+    * parquet table keyed by (band, key); IncrementalDedupSpec proves the
+    * round trip. */
+  def bandedKeys(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until NumBands).map { b =>
+      val key = concat_ws(",",
+        (0 until RowsPerBand).map(r => col(f"mh${b * RowsPerBand + r}%02d")): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   /** Built-in twin of [[minhashSignatures]]: 32 independent min() aggregates.
     * Kept as the differential check for the custom aggregate (MinHashAggSpec)
     * — same shuffle volume (k longs per doc), whole-stage-codegen path. */
@@ -585,14 +600,7 @@ object Dedup {
            |ORDER BY s.doc_id""".stripMargin
       }) { (s, d) =>
       val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-      val sig = minhashSignatures(s, d)
-      val bandCols = (0 until NumBands).map { b =>
-        val key = concat_ws(",",
-          (0 until RowsPerBand).map(r => col(f"mh${b * RowsPerBand + r}%02d")): _*)
-        struct(lit(b).as("band"), key.as("key"))
-      }
-      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val bands = bandedKeys(minhashSignatures(s, d))
       // the corpus side of this join is the persisted bucket index in
       // production; the delta side is small, so it broadcasts to the buckets
       val deltaBands = bands.join(
