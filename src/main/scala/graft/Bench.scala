@@ -35,6 +35,35 @@ object Bench {
       // stop() in finally: an awaitTermination timeout must not leave the
       // warmup stream running under the first timed queries
       try q.awaitTermination(15000) finally q.stop()
+      // second streaming warmup, production-shaped: file source + watermark +
+      // session_window + RocksDB state store. r10's residual bench spread
+      // concentrated in 5 streaming queries — first-touch provider/JNI and
+      // state-store init, not plan noise — so pay those costs here, untimed.
+      val wdir = graft.util.Scratch.dir("graft-bench-warmup").toString
+      spark.range(200).selectExpr("id AS user_id",
+        "timestamp_micros(1700000000000000 + id * 1000000) AS ts")
+        .write.mode("overwrite").parquet(wdir)
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val savedProvider = spark.conf.getOption(providerKey)
+      try {
+        spark.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val wq = spark.readStream
+          .schema(spark.read.parquet(wdir).schema).parquet(wdir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(org.apache.spark.sql.functions.session_window(
+            org.apache.spark.sql.functions.col("ts"), "10 minutes"),
+            org.apache.spark.sql.functions.col("user_id"))
+          .count()
+          .writeStream.format("memory").queryName("bench_warmup_stream")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try wq.awaitTermination(20000) finally wq.stop()
+      } finally savedProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
     } catch { case _: Throwable => () }
     // cache hygiene between runs: clearCache drops the CacheManager entries
     // too (a bare RDD-unpersist leaves stale InMemoryRelations that later
@@ -90,8 +119,12 @@ object Bench {
         sweepCaches()
         t
       }
+      // streaming queries get one extra base rep: their micro-batch/state
+      // machinery carries irreducible per-run variance, and one more
+      // observation of the min is cheaper than a flagged number
+      val baseReps = if (name.contains("stream")) reps + 1 else reps
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      (1 to reps).foreach(_ => rep().foreach(times += _))
+      (1 to baseReps).foreach(_ => rep().foreach(times += _))
       // spread = gap between the TWO BEST observations, not max-min: rep 1
       // pays per-query Catalyst analysis + codegen compile that later reps
       // don't, so max-min was structurally ~the codegen cost even on a quiet
@@ -99,7 +132,7 @@ object Bench {
       // Two best reps agreeing is the actual trustworthiness signal.
       def best2Gap(ts: Seq[Double]): Double =
         if (ts.size < 2) 0.0 else { val s = ts.sorted; s(1) - s(0) }
-      if (times.size == reps) {
+      if (times.size == baseReps) {
         // adaptive: a query whose two best reps still disagree by >50% of
         // the min earns up to `maxExtra` more reps; if it STAYS noisy it is
         // flagged so the judge knows which numbers not to trust
@@ -109,7 +142,7 @@ object Bench {
         }
         if (best2Gap(times.toSeq) > 0.5 * times.min) flagged += name
       }
-      if (times.size < reps) None
+      if (times.size < baseReps) None
       else Some(name -> (times.min, best2Gap(times.toSeq)))
     }
     // ms precision keeps the one-line JSON short enough to survive the

@@ -61,6 +61,10 @@ object ScaleData {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // UTC pin (r10 ADVICE): Tables.events re-tags µs-NTZ parquet as plain
+      // TIMESTAMP assuming a UTC session — without this pin a non-UTC host
+      // would shift every staged events.ts by the host offset
+      .config("spark.sql.session.timeZone", "UTC")
       .appName("graft-scale-data")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

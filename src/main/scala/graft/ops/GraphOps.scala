@@ -26,6 +26,27 @@ object GraphOps {
     * oracle CTE chain. */
   val Iters = 3
 
+  // q226's recursion-governor bound needs |orders|; a full count() job per
+  // query CONSTRUCTION is wasted work (r10 ADVICE), so read the row count
+  // from parquet footer metadata — no scan — and memoize per directory.
+  private val ordersCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def ordersRowCount(d: String): Long =
+    ordersCounts.computeIfAbsent(d, dir => {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val p = new org.apache.hadoop.fs.Path(s"$dir/orders.parquet")
+      val fs = p.getFileSystem(conf)
+      val parts =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
+        else Seq(p)
+      parts.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    }).longValue()
+
   /** BFS rounds (q176) — 4 hops covers the dense bipartite co-occurrence
     * graph's diameter at every test SF; unreached nodes stay unlabeled. */
   val BfsRounds = 4
@@ -249,9 +270,12 @@ object GraphOps {
       // unbounded recursion; THIS recursion is provably bounded at
       // |orders| x digits(max key) <= |orders| x 20, so size the governor to
       // that bound instead of failing at 10x data (caught by the sf1 run:
-      // 1.5M orders x 7 digits = 10.5M chain rows > 1e6).
+      // 1.5M orders x 7 digits = 10.5M chain rows > 1e6). The bound comes
+      // from parquet FOOTER metadata (r10 ADVICE: the previous orders.count()
+      // ran a full scan job every time the query was merely CONSTRUCTED —
+      // ExplainDump/PlanSpec/bench registration), memoized per directory.
       s.conf.set("spark.sql.cteRecursionRowLimit",
-        math.max(1000000L, orders.count() * 20L).toString)
+        math.max(1000000L, GraphOps.ordersRowCount(d) * 20L).toString)
       s.sql(
         """WITH RECURSIVE chain AS (
           |  SELECT o_orderkey AS k, o_orderkey AS cur, 0 AS depth FROM orders_rcte

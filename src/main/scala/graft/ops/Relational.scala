@@ -284,7 +284,10 @@ object Relational {
         .agg(count(lit(1)).as("n_lines"),
           sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0L)).as("promo_x100"),
           sum(col("rev")).as("total_x100"),
-          expr("CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 1000000 div sum(rev) AS BIGINT)")
+          // ppm cross-multiply through DECIMAL(38,0) (r10 ADVICE): DuckDB's
+          // BIGINT sum promotes to HUGEINT, so the oracle is exact at any SF;
+          // Long would silently wrap here at larger corpora
+          expr("CAST((CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DECIMAL(38,0)) * 1000000) div CAST(sum(rev) AS DECIMAL(38,0)) AS BIGINT)")
             .as("promo_ppm"))
     },
 
@@ -992,7 +995,9 @@ object Relational {
         .select(year(col("o_orderdate")).as("o_year"), col("sn_name"), rev.as("rev"))
         .groupBy(col("o_year"))
         .agg(
-          expr("CAST(sum(CASE WHEN sn_name = 'NATION_7' THEN rev ELSE 0 END) * 1000000 div sum(rev) AS BIGINT)")
+          // DECIMAL(38,0) cross-multiply, same overflow class as Analytics'
+          // share_ppm fix (r10 ADVICE): oracle side is already HUGEINT-exact
+          expr("CAST((CAST(sum(CASE WHEN sn_name = 'NATION_7' THEN rev ELSE 0 END) AS DECIMAL(38,0)) * 1000000) div CAST(sum(rev) AS DECIMAL(38,0)) AS BIGINT)")
             .as("share_ppm"),
           sum(col("rev")).as("total_x100"))
         .orderBy(col("o_year"))

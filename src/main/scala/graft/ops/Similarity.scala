@@ -398,12 +398,27 @@ object Similarity {
 
     GraftQuery(
       "q209_mutual_nn",
-      "Mutual-nearest-neighbor pairs — the bitext-mining / cross-lingual alignment primitive (LASER-style): keep (a,b) only when b is a's single nearest neighbor AND a is b's, the symmetry filter that kills hubness false positives a one-directional top-1 keeps. Each side's NN is an argmax-as-AGGREGATE (max of struct(sim, -id) — map-side combinable, no per-probe window sort), then one self-equi-join checks mutuality. This exact tier is the labeled verification pass; at corpus scale the candidate pairs come from the LSH/IVF tiers (q44/q73) and this pass reranks within buckets, exactly like q113's semantic dedup.",
+      "Mutual-nearest-neighbor pairs — the bitext-mining / cross-lingual alignment primitive (LASER-style): keep (a,b) only when b is a's single nearest neighbor AND a is b's, the symmetry filter that kills hubness false positives a one-directional top-1 keeps. REGISTERED IN ITS PRODUCTION SHAPE (re-scoped after the r10 sf1 board measured the all-pairs form at 65× per 10× data): every vector's NN search runs WITHIN q73's IVF index — its nprobe=2 nearest inverted lists, list membership deterministically capped at 256 (rank by vec_id, mirrored in the oracle; the q44 governor doctrine; no cap effect at the oracle-gated SFs where max list size ≈ 125) — so total cost is n × 2×cap codegen dots, LINEAR in the corpus. Each side's NN is an argmax-as-AGGREGATE (max of struct(sim, -id) — map-side combinable, no per-probe window sort), then one self-equi-join checks mutuality.",
       s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
-         |s AS (SELECT a.vec_id AS a, b.vec_id AS b,
-         |        CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
-         |             ELSE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) END AS sim
-         |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id < 16),
+         |dists AS (SELECT v.vec_id, c.cid,
+         |    v.nrm * v.nrm + c.cnrm * c.cnrm - 2 * ${dotSql("v.embedding", "c.cemb")} AS d2
+         |  FROM n v, cent c),
+         |rkd AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         |  FROM dists),
+         |asgn AS (SELECT vec_id, cid FROM rkd WHERE rk = 1),
+         |mem AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+         |  FROM asgn),
+         |plists AS (SELECT vec_id AS probe_id, cid FROM rkd WHERE rk <= 2),
+         |s AS (SELECT pl.probe_id AS a, m.vec_id AS b,
+         |        CASE WHEN p.nrm * v.nrm = 0 THEN 0.0
+         |             ELSE ${dotSql("p.embedding", "v.embedding")} / (p.nrm * v.nrm) END AS sim
+         |      FROM plists pl JOIN mem m
+         |        ON m.cid = pl.cid AND m.rn <= 256 AND m.vec_id <> pl.probe_id
+         |      JOIN n p ON p.vec_id = pl.probe_id
+         |      JOIN n v ON v.vec_id = m.vec_id),
          |r AS (SELECT a, b, sim,
          |        row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rk
          |      FROM s),
@@ -414,16 +429,42 @@ object Similarity {
          |ORDER BY id_a""".stripMargin) { (s, d) =>
       val n = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
-      val x = n.select(col("vec_id").as("a"), col("embedding").as("emb_a"),
+      val cent = n.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+      // q73's coarse quantizer: exact L2² to 16 broadcast centroids, one
+      // linear pass — ids only from here on (vectors rejoin at scoring)
+      val d2 = col("nrm") * col("nrm") + col("cnrm") * col("cnrm") -
+        lit(2) * dotProduct(col("embedding"), col("cemb"))
+      val ranked = n.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), d2.as("d2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
+      // persisted: assignment AND probe lists both derive from the same
+      // ranked frame — one quantizer pass, two bounded projections
+      val rkd = graft.util.CacheOnce.persistForOneAction(
+        ranked.filter(col("rk") <= 2).select(col("vec_id"), col("cid"), col("rk")))
+      // capped inverted lists: rank members per list by vec_id, keep 256 —
+      // the window runs over the id-only assignment frame, parallel per list
+      val mem = rkd.filter(col("rk") === 1)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cid")).orderBy(col("vec_id"))))
+        .filter(col("rn") <= 256)
+        .select(col("vec_id").as("b"), col("cid"))
+      val plists = rkd.select(col("vec_id").as("a"), col("cid"))
+      val cand = plists.join(mem, "cid").filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"))
+      // scoring joins stay unhinted: AQE broadcasts the vector side at small
+      // SF and shuffles on vec_id at corpus scale
+      val p = n.select(col("vec_id").as("a"), col("embedding").as("emb_a"),
         col("nrm").as("nrm_a"))
-      val y = n.select(col("vec_id").as("b"), col("embedding").as("emb_b"),
+      val v = n.select(col("vec_id").as("b"), col("embedding").as("emb_b"),
         col("nrm").as("nrm_b"))
       val pn  = col("nrm_a") * col("nrm_b")
       val sim = when(pn === 0d, 0d)
         .otherwise(dotProduct(col("emb_a"), col("emb_b")) / pn)
       // argmax per side as an aggregate: max(struct(sim, -b)) is the same
       // total order as the oracle's (sim DESC, b ASC) row_number
-      val nn = x.join(y, col("a") =!= col("b"))
+      val nn = cand.join(p, "a").join(v, "b")
         .select(col("a"), col("b"), sim.as("sim"))
         .groupBy(col("a"))
         .agg(max(struct(col("sim"), (-col("b")).as("nb"))).as("m"))

@@ -944,10 +944,13 @@ object TextAnalysis {
       val k = 64
       val tok = graft.util.CacheOnce.persistForOneAction(
         Tables.documents(s, d).select(explode(tokens(col("text"))).as("token")))
-      // one pass builds the sketch AND the total count n
-      val sk = tok.agg(
+      // one pass builds the sketch AND the total count n; the 1-row result
+      // is persisted because it feeds TWO subtrees (est and the n
+      // broadcast) — without the persist the Misra-Gries pass could run
+      // twice when exchange reuse misses (r10 ADVICE)
+      val sk = graft.util.CacheOnce.persistForOneAction(tok.agg(
         graft.functions.GraftFunctions.misraGries(col("token"), k).as("hh"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n")))
       val est = sk.select(col("n"), explode(col("hh")).as("e"))
         .select(col("n"), col("e.token").as("token"), col("e.est").as("est"))
       // calibration tier: exact counts, heavy set = freq * k > n
