@@ -43,13 +43,22 @@ object ScaleData {
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
 
-  /** Per-replica bijective text transform: rotate both alphabets by `i`. */
+  /** Per-replica bijective text transform: an affine substitution on the
+    * letter index, j -> (a*j + k) mod 26 with k = i mod 26 and `a` stepping
+    * through the units mod 26 on each 26-replica wrap. Plain rotation
+    * (a = 1) repeats every 26 replicas, which at factor 100 would make
+    * replica 26's text an EXACT copy of replica 0's — cross-replica exact
+    * duplicates that grow dedup clusters super-linearly. The affine family
+    * yields 312 distinct bijections; replicas < 26 keep the original
+    * rotation so the staged sf1 corpus is unchanged. */
+  private val Units = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
   private def cipher(c: org.apache.spark.sql.Column, i: Int) =
     if (i == 0) c
     else {
+      val a = Units((i / 26) % Units.length)
       val k = i % 26
-      val to = Lower.drop(k) + Lower.take(k) + Upper.drop(k) + Upper.take(k)
-      translate(c, Lower + Upper, to)
+      val lo = (0 until 26).map(j => Lower((a * j + k) % 26)).mkString
+      translate(c, Lower + Upper, lo + lo.toUpperCase)
     }
 
   def main(args: Array[String]): Unit = {
@@ -128,12 +137,25 @@ object ScaleData {
 
     val emb = Tables.embeddings(spark, src)
     val embS = stride(emb, "vec_id")
+    // rotate by i MOD dim (factor can exceed the 64-dim width — the first
+    // sf10 staging run failed here with a negative slice length), and flip
+    // sign on every full wrap so replica i and replica i+dim stay distinct:
+    // negation preserves norms and within-replica cosine structure exactly
+    // while turning would-be cross-replica twins into antipodes.
     save(replicate(emb)((df, i) => df
       .withColumn("vec_id", col("vec_id") + i * embS)
       .withColumn("embedding",
         if (i == 0) col("embedding")
-        else expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
-          s"slice(embedding, 1, $i))"))), "embeddings", 2)
+        else {
+          val rot = expr(
+            s"concat(slice(embedding, pmod($i, size(embedding)) + 1, " +
+              s"size(embedding) - pmod($i, size(embedding))), " +
+              s"slice(embedding, 1, pmod($i, size(embedding))))")
+          val dim = 64 // driver corpus embedding width (TESTDATA)
+          if ((i / dim) % 2 == 1)
+            transform(rot, x => -x).cast("array<float>")
+          else rot
+        })), "embeddings", 2)
 
     Tables.all.foreach { t =>
       println(s"[scale] $t rows = " +

@@ -94,6 +94,16 @@ object GraftFunctions {
     column(org.apache.spark.sql.graft.MisraGriesAgg(
       expression(token), k).toAggregateExpression())
 
+  /** Count–Min sketch over pre-reduced 60-bit hashes (`h60(item) mod p`):
+    * a flat depth×width counter matrix per group, elementwise-sum merge —
+    * point-frequency estimates (est ≥ true, overcount ≤ εn w.h.p.) from a
+    * kilobyte buffer instead of a per-distinct-token shuffle; the affine
+    * row family makes every counter bit-reproducible in a SQL oracle. */
+  def countMin(hs: Column, as: Array[Long], bs: Array[Long], p: Long,
+               width: Int): Column =
+    column(org.apache.spark.sql.graft.CountMinAgg(
+      expression(hs), as, bs, p, width).toAggregateExpression())
+
   /** Collect up to `cap` longs per group with a cap+1th overflow witness —
     * buffer memory is physically bounded on update AND merge, so a
     * degenerate group cannot blow an executor the way collect_list can. */

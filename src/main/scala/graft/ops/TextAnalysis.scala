@@ -965,6 +965,67 @@ object TextAnalysis {
           (col("est").isNotNull &&
             (col("exact_cnt") - col("est")) * k <= col("n")).as("upper_ok"))
         .orderBy(col("exact_cnt").desc, col("token"))
+    },
+
+    GraftQuery(
+      "q306_count_min_calibration",
+      "Count-Min point-frequency sketch (Cormode-Muthukrishnan), FULLY hash-gated — stronger than q302's boolean-witness gate: because the native CountMinAgg hashes with the md5-derived h60 and the MinHash affine row family, DuckDB rebuilds every one of the 4x1024 counters bit-for-bit as a GROUP BY over derived bucket ids, so the probe ESTIMATES themselves are value-compared, not just bound-checked. Probes = the 20 most frequent tokens UNION the 20 rarest (ties by token): per probe the exact count, the sketch estimate, the signed overcount (structurally >= 0: a counter absorbs collisions but never loses its own increments) and the measured overcount in ppm of the stream. The 100 TB point: the sketch pass shuffles one 32 KiB buffer per partition — a corpus-wide frequency oracle with NO per-distinct-token shuffle — and counter linearity makes refresh deltas composable (merge = elementwise sum); the exact groupBy here is the labeled calibration tier.",
+      s"""WITH tok AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |h AS (SELECT token, ${h60Sql("token")} % 1000000007 AS hs FROM tok),
+        |n AS (SELECT count(*) AS n FROM h),
+        |cells AS (SELECT d, (((2*d+1) * hs + (7919*d+13)) % 1000000007) % 1024 AS c,
+        |    count(*) AS cnt
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) dd
+        |  GROUP BY 1, 2),
+        |exact AS (SELECT token, hs, count(*) AS exact_n FROM h GROUP BY 1, 2),
+        |probes AS (
+        |  (SELECT token, hs, exact_n FROM exact ORDER BY exact_n DESC, token LIMIT 20)
+        |  UNION
+        |  (SELECT token, hs, exact_n FROM exact ORDER BY exact_n ASC, token LIMIT 20)),
+        |est AS (SELECT p.token, p.exact_n, min(c2.cnt) AS est_n
+        |  FROM probes p
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) dd
+        |  JOIN cells c2 ON c2.d = dd.d
+        |    AND c2.c = (((2*dd.d+1) * p.hs + (7919*dd.d+13)) % 1000000007) % 1024
+        |  GROUP BY 1, 2)
+        |SELECT token, CAST(exact_n AS BIGINT) AS exact_n,
+        |  CAST(est_n AS BIGINT) AS est_n,
+        |  CAST(est_n - exact_n AS BIGINT) AS over_n,
+        |  est_n >= exact_n AS never_under,
+        |  CAST((est_n - exact_n) * 1000000 // n.n AS BIGINT) AS over_ppm_of_n
+        |FROM est, n ORDER BY exact_n DESC, token""".stripMargin) { (s, d) =>
+      val depth = 4
+      val w = 1024
+      val p = Dedup.P
+      val as = Dedup.hashParams.take(depth).map(_._1).toArray
+      val bs = Dedup.hashParams.take(depth).map(_._2).toArray
+      // one token-stream pass builds sketch AND n; hs is persisted because
+      // it feeds both the sketch pass and the exact calibration tier
+      val hsF = graft.util.CacheOnce.persistForOneAction(
+        Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("token"))
+          .select(col("token"), (h60(col("token")) % p).as("hs")))
+      val sk = graft.util.CacheOnce.persistForOneAction(hsF.agg(
+        graft.functions.GraftFunctions.countMin(col("hs"), as, bs, p, w).as("sk"),
+        count(lit(1)).as("n")))
+      val exact = hsF.groupBy(col("token"), col("hs")).agg(count(lit(1)).as("exact_n"))
+      val probes = exact.orderBy(col("exact_n").desc, col("token")).limit(20)
+        .unionAll(exact.orderBy(col("exact_n").asc, col("token")).limit(20))
+        .dropDuplicates("token")
+      val estCol = (0 until depth).map { di =>
+        element_at(col("sk"),
+          (lit(di * w) +
+            ((lit(as(di)) * col("hs") + lit(bs(di))) % p) % w + 1).cast("int"))
+      }.reduce(least(_, _))
+      probes.crossJoin(broadcast(sk))
+        .select(col("token"), col("exact_n"), estCol.as("est_n"), col("n"))
+        .select(col("token"), col("exact_n"), col("est_n"),
+          (col("est_n") - col("exact_n")).as("over_n"),
+          (col("est_n") >= col("exact_n")).as("never_under"),
+          expr("(est_n - exact_n) * 1000000 div n").as("over_ppm_of_n"))
+        .orderBy(col("exact_n").desc, col("token"))
     }
   )
 }

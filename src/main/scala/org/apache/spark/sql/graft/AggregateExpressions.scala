@@ -395,3 +395,103 @@ case class MisraGriesAgg(
       newChildren: IndexedSeq[Expression]): MisraGriesAgg =
     copy(child = newChildren.head)
 }
+
+/** Count–Min sketch (Cormode & Muthukrishnan, "An improved data stream
+  * summary: the count-min sketch and its applications", J. Algorithms 2005)
+  * as ONE native mergeable aggregate — the point-frequency dual of
+  * [[MisraGriesAgg]]: Misra–Gries answers "which items are heavy" with a
+  * bounded UNDERestimate; Count–Min answers "how often did THIS item occur"
+  * with a bounded OVERestimate (est ≥ true always — a counter only ever
+  * absorbs collisions, never loses its own increments; est ≤ true + εn with
+  * probability 1−δ for width e/ε, depth ln(1/δ)).
+  *
+  * The buffer is a flat depth×width Long matrix. Each update adds 1 to one
+  * counter per row at column ((a_d·x + b_d) mod p) mod width — the SAME
+  * affine family as [[MinHashAgg]] over the same pre-reduced 60-bit input
+  * (callers pass `h60(item) mod p`), so a SQL oracle reproduces every
+  * counter bit-for-bit from md5: unlike engine-native sketches
+  * (approx_count_distinct's HLL, DataSketches), this sketch is
+  * CROSS-ENGINE-DETERMINISTIC and point estimates can be hash-gated, not
+  * just bound-checked. Merge is elementwise sum (counter linearity — the
+  * property that also makes sketch deltas composable across corpus
+  * refreshes and lets sketches be SUBTRACTED to answer "what changed").
+  *
+  * Scale shape: a corpus-wide token-frequency oracle without a corpus-wide
+  * token groupBy — the full exact aggregate shuffles one row per distinct
+  * token (billions for web text); this plans as ObjectHashAggregate whose
+  * partial buffers are depth·width·8 bytes (32 KiB at 4×1024) per
+  * partition, merged associatively. Same doctrine as q09: the sketch rides
+  * its own aggregation, one buffer per PARTITION — never per group through
+  * an Expand.
+  *
+  * Overflow contract: as [[MinHashAgg]] — max(a)·(p−1)+max(b) must stay in
+  * Long range (engine params: a ≤ 2·depth−1, p ≈ 1e9 — safe by orders of
+  * magnitude); counters count rows, so they cannot overflow before the
+  * group itself exceeds 2^63 rows.
+  */
+case class CountMinAgg(
+    child: Expression,
+    as: Array[Long],
+    bs: Array[Long],
+    p: Long,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
+
+  require(as.length == bs.length && as.nonEmpty, "need matching (a,b) params")
+  require(width >= 2, "count-min needs width >= 2")
+
+  private def depth: Int = as.length
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "count_min_agg"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var d = 0
+      while (d < depth) {
+        // both operands non-negative: plain % matches pmod on both engines
+        buf(d * width + (((as(d) * h + bs(d)) % p) % width).toInt) += 1L
+        d += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(x => x: Any))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMinAgg =
+    copy(child = newChildren.head)
+}
