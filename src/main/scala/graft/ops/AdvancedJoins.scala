@@ -103,7 +103,7 @@ object AdvancedJoins {
 
     GraftQuery(
       "q31_theta_join",
-      "Theta join with equi anchor + inequality residuals: near-size high-price part pairs within a brand.",
+      "Theta-join SEMANTICS (near-size high-price part pairs within a brand, counted) answered by histogram algebra instead of pair enumeration: parts collapse to the domain-bounded (brand, size) histogram (<= |brands| x |sizes| rows at ANY scale factor), same-size cells contribute C(n,2) and size-adjacent cells n_a*n_b, each unordered pair counted exactly once. The r10 equi-ized join was linear in SHUFFLE but still streamed every qualifying pair through the aggregate — and pair volume grows QUADRATICALLY in per-brand density (brands are a fixed-cardinality dimension, so 10x parts = ~100x pairs; the sf1 board measured exactly that). Pair-counting over the cell histogram is the q51/q159/q168 selection doctrine applied to a join: cost tracks input rows + the tiny cell frame, never the pair count. The oracle keeps the naive theta-join formulation as ground truth.",
       """SELECT a.p_brand, count(*) AS n_pairs
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand
@@ -112,24 +112,27 @@ object AdvancedJoins {
         |WHERE a.p_retailprice > 905.0 AND b.p_retailprice > 905.0
         |GROUP BY a.p_brand
         |ORDER BY a.p_brand""".stripMargin) { (s, d) =>
-      val p = Tables.part(s, d).filter(col("p_retailprice") > 905.0)
-        .select(col("p_brand"), col("p_partkey"), col("p_size"))
-      val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_size").as("size_a"))
-      // Equi-ize the |size diff| <= 2 band: side b explodes to its 5
-      // covering sizes, so the join is a PLAIN equi-join on (brand, size)
-      // and each qualifying pair matches EXACTLY once (size_a hits one
-      // exploded value) — no dedupe pass. The brand-only equi anchor was
-      // quadratic per brand (the sf1 run measured 31x at 10x parts: every
-      // high-price pair in a brand met the inequality residual); per
-      // (brand, size) buckets are sf-stable in TPC-H, so this is linear.
-      val b = p.select(col("p_brand").as("brand_b"), col("p_partkey").as("key_b"),
-          explode(sequence(col("p_size") - 2, col("p_size") + 2)).as("size_b"))
-      a.join(b,
-        col("p_brand") === col("brand_b") &&
-          col("size_a") === col("size_b") &&
-          col("key_a") < col("key_b"))
+      // one linear, map-side-combinable pass to the (brand, size) histogram
+      val h = Tables.part(s, d).filter(col("p_retailprice") > 905.0)
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(count(lit(1)).as("cnt"))
+      // same-size pairs: n*(n-1)/2 (exact: the product is always even)
+      val same = h.select(col("p_brand"),
+        expr("cnt * (cnt - 1) div 2").as("pairs"))
+      // size-adjacent pairs (0 < s' - s <= 2): n_a * n_b, the s < s' order
+      // makes each cross-cell pair count once; the self-join runs on the
+      // domain-bounded histogram, so it is constant-size work at any SF
+      val cross = h.select(col("p_brand").as("brand_b"),
+          col("p_size").as("size_b"), col("cnt").as("cnt_b"))
+      val adj = h.join(cross,
+          col("p_brand") === col("brand_b") &&
+            col("size_b") > col("p_size") &&
+            col("size_b") <= col("p_size") + 2)
+        .select(col("p_brand"), (col("cnt") * col("cnt_b")).as("pairs"))
+      same.unionAll(adj)
         .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n_pairs"))
+        .agg(sum(col("pairs")).cast("long").as("n_pairs"))
+        .filter(col("n_pairs") > 0L)
         .orderBy(col("p_brand"))
     },
 

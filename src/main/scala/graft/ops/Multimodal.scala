@@ -239,8 +239,13 @@ object Multimodal {
       // object-store dump shape); later invocations reuse the directory
       val dir = stagedPngDirs.getOrElseUpdate(d, {
         val stage = graft.util.Scratch.dir("graft-q184-png").toString
+        // repartition to the full core count: the parquet read has only a
+        // handful of input splits, and staging speed is bounded by writer
+        // parallelism (encode + file create per image) — at sf1 this is the
+        // difference between ~12s and ~3s of one-time fixture I/O
         Tables.documents(s, d).select(col("doc_id")).as[Long]
           .filter(_ % 5 == 0)
+          .repartition(s.sparkContext.defaultParallelism)
           .foreachPartition { (it: Iterator[Long]) =>
             it.foreach { id =>
               java.nio.file.Files.write(

@@ -541,6 +541,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("misra_gries_agg"), plan.take(3000))
   }
 
+  test("Count-Min sketch plans as ObjectHashAggregate, sketch in its OWN aggregation (q306)") {
+    // Same path contract as q302, plus the q09 doctrine: the 4x1024-counter
+    // buffer must ride a single-group ObjectHashAggregate (one buffer per
+    // partition), and must NOT share an aggregation with the exact
+    // calibration groupBy (which would carry the 32 KiB buffer per token
+    // group through the shuffle).
+    val plan = planOf(SparkEntry.queries("q306_count_min_calibration")(spark, sf))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(plan.contains("count_min_agg"), plan.take(3000))
+    assert(!plan.contains("Expand"), plan.take(3000))
+  }
+
   test("unpivot melts through one Expand projection, no shuffle added (q225)") {
     val df = SparkEntry.queries("q225_unpivot_melt")(spark, sf)
     val plan = planOf(df)
