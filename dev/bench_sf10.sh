@@ -11,11 +11,16 @@ cd "$(dirname "$0")/.."
 QUERIES="q40,q83,q73,q112,q113,q127,q130,q174,q189,q214,q261,q53,q98,q158,q175,q44,q210,q301,q302,q31,q09,q42,q209,q305,q306"
 REPS="${SPARK_GRAFT_REPS:-2}"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_REPS="$REPS"
+# 100x data in one local[32] JVM needs real heap: the default 8g run died
+# mid-board (stopped SparkContext); full logs kept for the autopsy either way
+export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}"
 
 SPARK_GRAFT_SF_DIR="$PWD/scaledata/sf1" SPARK_GRAFT_BENCH_OUT=/tmp/bench10_sf1.json \
-  sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' || true
+  sbt -batch "runMain graft.Bench" > /tmp/bench10_sf1.log 2>&1 || true
+grep '"metric"' /tmp/bench10_sf1.log || true
 SPARK_GRAFT_SF_DIR="$PWD/scaledata/sf10" SPARK_GRAFT_BENCH_OUT=/tmp/bench10_sf10.json \
-  sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' || true
+  sbt -batch "runMain graft.Bench" > /tmp/bench10_sf10.log 2>&1 || true
+grep '"metric"' /tmp/bench10_sf10.log || true
 
 python3 - <<'EOF'
 import json

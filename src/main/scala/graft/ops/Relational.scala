@@ -769,7 +769,8 @@ object Relational {
         |      FROM c GROUP BY bucket),
         |t AS (SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2 FROM p)
         |SELECT bucket, n1, n2,
-        |  CAST(abs(n1 * 1000000 * t2 - n2 * 1000000 * t1) // (2 * t1 * t2) AS BIGINT) AS tv_contrib_ppm
+        |  CAST(abs(CAST(n1 AS HUGEINT) * 1000000 * t2 - CAST(n2 AS HUGEINT) * 1000000 * t1)
+        |       // (2 * CAST(t1 AS HUGEINT) * t2) AS BIGINT) AS tv_contrib_ppm
         |FROM p, t ORDER BY bucket""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
         .select(expr("cast(floor(value * 100) as bigint) div 500").as("bucket"),
@@ -782,10 +783,14 @@ object Relational {
           sum(when(col("period") === "w4", 1L).otherwise(0L)).as("n2"))
       val t = p.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
       // |n1/t1 − n2/t2| in ppm without division order sensitivity:
-      // cross-multiply over the common denominator t1·t2, floor once
+      // cross-multiply over the common denominator t1·t2, floor once.
+      // DECIMAL(38,0) lane: n·1e6·t wraps Long once a weekly slice passes
+      // ~3e6 events (the q285/q295 overflow class) — the oracle's HUGEINT
+      // stays exact, so the engine must too
       p.crossJoin(broadcast(t))
         .selectExpr("bucket", "n1", "n2",
-          "abs(n1 * 1000000 * t2 - n2 * 1000000 * t1) div (2 * t1 * t2) AS tv_contrib_ppm")
+          "CAST(abs(CAST(n1 AS DECIMAL(38,0)) * 1000000 * t2 - CAST(n2 AS DECIMAL(38,0)) * 1000000 * t1) " +
+            "div (2 * CAST(t1 AS DECIMAL(38,0)) * t2) AS BIGINT) AS tv_contrib_ppm")
         .orderBy(col("bucket"))
     },
 

@@ -731,7 +731,7 @@ object TextAnalysis {
         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
         |n AS (SELECT count(*) AS n FROM documents),
         |s AS (SELECT tf.source, tf.term,
-        |    CAST((1000000 * tf.tf * n.n) // df.df AS BIGINT) AS score
+        |    CAST((1000000 * CAST(tf.tf AS HUGEINT) * n.n) // df.df AS BIGINT) AS score
         |  FROM tf JOIN df USING (term), n),
         |r AS (SELECT source, term, score,
         |    row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rk
@@ -757,8 +757,11 @@ object TextAnalysis {
         .crossJoin(broadcast(nDocs))
         .select(col("source"), col("term"),
           // `div` = exact integer division, matching DuckDB's `//` — a
-          // double `/` could round a near-integer quotient the other way
-          expr("(1000000L * tf * n_docs) div df").cast("long").as("score"))
+          // double `/` could round a near-integer quotient the other way.
+          // DECIMAL(38,0) lane: 1e6·tf·n_docs wraps Long once tf·n_docs
+          // passes ~9e12 (q285/q295 overflow class); the oracle is HUGEINT
+          expr("CAST((1000000 * CAST(tf AS DECIMAL(38,0)) * n_docs) div CAST(df AS DECIMAL(38,0)) AS BIGINT)")
+            .as("score"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 10)
         .select(col("source"), col("rk"), col("term"), col("score"))
@@ -1026,6 +1029,89 @@ object TextAnalysis {
           (col("est_n") >= col("exact_n")).as("never_under"),
           expr("(est_n - exact_n) * 1000000 div n").as("over_ppm_of_n"))
         .orderBy(col("exact_n").desc, col("token"))
+    },
+
+    GraftQuery(
+      "q307_sketch_delta_drift",
+      "Vocabulary drift between corpus epochs by SKETCH ALGEBRA — the refresh-day question ('which tokens surged?') answered from two Count-Min sketches instead of two corpus-wide token groupBys: docs split into deterministic epochs (doc_id mod 2), ONE grouped aggregation builds a 4x1024 sketch per epoch (one 32 KiB buffer per (partition, epoch) shuffles — counter linearity is what makes per-epoch sketches as cheap as one), and each probe token's relative-frequency drift is share2_ppm - share1_ppm in signed exact ppm on the DECIMAL(38,0)/HUGEINT lane. Probes = each epoch's 16 heaviest tokens by the exact calibration tier; a probe ABSENT from an epoch reads its true 0 through the sketch (an untouched counter is 0, so min = 0 — the oracle's LEFT JOIN + coalesce mirrors exactly that). Fully hash-gated (q306 doctrine): DuckDB rebuilds both epochs' counters bit-for-bit, so the drift numbers themselves are value-compared. At 100 TB the sketches are the ONLY full-scan artifact; epoch-over-epoch drift then costs |probes| lookups — and because merge is elementwise sum, the same sketches roll up to the all-time sketch for free.",
+      s"""WITH tok AS (SELECT doc_id % 2 AS epoch, unnest(list_filter(
+        |    regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |h AS (SELECT epoch, token,
+        |    ${h60Sql("token")} % 1000000007 AS hs FROM tok),
+        |n AS (SELECT epoch, count(*) AS n FROM h GROUP BY epoch),
+        |cells AS (SELECT epoch, d,
+        |    (((2*d+1) * hs + (7919*d+13)) % 1000000007) % 1024 AS c,
+        |    count(*) AS cnt
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) dd
+        |  GROUP BY 1, 2, 3),
+        |exact AS (SELECT epoch, token, hs, count(*) AS exact_n
+        |  FROM h GROUP BY 1, 2, 3),
+        |probes AS (
+        |  SELECT DISTINCT token, hs FROM (
+        |    SELECT token, hs, row_number() OVER (PARTITION BY epoch
+        |        ORDER BY exact_n DESC, token) AS rk
+        |    FROM exact) WHERE rk <= 16),
+        |eps AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+        |est AS (SELECT e.epoch, p.token, min(coalesce(c2.cnt, 0)) AS est_n
+        |  FROM probes p
+        |  CROSS JOIN eps e
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) dd
+        |  LEFT JOIN cells c2 ON c2.epoch = e.epoch AND c2.d = dd.d
+        |    AND c2.c = (((2*dd.d+1) * p.hs + (7919*dd.d+13)) % 1000000007) % 1024
+        |  GROUP BY 1, 2),
+        |sh AS (SELECT est.token, est.epoch, est.est_n,
+        |    CAST(CAST(est.est_n AS HUGEINT) * 1000000 // n.n AS BIGINT) AS share_ppm
+        |  FROM est JOIN n USING (epoch))
+        |SELECT token,
+        |  CAST(max(CASE WHEN epoch = 0 THEN est_n END) AS BIGINT) AS est1,
+        |  CAST(max(CASE WHEN epoch = 1 THEN est_n END) AS BIGINT) AS est2,
+        |  CAST(max(CASE WHEN epoch = 0 THEN share_ppm END) AS BIGINT) AS share1_ppm,
+        |  CAST(max(CASE WHEN epoch = 1 THEN share_ppm END) AS BIGINT) AS share2_ppm,
+        |  CAST(max(CASE WHEN epoch = 1 THEN share_ppm END)
+        |     - max(CASE WHEN epoch = 0 THEN share_ppm END) AS BIGINT) AS drift_ppm
+        |FROM sh GROUP BY token
+        |ORDER BY drift_ppm DESC, token""".stripMargin) { (s, d) =>
+      val depth = 4
+      val w = 1024
+      val p = Dedup.P
+      val as = Dedup.hashParams.take(depth).map(_._1).toArray
+      val bs = Dedup.hashParams.take(depth).map(_._2).toArray
+      val hsF = graft.util.CacheOnce.persistForOneAction(
+        Tables.documents(s, d)
+          .select((col("doc_id") % 2).as("epoch"),
+            explode(tokens(col("text"))).as("token"))
+          .select(col("epoch"), col("token"), (h60(col("token")) % p).as("hs")))
+      // one grouped pass: sketch + n per epoch (2 rows); feeds est twice
+      val sk = graft.util.CacheOnce.persistForOneAction(
+        hsF.groupBy(col("epoch")).agg(
+          graft.functions.GraftFunctions.countMin(col("hs"), as, bs, p, w).as("sk"),
+          count(lit(1)).as("n")))
+      val exact = hsF.groupBy(col("epoch"), col("token"), col("hs"))
+        .agg(count(lit(1)).as("exact_n"))
+      val wEp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("epoch")).orderBy(col("exact_n").desc, col("token"))
+      val probes = exact.withColumn("rk", row_number().over(wEp))
+        .filter(col("rk") <= 16)
+        .select(col("token"), col("hs")).distinct()
+      val estCol = (0 until depth).map { di =>
+        element_at(col("sk"),
+          (lit(di * w) +
+            ((lit(as(di)) * col("hs") + lit(bs(di))) % p) % w + 1).cast("int"))
+      }.reduce(least(_, _))
+      // 2-row sketch frame broadcast: each probe meets both epochs
+      probes.crossJoin(broadcast(sk))
+        .select(col("token"), col("epoch"), estCol.as("est_n"), col("n"))
+        .withColumn("share_ppm",
+          expr("CAST(CAST(est_n AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"))
+        .groupBy(col("token"))
+        .agg(
+          max(when(col("epoch") === 0, col("est_n"))).as("est1"),
+          max(when(col("epoch") === 1, col("est_n"))).as("est2"),
+          max(when(col("epoch") === 0, col("share_ppm"))).as("share1_ppm"),
+          max(when(col("epoch") === 1, col("share_ppm"))).as("share2_ppm"))
+        .withColumn("drift_ppm", col("share2_ppm") - col("share1_ppm"))
+        .orderBy(col("drift_ppm").desc, col("token"))
     }
   )
 }
