@@ -498,6 +498,45 @@ object EtlQueries {
     },
 
     GraftQuery(
+      "q315_changefeed_view_maintenance",
+      "The sink's change feed DRIVING incremental view maintenance — q109's delta cursor composed with q311's merge identity into the end-to-end shape a 100 TB warehouse actually runs nightly: a per-charge-code aggregate (count + max po) is built ONCE over the first two commits and persisted as partials (the stored MV, q305/q311 doctrine — it round-trips parquet), then commit 3 lands and the refresh reads ONLY the change feed for version 3 (the sink feed opens exactly that commit's files — FormSinkSpec pins this) plus the 7-row partial table; partial counts sum and maxes max, so the refreshed view equals a from-scratch recompute WITHOUT any re-read of the appended history. The oracle regenerates the full synthetic row model arithmetically and recomputes the view from scratch — the gate proves producer commits, feed cursor, persisted partials and merge algebra agree end to end.",
+      """WITH src AS (
+        |  SELECT i, 'C' || (i % 7) AS charge_code,
+        |    printf('U%09dD', i) AS po_number
+        |  FROM unnest(generate_series(0, 2499)) AS t(i))
+        |SELECT charge_code, count(*) AS n, max(po_number) AS max_po
+        |FROM src GROUP BY charge_code ORDER BY charge_code""".stripMargin) { (s, d) =>
+      val dir = graft.util.Scratch.dir("graft-q315-sink").toString
+      val sinkFmt = graft.sources.FormSinkSource.Format
+      val feed = s.read.format("graft.sources.FormPipelineSource")
+        .option("rows", 2500).option("partitions", 8).load()
+      val five = feed.select(col("vendor"), col("description"),
+        col("picker_erk"), col("charge_code"), col("po_number"))
+      def commit(lo: Long, hi: Long): Unit =
+        five.where(feed("submission_id") >= lo && feed("submission_id") < hi)
+          .write.format(sinkFmt).mode(SaveMode.Append).option("path", dir).save()
+      commit(0, 1000); commit(1000, 2000) // history: the MV's build-time input
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("charge_code"))
+          .agg(count(lit(1)).as("n"), max(col("po_number")).as("max_po"))
+      // the stored MV: partials over versions 1-2, persisted to parquet —
+      // after this point the appended history is never scanned again
+      val mv = graft.util.Scratch.dir("graft-q315-mv").resolve("v_old").toString
+      partials(s.read.format(sinkFmt).option("path", dir)
+          .option("versionAsOf", 2).load())
+        .write.mode("overwrite").parquet(mv)
+      commit(2000, 2500) // the new tick lands as commit/version 3
+      // refresh = stored partials + the change feed's version-3 delta only
+      // (from is EXCLUSIVE: (2, latest] = exactly commit 3's added files)
+      val delta = s.read.format(sinkFmt).option("path", dir)
+        .option("changesFromVersion", 2).load()
+      s.read.parquet(mv).unionByName(partials(delta))
+        .groupBy(col("charge_code"))
+        .agg(sum(col("n")).as("n"), max(col("max_po")).as("max_po"))
+        .orderBy(col("charge_code"))
+    },
+
+    GraftQuery(
       "q110_sink_file_skipping",
       "Manifest-stats data skipping: every commit records per-file rows/min/max (collected inline by the task writers), and a filtered read prunes whole files whose range provably excludes the pushed predicate BEFORE any task is scheduled — after three commits, `po_number > <commit-2 max>` opens only the third commit's files, the shape that keeps a watermark delta read O(newest commit), not O(append history). Advisory parquet-row-group contract: the filter is re-applied post-scan, so stats are an optimization, never the correctness boundary.",
       """WITH src AS (

@@ -1768,6 +1768,35 @@ object Analytics {
     },
 
     GraftQuery(
+      "q314_sql_scripting",
+      "SQL SCRIPTING control flow (Spark 4's BEGIN..END procedural blocks — DECLARE'd session-local variables, SET from a scalar subquery, a WHILE loop) — the stored-procedure migration surface that completes the dynamic-SQL family (q240 named markers, q241 SQL UDFs, q242 EXECUTE IMMEDIATE, q247 pipes): the script reads total revenue once, then the loop accumulates the 20-level halving ladder sum(total div 2^i) — integer geometric partial sums, each level a variable update the engine executes strictly in order — and the final SELECT returns variables as the script's result set. The oracle recomputes the ladder set-wise (generate_series + shifts): loop semantics, variable scoping and div truncation must all agree for the gate to pass.",
+      """WITH t AS (SELECT CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS total_cents FROM orders),
+        |l AS (SELECT CAST(sum(total_cents // (CAST(1 AS BIGINT) << i)) AS BIGINT)
+        |    AS ladder_cents
+        |  FROM t CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS i) dd)
+        |SELECT t.total_cents, l.ladder_cents, CAST(20 AS BIGINT) AS levels
+        |FROM t, l""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_script_v")
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      s.sql(
+        """BEGIN
+          |  DECLARE total_cents BIGINT DEFAULT 0;
+          |  DECLARE divisor BIGINT DEFAULT 1;
+          |  DECLARE lvl INT DEFAULT 0;
+          |  DECLARE acc BIGINT DEFAULT 0;
+          |  SET total_cents = (SELECT sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+          |                     FROM orders_script_v);
+          |  WHILE lvl < 20 DO
+          |    SET acc = acc + total_cents div divisor;
+          |    SET divisor = divisor * 2;
+          |    SET lvl = lvl + 1;
+          |  END WHILE;
+          |  SELECT total_cents, acc AS ladder_cents, CAST(20 AS BIGINT) AS levels;
+          |END""".stripMargin)
+    },
+
+    GraftQuery(
       "q244_ks_statistic",
       "Two-sample Kolmogorov-Smirnov distance in EXACT integer arithmetic — the order-statistic drift test complementing q156's binned total variation: urgent vs low-priority order prices bucketed to $100 bins, per-bucket counts for both samples in one aggregate, cumulative counts over the bounded bucket frame, and D = max |cdf1 - cdf2| carried as the integer |cum1*n2 - cum2*n1| over the common denominator n1*n2 (ppm at the end, never a float CDF). The window runs over <=5000 bucket rows (value-domain bounded), not the orders — q215's rank-sum shape applied to distribution distance.",
       """WITH s1 AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) // 10000 AS b,
@@ -2465,6 +2494,32 @@ object Analytics {
         .agg(sum(col("contrib")).as("decayed"))
         .orderBy(col("decayed").desc, col("user_id"))
         .limit(20)
+    },
+
+    GraftQuery(
+      "q312_hll_sketch_rollup",
+      "HLL sketch COLUMN lifecycle (Apache DataSketches via Spark's native hll_sketch_agg/hll_union_agg) — the persisted-sketch-table pattern for distinct counts at 100 TB: a DAILY sketch table (one lgK=14 sketch per day, built in one pass over events) is the stored artifact, and any coarser rollup — weekly here — is hll_union_agg over the few daily sketch BLOBS, never a second scan of raw events; the same union algebra answers arbitrary date ranges, which no exact distinct-count materialization can (distincts don't add). The sketch binary is engine-specific, so the gate is q09's integer-witness doctrine: compared columns are each week's EXACT distinct count (the labeled calibration tier) plus a boolean pinning the union-estimate within 3% (lgK=14 keeps HLL's relative error ~0.8%, and unioning same-K sketches does not widen it) — abs cross-multiplied, no floats.",
+      """WITH w AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week,
+        |    user_id
+        |  FROM events)
+        |SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+        |  TRUE AS within_3pct
+        |FROM w GROUP BY week ORDER BY week""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(expr("unix_timestamp(ts) div 86400").as("day"), col("user_id"))
+      // the stored artifact: one sketch per day, one pass over events
+      val daily = ev.groupBy(col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      // rollup = union of sketch blobs; raw events are NOT re-read here
+      val weekly = daily.groupBy(expr("day div 7").as("week"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+      val exact = ev.groupBy(expr("day div 7").as("week"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      exact.join(weekly, "week")
+        .select(col("week"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")) * 100 <=
+            col("exact_distinct") * 3).as("within_3pct"))
+        .orderBy(col("week"))
     }
   )
 }

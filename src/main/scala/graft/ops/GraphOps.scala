@@ -51,6 +51,43 @@ object GraphOps {
     * graph's diameter at every test SF; unreached nodes stay unlabeled. */
   val BfsRounds = 4
 
+  /** k-core peel rounds (q310) — fixed so engine and oracle agree whether
+    * or not the fixpoint is reached; production loops to a zero-delta. */
+  val KCoreRounds = 6
+
+  /** Unrolled DuckDB twin of the k-core peel loop: s0 → (e1,s1) → … */
+  private def kcoreSql: String = {
+    // MATERIALIZED: every e_i / s_i is referenced twice (census + next
+    // round); inlined CTEs would re-evaluate the whole chain exponentially
+    val rounds = (1 to KCoreRounds).map { i =>
+      s"""e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+         |  JOIN s${i - 1} a ON e.u = a.u
+         |  JOIN s${i - 1} b ON e.v = b.u),
+         |s$i AS MATERIALIZED (SELECT u FROM (
+         |    SELECT u, count(*) AS deg FROM e$i GROUP BY u) dd
+         |  CROSS JOIN kk WHERE deg >= k)""".stripMargin
+    }.mkString(",\n")
+    val census = (0 to KCoreRounds).map { i =>
+      s"""SELECT $i AS round,
+         |  CAST((SELECT count(*) FROM s$i) AS BIGINT) AS n_nodes,
+         |  CAST((SELECT count(*) FROM e$i) AS BIGINT) AS n_edges,
+         |  CAST((SELECT coalesce(sum(u), 0) FROM s$i) AS BIGINT) AS sum_nodes""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT p*2 AS u, s*2+1 AS v FROM ps
+       |       UNION ALL SELECT s*2+1 AS u, p*2 AS v FROM ps),
+       |d0 AS (SELECT u, count(*) AS deg FROM e0 GROUP BY u),
+       |h AS (SELECT deg, count(*) AS n FROM d0 GROUP BY deg),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h),
+       |kk AS (SELECT min(deg) AS k FROM (
+       |    SELECT deg, CAST(sum(n) OVER (ORDER BY deg) AS BIGINT) AS cum, total
+       |    FROM h CROSS JOIN t) x WHERE cum * 2 >= total),
+       |s0 AS MATERIALIZED (SELECT u FROM d0 CROSS JOIN kk WHERE deg >= k),
+       |$rounds
+       |$census
+       |ORDER BY round""".stripMargin
+  }
+
   /** Unrolled DuckDB twin of the BFS frontier loop: d0 → d1 → … → d4. */
   private def bfsSql: String = {
     val rounds = (1 to BfsRounds).map { i =>
@@ -285,6 +322,53 @@ object GraphOps {
           |  sum(cur) AS sum_keys,
           |  count(DISTINCT cur) AS n_distinct
           |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+    },
+
+    GraftQuery(
+      "q310_kcore_peeling",
+      s"k-core decomposition by iterative peeling ($KCoreRounds fixed BSP rounds) over the part↔supplier co-occurrence graph — the dense-subgraph extractor pipelines run to isolate the mutually-reinforcing cluster (spam/bot rings, template farms) that degree alone can't find: k is DATA-DRIVEN (the lower-median degree, by cumulative selection over the bounded degree histogram — q208's threshold doctrine, so the cut adapts to any SF), each round keeps only edges whose BOTH endpoints still meet deg >= k and re-derives survivor degrees — two O(E) semi-join-shaped equi-joins + one count aggregate per round, localCheckpoint truncating lineage exactly like q176. The fixed round count makes engine and oracle bit-identical whether or not the fixpoint has been reached (production loops until a 1-row delta count hits zero); the census emits each round's surviving nodes/directed edges plus an id checksum, so a single wrongly-peeled node fails the gate.",
+      kcoreSql) { (s, d) =>
+      val ed = Tables.lineitem(s, d)
+        .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      // one lineitem scan; every round re-reads the checkpointed blocks
+      var e = ed.unionAll(ed.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      val d0 = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      // lower-median degree by cumulative selection over the degree
+      // histogram — a bounded-domain frame, never a node sort
+      val h = d0.groupBy(col("deg")).agg(count(lit(1)).as("n"))
+      val t = h.agg(sum(col("n")).as("total"))
+      val wUp = org.apache.spark.sql.expressions.Window.orderBy(col("deg"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val kk = h.crossJoin(broadcast(t))
+        .withColumn("cum", sum(col("n")).over(wUp))
+        .filter(col("cum") * 2 >= col("total"))
+        .agg(min(col("deg")).as("k"))
+      var surv = d0.crossJoin(broadcast(kk))
+        .filter(col("deg") >= col("k")).select(col("u"))
+        .localCheckpoint()
+      def censusRow(round: Int, sv: org.apache.spark.sql.DataFrame,
+                    eg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        sv.agg(count(lit(1)).as("n_nodes"),
+            coalesce(sum(col("u")), lit(0L)).as("sum_nodes"))
+          .crossJoin(eg.agg(count(lit(1)).as("n_edges")))
+          .select(lit(round).as("round"), col("n_nodes"),
+            col("n_edges"), col("sum_nodes"))
+      var census = censusRow(0, surv, e)
+      for (i <- 1 to KCoreRounds) {
+        e = e.join(surv.select(col("u").as("au")), col("u") === col("au"))
+          .join(surv.select(col("u").as("bu")), col("v") === col("bu"))
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+        surv = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .crossJoin(broadcast(kk))
+          .filter(col("deg") >= col("k")).select(col("u"))
+          .localCheckpoint()
+        census = census.unionAll(censusRow(i, surv, e))
+      }
+      census.orderBy(col("round"))
     }
   )
 }

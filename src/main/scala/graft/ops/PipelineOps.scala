@@ -990,6 +990,45 @@ object PipelineOps {
           sum(col("nd") * col("n_chars")).as("chars_selected"))
       stats.join(kstats, "lang").join(sstats, "lang")
         .orderBy(col("lang"))
+    },
+
+    GraftQuery(
+      "q311_join_view_maintenance",
+      "Incremental maintenance of a JOIN view — q102's identity upgraded from one relation to the bilinear case every nightly-refresh warehouse needs: V = A ⋈ B aggregated (monthly order-item revenue over orders ⋈ lineitem), both base relations split into (stored, delta) at the 1998 cutoff, and the refresh computes V_new from the PERSISTED old partials plus the three delta terms ΔA⋈B0, A0⋈ΔB, ΔA⋈ΔB (A⋈B = A0⋈B0 ⊎ ΔA⋈B0 ⊎ A0⋈ΔB ⊎ ΔA⋈ΔB for disjoint splits — partial counts/cent-sums merge, no history re-join). The old partials genuinely round-trip through parquet (q305's persisted-artifact doctrine): the refresh plan reads the staged V_old summary, NOT the base join. Scale shape: each mixed term BROADCASTS its delta side, so the base relation streams map-only — no shuffle of history at refresh; at 100 TB the base scans additionally prune by the date layout. The oracle recomputes the view from scratch — any drift in the delta algebra fails the gate.",
+      """SELECT year(o.o_orderdate)*100 + month(o.o_orderdate) AS m,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val cut = lit("1998-01-01").cast("date")
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("m"),
+        col("o_orderdate"))
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"),
+        cents(col("l_extendedprice")).as("c"), col("l_shipdate"))
+      val a0 = o.filter(col("o_orderdate") < cut)
+      val dA = o.filter(col("o_orderdate") >= cut)
+      val b0 = l.filter(col("l_shipdate") < cut)
+      val dB = l.filter(col("l_shipdate") >= cut)
+      def partials(j: DataFrame): DataFrame =
+        j.groupBy(col("m"))
+          .agg(count(lit(1)).as("n_items"), sum(col("c")).as("cents"))
+      // the stored view: V_old partials staged to parquet ONCE, read back —
+      // the refresh below never re-joins the historical base relations
+      val mv = graft.util.Scratch.dir("graft-q311-mv").resolve("v_old").toString
+      partials(a0.join(b0, col("l_orderkey") === col("o_orderkey")))
+        .write.mode("overwrite").parquet(mv)
+      val vOld = s.read.parquet(mv)
+      // delta terms: broadcast the (small) delta side, stream the base
+      // map-only — history shuffles nothing at refresh
+      val t1 = partials(b0.join(broadcast(dA), col("l_orderkey") === col("o_orderkey")))
+      val t2 = partials(a0.join(broadcast(dB), col("l_orderkey") === col("o_orderkey")))
+      val t3 = partials(dA.join(broadcast(dB), col("l_orderkey") === col("o_orderkey")))
+      vOld.unionByName(t1).unionByName(t2).unionByName(t3)
+        .groupBy(col("m"))
+        .agg(sum(col("n_items")).as("n_items"), sum(col("cents")).as("cents"))
+        .orderBy(col("m"))
     }
   )
 }

@@ -1112,6 +1112,197 @@ object TextAnalysis {
           max(when(col("epoch") === 1, col("share_ppm"))).as("share2_ppm"))
         .withColumn("drift_ppm", col("share2_ppm") - col("share1_ppm"))
         .orderBy(col("drift_ppm").desc, col("token"))
+    },
+
+    GraftQuery(
+      "q308_kmv_distinct_sketch",
+      "KMV (k-minimum-values) distinct-count sketch per language shard, FULLY hash-gated (q306 doctrine): the estimator is a pure function of the k=256 smallest md5-h60 hash values, so DuckDB reproduces the kth-minimum AND the estimate bit-for-bit — the estimates themselves are value-compared, not bound-checked. Engine shape: ONE distinct shuffle of (lang, hs) feeds both tiers, then the k-minima come from the native bounded TopKAgg heap (negated keys; <=k-long buffer per partition, map-side merged — never a per-lang sort of the vocabulary), est = (k-1)*P/kth_min, or the exact count when the shard's vocabulary is smaller than k. The 100 TB point: KMV is the distinct-counter whose sketch is also a uniform SAMPLE of the key space (unlike HLL's register array), so the same 256 hashes that estimate |vocab| also seed downstream Jaccard-by-sketch (q265's family); err_ppm is the measured calibration against the exact hash-domain distinct from the same scan.",
+      s"""WITH t AS (SELECT lang, ${h60Sql("token")} % 1000000007 AS hs
+        |  FROM (SELECT lang, unnest(list_filter(
+        |      regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+        |    FROM documents)
+        |  GROUP BY lang, hs),
+        |r AS (SELECT lang, hs,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hs) AS rk FROM t),
+        |ex AS (SELECT lang, count(*) AS exact_distinct FROM t GROUP BY lang),
+        |km AS (SELECT lang, count(*) AS k_used, max(hs) AS kth_min
+        |  FROM r WHERE rk <= 256 GROUP BY lang),
+        |e AS (SELECT km.lang, k_used, kth_min,
+        |    CASE WHEN k_used < 256 THEN k_used
+        |         ELSE 255000001785 // kth_min END AS est_distinct,
+        |    exact_distinct
+        |  FROM km JOIN ex USING (lang))
+        |SELECT lang, CAST(k_used AS BIGINT) AS k_used,
+        |  CAST(kth_min AS BIGINT) AS kth_min,
+        |  CAST(est_distinct AS BIGINT) AS est_distinct,
+        |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+        |  CAST(est_distinct * 1000000 // exact_distinct - 1000000 AS BIGINT)
+        |    AS err_ppm
+        |FROM e ORDER BY lang""".stripMargin) { (s, d) =>
+      val k = 256
+      val p = Dedup.P
+      // ONE distinct shuffle feeds the sketch AND the exact calibration tier
+      val t = graft.util.CacheOnce.persistForOneAction(
+        Tables.documents(s, d)
+          .select(col("lang"), explode(tokens(col("text"))).as("token"))
+          .select(col("lang"), (h60(col("token")) % p).as("hs"))
+          .distinct())
+      // bounded-buffer k-minima: TopKAgg ranks key DESC, so negate hs —
+      // the heap keeps the k SMALLEST hashes with O(k) state per partition
+      val km = t.groupBy(col("lang"))
+        .agg(graft.functions.GraftFunctions
+          .topKAgg(-col("hs"), col("hs"), k).as("mins"))
+        .select(col("lang"), size(col("mins")).cast("long").as("k_used"),
+          element_at(col("mins"), size(col("mins"))).getField("payload")
+            .as("kth_min"))
+      val ex = t.groupBy(col("lang")).agg(count(lit(1)).as("exact_distinct"))
+      km.join(ex, "lang")
+        .withColumn("est_distinct",
+          when(col("k_used") < k, col("k_used"))
+            // (k-1)*P precomputed: the int-literal product would overflow
+            .otherwise(expr(s"${(k - 1).toLong * p}L div kth_min")))
+        .select(col("lang"), col("k_used"), col("kth_min"),
+          col("est_distinct"), col("exact_distinct"),
+          expr("est_distinct * 1000000 div exact_distinct - 1000000")
+            .as("err_ppm"))
+        .orderBy(col("lang"))
+    },
+
+    GraftQuery(
+      "q309_ams_f2_sketch",
+      "AMS/Tug-of-War second-moment (F2) sketch over the orders fact's customer key — the one-pass SELF-JOIN SIZE estimator an optimizer consults before committing to a join strategy (F2 = sum of squared key frequencies = exact output size of the key self-join; its ratio to n is the skew factor that decides salting). Nine +/-1 sign estimators from the MinHash affine family over md5-h60 (signs, sums, squares and the rank-5-of-9 median all exactly reproducible in DuckDB — fully hash-gated, q306 doctrine), each Z_j = sum of signs accumulated in ONE whole-stage-codegen aggregate pass (nine conditional sums + n, no per-key state at all — the sketch is 10 longs however many distinct keys exist); est_j = Z_j^2 rides the DECIMAL(38,0) lane, the median-of-9 kills outlier estimators. The exact groupBy(custkey) F2 is the labeled calibration tier; err_ppm is the measured estimator error this board requires of every approximate operator.",
+      s"""WITH h AS (SELECT ${h60Sql("CAST(o_custkey AS VARCHAR)")} % 1000000007 AS hs
+        |  FROM orders),
+        |n AS (SELECT count(*) AS n FROM h),
+        |z AS (SELECT j,
+        |    CAST(sum(1 - 2*((((2*j+1)*hs + (7919*j+13)) % 1000000007) % 2))
+        |      AS HUGEINT) AS zj
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS j) dd
+        |  GROUP BY j),
+        |est AS (SELECT j, zj*zj AS ej FROM z),
+        |med AS (SELECT ej FROM (SELECT ej,
+        |      row_number() OVER (ORDER BY ej, j) AS rk FROM est)
+        |  WHERE rk = 5),
+        |ex AS (SELECT CAST(sum(CAST(c AS HUGEINT)*c) AS HUGEINT) AS f2
+        |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey))
+        |SELECT CAST(n.n AS BIGINT) AS n,
+        |  CAST(ex.f2 AS BIGINT) AS f2_exact,
+        |  CAST(med.ej AS BIGINT) AS f2_est,
+        |  CAST(med.ej * 1000000 // ex.f2 - 1000000 AS BIGINT) AS err_ppm,
+        |  CAST(ex.f2 * 1000000 // (CAST(n.n AS HUGEINT) * n.n) AS BIGINT)
+        |    AS skew_ppm
+        |FROM n, ex, med""".stripMargin) { (s, d) =>
+      val p = Dedup.P
+      val depth = 9
+      val as = Dedup.hashParams.take(depth).map(_._1)
+      val bs = Dedup.hashParams.take(depth).map(_._2)
+      val h = Tables.orders(s, d)
+        .select((h60(col("o_custkey").cast("string")) % p).as("hs"))
+      // the whole sketch is ONE aggregate row: nine sign-sums + n
+      val signCols = (0 until depth).map { j =>
+        sum(lit(1L) - lit(2L) *
+          (((lit(as(j)) * col("hs") + lit(bs(j))) % p) % 2)).as(s"z$j")
+      }
+      val sk = h.agg(signCols.head, signCols.tail :+ count(lit(1)).as("n"): _*)
+      // 9-row estimator frame -> exact lower median by rank 5 of 9
+      val est = sk.select(col("n"), explode(array((0 until depth).map { j =>
+          struct(lit(j).as("j"), col(s"z$j").as("zj"))
+        }: _*)).as("e"))
+        .select(col("n"), col("e.j").as("j"),
+          expr("CAST(CAST(e.zj AS DECIMAL(38,0)) * e.zj AS DECIMAL(38,0))")
+            .as("ej"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ej"), col("j"))
+      val med = est.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 5).select(col("n"), col("ej"))
+      val ex = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+        .agg(expr("CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))")
+          .as("f2"))
+      med.crossJoin(broadcast(ex))
+        .select(col("n").cast("long").as("n"),
+          col("f2").cast("long").as("f2_exact"),
+          col("ej").cast("long").as("f2_est"),
+          expr("CAST(ej * 1000000 div f2 - 1000000 AS BIGINT)").as("err_ppm"),
+          expr("CAST(f2 * 1000000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+            .as("skew_ppm"))
+    },
+
+    GraftQuery(
+      "q313_kmv_set_intersection",
+      "Distinct-set INTERSECTION from two KMV sketches (Beyer et al., the set-algebra payoff q308's estimator buys): how many distinct users both viewed AND purchased, answered from two 256-hash sketches instead of a distinct-⋈-distinct over the full shards — the audience-overlap question every 100 TB event store fields daily, where the exact answer costs a corpus-wide distinct join but the sketch answer costs |2k| merged longs. Validity hinge (and why bottom-k composes where HLL can't): K = bottom-k of the MERGED sketches is exactly the bottom-k of A∪B, and any member of K that belongs to A must already sit in A's sketch (kth_min(K) <= kth_min(kA)), so intersection membership is decidable INSIDE the sketches — rho = |K ∩ kA ∩ kB|, est = rho*est_union/k. FULLY hash-gated: sketches, rho, both estimates and err_ppm are bit-identical in DuckDB; the exact hash-domain intersection from the same scan is the labeled calibration tier.",
+      s"""WITH ev AS (SELECT event_type AS et,
+        |    ${h60Sql("CAST(user_id AS VARCHAR)")} % 1000000007 AS hs
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |r AS (SELECT et, hs,
+        |    row_number() OVER (PARTITION BY et ORDER BY hs) AS rk FROM ev),
+        |ka AS (SELECT hs FROM r WHERE et = 'view' AND rk <= 256),
+        |kb AS (SELECT hs FROM r WHERE et = 'purchase' AND rk <= 256),
+        |uk AS (SELECT hs, row_number() OVER (ORDER BY hs) AS rk
+        |  FROM (SELECT hs FROM ka UNION SELECT hs FROM kb)),
+        |kset AS (SELECT hs FROM uk WHERE rk <= 256),
+        |stats AS (SELECT count(*) AS k_used, max(hs) AS kth FROM kset),
+        |rho AS (SELECT count(*) AS rho FROM kset k
+        |  JOIN ka ON k.hs = ka.hs JOIN kb ON k.hs = kb.hs),
+        |exact AS (SELECT count(*) AS exact_inter
+        |  FROM (SELECT hs FROM ev WHERE et = 'view') a
+        |  JOIN (SELECT hs FROM ev WHERE et = 'purchase') b USING (hs)),
+        |est AS (SELECT k_used, kth, rho,
+        |    CASE WHEN k_used < 256 THEN k_used
+        |         ELSE 255000001785 // kth END AS est_union,
+        |    CASE WHEN k_used < 256 THEN rho
+        |         ELSE rho * (255000001785 // kth) // 256 END AS est_inter
+        |  FROM stats, rho)
+        |SELECT CAST(k_used AS BIGINT) AS k_used,
+        |  CAST(kth AS BIGINT) AS kth_min,
+        |  CAST(est_union AS BIGINT) AS est_union,
+        |  CAST(rho AS BIGINT) AS rho,
+        |  CAST(est_inter AS BIGINT) AS est_inter,
+        |  CAST(exact_inter AS BIGINT) AS exact_inter,
+        |  CAST(CASE WHEN exact_inter > 0
+        |       THEN est_inter * 1000000 // exact_inter - 1000000
+        |       ELSE 0 END AS BIGINT) AS err_ppm
+        |FROM est, exact""".stripMargin) { (s, d) =>
+      val k = 256
+      val p = Dedup.P
+      val eNum = (k - 1).toLong * p // (k-1)*P, precomputed against overflow
+      // one distinct shuffle of (event_type, hs) feeds sketches AND exact
+      val ev = graft.util.CacheOnce.persistForOneAction(
+        Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("event_type").as("et"),
+            (h60(col("user_id").cast("string")) % p).as("hs"))
+          .distinct())
+      def sketch(et: String) = ev.filter(col("et") === et)
+        .agg(graft.functions.GraftFunctions
+          .topKAgg(-col("hs"), col("hs"), k).as("mins"))
+        .select(explode(col("mins")).as("m"))
+        .select(col("m.payload").as("hs"))
+      val ka = sketch("view")
+      val kb = sketch("purchase")
+      // merged bottom-k over the <=2k union — a driver-free tiny frame
+      val uk = ka.unionAll(kb).distinct()
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("hs"))))
+      val kset = uk.filter(col("rk") <= k).select(col("hs"))
+      val stats = kset.agg(count(lit(1)).as("k_used"), max(col("hs")).as("kth"))
+      val rho = kset.join(ka, "hs").join(kb, "hs")
+        .agg(count(lit(1)).as("rho"))
+      val exact = ev.filter(col("et") === "view").select(col("hs"))
+        .join(ev.filter(col("et") === "purchase").select(col("hs")), "hs")
+        .agg(count(lit(1)).as("exact_inter"))
+      stats.crossJoin(rho).crossJoin(exact)
+        .withColumn("est_union",
+          when(col("k_used") < k, col("k_used"))
+            .otherwise(expr(s"${eNum}L div kth")))
+        .withColumn("est_inter",
+          when(col("k_used") < k, col("rho"))
+            .otherwise(expr(s"rho * (${eNum}L div kth) div $k")))
+        .select(col("k_used"), col("kth").as("kth_min"),
+          col("est_union"), col("rho"), col("est_inter"), col("exact_inter"),
+          when(col("exact_inter") > 0,
+            expr("est_inter * 1000000 div exact_inter - 1000000"))
+            .otherwise(lit(0L)).as("err_ppm"))
     }
   )
 }

@@ -553,6 +553,37 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Expand"), plan.take(3000))
   }
 
+  test("KMV sketch rides the bounded TopKAgg heap, one distinct shuffle (q308)") {
+    // The k-minima must come from the ObjectHashAggregate TypedImperative
+    // heap (O(k) state per partition), never a per-lang sort of the
+    // vocabulary: no Sort over the distinct (lang, hs) frame except the
+    // final 5-row output ordering, and no window (row_number) fallback.
+    val plan = planOf(SparkEntry.queries("q308_kmv_distinct_sketch")(spark, sf))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(plan.contains("topk_agg"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("AMS F2 sketch is ONE codegen aggregate pass, never an Expand (q309)") {
+    // Nine sign-sums + n must ride a single hash aggregate over the scan:
+    // an Expand (one input row per estimator, the oracle's CROSS JOIN
+    // shape) would multiply the shuffled rows by depth.
+    val plan = planOf(SparkEntry.queries("q309_ams_f2_sketch")(spark, sf))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+    assert(!plan.contains("Expand"), plan.take(3000))
+  }
+
+  test("join-view refresh broadcasts every delta term, history never shuffles (q311)") {
+    // The three delta joins must all be BroadcastHashJoin (delta side
+    // built, base side streamed map-only); a SortMergeJoin would mean a
+    // full history shuffle at refresh — the cost IVM exists to avoid.
+    val df = SparkEntry.queries("q311_join_view_maintenance")(spark, sf)
+    val plan = planOf(df)
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 3, s"expected >=3 broadcast delta joins, got $bhj:\n" + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("unpivot melts through one Expand projection, no shuffle added (q225)") {
     val df = SparkEntry.queries("q225_unpivot_melt")(spark, sf)
     val plan = planOf(df)
