@@ -539,5 +539,41 @@ object ScaleOps {
         .selectExpr("key_col", "n_keys", "n_rows", "max_rows", "median_x2",
           "(max_rows * 2000000) div median_x2 AS skew_ppm")
         .orderBy(col("key_col"))
+    },
+
+    GraftQuery(
+      "q317_dynamic_partition_pruning",
+      "DYNAMIC partition pruning — q115's directory skipping when the kept set is only known at RUN time: lineitem staged once as a ship-month Hive layout (~84 directories), joined on the partition column to a dim whose filter (order months of 1996) lives on a DIFFERENT column than the join key, so no static constraint propagation can reach the fact side — Catalyst instead plans a DynamicPruningSubquery: the dim executes first, its month set reuses the broadcast exchange, and 72 of 84 fact directories are dropped before any scan task launches (PlanSpec pins dynamicpruning in the fact's PartitionFilters). THE join-shaped skipping lever at 100 TB: star joins where the calendar/tenant slice arrives from a dimension filter, not a literal.",
+      """WITH dim AS (SELECT DISTINCT year(o_orderdate)*100 + month(o_orderdate) AS mon
+        |  FROM orders WHERE year(o_orderdate) = 1996),
+        |f AS (SELECT year(l_shipdate)*100 + month(l_shipdate) AS ship_mon,
+        |    l_extendedprice
+        |  FROM lineitem)
+        |SELECT CAST(f.ship_mon AS BIGINT) AS ship_mon, count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents
+        |FROM f JOIN dim ON f.ship_mon = dim.mon
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = stagedPartitioned.getOrElseUpdate(
+        sourceKey(d, "lineitem") + ":shipmon", {
+          val p = graft.util.Scratch.dir("graft-part-shipmon").toString
+          Tables.lineitem(s, d)
+            .select(col("l_extendedprice"),
+              (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+                .as("ship_mon"))
+            .write.mode("overwrite").partitionBy("ship_mon").parquet(p)
+          p
+        })
+      val dim = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")) === 1996) // predicate NOT on the key
+        .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .as("mon"))
+        .distinct()
+      s.read.parquet(dir)
+        .join(broadcast(dim), col("ship_mon") === col("mon")) // DPP manufactures the
+        .groupBy(col("ship_mon").cast("long").as("ship_mon")) // partition filter
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice"))).as("rev_cents"))
+        .orderBy(col("ship_mon"))
     })
 }

@@ -1303,6 +1303,51 @@ object TextAnalysis {
           when(col("exact_inter") > 0,
             expr("est_inter * 1000000 div exact_inter - 1000000"))
             .otherwise(lit(0L)).as("err_ppm"))
+    },
+
+    GraftQuery(
+      "q316_bm25_retrieval",
+      "BM25 ranked retrieval (Robertson-Sparck Jones, k1=1.2 b=0.75) — q167's tf-idf upgraded to the saturating, length-normalized scorer every production search stack actually runs, in EXACT integer arithmetic: with T = total tokens and N = docs, the per-term score idf·tf(k1+1)/(tf + k1(1-b+b·dl·N/T)) clears denominators to idf_ppm·88·T·tf / (40·T·tf + 12·T + 36·dl·N) — one integer floor-division per (doc, term) on the DECIMAL(38,0)/HUGEINT lane, so term saturation (diminishing repeats) and length normalization (long docs stop winning by volume) are bit-identical across engines. Per-doc length dl = size of the token array (computed in the row, NO extra shuffle); only the three query terms' postings move (q150/q167 pruning doctrine); idf stays the log-free (N-df)/N ppm variant. Top-15 docs by total (score, id) order.",
+      s"""WITH t AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+        |g AS (SELECT CAST(sum(dl) AS BIGINT) AS tt, count(*) AS n FROM dl),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |q AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+        |  WHERE tok IN ('table', 'hash', 'vector') GROUP BY 1, 2),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY tok),
+        |sc AS (SELECT q.doc_id,
+        |    CAST(sum(CAST((1000000 * (g.n - df.df)) // g.n AS HUGEINT)
+        |          * 88 * g.tt * q.tf
+        |        // (CAST(40 AS HUGEINT) * g.tt * q.tf + 12 * g.tt
+        |           + 36 * dl.dl * g.n)) AS BIGINT) AS score
+        |  FROM q JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN g
+        |  GROUP BY q.doc_id)
+        |SELECT doc_id, score FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin) { (s, d) =>
+      val terms = Seq("table", "hash", "vector")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // per-doc length rides the row — no shuffle to learn dl; persisted
+      // because it feeds BOTH the corpus totals and the per-doc join
+      val dl = graft.util.CacheOnce.persistForOneAction(
+        docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl")))
+      val g = dl.agg(sum(col("dl")).as("tt"), count(lit(1)).as("n"))
+      val q = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(terms: _*)) // only query-term postings move
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = q.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      q.join(broadcast(df), "tok").join(dl, "doc_id").crossJoin(broadcast(g))
+        .selectExpr("doc_id",
+          """CAST(CAST((1000000 * (n - df)) div n AS DECIMAL(38,0))
+            |  * 88 * tt * tf
+            |  div (CAST(40 AS DECIMAL(38,0)) * tt * tf + 12 * tt
+            |       + 36 * dl * n) AS BIGINT) AS term_score""".stripMargin)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term_score")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
     }
   )
 }

@@ -584,6 +584,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("month-dim join plans a DynamicPruningSubquery on the fact scan (q317)") {
+    // The dim's 1996 filter sits on o_orderdate, NOT the join key, so no
+    // static constraint propagation can reach the fact side: the partition
+    // filter must be manufactured at RUN time (dynamicpruning in the scan's
+    // PartitionFilters, reusing the broadcast). Without it the scan reads
+    // all ~84 ship-month directories.
+    val df = SparkEntry.queries("q317_dynamic_partition_pruning")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("unpivot melts through one Expand projection, no shuffle added (q225)") {
     val df = SparkEntry.queries("q225_unpivot_melt")(spark, sf)
     val plan = planOf(df)
