@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.functions.ColumnOps.{cosineSim, dotProduct, l2Norm}
@@ -37,6 +38,13 @@ object Clustering {
     * candidate (q113). Matches the cos ≥ 0.40 regime the hyperplane-LSH
     * tables (q44) are tuned for on this corpus. */
   val Tau = 0.40
+
+  /** q113: per-cluster anchor cap — the dropping side of the in-bucket
+    * verification compares against at most this many lowest-id members, so
+    * anchored pair volume is |members|×cap (linear) instead of the
+    * sum-of-squares the sf10 decade measured at 316× per 10× data. No
+    * effect at the oracle-gated SFs (clusters stay under the cap). */
+  val AnchorCap = 256
 
   // ---- shared DuckDB fragments --------------------------------------------
   private def dotSql(a: String, b: String) =
@@ -133,15 +141,19 @@ object Clustering {
 
     GraftQuery(
       "q113_semantic_dedup",
-      s"Semantic near-dup dedup bucketed by the LEARNED k-means partition (IVF doctrine, Douze et al.): exact cosine verification runs only WITHIN a cluster, so pair volume is sum of per-bucket squares, not corpus², and each greedy drop (keep the lowest vec_id of a cos ≥ $Tau pair) is decided locally per bucket. The all-pairs tier this replaces is q42; the fixed-quantizer sibling is q73.",
+      s"Semantic near-dup dedup bucketed by the LEARNED k-means partition (IVF doctrine, Douze et al.): exact cosine verification runs only WITHIN a cluster, and the DROPPING side of each comparison is bounded to the cluster's $AnchorCap lowest-id ANCHORS (row_number per cid, mirrored in the oracle — the q44/q210 governor doctrine; no effect at the oracle-gated SFs where clusters stay under the cap). In-bucket all-pairs is sum-of-squares in MEMBERSHIP and membership grows linearly under a fixed k — the sf10 decade measured the uncapped form at 316x per 10x data; anchored verification is |members| x cap = LINEAR by construction, the same greedy keep-lowest-id admission run against a bounded canonical set. The all-pairs tier this replaces is q42; the fixed-quantizer sibling is q73.",
       s"""WITH $kmeansCtes,
          |a2e AS (SELECT a2.vec_id, a2.cid, e.embedding
          |        FROM a2 JOIN e ON a2.vec_id = e.vec_id),
+         |anch AS (SELECT vec_id, cid, embedding,
+         |           row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+         |         FROM a2e),
          |pr AS (SELECT a.cid, b.vec_id AS vb,
          |         CASE WHEN ${normProdSql("a.embedding", "b.embedding")} = 0 THEN 0.0
          |              ELSE ${dotSql("a.embedding", "b.embedding")}
          |                   / ${normProdSql("a.embedding", "b.embedding")} END AS cos
-         |       FROM a2e a JOIN a2e b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |       FROM anch a JOIN a2e b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |         AND a.rn <= $AnchorCap),
          |dup AS (SELECT DISTINCT vb FROM pr WHERE cos >= $Tau)
          |SELECT a2e.cid AS cluster_id, count(*) AS n_members,
          |  CAST(sum(CASE WHEN dup.vb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
@@ -152,7 +164,12 @@ object Clustering {
       // member census); persist once so the k-means rounds run once
       val a2e = graft.util.CacheOnce.persistForOneAction(
         kmeansAssign(s, d).select(col("vec_id"), col("cid")).join(e, "vec_id"))
-      val pairs = a2e.as("a").join(a2e.as("b"),
+      // anchors: the cluster's AnchorCap lowest ids — the window runs over
+      // the already-bucketed frame, parallel per cluster
+      val anch = a2e.withColumn("rn", row_number().over(
+          Window.partitionBy(col("cid")).orderBy(col("vec_id"))))
+        .filter(col("rn") <= AnchorCap)
+      val pairs = anch.as("a").join(a2e.as("b"),
           col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
         .select(col("b.vec_id").as("vb"),
           cosineSim(col("a.embedding"), col("b.embedding")).as("cos"))

@@ -450,21 +450,29 @@ object Similarity {
           Window.partitionBy(col("cid")).orderBy(col("vec_id"))))
         .filter(col("rn") <= 256)
         .select(col("vec_id").as("b"), col("cid"))
-      val plists = rkd.select(col("vec_id").as("a"), col("cid"))
-      val cand = plists.join(mem, "cid").filter(col("a") =!= col("b"))
-        .select(col("a"), col("b"))
-      // scoring joins stay unhinted: AQE broadcasts the vector side at small
-      // SF and shuffles on vec_id at corpus scale
-      val p = n.select(col("vec_id").as("a"), col("embedding").as("emb_a"),
-        col("nrm").as("nrm_a"))
-      val v = n.select(col("vec_id").as("b"), col("embedding").as("emb_b"),
-        col("nrm").as("nrm_b"))
+      // THE load-bearing size fact (sf10 lesson — the unhinted pair-then-
+      // rejoin shape measured 65x per 10x data once AQE stopped
+      // broadcasting and sort-merge-joined ~100M materialized pairs): the
+      // member side is BOUNDED at 16 lists x 256 cap = <=4096 vectors at
+      // ANY corpus size, so its vectors broadcast forever. Scoring becomes
+      // probe-scan ⋈ broadcast(members) with the per-probe argmax folded
+      // straight into a map-side-combinable aggregate — nothing pair-shaped
+      // ever shuffles; the only shuffled frames are n probe rows and n
+      // 1-row argmax partials.
+      val memV = mem.join(n.select(col("vec_id"),
+          col("embedding").as("emb_b"), col("nrm").as("nrm_b")),
+          col("b") === col("vec_id"))
+        .select(col("b"), col("cid"), col("emb_b"), col("nrm_b"))
+      val probes = rkd.select(col("vec_id").as("a"), col("cid"))
+        .join(n.select(col("vec_id").as("a"),
+          col("embedding").as("emb_a"), col("nrm").as("nrm_a")), "a")
       val pn  = col("nrm_a") * col("nrm_b")
       val sim = when(pn === 0d, 0d)
         .otherwise(dotProduct(col("emb_a"), col("emb_b")) / pn)
       // argmax per side as an aggregate: max(struct(sim, -b)) is the same
       // total order as the oracle's (sim DESC, b ASC) row_number
-      val nn = cand.join(p, "a").join(v, "b")
+      val nn = probes.join(broadcast(memV), "cid")
+        .filter(col("a") =!= col("b"))
         .select(col("a"), col("b"), sim.as("sim"))
         .groupBy(col("a"))
         .agg(max(struct(col("sim"), (-col("b")).as("nb"))).as("m"))
