@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.functions.ColumnOps._
@@ -1225,6 +1226,71 @@ object TextAnalysis {
           expr("CAST(ej * 1000000 div f2 - 1000000 AS BIGINT)").as("err_ppm"),
           expr("CAST(f2 * 1000000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
             .as("skew_ppm"))
+    },
+
+    GraftQuery(
+      "q318_cm_join_size_estimate",
+      "JOIN-SIZE estimation from two Count-Min sketches (Cormode-Muthukrishnan inner-product estimator) — the CROSS-relation completion of q309's self-join F2: |events ⋈ orders ON user_id = o_custkey| = the inner product of the two key-frequency vectors, estimated as min over depth rows of sum_w cmA[d,w]*cmB[d,w] — never an undercount (collisions only ADD mass), tightened by the min across the 4 independent rows. THE question an optimizer asks before choosing join strategy, answered from two 32 KiB sketches built in ONE pass per relation (mergeable, so per-partition/per-refresh sketches compose) — no join is executed to size the join. FULLY hash-gated (q306 doctrine): both relations hash through the md5-affine row family, so DuckDB rebuilds every counter AND the estimate bit-for-bit; the exact hash-domain inner product from the same scans is the labeled calibration tier, overcount reported in signed ppm on the DECIMAL(38,0)/HUGEINT lane.",
+      s"""WITH ha AS (SELECT ${h60Sql("CAST(user_id AS VARCHAR)")} % 1000000007 AS hs
+        |  FROM events),
+        |hb AS (SELECT ${h60Sql("CAST(o_custkey AS VARCHAR)")} % 1000000007 AS hs
+        |  FROM orders),
+        |dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+        |ca AS (SELECT d, (((2*d+1)*hs + (7919*d+13)) % 1000000007) % 1024 AS c,
+        |    count(*) AS cnt FROM ha CROSS JOIN dd GROUP BY 1, 2),
+        |cb AS (SELECT d, (((2*d+1)*hs + (7919*d+13)) % 1000000007) % 1024 AS c,
+        |    count(*) AS cnt FROM hb CROSS JOIN dd GROUP BY 1, 2),
+        |ip AS (SELECT ca.d,
+        |    CAST(sum(CAST(ca.cnt AS HUGEINT) * cb.cnt) AS HUGEINT) AS ej
+        |  FROM ca JOIN cb ON ca.d = cb.d AND ca.c = cb.c GROUP BY ca.d),
+        |est AS (SELECT min(ej) AS est_join FROM ip),
+        |ex AS (SELECT CAST(sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS HUGEINT)
+        |    AS exact_join
+        |  FROM (SELECT hs, count(*) AS cnt FROM ha GROUP BY hs) a
+        |  JOIN (SELECT hs, count(*) AS cnt FROM hb GROUP BY hs) b USING (hs)),
+        |na AS (SELECT count(*) AS n_a FROM ha),
+        |nb AS (SELECT count(*) AS n_b FROM hb)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(exact_join AS BIGINT) AS exact_join,
+        |  CAST(est_join AS BIGINT) AS est_join,
+        |  est_join >= exact_join AS never_under,
+        |  CAST(est_join * 1000000 // exact_join - 1000000 AS BIGINT) AS over_ppm
+        |FROM na, nb, ex, est""".stripMargin) { (s, d) =>
+      val depth = 4
+      val w = 1024
+      val p = Dedup.P
+      val as = Dedup.hashParams.take(depth).map(_._1).toArray
+      val bs = Dedup.hashParams.take(depth).map(_._2).toArray
+      def hashed(df: DataFrame, key: String) =
+        df.select((h60(col(key).cast("string")) % p).as("hs"))
+      val ha = graft.util.CacheOnce.persistForOneAction(
+        hashed(Tables.events(s, d), "user_id"))
+      val hb = graft.util.CacheOnce.persistForOneAction(
+        hashed(Tables.orders(s, d), "o_custkey"))
+      def sketch(h: DataFrame, nm: String) = h.agg(
+        graft.functions.GraftFunctions.countMin(col("hs"), as, bs, p, w).as(nm),
+        count(lit(1)).as(s"n_$nm"))
+      // inner product per depth row over the two flat counter arrays —
+      // 4 x 1024 longs in a 1-row frame, HOF folds on the decimal lane
+      val ipCols = (0 until depth).map { di =>
+        expr(s"""aggregate(
+          |  zip_with(slice(ska, ${di * w + 1}, $w), slice(skb, ${di * w + 1}, $w),
+          |    (x, y) -> CAST(x AS DECIMAL(38,0)) * y),
+          |  CAST(0 AS DECIMAL(38,0)), (acc, t) -> acc + t)""".stripMargin)
+      }
+      val est = sketch(ha, "ska").crossJoin(sketch(hb, "skb"))
+        .select(col("n_ska"), col("n_skb"), least(ipCols: _*).as("est_join"))
+      val ex = ha.groupBy(col("hs")).agg(count(lit(1)).as("ca"))
+        .join(hb.groupBy(col("hs")).agg(count(lit(1)).as("cb")), "hs")
+        .agg(expr("CAST(sum(CAST(ca AS DECIMAL(38,0)) * cb) AS DECIMAL(38,0))")
+          .as("exact_join"))
+      est.crossJoin(broadcast(ex))
+        .select(col("n_ska").as("n_a"), col("n_skb").as("n_b"),
+          col("exact_join").cast("long").as("exact_join"),
+          col("est_join").cast("long").as("est_join"),
+          (col("est_join") >= col("exact_join")).as("never_under"),
+          expr("CAST(est_join * 1000000 div exact_join - 1000000 AS BIGINT)")
+            .as("over_ppm"))
     },
 
     GraftQuery(
