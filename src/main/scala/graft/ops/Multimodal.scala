@@ -244,8 +244,13 @@ object Multimodal {
          |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
       // stage ONCE per corpus per JVM: executor-parallel file writes (the
-      // object-store dump shape); later invocations reuse the directory
-      val dir = stagedPngDirs.getOrElseUpdate(d, {
+      // object-store dump shape); later invocations reuse the directory.
+      // Keyed on the documents.parquet mtime fingerprint, not the path
+      // alone — a regenerated corpus with a different doc population under
+      // the bound must re-stage, or the staged file set drifts from the
+      // oracle's id set
+      val dir = stagedPngDirs.getOrElseUpdate(
+        graft.util.Scratch.sourceKey(d, "documents"), {
         val stage = graft.util.Scratch.dir("graft-q184-png").toString
         // repartition to the full core count: the parquet read has only a
         // handful of input splits, and staging speed is bounded by writer

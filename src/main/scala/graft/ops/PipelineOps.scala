@@ -998,7 +998,7 @@ object PipelineOps {
 
     GraftQuery(
       "q311_join_view_maintenance",
-      "Incremental maintenance of a JOIN view — q102's identity upgraded from one relation to the bilinear case every nightly-refresh warehouse needs: V = A ⋈ B aggregated (monthly order-item revenue over orders ⋈ lineitem), both base relations split into (stored, delta) at the 1998 cutoff, and the refresh computes V_new from the PERSISTED old partials plus the three delta terms ΔA⋈B0, A0⋈ΔB, ΔA⋈ΔB (A⋈B = A0⋈B0 ⊎ ΔA⋈B0 ⊎ A0⋈ΔB ⊎ ΔA⋈ΔB for disjoint splits — partial counts/cent-sums merge, no history re-join). The old partials genuinely round-trip through parquet (q305's persisted-artifact doctrine): the refresh plan reads the staged V_old summary, NOT the base join. Scale shape: each mixed term BROADCASTS its delta side, so the base relation streams map-only — no shuffle of history at refresh; at 100 TB the base scans additionally prune by the date layout. The oracle recomputes the view from scratch — any drift in the delta algebra fails the gate.",
+      "Incremental maintenance of a JOIN view — q102's identity upgraded from one relation to the bilinear case every nightly-refresh warehouse needs: V = A ⋈ B aggregated (monthly order-item revenue over orders ⋈ lineitem), both base relations split into (stored, delta) at the 1998 cutoff, and the refresh computes V_new from the PERSISTED old partials plus the three delta terms ΔA⋈B0, A0⋈ΔB, ΔA⋈ΔB (A⋈B = A0⋈B0 ⊎ ΔA⋈B0 ⊎ A0⋈ΔB ⊎ ΔA⋈ΔB for disjoint splits — partial counts/cent-sums merge, no history re-join). The old partials genuinely round-trip through parquet (q305's persisted-artifact doctrine): the refresh plan reads the staged V_old summary, NOT the base join. Scale shape: each mixed term broadcasts its delta side SIZE-GATED (the refresh-delta-is-small contract, enforced: past a 64 MB estimate the join degrades to a shuffle, never a driver OOM — IncrementalMvSpec exercises the degradation path), so the base relation streams map-only whenever the contract holds; at 100 TB the base scans additionally prune by the date layout. The oracle recomputes the view from scratch — any drift in the delta algebra fails the gate.",
       """SELECT year(o.o_orderdate)*100 + month(o.o_orderdate) AS m,
         |  count(*) AS n_items,
         |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
@@ -1023,10 +1023,13 @@ object PipelineOps {
       // relations, and re-invocations (bench reps, plan dumps) reuse the
       // staged artifact instead of re-running the build-time join (the r10
       // eager-work-per-construction ADVICE class)
-      // keyed by dir + source mtime (q107/q184 doctrine): a regenerated
-      // orders.parquet re-stages instead of answering from a stale view
-      val mvKey = d + "@" + java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(d, "orders.parquet")).toMillis
+      // keyed on BOTH base relations' sourceKey fingerprints (newest mtime
+      // across each parquet dir's entries — a dir's own mtime does not move
+      // on in-place file overwrite): the partials are built from orders AND
+      // lineitem, so a regenerated either re-stages instead of answering
+      // from a stale view
+      val mvKey = graft.util.Scratch.sourceKey(d, "orders") + "|" +
+        graft.util.Scratch.sourceKey(d, "lineitem")
       val mv = stagedMv.getOrElseUpdate(mvKey, {
         val p = graft.util.Scratch.dir("graft-q311-mv").resolve("v_old").toString
         partials(a0.join(b0, col("l_orderkey") === col("o_orderkey")))
@@ -1034,11 +1037,14 @@ object PipelineOps {
         p
       })
       val vOld = s.read.parquet(mv)
-      // delta terms: broadcast the (small) delta side, stream the base
-      // map-only — history shuffles nothing at refresh
-      val t1 = partials(b0.join(broadcast(dA), col("l_orderkey") === col("o_orderkey")))
-      val t2 = partials(a0.join(broadcast(dB), col("l_orderkey") === col("o_orderkey")))
-      val t3 = partials(dA.join(broadcast(dB), col("l_orderkey") === col("o_orderkey")))
+      // delta terms: broadcast the delta side SIZE-GATED (Broadcasts doc:
+      // a refresh delta is small by contract, but nothing enforces it — a
+      // fat delta must degrade to a shuffle join, not a driver OOM), so the
+      // base relation streams map-only whenever the contract holds
+      val bIf = graft.util.Broadcasts.broadcastIfSmall _
+      val t1 = partials(b0.join(bIf(dA), col("l_orderkey") === col("o_orderkey")))
+      val t2 = partials(a0.join(bIf(dB), col("l_orderkey") === col("o_orderkey")))
+      val t3 = partials(dA.join(bIf(dB), col("l_orderkey") === col("o_orderkey")))
       vOld.unionByName(t1).unionByName(t2).unionByName(t3)
         .groupBy(col("m"))
         .agg(sum(col("n_items")).as("n_items"), sum(col("cents")).as("cents"))

@@ -95,14 +95,11 @@ object ScaleOps {
   private val stagedOrc =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Fingerprint = newest mtime under `<dir>/<table>.parquet`. */
-  private def sourceKey(d: String, table: String): String = {
-    val src = java.nio.file.Paths.get(d, s"$table.parquet")
-    val mts = (src +: graft.util.Scratch.listEntries(src))
-      .filter(java.nio.file.Files.exists(_))
-      .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
-    s"$d@${mts.maxOption.getOrElse(0L)}"
-  }
+  /** Fingerprint = newest mtime under `<dir>/<table>.parquet` (shared impl
+    * in [[graft.util.Scratch.sourceKey]] — also keys q311's MV and q184's
+    * PNG fixture). */
+  private def sourceKey(d: String, table: String): String =
+    graft.util.Scratch.sourceKey(d, table)
   private def orcKey(d: String): String = sourceKey(d, "lineitem")
 
   /** q111: bucket count shared by both join sides — what makes the join

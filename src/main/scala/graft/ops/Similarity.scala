@@ -146,7 +146,7 @@ object Similarity {
 
     GraftQuery(
       "q73_ivf_ann_topk",
-      "IVF-style ANN: 16 deterministic seed centroids (first vectors), every vector assigned to its nearest centroid (exact L2, total tie-break), probes search only their nprobe=2 nearest inverted lists, exact cosine top-5 within candidates. Assignment and search are both linear passes — the coarse-quantizer shape of a billion-vector index.",
+      "IVF-style ANN: 16 deterministic seed centroids (first vectors), every vector assigned to its nearest centroid (exact L2, total tie-break), probes search only their nprobe=2 nearest inverted lists, exact cosine top-5 within candidates. Inverted-list membership is CAPPED at 256 (deterministic: rank by vec_id — mirrored in the oracle; the q44/q209 governor doctrine, and exactly the list q209's MNN search already probes), because with 16 fixed centroids list length is ~n/16 — linear in the corpus, so per-probe candidate volume grew with n (23.6× per decade measured at sf10 before the cap) where a production IVF would grow NLIST ∝ √n instead; past the cap, re-training with more centroids is the recall-preserving move. With the cap, probe cost is nprobe × 256 exact dots per probe — independent of corpus size; assignment remains the one linear pass, the coarse-quantizer shape of a billion-vector index. No cap effect at the oracle-gated SFs (max list ≈ 125).",
       s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
          |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id < 16),
          |dists AS (SELECT v.vec_id, c.cid,
@@ -155,12 +155,16 @@ object Similarity {
          |asgn AS (SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
          |    FROM dists) WHERE rk = 1),
+         |lists AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+         |    FROM asgn) WHERE rn <= 256),
          |probes AS (SELECT vec_id AS probe_id FROM n WHERE vec_id >= 16 AND vec_id < 26),
          |plists AS (SELECT p.probe_id, d.cid FROM probes p
          |  JOIN dists d ON d.vec_id = p.probe_id
          |  QUALIFY row_number() OVER (PARTITION BY p.probe_id ORDER BY d.d2, d.cid) <= 2),
          |cand AS (SELECT pl.probe_id, a.vec_id
-         |  FROM plists pl JOIN asgn a ON a.cid = pl.cid
+         |  FROM plists pl JOIN lists a ON a.cid = pl.cid
          |  WHERE a.vec_id <> pl.probe_id),
          |scored AS (SELECT c.probe_id, c.vec_id,
          |    CASE WHEN p.nrm * v.nrm = 0 THEN 0.0
@@ -185,9 +189,15 @@ object Similarity {
       val byDist = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
       val ranked = dists.withColumn("rk", row_number().over(byDist))
       val asgn = ranked.filter(col("rk") === 1).select(col("vec_id"), col("cid"))
+      // capped inverted lists (doc above): rank members per list by vec_id,
+      // keep 256 — per-probe candidate volume is nprobe × 256, independent
+      // of corpus size. Same bounded lists q209's MNN tier probes.
+      val lists = asgn.withColumn("rn", row_number().over(
+          Window.partitionBy(col("cid")).orderBy(col("vec_id"))))
+        .filter(col("rn") <= 256).drop("rn")
       val plists = ranked.filter(col("vec_id") >= 16 && col("vec_id") < 26 && col("rk") <= 2)
         .select(col("vec_id").as("probe_id"), col("cid"))
-      val cand = plists.join(asgn, "cid")
+      val cand = plists.join(lists, "cid")
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"))
       val p = n.select(col("vec_id").as("probe_id"), col("embedding").as("pemb"),

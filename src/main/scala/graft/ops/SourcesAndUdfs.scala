@@ -338,19 +338,35 @@ object SourcesAndUdfs {
         .limit(25)
     },
 
-    GraftQuery.noOracle(
+    GraftQuery(
       "q81_request_signing",
-      "R12 HMAC request signing, distributed: every row's pipeline request URI signed with the reference's StringToSign (verb+path-sans-/api+ts) and HMAC-SHA256 — built from codegen'd sha2/concat/unhex (no UDF). No SQL oracle (DuckDB 1.0 sha256 is VARCHAR-only, HMAC needs raw-byte intermediates); RFC 4231 known-answer + javax.crypto differential in AuthAndLoggingSpec.") { (s, d) =>
-      val po = graft.etl.WatermarkEtl.sourceFeed(s, d)
-        .filter(col("o_orderkey") <= 2000)
-        .select(col("po_number"))
-      val data = graft.functions.RequestSigning.stringToSignColumn(
-        lit("GET"),
-        concat(lit("/api/form/"), col("po_number"), lit("/pipeline")),
-        lit("1596240000"))
-      po.select(col("po_number"),
-          lower(graft.functions.RequestSigning.signColumn("graft-demo-secret", data)).as("sig"))
-        .orderBy(col("po_number"))
+      "R12 HMAC request signing, ORACLE-GATED by known-answer vectors (promoted round 12 from the registry's only no-oracle entry): DuckDB cannot compute HMAC, but it can assert CONSTANTS — RFC 4231 test cases 1-2 plus reference-shaped StringToSign vectors covering the global /api gsub, the empty path and the >blocksize hashed-key schedule, each signed by the codegen signColumn (sha2/concat/unhex — no UDF, no javax.crypto in the plan) and rows+schema+hash-compared against the precomputed MACs the oracle carries as literals. The distributed form (the same column over a frame of request rows) is pinned by AuthAndLoggingSpec's javax.crypto differential and verified SERVER-SIDE over real sockets in HttpConnectorSpec.",
+      """SELECT CAST(case_id AS BIGINT) AS case_id, sig FROM (VALUES
+        |  (1, 'b0344c61d8db38535ca8afceaf0bf12b881dc200c9833da726e9376c2e32cff7'),
+        |  (2, '5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843'),
+        |  (3, '1124eb932efc4f8376e9de188feea9308aef6ee98efdc1bd8922e010581ad7d0'),
+        |  (4, 'e46dec410ff88fa0b1bb12fdce0faa1fad0dcdb7aa4c3110ef5959ac5d54feb4'),
+        |  (5, 'cfeae69c331526eff8a76e243b2d39946a1d63aaaa1636d57474f63bb1c7ee4b'),
+        |  (6, '3de6df81651e654927a91e54094f4606090ba36a8422c6e38758efb3d185e1e7'),
+        |  (7, '4c9d276a3c3858d29985cfba2e4aeaf4554667043fd2670a159ac1e52fa2357d')
+        |) AS t(case_id, sig) ORDER BY case_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      def kat(id: Long, secret: String, data: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+        Seq(id).toDF("case_id").select(col("case_id"),
+          lower(graft.functions.RequestSigning.signColumn(secret, data)).as("sig"))
+      def s2s(verb: String, path: String) =
+        graft.functions.RequestSigning.stringToSignColumn(
+          lit(verb), lit(path), lit("1596240000"))
+      kat(1, "\u000b" * 20, lit("Hi There"))                            // RFC 4231 TC1
+        .unionByName(kat(2, "Jefe", lit("what do ya want for nothing?"))) // RFC 4231 TC2
+        .unionByName(kat(3, "graft-demo-secret",
+          s2s("GET", "/api/form/U000000001D/pipeline")))
+        .unionByName(kat(4, "graft-demo-secret",
+          s2s("POST", "/api/form/U000000042D/pipeline")))
+        .unionByName(kat(5, "graft-demo-secret", s2s("GET", "/api/x/api/y"))) // global gsub
+        .unionByName(kat(6, "k" * 80, lit("long key block test"))) // key > block: hashed
+        .unionByName(kat(7, "graft-demo-secret", s2s("GET", "")))  // empty path
+        .orderBy(col("case_id"))
     },
 
     GraftQuery(

@@ -34,6 +34,21 @@ object Scratch {
     Files.deleteIfExists(p)
   }
 
+  /** Fingerprint for per-JVM staging caches: `<dir>@<newest mtime>` over
+    * `<dir>/<table>.parquet` and its entries. A directory's own mtime does
+    * NOT change when same-named files inside it are overwritten in place, so
+    * keying a memoized artifact on the dir path (or its top-level mtime)
+    * alone serves stale state after a source regeneration — every staged
+    * artifact (bucketed tables, MVs, PNG fixtures, LSH indexes) keys on
+    * this instead. */
+  def sourceKey(d: String, table: String): String = {
+    val src = java.nio.file.Paths.get(d, s"$table.parquet")
+    val mts = (src +: listEntries(src))
+      .filter(Files.exists(_))
+      .map(p => Files.getLastModifiedTime(p).toMillis)
+    s"$d@${mts.maxOption.getOrElse(0L)}"
+  }
+
   /** `Files.list` with the stream closed — the raw stream holds a directory
     * file descriptor until GC, which exhausts FDs in a driver doing many
     * scans. Empty for a non-directory. */
@@ -46,6 +61,35 @@ object Scratch {
       while (it.hasNext) buf += it.next()
       buf.result()
     } finally s.close()
+  }
+}
+
+/** Size-gated broadcast hints for operators whose small side is small BY
+  * CONTRACT, not by construction — e.g. an incremental-maintenance delta,
+  * which is refresh-sized in production but could in principle grow with
+  * the corpus. An unconditional `broadcast()` turns a fat delta into a
+  * driver/executor OOM; gating on the optimizer's size estimate lets it
+  * degrade to a shuffle join instead, while leaving the plan untouched for
+  * contract-sized deltas. */
+object Broadcasts {
+  /** Declared delta-size contract: up to this many estimated bytes the
+    * delta side is hinted for broadcast (64 MB — comfortably inside
+    * executor memory at any sane cluster sizing, and far under Spark's 8 GB
+    * broadcast hard limit). Overridable per session via
+    * `graft.delta.broadcastBound` so specs can exercise the degradation
+    * path without staging gigabytes. */
+  val DefaultBound: Long = 64L << 20
+
+  def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val bound = df.sparkSession.conf.getOption("graft.delta.broadcastBound")
+      .map(_.toLong).getOrElse(DefaultBound)
+    // driver-side plan statistics only (file sizes × column-width ratio) —
+    // no job runs; conservative: without CBO a filter keeps its child's
+    // size estimate, so a delta only loses its hint when the BASE slice
+    // outgrows the bound, never the reverse
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(bound)) org.apache.spark.sql.functions.broadcast(df)
+    else df
   }
 }
 

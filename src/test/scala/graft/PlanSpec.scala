@@ -584,6 +584,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("q311's delta broadcast is SIZE-GATED: a fat delta degrades to a " +
+       "shuffle join with the same result, never a driver OOM") {
+    // the gate reads graft.delta.broadcastBound per call; shrinking it to 1
+    // byte simulates a delta that outgrew the refresh-size contract
+    def hints(df: DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    val hinted = SparkEntry.queries("q311_join_view_maintenance")(spark, sf)
+    assert(hints(hinted) >= 3, "contract-sized deltas must keep their hints")
+    val expected = hinted.collect().toSeq
+    spark.conf.set("graft.delta.broadcastBound", "1")
+    try {
+      val gated = SparkEntry.queries("q311_join_view_maintenance")(spark, sf)
+      assert(hints(gated) === 0,
+        "a delta estimated over the bound must lose its broadcast hint")
+      assert(gated.collect().toSeq === expected) // degraded plan, same view
+    } finally spark.conf.unset("graft.delta.broadcastBound")
+  }
+
   test("month-dim join plans a DynamicPruningSubquery on the fact scan (q317)") {
     // The dim's 1996 filter sits on o_orderdate, NOT the join key, so no
     // static constraint propagation can reach the fact side: the partition
