@@ -4,12 +4,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extra conf pass-through for special-stage legs (e.g. bench_skew.sh
+    // sizes the AQE skew-split thresholds to the local Zipf stage); absent
+    // in the driver's official runs, so those are untouched
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder.config(k.trim, v.trim)
+        case _                         => ()
+      }
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Dev-loop filter: SPARK_GRAFT_ONLY=q42,q38 benches just those queries.
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -61,10 +61,39 @@ object ScaleData {
       translate(c, Lower + Upper, lo + lo.toUpperCase)
     }
 
+  /** Zipf-mode knobs (VERDICT r11 worklist #6): `ScaleData src out N zipf`
+    * stages the same referentially-consistent corpus but redirects
+    * [[HotShare]] of three fact-side key columns (events.user_id,
+    * orders.o_custkey, lineitem.l_suppkey) onto a SHARED set of
+    * [[HotKeys]] replica-0 keys with ~Zipf(1) mass — every replica feeds
+    * the SAME hot keys, so per-key mass grows linearly with the corpus
+    * exactly like a production hot tenant/SKU. The keys stay valid FK
+    * targets (the first [[HotKeys]] ids of the unshifted dimension), so
+    * every join still resolves; only the DISTRIBUTION changes. This is the
+    * stage that actually stresses the skew machinery (q53 salting, q98
+    * two-phase agg, q137 profiler, AQE skew splits) — uniform replication
+    * never does. */
+  private val HotKeys = 100
+  private val HotShare = 0.5
+
+  /** Deterministic Zipf(~1) redirect: entropy from a row-unique id column,
+    * inverse-CDF F(k) ≈ ln(k+1)/ln(K+1) so P(rank k) ∝ ln(1 + 1/(k+1)) ≈
+    * 1/(k+1); ranks land on keys 1..K of the ORIGINAL (replica-0) key
+    * space. Rows outside the hot share keep their per-replica offset key. */
+  private def zipfKey(orig: org.apache.spark.sql.Column,
+                      ent: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val u = pmod(xxhash64(ent, lit(1L)), lit(1000000L)).cast("double") / 1000000.0
+    val hot = pmod(xxhash64(ent, lit(2L)), lit(1000000L)) <
+      lit((HotShare * 1000000).toLong)
+    val rank = floor(exp(u * math.log(HotKeys + 1.0))).cast("long") // 1..K
+    when(hot, rank).otherwise(orig)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "scaledata/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val zipf = args.length > 3 && args(3) == "zipf"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -114,20 +143,28 @@ object ScaleData {
     val orderS = stride(orders, "o_orderkey")
     save(replicate(orders)((df, i) => df
       .withColumn("o_orderkey", col("o_orderkey") + i * orderS)
-      .withColumn("o_custkey", col("o_custkey") + i * custS)), "orders", 8)
+      .withColumn("o_custkey",
+        if (zipf) zipfKey(col("o_custkey") + i * custS,
+                          col("o_orderkey") + i * orderS)
+        else col("o_custkey") + i * custS)), "orders", 8)
 
     val li = Tables.lineitem(spark, src)
     save(replicate(li)((df, i) => df
       .withColumn("l_orderkey", col("l_orderkey") + i * orderS)
       .withColumn("l_partkey", col("l_partkey") + i * partS)
-      .withColumn("l_suppkey", col("l_suppkey") + i * suppS)), "lineitem", 16)
+      .withColumn("l_suppkey",
+        if (zipf) zipfKey(col("l_suppkey") + i * suppS,
+                          col("l_orderkey") * 8 + col("l_linenumber"))
+        else col("l_suppkey") + i * suppS)), "lineitem", 16)
 
     val ev = Tables.events(spark, src) // ts already normalized to µs
     val evS = stride(ev, "event_id")
     val userS = stride(ev, "user_id")
     save(replicate(ev)((df, i) => df
       .withColumn("event_id", col("event_id") + i * evS)
-      .withColumn("user_id", col("user_id") + i * userS)), "events", 8)
+      .withColumn("user_id",
+        if (zipf) zipfKey(col("user_id") + i * userS, col("event_id") + i * evS)
+        else col("user_id") + i * userS)), "events", 8)
 
     val docs = Tables.documents(spark, src)
     val docS = stride(docs, "doc_id")

@@ -1380,6 +1380,63 @@ object Analytics {
     },
 
     GraftQuery(
+      "q321_frequent_pairs",
+      "FREQUENT-ITEMSET mining, the A-priori 2-itemset pass (market-basket / co-occurrence — the recommender and token-collocation primitive): baskets are orders, items are parts, and the pair census runs support-pruned in A-priori order — items below the pair support threshold are dropped BEFORE pairing (downward closure: a frequent pair needs two frequent items), so the within-basket self-join pairs only surviving items. Output: pairs at support ≥ 2 with integer lift in ppm (support·B·10⁶ / (sa·sb) floor-divided — no floats cross the gate). Scale shape: the self-join is per-basket local (equi-join on the basket key) and quadratic only in BASKET SIZE (≤7 lines per order here; a production run caps basket width or hashes candidate pairs PCY-style — the q44 governor doctrine applied to baskets); support counting is a map-side-combinable groupBy, and the item-support prune is exactly what keeps candidate volume linear when item popularity is Zipf.",
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |b AS (SELECT count(DISTINCT l_orderkey) AS nb FROM items),
+        |isup AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY l_partkey),
+        |f AS (SELECT i.l_orderkey, i.l_partkey, s.s
+        |  FROM items i JOIN isup s ON s.l_partkey = i.l_partkey WHERE s.s >= 2),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(*) AS support, max(a.s) AS sa, max(b.s) AS sb
+        |  FROM f a JOIN f b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+        |  CAST((support * nb * 1000000) // (sa * sb) AS BIGINT) AS lift_ppm
+        |FROM p, b WHERE support >= 2
+        |ORDER BY support DESC, part_a, part_b""".stripMargin) { (s, d) =>
+      val items = graft.util.CacheOnce.persistForOneAction(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct())
+      // basket count as a broadcast 1-row frame, NOT a driver-side count():
+      // query builders stay lazy (the eager-work-per-construction class)
+      val nb = items.agg(countDistinct(col("l_orderkey")).as("nb"))
+      val isup = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("s"))
+      val f = items.join(isup.filter(col("s") >= 2), "l_partkey")
+      val a = f.select(col("l_orderkey"), col("l_partkey").as("part_a"),
+        col("s").as("sa"))
+      val b = f.select(col("l_orderkey"), col("l_partkey").as("part_b"),
+        col("s").as("sb"))
+      a.join(b, Seq("l_orderkey")).filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("support"), max(col("sa")).as("sa"),
+          max(col("sb")).as("sb"))
+        .filter(col("support") >= 2)
+        .crossJoin(broadcast(nb))
+        .selectExpr("part_a", "part_b", "support",
+          "(support * nb * 1000000) div (sa * sb) AS lift_ppm")
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+    },
+
+    GraftQuery(
+      "q319_aqe_skew_join",
+      "q53's UNSALTED declarative twin — the same events⋈customer fact-dim join written plainly, whose scale governor is the ENGINE's adaptive skew handling rather than hand-salting: at execution AQE observes the map-output sizes and splits any skewed partition into multiple reader tasks (spark.sql.adaptive.skewJoin, on by default), replicating the matching dim rows — the same spread q53 builds by hand, but decided from RUNTIME statistics, only when needed, and with no key-space rewrite in the query text. This is the form you write FIRST at 100 TB and only abandon for q53's salting when a single logical key (not merely a partition) exceeds a task. The pair is measured head-to-head on the Zipf-keyed skew stage in BENCH_skew.json (dev/bench_skew.sh sizes the skew thresholds to the local stage; a real cluster keeps the defaults).",
+      """SELECT c.c_mktsegment, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.events(s, d).select(col("user_id"), col("value"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    GraftQuery(
       "q98_salted_two_phase_agg",
       "Skew-salted aggregation: a heavy-hitter group key (3 return flags over the whole lineitem table) first aggregates on (key, salt) — 16 partial states per hot key spread across tasks — then the tiny partial frame re-aggregates on the key alone. sum/count/min/max recombine exactly, so the result is identical to the plain GROUP BY the oracle runs. (Spark's map-side partials already do this within a task; the explicit salt stage is the pattern for when one reduce key still exceeds a single task at 100 TB.)",
       """SELECT l_returnflag, count(*) AS n,

@@ -641,6 +641,34 @@ object Relational {
     },
 
     GraftQuery(
+      "q320_approx_quantile_sketch",
+      "Approximate QUANTILES via the engine's mergeable Greenwald-Khanna summary (percentile_approx, accuracy 1000 → rank error ≤ n/1000) — the sketch family's missing member (CM/KMV/AMS/HLL/MG/TopK all ship; quantiles are what sizes partitions, picks salting thresholds and drives q51-style histograms at 100 TB, where the exact form would SORT the corpus; the GK buffer partial-aggregates map-side like every other sketch here). Gated by q09's error-bound-witness doctrine: the nine decile estimates are engine-specific sketch output DuckDB cannot reproduce, so the COMPARED columns are the exact row count plus a boolean witnessing that each estimate's exact rank interval [count(<v), count(≤v)] covers the decile target within n/100 (10× the sketch's rank budget) — computed by a second one-scan pass against the broadcast 9-value frame. A sketch whose rank error drifts fails the gate instead of hiding behind a rows-only check; ties are handled by the interval, not a point rank.",
+      """WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
+        |SELECT CAST(d.d AS BIGINT) AS decile, n.n_rows, TRUE AS within_bound
+        |FROM (SELECT unnest(generate_series(1, 9)) AS d) d, n
+        |ORDER BY decile""".stripMargin) { (s, d) =>
+      val c = Tables.lineitem(s, d).select(cents(col("l_extendedprice")).as("c"))
+      val est = c.agg(
+        percentile_approx(col("c"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*), lit(1000)).as("est"),
+        count(lit(1)).as("n_rows"))
+      // 9 (decile, estimate) rows + the count — broadcast to the witness scan
+      val dec = est.select(posexplode(col("est")).as(Seq("pos", "v")), col("n_rows"))
+        .select((col("pos") + 1).cast("long").as("decile"), col("v"), col("n_rows"))
+      c.crossJoin(broadcast(dec))
+        .groupBy(col("decile"), col("n_rows"))
+        .agg(sum(when(col("c") < col("v"), 1L).otherwise(0L)).as("rank_lt"),
+          sum(when(col("c") <= col("v"), 1L).otherwise(0L)).as("rank_le"))
+        // integer-exact: target dec*n/10 must fall inside the estimate's
+        // rank interval widened by n/100 (scaled ×100 to stay integral)
+        .select(col("decile"), col("n_rows"),
+          (col("rank_lt") * 100 <= col("decile") * col("n_rows") * 10 + col("n_rows") &&
+           col("rank_le") * 100 >= col("decile") * col("n_rows") * 10 - col("n_rows"))
+            .as("within_bound"))
+        .orderBy(col("decile"))
+    },
+
+    GraftQuery(
       "q10_rollup",
       "ROLLUP hierarchy totals (flag → flag+status → grand total); NULLS FIRST pinned on both engines.",
       """SELECT l_returnflag, l_linestatus,
