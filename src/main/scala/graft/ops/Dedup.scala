@@ -392,7 +392,7 @@ object Dedup {
 
     GraftQuery(
       "q127_prefix_filtered_simjoin",
-      "Token-set similarity self-join (Jaccard ≥ 0.9) via PPJoin-style positional prefix filtering (Xiao et al.): order each doc's distinct token fingerprints rarest-first (global doc-frequency order), emit only the first n − ceil(0.9·n) + 1 — any qualifying pair MUST share a prefix token (no false negatives), so the candidate join touches rare-token buckets instead of the corpus cross product. Prefix-token buckets are CAPPED at 256 members (deterministic: rank by doc_id — MIRRORED in the oracle, which runs the identical prefix+cap pipeline), because under corpus replication a token's doc frequency grows linearly and within-bucket pairing quadratically (the sf10 board measured 23× per decade / 257s before the cap — the same governor class as q44/q113/q209); below the cap the prefix filter is EXACT (zero false negatives), past it a production deployment tightens the threshold or shards by length. No cap effect at the oracle-gated SFs (max prefix-bucket occupancy well under 256). Candidates are length-filtered (9·max ≤ 10·min) then exact-verified by full-set intersection. Tokens travel as 60-bit md5 fingerprints — 8-byte longs shuffle, never strings. Output: per-doc neighbor census.",
+      "Token-set similarity self-join (Jaccard ≥ 0.9) via PPJoin-style positional prefix filtering (Xiao et al.): order each doc's distinct token fingerprints rarest-first (global doc-frequency order), emit only the first n − ceil(0.9·n) + 1 — any qualifying pair MUST share a prefix token (no false negatives), so the candidate join touches rare-token buckets instead of the corpus cross product. Prefix-token buckets are CAPPED at 512 members (deterministic: rank by doc_id — MIRRORED in the oracle, which runs the identical prefix+cap pipeline). The cap is sized from MEASURED occupancy: the corpus's dominant near-dup cluster puts ~376 docs in its shared rare-token buckets at the gated SFs (so 512 keeps the prefix filter EXACT there — zero false negatives, spec-proven vs all-pairs brute force) while sf0.1's 3816-member buckets and the cross-replica numeric-token buckets (which grow LINEARLY with the corpus and made within-bucket pairing quadratic: 23× per decade / 257s at sf10 before the governor) are cut to a bounded 512²/2 candidate volume per bucket — the q44/q113/q209 governor class; past the cap a production deployment tightens the threshold or shards by length. Candidates are length-filtered (9·max ≤ 10·min) then exact-verified by full-set intersection. Tokens travel as 60-bit md5 fingerprints — 8-byte longs shuffle, never strings. Output: per-doc neighbor census.",
       s"""WITH t AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
          |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
          |    tok -> ${h60Sql("tok")})) AS hs
@@ -408,7 +408,7 @@ object Dedup {
          |cap AS MATERIALIZED (SELECT doc_id, h, n FROM (
          |    SELECT doc_id, h, n,
          |      row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM pfx)
-         |  WHERE rn <= 256),
+         |  WHERE rn <= 512),
          |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |  FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id
          |  WHERE b.n * 10 >= a.n * 9 AND a.n * 10 >= b.n * 9),
@@ -448,7 +448,7 @@ object Dedup {
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("h")).orderBy(col("doc_id"))))
-          .filter(col("rn") <= 256).drop("rn"))
+          .filter(col("rn") <= 512).drop("rn"))
       // candidate pairs: NOT deduped yet — verification runs inline on the
       // raw prefix matches (map-side, full parallelism) and the dedupe
       // happens on the much smaller verified set. Deduping first looked
