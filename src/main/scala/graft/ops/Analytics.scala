@@ -2593,6 +2593,106 @@ object Analytics {
           (abs(col("est") - col("exact_distinct")) * 100 <=
             col("exact_distinct") * 3).as("within_3pct"))
         .orderBy(col("week"))
+    },
+
+    GraftQuery(
+      "q324_mad_outliers",
+      "Robust outlier census by median absolute deviation — the anomaly gate that survives the very outliers it hunts (mean/stddev z-scores are dragged by the anomaly; median/MAD have a 50% breakdown point): per event type, the lower-median of value cents and the lower-median of |v - med| (the MAD) are both picked by the library's histogram-selection doctrine (value→count census, cumulative window PARTITIONED by type over the bounded cents domain — never a per-row sort), then rows with |v - med| > 3·MAD are the outlier census, rate in exact ppm. Scale shape: two censuses + two broadcast joins of a |types|-row median frame; the per-row work is map-only, so the plan is two scans of the fact and nothing that grows with it.",
+      """WITH ev AS (SELECT event_type AS et, CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |c1 AS (SELECT et, v, count(*) AS cnt FROM ev GROUP BY 1, 2),
+        |m1 AS (SELECT et, v, sum(cnt) OVER (PARTITION BY et ORDER BY v) AS cum,
+        |         sum(cnt) OVER (PARTITION BY et) AS n FROM c1),
+        |med AS (SELECT et, min(n) AS n,
+        |         min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS med
+        |       FROM m1 GROUP BY et),
+        |dv AS (SELECT e.et, abs(e.v - m.med) AS dev FROM ev e JOIN med m ON e.et = m.et),
+        |c2 AS (SELECT et, dev, count(*) AS cnt FROM dv GROUP BY 1, 2),
+        |m2 AS (SELECT et, dev, sum(cnt) OVER (PARTITION BY et ORDER BY dev) AS cum,
+        |         sum(cnt) OVER (PARTITION BY et) AS n FROM c2),
+        |mad AS (SELECT et, min(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS mad
+        |        FROM m2 GROUP BY et),
+        |o AS (SELECT e.et, count(*) AS n_out
+        |      FROM ev e JOIN med m ON e.et = m.et JOIN mad a ON e.et = a.et
+        |      WHERE abs(e.v - m.med) > 3 * a.mad GROUP BY e.et)
+        |SELECT m.et AS event_type, CAST(m.n AS BIGINT) AS n,
+        |  m.med AS med_cents, a.mad AS mad_cents,
+        |  CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_outliers,
+        |  CAST(1000000 * coalesce(o.n_out, 0) // m.n AS BIGINT) AS outlier_ppm
+        |FROM med m JOIN mad a ON m.et = a.et LEFT JOIN o ON m.et = o.et
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = graft.util.CacheOnce.persistForOneAction(
+        Tables.events(s, d)
+          .select(col("event_type").as("et"), cents(col("value")).as("v")))
+      val wCum = Window.partitionBy(col("et")).orderBy(col("v"))
+      val wAll = Window.partitionBy(col("et"))
+      // lower median = min value whose cumulative census count reaches
+      // rank (n+1) div 2 — the k-th order statistic without a row sort
+      val med = ev.groupBy(col("et"), col("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .groupBy(col("et")).agg(min(col("n")).as("n"),
+          // `/` on long Columns is DOUBLE division in Spark — `div` is the
+          // integer floor the oracle's `//` computes
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))).as("med"))
+      val dv = ev.join(broadcast(med), "et")
+        .select(col("et"), abs(col("v") - col("med")).as("dev"))
+      val wCum2 = Window.partitionBy(col("et")).orderBy(col("dev"))
+      val mad = dv.groupBy(col("et"), col("dev")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wCum2))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .groupBy(col("et"))
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("dev"))).as("mad"))
+      val o = ev.join(broadcast(med), "et").join(broadcast(mad), "et")
+        .filter(abs(col("v") - col("med")) > lit(3) * col("mad"))
+        .groupBy(col("et")).agg(count(lit(1)).as("n_out"))
+      med.join(mad, "et").join(o, Seq("et"), "left")
+        .select(col("et").as("event_type"), col("n").cast("long").as("n"),
+          col("med").as("med_cents"), col("mad").as("mad_cents"),
+          coalesce(col("n_out"), lit(0L)).cast("long").as("n_outliers"),
+          expr("CAST(1000000 * coalesce(n_out, 0) div n AS BIGINT)")
+            .as("outlier_ppm"))
+        .orderBy(col("event_type"))
+    },
+
+    GraftQuery(
+      "q325_benford_digits",
+      "Benford first-digit conformance — the forensic data-quality screen for fabricated or truncated numeric feeds (real multiplicative-growth amounts follow P(d) = log10(1+1/d); synthetic/uniform generators don't, and THAT verdict is the point here — the dev_ppm column quantifies how far this synthetic corpus sits from Benford): first digit of order-total cents by string head (exact — no float log whose boundary rounding could differ), observed share in exact ppm, expected Benford ppm as shared integer literals (the same Scala constants interpolate into BOTH engines, pinned against log10 by a spec), and a per-digit chi-square-style deviation (obs-exp)²//exp on the integer ppm lane. One map-side-combinable census over a 9-value domain; nothing grows with the corpus.",
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        |  CAST(1000000 * n // total AS BIGINT) AS obs_ppm,
+        |  CAST(exp_ppm AS BIGINT) AS exp_ppm,
+        |  CAST((1000000 * n // total - exp_ppm) * (1000000 * n // total - exp_ppm) // exp_ppm AS BIGINT) AS dev_ppm
+        |FROM c JOIN (VALUES $benfordValues) AS e(digit, exp_ppm) USING (digit)
+        |CROSS JOIN t ORDER BY digit""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val expDf = benfordExpected.toDF("digit", "exp_ppm")
+      val c = Tables.orders(s, d).filter(col("o_totalprice") > 0)
+        .select(expr(
+          "CAST(substring(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val t = c.agg(sum(col("n")).as("total"))
+      c.join(broadcast(expDf), "digit").crossJoin(broadcast(t))
+        .selectExpr("digit", "CAST(n AS BIGINT) AS n",
+          "CAST(1000000 * n div total AS BIGINT) AS obs_ppm",
+          "CAST(exp_ppm AS BIGINT) AS exp_ppm",
+          """CAST((1000000 * n div total - exp_ppm)
+            |  * (1000000 * n div total - exp_ppm) div exp_ppm AS BIGINT)
+            |  AS dev_ppm""".stripMargin)
+        .orderBy(col("digit"))
     }
   )
+
+  /** Benford expected first-digit shares, floor(1e6·log10(1+1/d)) — shared
+    * integer literals so neither engine evaluates a float log at a bucket
+    * boundary; pinned against the closed form by AnalyticsExtraSpec. */
+  val benfordExpected: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  private def benfordValues: String =
+    benfordExpected.map { case (dg, p) => s"($dg, $p)" }.mkString(", ")
 }

@@ -386,6 +386,271 @@ object GraphOps {
       import s.implicits._
       rows.toSeq.toDF("round", "n_nodes", "n_edges", "sum_nodes")
         .orderBy(col("round"))
+    },
+
+    GraftQuery(
+      "q326_label_propagation",
+      s"Label-propagation community detection ($LpaRounds fixed synchronous BSP rounds) over the part↔supplier co-occurrence graph — the near-linear community finder (Raghavan et al.) pipelines run where modularity solvers don't scale: every node starts as its own label and each round adopts the MOST FREQUENT label among its neighbors, ties broken by smallest label — the argmax is a row_number over each node's neighbor-label census ordered (count DESC, label ASC), so the update is total and bit-identical across engines and partitionings (async/random-order LPA is not reproducible; the synchronous total-order form is). Per round: one O(E) equi-join of the label frame to the edge list + a (node,label) census + a per-node window over that node's DISTINCT neighbor labels (bounded by degree) — the q310/q176 BSP cost shape, localCheckpoint truncating lineage, census short-circuit once a fixpoint census repeats. The per-round census (distinct labels, assignment checksum, largest community) makes a single wrongly-adopted label fail the gate — and on this BIPARTITE graph it records synchronous LPA's known two-coloring oscillation, which the q333 modularity eval quantifies at Q = −0.5 (see there; the pair demonstrates detection, and that production projects to one mode first).",
+      lpaSql) { (s, d) =>
+      val ps = Tables.lineitem(s, d)
+        .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      val e = ps.unionAll(ps.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      var lab = e.select(col("u").as("node")).distinct()
+        .withColumn("lab", col("node")).localCheckpoint()
+      // one groupBy(lab) frame yields the whole census: group count =
+      // n_labels, max group size = largest community, and the assignment
+      // checksum sum-over-nodes(lab) = sum-over-labels(lab·size)
+      def censusOf(round: Int, lf: org.apache.spark.sql.DataFrame)
+          : (Int, Long, Long, Long) = {
+        val r = lf.groupBy(col("lab")).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)), coalesce(sum(col("lab") * col("c")), lit(0L)),
+            coalesce(max(col("c")), lit(0L))).head()
+        (round, r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val rows = scala.collection.mutable.ArrayBuffer(censusOf(0, lab))
+      var converged = false
+      for (i <- 1 to LpaRounds) {
+        if (converged) rows += rows.last.copy(_1 = i)
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("u")).orderBy(col("cnt").desc, col("lab"))
+          lab = e.join(lab.withColumnRenamed("node", "vn"),
+              col("v") === col("vn"))
+            .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("u").as("node"), col("lab"))
+            .localCheckpoint()
+          val r = censusOf(i, lab)
+          // labels can oscillate but an identical census means the same
+          // partition multiset — further synchronous rounds replay it
+          converged = (r._2, r._3, r._4) == (rows.last._2, rows.last._3, rows.last._4)
+          rows += r
+        }
+      }
+      import s.implicits._
+      rows.toSeq.toDF("round", "n_labels", "sum_labels", "max_comm")
+        .orderBy(col("round"))
+    },
+
+    GraftQuery(
+      "q333_lpa_modularity",
+      s"Newman modularity of the q326 label-propagation partition — the metric that says whether the communities MEAN anything (Q compares internal-edge mass to the degree-preserving random expectation), in EXACT integer arithmetic: Q = (2m·Σᵢc − Σ d_c²) / (4m²) where Σᵢc counts DIRECTED same-label edge endpoints (so the ÷2 for undirected internal edges cancels against 2m — no halving anywhere) and d_c is each community's degree mass; the single floor-division happens once, offset positive first because Q can be negative and Spark's `div` truncates toward zero while DuckDB's `//` floors — they agree only on non-negatives (Q ≥ −1 bounds the shift). On THIS graph the metric reads exactly −0.5, the floor of Q's range — the textbook signature of synchronous LPA's bipartite two-coloring oscillation (labels ping-pong between the part and supplier sides, so internal-edge mass is ZERO): catching that pathology is precisely why a structure finder ships with its measured quality number (q266's recall-eval doctrine applied to communities — a pipeline gates on Q and learns it must PROJECT a bipartite graph to one mode, q208's wedge tier, before community detection). Cost beyond the $LpaRounds LPA rounds: one O(E) two-sided label join + two census aggregates.",
+      lpaModularitySql) { (s, d) =>
+      val (e, lab) = lpaGraph(s, d)
+      modularityOf(e, lab)
+    },
+
+    GraftQuery(
+      "q335_projected_community_quality",
+      s"The REMEDIATION of the q326/q333 finding, end to end — one-mode projection, then LPA, then modularity, in one query: the bipartite part↔supplier graph projects to part–part CO-PURCHASE edges (distinct within-order pairs — per-basket pairing, so the projection is quadratic only in basket width ≤ 7, exactly q321's bounded shape, never in a supplier's degree), the same $LpaRounds synchronous LPA rounds run on the projected graph, and the same exact-integer Q ships alongside the node/community census. The three-query arc is the operating doctrine for community detection at 100 TB: q326 finds structure, q333's Q = −0.5 says the structure is a bipartite artifact, THIS query projects to one mode and re-measures — Q flips sign (the synthetic co-purchases carry little genuine community structure and the metric reports exactly that, which is the honest result a curation pipeline must see). Projection cost: one (order, part) distinct + one within-order self-join bounded by basket width; everything after is the q326/q333 machinery unchanged.",
+      projectedLpaSql) { (s, d) =>
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val und = op.select(col("o"), col("p").as("u"))
+        .join(op.select(col("o"), col("p").as("v")), Seq("o"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      val e = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      val lab = lpaLabelsFor(e)
+      val nn = lab.agg(count(lit(1)).as("n_nodes"))
+      val mx = lab.groupBy(col("lab")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("max_comm"))
+      modularityOf(e, lab)
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(mx))
+        .select(col("n_nodes"), col("m"), col("n_communities"),
+          col("max_comm"), col("q_ppm"))
+    },
+
+    GraftQuery(
+      "q334_degree_assortativity",
+      "Degree assortativity — the one-number graph fingerprint (positive: hubs prefer hubs, social-graph-like; negative: hubs fan out to leaves, hub-and-spoke/bipartite-like — THE structural prior for partitioning and caching strategy at 100 TB): Pearson correlation of endpoint degrees over the DIRECTED edge list, which is symmetric by construction (every edge appears both ways, so Sx=Sy, Sxx=Syy) — the usual sqrt(VarX)·sqrt(VarY) denominator collapses to one integer (n·Sxx − Sx²) and r is EXACTLY rational: r_ppm = ⌊10⁶·(n·Sxy − Sx²)/(n·Sxx − Sx²)⌋ on the DECIMAL(38,0)/HUGEINT lane (q52's moment-sum doctrine on a graph), offset positive before the floor-division because r is negative exactly when the graph is hub-and-spoke — which this part↔supplier graph is. Cost: one degree census + one O(E) two-sided degree join + one aggregate; no float ever crosses a row boundary.",
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |e AS MATERIALIZED (SELECT p*2 AS u, s*2+1 AS v FROM ps
+        |      UNION ALL SELECT s*2+1 AS u, p*2 AS v FROM ps),
+        |deg AS (SELECT u, CAST(count(*) AS HUGEINT) AS dg FROM e GROUP BY u),
+        |x AS (SELECT a.dg AS du, b.dg AS dv FROM e
+        |      JOIN deg a ON e.u = a.u JOIN deg b ON e.v = b.u),
+        |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(du) AS HUGEINT) AS sx,
+        |    CAST(sum(du * du) AS HUGEINT) AS sxx,
+        |    CAST(sum(du * dv) AS HUGEINT) AS sxy FROM x)
+        |SELECT CAST(n AS BIGINT) AS n_directed_edges,
+        |  CAST((1000000 * (n * sxy - sx * sx)
+        |        + 1000000 * (n * sxx - sx * sx))
+        |      // (n * sxx - sx * sx) - 1000000 AS BIGINT) AS r_ppm
+        |FROM g""".stripMargin) { (s, d) =>
+      val dec = "decimal(38,0)"
+      val ps = Tables.lineitem(s, d)
+        .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      val e = ps.unionAll(ps.select(col("v").as("u"), col("u").as("v")))
+      val deg = e.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      val x = e
+        .join(deg.select(col("u").as("au"), col("dg").as("du")),
+          col("u") === col("au"))
+        .join(deg.select(col("u").as("bu"), col("dg").as("dv")),
+          col("v") === col("bu"))
+        .select(col("du").cast(dec).as("du"), col("dv").cast(dec).as("dv"))
+      x.agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("du")).cast(dec).as("sx"),
+          sum(col("du") * col("du")).cast(dec).as("sxx"),
+          sum(col("du") * col("dv")).cast(dec).as("sxy"))
+        .selectExpr("CAST(n AS BIGINT) AS n_directed_edges",
+          """CAST((1000000 * (n * sxy - sx * sx)
+            |      + 1000000 * (n * sxx - sx * sx))
+            |    div (n * sxx - sx * sx) - 1000000 AS BIGINT) AS r_ppm"""
+            .stripMargin)
     }
   )
+
+  /** Fixed synchronous LPA round count — shared by the Spark loop and the
+    * unrolled oracle chain. */
+  val LpaRounds = 3
+
+  /** Unrolled label rounds l0 → l$LpaRounds over an already-defined edge CTE
+    * `e` (MATERIALIZED — each l_i feeds census AND the next round; inlined
+    * CTEs would re-evaluate the chain exponentially). */
+  private def lpaRoundsSql: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT node, lab FROM (
+         |    SELECT u AS node, lab,
+         |      row_number() OVER (PARTITION BY u ORDER BY cnt DESC, lab) AS rn
+         |    FROM (SELECT e.u, l.lab, count(*) AS cnt
+         |          FROM e JOIN l${i - 1} l ON e.v = l.node
+         |          GROUP BY e.u, l.lab) c) r
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM e),
+       |$rounds""".stripMargin
+  }
+
+  /** The part↔supplier bipartite co-occurrence edges, directed both ways. */
+  private val bipartiteEdgesSql =
+    """ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      |e AS MATERIALIZED (SELECT p*2 AS u, s*2+1 AS v FROM ps
+      |      UNION ALL SELECT s*2+1 AS u, p*2 AS v FROM ps)""".stripMargin
+
+  /** Shared WITH-chain prefix of the bipartite LPA oracles. */
+  private def lpaChainSql: String = s"$bipartiteEdgesSql,\n$lpaRoundsSql"
+
+  /** Modularity CTEs over `e` + the final label round (shared q333/q335). */
+  private def modularityCtesSql: String =
+    s"""mm AS (SELECT CAST(count(*) // 2 AS HUGEINT) AS m FROM e),
+       |deg AS (SELECT u, count(*) AS dg FROM e GROUP BY u),
+       |sic AS (SELECT CAST(count(*) AS HUGEINT) AS sic FROM e
+       |        JOIN l$LpaRounds a ON e.u = a.node
+       |        JOIN l$LpaRounds b ON e.v = b.node AND a.lab = b.lab),
+       |dc AS (SELECT lab, CAST(sum(dg) AS HUGEINT) AS dsum
+       |       FROM l$LpaRounds l JOIN deg ON l.node = deg.u GROUP BY lab),
+       |g AS (SELECT count(*) AS n_communities,
+       |      CAST(sum(dsum * dsum) AS HUGEINT) AS sd2 FROM dc)""".stripMargin
+
+  private val qPpmSql =
+    """CAST((1000000 * (2 * m * sic - sd2) + 1000000 * (4 * m * m))
+      |    // (4 * m * m) - 1000000 AS BIGINT) AS q_ppm""".stripMargin
+
+  /** Unrolled DuckDB twin of the label-propagation loop + per-round census. */
+  private def lpaSql: String = {
+    val census = (0 to LpaRounds).map { i =>
+      s"""SELECT $i AS round,
+         |  CAST((SELECT count(DISTINCT lab) FROM l$i) AS BIGINT) AS n_labels,
+         |  CAST((SELECT coalesce(sum(lab), 0) FROM l$i) AS BIGINT) AS sum_labels,
+         |  CAST((SELECT coalesce(max(c), 0) FROM (
+         |      SELECT count(*) AS c FROM l$i GROUP BY lab) g) AS BIGINT) AS max_comm""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $lpaChainSql
+       |$census
+       |ORDER BY round""".stripMargin
+  }
+
+  /** Modularity of the final LPA round's partition (q333's oracle). */
+  private def lpaModularitySql: String =
+    s"""WITH $lpaChainSql,
+       |$modularityCtesSql
+       |SELECT n_communities, CAST(m AS BIGINT) AS m,
+       |  $qPpmSql
+       |FROM g CROSS JOIN mm CROSS JOIN sic""".stripMargin
+
+  /** One-mode projection + LPA + modularity (q335's oracle): part–part
+    * co-purchase edges from within-order pairs, then the same chain. */
+  private def projectedLpaSql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+       |        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+       |e AS MATERIALIZED (SELECT u, v FROM und
+       |      UNION ALL SELECT v AS u, u AS v FROM und),
+       |$lpaRoundsSql,
+       |$modularityCtesSql
+       |SELECT CAST((SELECT count(*) FROM l$LpaRounds) AS BIGINT) AS n_nodes,
+       |  CAST(m AS BIGINT) AS m, n_communities,
+       |  CAST((SELECT max(c) FROM (
+       |      SELECT count(*) AS c FROM l$LpaRounds GROUP BY lab) x) AS BIGINT)
+       |    AS max_comm,
+       |  $qPpmSql
+       |FROM g CROSS JOIN mm CROSS JOIN sic""".stripMargin
+
+  /** Run the fixed-round synchronous LPA loop over an arbitrary directed
+    * edge frame — the Spark twin of [[lpaRoundsSql]], shared by q326's
+    * census loop, q333 and q335. No census short-circuit here: labels at a
+    * fixpoint are idempotent under further rounds, so the plain fixed-round
+    * loop lands on the same frame. */
+  private def lpaLabelsFor(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    var lab = e.select(col("u").as("node")).distinct()
+      .withColumn("lab", col("node")).localCheckpoint()
+    for (_ <- 1 to LpaRounds) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("u")).orderBy(col("cnt").desc, col("lab"))
+      lab = e.join(lab.withColumnRenamed("node", "vn"), col("v") === col("vn"))
+        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("u").as("node"), col("lab"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
+  /** The bipartite LPA edge frame + final labels (q326's census loop twin). */
+  private def lpaGraph(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val ps = Tables.lineitem(s, d)
+      .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      .distinct()
+    val e = ps.unionAll(ps.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    (e, lpaLabelsFor(e))
+  }
+
+  /** (n_communities, m, q_ppm) 1-row modularity frame — Spark twin of
+    * [[modularityCtesSql]]; `e` directed-both-ways, `lab` (node, lab). */
+  private def modularityOf(e: org.apache.spark.sql.DataFrame,
+                           lab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = e.agg((count(lit(1)) / 2).cast("long").as("m"))
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val sic = e
+      .join(lab.select(col("node").as("au"), col("lab").as("la")),
+        col("u") === col("au"))
+      .join(lab.select(col("node").as("bu"), col("lab").as("lb")),
+        col("v") === col("bu"))
+      .filter(col("la") === col("lb"))
+      .agg(count(lit(1)).cast(dec).as("sic"))
+    val dc = lab.join(deg, col("node") === col("u"))
+      .groupBy(col("lab")).agg(sum(col("deg")).cast(dec).as("dsum"))
+    dc.agg(count(lit(1)).as("n_communities"),
+        sum(col("dsum") * col("dsum")).cast(dec).as("sd2"))
+      .crossJoin(broadcast(m)).crossJoin(broadcast(sic))
+      .selectExpr("n_communities", "m",
+        // offset by +1e6·den before the division, subtract after: the
+        // shifted numerator is >= 0 (Q >= -1), where truncate == floor
+        """CAST((1000000 * (2 * CAST(m AS DECIMAL(38,0)) * sic - sd2)
+          |      + 1000000 * (4 * CAST(m AS DECIMAL(38,0)) * m))
+          |    div (4 * CAST(m AS DECIMAL(38,0)) * m) - 1000000
+          |  AS BIGINT) AS q_ppm""".stripMargin)
+  }
 }

@@ -1049,6 +1049,125 @@ object PipelineOps {
         .groupBy(col("m"))
         .agg(sum(col("n_items")).as("n_items"), sum(col("cents")).as("cents"))
         .orderBy(col("m"))
+    },
+
+    GraftQuery(
+      "q322_pii_redaction",
+      "PII detection + redaction census — the compliance gate every corpus crosses before training (find contact identifiers in free text, replace them with class tokens, PROVE the output is clean): the free-text fixture embeds a deterministic e-mail and phone per customer (synthesized from keys — the q141/q220 synthetic-model doctrine, since the driver corpus carries no real PII), detection is two ASCII regex classes shared verbatim by both engines (Java and RE2 agree on these constructs), redaction rewrites e-mails then phones to <EMAIL>/<PHONE>, and the per-segment census ships match counts, a residual re-scan of the REDACTED text that must read 0 (the clean-output proof, in-result), and an order-invariant bit_xor h60 checksum pinning every redacted byte. Scale shape: pure per-row map work + one tiny aggregate — regex detect/redact fuses into whole-stage codegen, nothing grows with the corpus.",
+      s"""WITH t AS (SELECT c_mktsegment AS seg,
+        |    c_name || ' can be reached at ' || lower(c_mktsegment)
+        |      || CAST(c_custkey AS VARCHAR) || '@example.com or 555-'
+        |      || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+        |      || lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0')
+        |      || ' about the account' AS txt
+        |  FROM customer),
+        |r AS (SELECT seg,
+        |    len(regexp_extract_all(txt, '$EmailPat')) AS n_em,
+        |    len(regexp_extract_all(txt, '$PhonePat')) AS n_ph,
+        |    regexp_replace(regexp_replace(txt, '$EmailPat', '<EMAIL>', 'g'),
+        |      '$PhonePat', '<PHONE>', 'g') AS red
+        |  FROM t)
+        |SELECT seg AS mktsegment, count(*) AS n_docs,
+        |  CAST(sum(n_em) AS BIGINT) AS n_emails,
+        |  CAST(sum(n_ph) AS BIGINT) AS n_phones,
+        |  CAST(sum(len(regexp_extract_all(red, '$EmailPat'))
+        |         + len(regexp_extract_all(red, '$PhonePat'))) AS BIGINT) AS residual,
+        |  CAST(bit_xor(${h60Sql("red")}) AS BIGINT) AS redacted_checksum
+        |FROM r GROUP BY seg ORDER BY mktsegment""".stripMargin) { (s, d) =>
+      val t = Tables.customer(s, d).select(col("c_mktsegment").as("seg"),
+        concat(col("c_name"), lit(" can be reached at "),
+          lower(col("c_mktsegment")), col("c_custkey").cast("string"),
+          lit("@example.com or 555-"),
+          lpad((col("c_custkey") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("c_custkey") * 7 % 10000).cast("string"), 4, "0"),
+          lit(" about the account")).as("txt"))
+      val r = t.select(col("seg"),
+        regexp_count(col("txt"), lit(EmailPat)).as("n_em"),
+        regexp_count(col("txt"), lit(PhonePat)).as("n_ph"),
+        regexp_replace(regexp_replace(col("txt"), EmailPat, "<EMAIL>"),
+          PhonePat, "<PHONE>").as("red"))
+      r.groupBy(col("seg").as("mktsegment"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_em")).cast("long").as("n_emails"),
+          sum(col("n_ph")).cast("long").as("n_phones"),
+          sum(regexp_count(col("red"), lit(EmailPat))
+            + regexp_count(col("red"), lit(PhonePat))).cast("long")
+            .as("residual"),
+          bit_xor(h60(col("red"))).cast("long").as("redacted_checksum"))
+        .orderBy(col("mktsegment"))
+    },
+
+    GraftQuery(
+      "q331_quality_funnel",
+      "Quality-gate attrition funnel — the curation report every corpus release ships (not just how many docs survive, but WHICH rule kills how many, in order — the number that tells you whether a gate is dead weight or doing the work): four deterministic rules applied as a SEQUENTIAL conjunction — length ≥ 100 chars, ≥ 20 tokens, stopword ratio ≥ 2% (gibberish screen), all 3-grams distinct (the q332 repetition screen at its strictest) — with per-stage survivors and drops. ONE scan computes every rule's flag in-row (two array kernels, a filtered-count HOF, zero shuffles), one 1-row aggregate holds the running conjunctions, and `stack` unpivots it into the 5-row funnel. At 100 TB the entire report costs one map pass; the funnel ordering means a doc is charged to the FIRST rule that rejects it, so the stages sum exactly.",
+      s"""WITH t AS (SELECT n_chars, list_filter(
+        |    regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |f AS (SELECT
+        |    CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS r1,
+        |    CASE WHEN len(toks) >= 20 THEN 1 ELSE 0 END AS r2,
+        |    CASE WHEN 1000000 * len(list_filter(toks,
+        |        x -> list_contains([$stopListSql], x)))
+        |      // greatest(len(toks), 1) >= 20000 THEN 1 ELSE 0 END AS r3,
+        |    CASE WHEN len(list_distinct(list_transform(
+        |        generate_series(1, len(toks) - 2),
+        |        i -> array_to_string(toks[i:i+2], ' '))))
+        |      = greatest(len(toks) - 2, 0) AND len(toks) >= 3
+        |      THEN 1 ELSE 0 END AS r4
+        |  FROM t),
+        |a AS (SELECT count(*) AS n,
+        |    CAST(sum(r1) AS BIGINT) AS s1,
+        |    CAST(sum(r1 * r2) AS BIGINT) AS s2,
+        |    CAST(sum(r1 * r2 * r3) AS BIGINT) AS s3,
+        |    CAST(sum(r1 * r2 * r3 * r4) AS BIGINT) AS s4
+        |  FROM f)
+        |SELECT stage, rule, survivors, dropped FROM (
+        |  SELECT 0 AS stage, 'input' AS rule, n AS survivors, 0 AS dropped FROM a
+        |  UNION ALL SELECT 1, 'min_chars_100', s1, n - s1 FROM a
+        |  UNION ALL SELECT 2, 'min_tokens_20', s2, s1 - s2 FROM a
+        |  UNION ALL SELECT 3, 'stopwords_2pct', s3, s2 - s3 FROM a
+        |  UNION ALL SELECT 4, 'distinct_3grams', s4, s3 - s4 FROM a)
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      val stopArr = "array(" +
+        graft.ops.TextAnalysis.profiles.flatMap(_._2).distinct.sorted
+          .map(w => s"'$w'").mkString(", ") + ")"
+      val f = Tables.documents(s, d)
+        .select(col("n_chars"), tokens(col("text")).as("toks"))
+        .withColumn("sh3", shingles(col("toks"), 3))
+        .selectExpr(
+          "CASE WHEN n_chars >= 100 THEN 1L ELSE 0L END AS r1",
+          "CASE WHEN size(toks) >= 20 THEN 1L ELSE 0L END AS r2",
+          s"""CASE WHEN 1000000 * size(filter(toks,
+             |    x -> array_contains($stopArr, x)))
+             |  div greatest(size(toks), 1) >= 20000
+             |  THEN 1L ELSE 0L END AS r3""".stripMargin,
+          """CASE WHEN size(toks) >= 3 AND
+            |  size(array_distinct(sh3)) = size(toks) - 2
+            |  THEN 1L ELSE 0L END AS r4""".stripMargin)
+      f.agg(count(lit(1)).as("n"), sum(col("r1")).as("s1"),
+          sum(col("r1") * col("r2")).as("s2"),
+          sum(col("r1") * col("r2") * col("r3")).as("s3"),
+          sum(col("r1") * col("r2") * col("r3") * col("r4")).as("s4"))
+        .selectExpr(
+          """stack(5,
+            |  0, 'input',           n,  0L,
+            |  1, 'min_chars_100',   s1, n - s1,
+            |  2, 'min_tokens_20',   s2, s1 - s2,
+            |  3, 'stopwords_2pct',  s3, s2 - s3,
+            |  4, 'distinct_3grams', s4, s3 - s4)
+            |AS (stage, rule, survivors, dropped)""".stripMargin)
+        .orderBy(col("stage"))
     }
   )
+
+  /** Stopword list shared by the funnel's gibberish screen on both engines
+    * (the union of TextAnalysis.profiles — single source). */
+  private def stopListSql: String =
+    graft.ops.TextAnalysis.profiles.flatMap(_._2).distinct.sorted
+      .map(w => s"'$w'").mkString(", ")
+
+  /** PII regex classes, single source for both engines (ASCII-only
+    * constructs on which Java regex and RE2 agree exactly). */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 }

@@ -53,6 +53,59 @@ object Similarity {
   private def normSql(x: String) =
     s"sqrt(list_sum(list_transform($x, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))"
 
+  /** Shared positive-centroid integer scorer (q329/q336/q337/q338): per-row
+    * ⌊10⁶·eᵢ/‖e‖⌋ quantization, centroid = per-dim INTEGER SUM over the
+    * positive class (rank-invariant scaling — the mean's floor-division,
+    * whose toward-zero/toward-−∞ semantics differ across engines on
+    * negatives, is never needed), score offset positive then floor-divided
+    * onto a bounded census domain. Yields CTE `sc(vec_id, pos, sc)`. */
+  private def centroidScoreSql: String =
+    s"""n AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id, label,
+       |    unnest(generate_series(1, len(embedding))) AS d,
+       |    unnest(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(floor(1000000.0 * CASE WHEN nrm = 0 THEN 0.0
+       |             ELSE CAST(embedding[i] AS DOUBLE) / nrm END) AS BIGINT))) AS qv
+       |  FROM n),
+       |cen AS (SELECT d, CAST(sum(qv) AS HUGEINT) AS c FROM q
+       |        WHERE label = 2 GROUP BY d),
+       |np AS (SELECT CAST(count(*) AS HUGEINT) AS n1 FROM n WHERE label = 2),
+       |sc AS (SELECT q.vec_id,
+       |    max(CASE WHEN q.label = 2 THEN 1 ELSE 0 END) AS pos,
+       |    CAST((sum(CAST(q.qv AS HUGEINT) * cen.c) + n1 * 100000000000000)
+       |      // (n1 * 1000000) AS BIGINT) AS sc
+       |  FROM q JOIN cen USING (d) CROSS JOIN np GROUP BY q.vec_id, n1)"""
+      .stripMargin
+
+  /** Spark twin of [[centroidScoreSql]]: (vec_id, pos, sc). */
+  private def centroidScores(s: org.apache.spark.sql.SparkSession, d: String)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val n = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding"), l2Norm(col("embedding")).as("nrm"))
+    val q = graft.util.CacheOnce.persistForOneAction(
+      n.select(col("vec_id"), col("label"), col("nrm"),
+          posexplode(col("embedding")).as(Seq("d0", "e")))
+        .select(col("vec_id"), col("label"), (col("d0") + 1).as("d"),
+          floor(lit(1000000.0) * when(col("nrm") === 0, 0.0)
+            .otherwise(col("e").cast("double") / col("nrm")))
+            .cast("long").as("qv")))
+    val cen = q.filter(col("label") === 2)
+      .groupBy(col("d")).agg(sum(col("qv")).cast(dec).as("c"))
+    val np = n.filter(col("label") === 2)
+      .agg(count(lit(1)).cast(dec).as("n1"))
+    q.join(broadcast(cen), "d").crossJoin(broadcast(np))
+      .groupBy(col("vec_id"), col("n1"))
+      .agg(max(when(col("label") === 2, 1L).otherwise(0L)).as("pos"),
+        sum(col("qv").cast(dec) * col("c")).cast(dec).as("s"))
+      // offset keeps both operands positive: Spark `div` truncates toward
+      // zero while DuckDB `//` floors — they only agree on non-negatives
+      .selectExpr("vec_id", "pos",
+        """CAST((s + n1 * 100000000000000) div (n1 * 1000000) AS BIGINT)
+          |  AS sc""".stripMargin)
+  }
+
   /** The full plane matrix, row-major (plane p × dim i); integer components
     * ≤ 1000 are exact in float32, so the kernel's double fold matches the
     * SQL twin bit-for-bit. */
@@ -494,6 +547,135 @@ object Similarity {
         .select(col("x.a").as("id_a"), col("x.b").as("id_b"),
           floor(lit(1000000.0) * col("x.sim")).cast("long").as("cos_ppm"))
         .orderBy(col("id_a"))
+    },
+
+    GraftQuery(
+      "q329_auc_ranking",
+      "Ranking AUC by the Mann-Whitney rank-sum identity — the retrieval/classifier eval number (P(random positive scores above random negative)) computed WITHOUT a row sort, for a positive-CENTROID cosine scorer (a single exemplar has no signal on this corpus — measured AUC 0.466; the class centroid separates at 0.781, and that difference is itself the point of shipping the evaluator): per-row the embedding quantizes to ⌊10⁶·eᵢ/‖e‖⌋ integers (per-row doubles are deterministic; no cross-row float ever sums), the centroid is the per-dimension INTEGER SUM over positives (scaling by n₁ is rank-invariant, so the mean's floor-division — whose toward-zero/toward-−∞ semantics differ across engines on negatives — is never needed), and the integer score is offset positive THEN floor-divided onto a bounded census domain. Ranks come from a score→(count, positives) census + ONE cumulative window over that census (q51's histogram-selection doctrine applied to AUC) — average ranks for ties ride the ×2 integer lane (r2 = 2·cum_before + cnt + 1, never a .5 float), and AUC_ppm = ⌊10⁶·(Σnpᵥ·r2ᵥ − n₁(n₁+1)) / (2·n₁·n₀)⌋ on DECIMAL(38,0)/HUGEINT — tie-correct exactly, one scan + an O(n·dim) map-side explode + a census-sized window at any corpus size (the naive formulation is O(n₁·n₀) pair comparisons AND breaks on ties).",
+      s"""WITH $centroidScoreSql,
+        |c AS (SELECT sc, count(*) AS cnt, CAST(sum(pos) AS BIGINT) AS np2
+        |      FROM sc GROUP BY sc),
+        |r AS (SELECT sc, cnt, np2, sum(cnt) OVER (ORDER BY sc) AS cum FROM c),
+        |g AS (SELECT
+        |    CAST(sum(np2 * (2 * (cum - cnt) + cnt + 1)) AS HUGEINT) AS r2,
+        |    CAST(sum(np2) AS HUGEINT) AS n1,
+        |    CAST(sum(cnt - np2) AS HUGEINT) AS n0 FROM r)
+        |SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+        |  CAST(1000000 * (r2 - n1 * (n1 + 1)) // (2 * n1 * n0) AS BIGINT) AS auc_ppm
+        |FROM g""".stripMargin) { (s, d) =>
+      val dec = "decimal(38,0)"
+      val sc = centroidScores(s, d)
+      val c = sc.groupBy(col("sc"))
+        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("np2"))
+      val r = c.withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("sc"))))
+      r.agg(
+        sum(col("np2").cast(dec) * (lit(2) * (col("cum") - col("cnt"))
+          + col("cnt") + 1).cast(dec)).cast(dec).as("r2"),
+        sum(col("np2")).cast(dec).as("n1"),
+        sum(col("cnt") - col("np2")).cast(dec).as("n0"))
+        .selectExpr("CAST(n1 AS BIGINT) AS n_pos", "CAST(n0 AS BIGINT) AS n_neg",
+          """CAST(1000000 * (r2 - n1 * (n1 + 1)) div (2 * n1 * n0) AS BIGINT)
+            |  AS auc_ppm""".stripMargin)
+    },
+
+    GraftQuery(
+      "q336_calibration_bins",
+      "Reliability diagram (calibration bins) for the q329 centroid scorer — AUC's mandatory companion (AUC says positives RANK above negatives; calibration says what a score VALUE means, and a model can ace one while flunking the other): scores bucket into 10 equal-width bins between the observed min and max (data-driven bounds from one 1-row aggregate — integer bin arithmetic, `least(9, ...)` closing the max edge), each bin ships its count, positive count and observed positive rate in exact ppm. Everything after the shared scorer is a 10-row census — one scan, nothing grows with the corpus.",
+      s"""WITH $centroidScoreSql,
+        |b AS (SELECT min(sc) AS mn, max(sc) AS mx FROM sc),
+        |x AS (SELECT least(9, ((sc - mn) * 10) // greatest(mx - mn, 1)) AS bin,
+        |        pos FROM sc CROSS JOIN b)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(1000000 * sum(pos) // count(*) AS BIGINT) AS obs_rate_ppm
+        |FROM x GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+      val sc = centroidScores(s, d)
+      val b = sc.agg(min(col("sc")).as("mn"), max(col("sc")).as("mx"))
+      sc.crossJoin(broadcast(b))
+        .selectExpr(
+          "least(9, ((sc - mn) * 10) div greatest(mx - mn, 1)) AS bin", "pos")
+        .groupBy(col("bin").cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).cast("long").as("n_pos"))
+        .selectExpr("bin", "n", "n_pos",
+          "CAST(1000000 * n_pos div n AS BIGINT) AS obs_rate_ppm")
+        .orderBy(col("bin"))
+    },
+
+    GraftQuery(
+      "q337_precision_at_k",
+      "Precision@k / Recall@k for the centroid retrieval ranking (k = 10, 25, 50) — the eval numbers a retrieval stack actually gates on (AUC integrates over ALL cutoffs; a serving system lives at one): the top-50 frame comes from a TakeOrdered reduction on (score DESC, id) — per-partition heaps + a 50-row merge, never a global sort — ranks attach to those 50 rows only, and each k reads its prefix. Precision = hits/k, recall = hits/n₁, both exact ppm (n₁ from the same scorer frame, broadcast 1-row). The k-grid is a 3-row literal frame; total cost beyond the scorer: one top-50 and a 150-row join.",
+      s"""WITH $centroidScoreSql,
+        |t AS (SELECT vec_id, pos,
+        |        row_number() OVER (ORDER BY sc DESC, vec_id) AS r
+        |      FROM sc ORDER BY sc DESC, vec_id LIMIT 50),
+        |n1 AS (SELECT CAST(sum(pos) AS BIGINT) AS n1 FROM sc),
+        |ks AS (SELECT unnest([10, 25, 50]) AS k)
+        |SELECT k, CAST(sum(CASE WHEN r <= k THEN pos ELSE 0 END) AS BIGINT) AS hits,
+        |  CAST(1000000 * sum(CASE WHEN r <= k THEN pos ELSE 0 END) // k AS BIGINT)
+        |    AS precision_ppm,
+        |  CAST(1000000 * sum(CASE WHEN r <= k THEN pos ELSE 0 END) // n1 AS BIGINT)
+        |    AS recall_ppm
+        |FROM t CROSS JOIN ks CROSS JOIN n1
+        |GROUP BY k, n1 ORDER BY k""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val sc = graft.util.CacheOnce.persistForOneAction(centroidScores(s, d))
+      val t = sc.orderBy(col("sc").desc, col("vec_id")).limit(50)
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("sc").desc, col("vec_id"))))
+      val n1 = sc.agg(sum(col("pos")).as("n1"))
+      val ks = Seq(10, 25, 50).toDF("k")
+      t.crossJoin(broadcast(ks)).crossJoin(broadcast(n1))
+        .groupBy(col("k"), col("n1"))
+        .agg(sum(when(col("r") <= col("k"), col("pos")).otherwise(0L))
+          .cast("long").as("hits"))
+        .selectExpr("k", "hits",
+          "CAST(1000000 * hits div k AS BIGINT) AS precision_ppm",
+          "CAST(1000000 * hits div n1 AS BIGINT) AS recall_ppm")
+        .orderBy(col("k"))
+    },
+
+    GraftQuery(
+      "q338_ndcg_at_10",
+      "NDCG@10 for the centroid ranking — the position-discounted retrieval metric (a hit at rank 1 is worth more than at rank 10; P@k can't see the difference): binary relevance, discount weights ⌊10⁹/log₂(i+1)⌋ carried as SHARED INTEGER LITERALS on both engines (the Benford-literals doctrine — no engine evaluates a float log, and the spec pins every weight against the closed form), DCG = Σ rel_i·w_i over the top-10 TakeOrdered frame, ideal DCG = the first min(10, n₁) weights, NDCG in exact ppm. The whole metric beyond the scorer is a 10-row join against a 10-row literal frame.",
+      s"""WITH $centroidScoreSql,
+        |t AS (SELECT pos, row_number() OVER (ORDER BY sc DESC, vec_id) AS r
+        |      FROM sc ORDER BY sc DESC, vec_id LIMIT 10),
+        |n1 AS (SELECT CAST(sum(pos) AS BIGINT) AS n1 FROM sc),
+        |w AS (SELECT * FROM (VALUES $ndcgWeightValues) AS w(r, wt)),
+        |dcg AS (SELECT CAST(sum(t.pos * w.wt) AS BIGINT) AS dcg
+        |        FROM t JOIN w ON t.r = w.r),
+        |idcg AS (SELECT CAST(sum(wt) AS BIGINT) AS idcg FROM w CROSS JOIN n1
+        |         WHERE r <= least(10, n1))
+        |SELECT n1 AS n_pos, dcg, idcg,
+        |  CAST(1000000 * dcg // idcg AS BIGINT) AS ndcg_ppm
+        |FROM dcg CROSS JOIN idcg CROSS JOIN n1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val sc = graft.util.CacheOnce.persistForOneAction(centroidScores(s, d))
+      val t = sc.orderBy(col("sc").desc, col("vec_id")).limit(10)
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("sc").desc, col("vec_id"))))
+      val n1 = sc.agg(sum(col("pos")).as("n1"))
+      val w = NdcgWeights.toDF("r", "wt")
+      val dcg = t.join(broadcast(w), "r")
+        .agg(sum(col("pos") * col("wt")).cast("long").as("dcg"))
+      val idcg = w.crossJoin(broadcast(n1))
+        .filter(col("r") <= least(lit(10), col("n1")))
+        .groupBy(col("n1"))
+        .agg(sum(col("wt")).cast("long").as("idcg"))
+      dcg.crossJoin(broadcast(idcg))
+        .selectExpr("n1 AS n_pos", "dcg", "idcg",
+          "CAST(1000000 * dcg div idcg AS BIGINT) AS ndcg_ppm")
     }
   )
+
+  /** NDCG discount weights ⌊10⁹/log₂(i+1)⌋, i = 1..10 — shared integer
+    * literals so neither engine evaluates a float log (Benford doctrine);
+    * pinned against the closed form by RobustStatsSpec. */
+  val NdcgWeights: Seq[(Int, Long)] = Seq(
+    1 -> 1000000000L, 2 -> 630929753L, 3 -> 500000000L, 4 -> 430676558L,
+    5 -> 386852807L, 6 -> 356207187L, 7 -> 333333333L, 8 -> 315464876L,
+    9 -> 301029995L, 10 -> 289064826L)
+
+  private def ndcgWeightValues: String =
+    NdcgWeights.map { case (r, w) => s"($r, $w)" }.mkString(", ")
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.functions.ColumnOps._
@@ -1414,6 +1415,228 @@ object TextAnalysis {
         .agg(sum(col("term_score")).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(15)
+    },
+
+    GraftQuery(
+      "q323_tv_distance",
+      "Total-variation distance between each language's unigram distribution and the whole corpus — the mixture-drift gauge a corpus curator reads before reweighting (TV = ½Σ|p_t − q_t| is THE distance whose value bounds how differently any classifier can behave on the two mixes), in EXACT integer arithmetic: TV_ppm = ⌊10⁶·(Σ_{t∈lang}|c_t·N − C_t·n| + n·(N − Σ_{t∈lang}C_t)) / (2·n·N)⌋ on the DECIMAL(38,0)/HUGEINT lane. The second term folds every token ABSENT from the language in closed form — the per-language join touches only tokens the language actually has (one (lang,tok) census + one vocab-keyed join), never the |langs|×|vocab| cross frame a naive Σ over the full vocabulary would build at 100 TB. ONE tokenize pass: the corpus marginal re-aggregates the per-language census, the text is never re-read.",
+      """WITH tok AS (SELECT lang, unnest(list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |cen AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |nl AS (SELECT lang, CAST(sum(c) AS HUGEINT) AS n FROM cen GROUP BY lang),
+        |ct AS (SELECT tok, CAST(sum(c) AS HUGEINT) AS ctot FROM cen GROUP BY tok),
+        |nc AS (SELECT CAST(sum(n) AS HUGEINT) AS nc FROM nl),
+        |agg AS (SELECT cen.lang,
+        |    CAST(sum(abs(CAST(cen.c AS HUGEINT) * nc.nc - ct.ctot * nl.n)) AS HUGEINT) AS s1,
+        |    CAST(sum(ct.ctot) AS HUGEINT) AS sl
+        |  FROM cen JOIN ct USING (tok) JOIN nl USING (lang) CROSS JOIN nc
+        |  GROUP BY cen.lang)
+        |SELECT agg.lang, CAST(nl.n AS BIGINT) AS n_tokens,
+        |  CAST(1000000 * (s1 + nl.n * (nc.nc - sl)) // (2 * nl.n * nc.nc) AS BIGINT) AS tv_ppm
+        |FROM agg JOIN nl USING (lang) CROSS JOIN nc
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val dec = "decimal(38,0)"
+      val cen = graft.util.CacheOnce.persistForOneAction(
+        Tables.documents(s, d)
+          .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c")))
+      val nl = cen.groupBy(col("lang")).agg(sum(col("c")).cast(dec).as("n"))
+      val ct = cen.groupBy(col("tok")).agg(sum(col("c")).cast(dec).as("ctot"))
+      val nc = nl.agg(sum(col("n")).cast(dec).as("nc"))
+      cen.join(ct, "tok").join(broadcast(nl), "lang").crossJoin(broadcast(nc))
+        .groupBy(col("lang"))
+        .agg(sum(abs(col("c").cast(dec) * col("nc") - col("ctot") * col("n")))
+          .cast(dec).as("s1"),
+          sum(col("ctot")).cast(dec).as("sl"))
+        .join(broadcast(nl), "lang").crossJoin(broadcast(nc))
+        .selectExpr("lang", "CAST(n AS BIGINT) AS n_tokens",
+          """CAST(1000000 * (s1 + n * (nc - sl)) div (2 * n * nc) AS BIGINT)
+            |  AS tv_ppm""".stripMargin)
+        .orderBy(col("lang"))
+    },
+
+    GraftQuery(
+      "q327_rater_agreement",
+      "Cohen's kappa inter-rater agreement — the labeling-pipeline QA statistic that discounts agreement-by-chance (raw percent-agreement is inflated whenever labels are imbalanced; kappa subtracts what two independent coin-flippers with the same marginals would score): two deterministic document-quality raters — A: n_chars ≥ 300 (the metadata length rule), B: token count ≥ 55 (the tokenizer's view of the same construct) — produce a 2×2 confusion census, and κ = (N·Σdiag − Σ a_i·b_i)/(N² − Σ a_i·b_i) ships in exact ppm via DECIMAL(38,0) cross-multiplication (po and pe never materialize as floats). One scan, a 4-row census, constant-size everything after — at 100 TB the entire cost is the map pass that rates in-row.",
+      """WITH r AS (SELECT
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+        |    CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) >= 55 THEN 1 ELSE 0 END AS rb
+        |  FROM documents),
+        |cm AS (SELECT
+        |    CAST(count(*) FILTER (WHERE ra = 0 AND rb = 0) AS HUGEINT) AS n00,
+        |    CAST(count(*) FILTER (WHERE ra = 0 AND rb = 1) AS HUGEINT) AS n01,
+        |    CAST(count(*) FILTER (WHERE ra = 1 AND rb = 0) AS HUGEINT) AS n10,
+        |    CAST(count(*) FILTER (WHERE ra = 1 AND rb = 1) AS HUGEINT) AS n11
+        |  FROM r)
+        |SELECT CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+        |  CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+        |  CAST(1000000 * ((n00 + n01 + n10 + n11) * (n00 + n11)
+        |      - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)))
+        |    // ((n00 + n01 + n10 + n11) * (n00 + n01 + n10 + n11)
+        |      - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)))
+        |    AS BIGINT) AS kappa_ppm
+        |FROM cm""".stripMargin) { (s, d) =>
+      val dec = "decimal(38,0)"
+      Tables.documents(s, d)
+        .select(
+          when(col("n_chars") >= 300, 1).otherwise(0).as("ra"),
+          when(size(tokens(col("text"))) >= 55, 1).otherwise(0).as("rb"))
+        .agg(
+          sum(when(col("ra") === 0 && col("rb") === 0, 1L).otherwise(0L))
+            .cast(dec).as("n00"),
+          sum(when(col("ra") === 0 && col("rb") === 1, 1L).otherwise(0L))
+            .cast(dec).as("n01"),
+          sum(when(col("ra") === 1 && col("rb") === 0, 1L).otherwise(0L))
+            .cast(dec).as("n10"),
+          sum(when(col("ra") === 1 && col("rb") === 1, 1L).otherwise(0L))
+            .cast(dec).as("n11"))
+        .selectExpr("CAST(n00 AS BIGINT) AS n00", "CAST(n01 AS BIGINT) AS n01",
+          "CAST(n10 AS BIGINT) AS n10", "CAST(n11 AS BIGINT) AS n11",
+          // kappa = (po - pe)/(1 - pe) with po,pe cleared to the common
+          // N² denominator: (N·Σdiag − Σmarg)/(N² − Σmarg), all integer
+          """CAST(1000000 * ((n00 + n01 + n10 + n11) * (n00 + n11)
+            |    - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)))
+            |  div ((n00 + n01 + n10 + n11) * (n00 + n01 + n10 + n11)
+            |    - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)))
+            |  AS BIGINT) AS kappa_ppm""".stripMargin)
+    },
+
+    GraftQuery(
+      "q328_rrf_fusion",
+      "Reciprocal-rank fusion of two retrieval runs — the zero-training ensemble every hybrid search stack ships (BM25 ⊕ dense, here BM25 ⊕ raw term-frequency: two rankers that disagree exactly where saturation and length normalization matter, which is what makes the fusion visible): each ranker contributes ⌊10⁶/(60+rank)⌋ integer points for a document it places in its top 64, absent-from-one-list documents keep the other list's points (the standard RRF union), fused top-10 by (score, id). Scale shape: candidate scoring is postings-pruned (only query-term rows move), each top-64 is a TakeOrdered reduction — NOT a global window over the candidate set — and the rank windows run on the two 64-row frames; the fusion join is 64⋈64. k=60 is the Cormack-Clarke constant.",
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+        |g AS (SELECT CAST(sum(dl) AS BIGINT) AS tt, count(*) AS n FROM dl),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |q AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+        |  WHERE tok IN ('table', 'hash', 'vector') GROUP BY 1, 2),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY tok),
+        |sc AS (SELECT q.doc_id,
+        |    CAST(sum(CAST((1000000 * (g.n - df.df)) // g.n AS HUGEINT)
+        |          * 88 * g.tt * q.tf
+        |        // (CAST(40 AS HUGEINT) * g.tt * q.tf + 12 * g.tt
+        |           + 36 * dl.dl * g.n)) AS BIGINT) AS score
+        |  FROM q JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN g
+        |  GROUP BY q.doc_id),
+        |ta AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        |  FROM sc ORDER BY score DESC, doc_id LIMIT 64),
+        |tfs AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tfscore
+        |  FROM q GROUP BY doc_id),
+        |tb AS (SELECT doc_id, row_number() OVER (ORDER BY tfscore DESC, doc_id) AS r
+        |  FROM tfs ORDER BY tfscore DESC, doc_id LIMIT 64),
+        |f AS (SELECT coalesce(ta.doc_id, tb.doc_id) AS doc_id,
+        |    CAST(coalesce(ta.r, 0) AS BIGINT) AS rank_bm25,
+        |    CAST(coalesce(tb.r, 0) AS BIGINT) AS rank_tf,
+        |    CAST(coalesce(1000000 // (60 + ta.r), 0)
+        |       + coalesce(1000000 // (60 + tb.r), 0) AS BIGINT) AS rrf_ppm
+        |  FROM ta FULL JOIN tb ON ta.doc_id = tb.doc_id)
+        |SELECT doc_id, rank_bm25, rank_tf, rrf_ppm FROM f
+        |ORDER BY rrf_ppm DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      val terms = Seq("table", "hash", "vector")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val dl = graft.util.CacheOnce.persistForOneAction(
+        docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl")))
+      val g = dl.agg(sum(col("dl")).as("tt"), count(lit(1)).as("n"))
+      val q = graft.util.CacheOnce.persistForOneAction(
+        docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+      val df = q.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val bm25 = q.join(broadcast(df), "tok").join(dl, "doc_id")
+        .crossJoin(broadcast(g))
+        .selectExpr("doc_id",
+          """CAST(CAST((1000000 * (n - df)) div n AS DECIMAL(38,0))
+            |  * 88 * tt * tf
+            |  div (CAST(40 AS DECIMAL(38,0)) * tt * tf + 12 * tt
+            |       + 36 * dl * n) AS BIGINT) AS term_score""".stripMargin)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term_score")).as("score"))
+      // top-64 FIRST (TakeOrdered — a per-partition heap + tiny merge),
+      // THEN rank the 64-row frame; never a rank window over all candidates
+      val wa = Window.orderBy(col("score").desc, col("doc_id"))
+      val ta = bm25.orderBy(col("score").desc, col("doc_id")).limit(64)
+        .withColumn("r", row_number().over(wa)).select(col("doc_id"), col("r"))
+      val tfs = q.groupBy(col("doc_id")).agg(sum(col("tf")).as("tfscore"))
+      val wb = Window.orderBy(col("tfscore").desc, col("doc_id"))
+      val tb = tfs.orderBy(col("tfscore").desc, col("doc_id")).limit(64)
+        .withColumn("r", row_number().over(wb)).select(col("doc_id"), col("r"))
+      ta.select(col("doc_id"), col("r").as("ra"))
+        .join(tb.select(col("doc_id"), col("r").as("rb")), Seq("doc_id"),
+          "full_outer")
+        .selectExpr("doc_id",
+          "CAST(coalesce(ra, 0) AS BIGINT) AS rank_bm25",
+          "CAST(coalesce(rb, 0) AS BIGINT) AS rank_tf",
+          """CAST(coalesce(1000000 div (60 + ra), 0)
+            |   + coalesce(1000000 div (60 + rb), 0) AS BIGINT) AS rrf_ppm"""
+            .stripMargin)
+        .orderBy(col("rrf_ppm").desc, col("doc_id"))
+        .limit(10)
+    },
+
+    GraftQuery(
+      "q330_boilerplate_ngrams",
+      "Boilerplate n-gram census — the C4-style template detector (navigation chrome, licence footers, form letters surface as long n-grams shared VERBATIM across documents, which per-doc quality scores can't see): distinct 4-gram shingles per doc (distinct-per-doc first, so a phrase repeated inside one doc counts once — df measures CROSS-document spread), document-frequency census, keep df ≥ 3, top-20 by (df, gram) with each gram's share of the corpus in exact ppm. Scale shape: the shingle explode is per-doc local, the df census is ONE map-side-combinable groupBy over postings, and the threshold prunes before the top-k heap — at 100 TB the df cutoff is exactly what bounds the survivor frame (q185's declared-cutoff doctrine).",
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM t),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 3),
+        |      i -> array_to_string(toks[i:i+3], ' '))) AS gram
+        |  FROM t WHERE len(toks) >= 4),
+        |c AS (SELECT gram, count(*) AS df FROM sh GROUP BY gram)
+        |SELECT gram, CAST(df AS BIGINT) AS df,
+        |  CAST(1000000 * df // n_docs AS BIGINT) AS doc_share_ppm
+        |FROM c CROSS JOIN n WHERE df >= 3
+        |ORDER BY df DESC, gram LIMIT 20""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val n = t.agg(count(lit(1)).as("n_docs"))
+      val c = t.select(col("doc_id"),
+          explode(array_distinct(shingles(col("toks"), 4))).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3)
+      c.crossJoin(broadcast(n))
+        .selectExpr("gram", "CAST(df AS BIGINT) AS df",
+          "CAST(1000000 * df div n_docs AS BIGINT) AS doc_share_ppm")
+        .orderBy(col("df").desc, col("gram"))
+        .limit(20)
+    },
+
+    GraftQuery(
+      "q332_repetition_score",
+      "Within-document repetition score — the degenerate-text filter (stuck decoders, scraped keyword stuffing and template spam all show REPEATED n-grams inside one document long before any cross-doc signal): per doc, distinct 3-grams over total 3-grams in exact ppm (1e6 = no repetition at all), then the per-language census — doc count, mean (floor of exact integer sums), min and max. Both gram counts are computed IN the row (two array kernels, no explode, no shuffle); the only shuffle is the |langs|-row final census. The min column is the dashboard number: the worst offender per language.",
+      """WITH t AS (SELECT lang, list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |r AS (SELECT lang,
+        |    CAST(1000000 * len(list_distinct(list_transform(
+        |        generate_series(1, len(toks) - 2),
+        |        i -> array_to_string(toks[i:i+2], ' '))))
+        |      // greatest(len(toks) - 2, 1) AS BIGINT) AS rep_ppm
+        |  FROM t)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(rep_ppm) // count(*) AS BIGINT) AS mean_rep_ppm,
+        |  min(rep_ppm) AS min_rep_ppm, max(rep_ppm) AS max_rep_ppm
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), tokens(col("text")).as("toks"))
+        .select(col("lang"),
+          (lit(1000000L) * size(array_distinct(shingles(col("toks"), 3))))
+            .cast("long").as("dn"),
+          greatest(size(col("toks")) - 2, lit(1)).cast("long").as("tn"))
+        .selectExpr("lang", "CAST(dn div tn AS BIGINT) AS rep_ppm")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(sum(rep_ppm) div count(*) AS BIGINT)").as("mean_rep_ppm"),
+          min(col("rep_ppm")).as("min_rep_ppm"),
+          max(col("rep_ppm")).as("max_rep_ppm"))
+        .orderBy(col("lang"))
     }
   )
 }
