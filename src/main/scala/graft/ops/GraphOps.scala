@@ -414,14 +414,7 @@ object GraphOps {
       for (i <- 1 to LpaRounds) {
         if (converged) rows += rows.last.copy(_1 = i)
         else {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("u")).orderBy(col("cnt").desc, col("lab"))
-          lab = e.join(lab.withColumnRenamed("node", "vn"),
-              col("v") === col("vn"))
-            .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
-            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-            .select(col("u").as("node"), col("lab"))
-            .localCheckpoint()
+          lab = lpaRound(e, lab)
           val r = censusOf(i, lab)
           // labels can oscillate but an identical census means the same
           // partition multiset — further synchronous rounds replay it
@@ -453,8 +446,8 @@ object GraphOps {
         .join(op.select(col("o"), col("p").as("v")), Seq("o"))
         .filter(col("u") < col("v"))
         .select(col("u"), col("v")).distinct()
-      val e = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint()
+      val e = edgeFrame(
+        und.unionAll(und.select(col("v").as("u"), col("u").as("v"))))
       val lab = lpaLabelsFor(e)
       val nn = lab.agg(count(lit(1)).as("n_nodes"))
       val mx = lab.groupBy(col("lab")).agg(count(lit(1)).as("c"))
@@ -598,21 +591,49 @@ object GraphOps {
     * census loop, q333 and q335. No census short-circuit here: labels at a
     * fixpoint are idempotent under further rounds, so the plain fixed-round
     * loop lands on the same frame. */
+  /** One synchronous LPA round: adopt the most frequent neighbor label,
+    * smallest label on ties. The argmax runs as ONE map-side-combinable
+    * PRIMITIVE max — (count, label-with-min-tiebreak) packed arithmetically
+    * into a single long, cnt·2⁴⁰ − lab (q174's winnowing encoding: one
+    * integer max implements the whole selection rule) — instead of a
+    * row_number window, which would SORT the (node, label) census (up to
+    * O(E) rows in round 1, ~240M on the sf10 projected graph), and instead
+    * of max(struct(...)), whose non-primitive buffer falls out of
+    * whole-stage HashAggregate. Node ids are < 2⁴⁰ (they derive from
+    * dimension keys; 2⁴⁰ ≈ 1.1e12) and counts are degree-bounded, so
+    * cnt·2⁴⁰ stays far under Long.Max. Bit-identical to the oracle's
+    * row_number formulation: the order is total either way. */
+  private def lpaRound(e: org.apache.spark.sql.DataFrame,
+                       lab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val L = 1L << 40
+    e.join(lab.withColumnRenamed("node", "vn"), col("v") === col("vn"))
+      .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("u"))
+      .agg(max(col("cnt") * L - col("lab")).as("k"))
+      // decode: lab ∈ [0, L) ⇒ cnt = ceil(k/L), lab = cnt·L − k
+      .selectExpr("u AS node", s"((k + $L - 1) div $L) * $L - k AS lab")
+      .localCheckpoint()
+  }
+
   private def lpaLabelsFor(e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     var lab = e.select(col("u").as("node")).distinct()
       .withColumn("lab", col("node")).localCheckpoint()
-    for (_ <- 1 to LpaRounds) {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("u")).orderBy(col("cnt").desc, col("lab"))
-      lab = e.join(lab.withColumnRenamed("node", "vn"), col("v") === col("vn"))
-        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("u").as("node"), col("lab"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to LpaRounds) lab = lpaRound(e, lab)
     lab
   }
+
+  /** The edge frame every LPA consumer joins on `v` (each round) or scans:
+    * persisted PRE-PARTITIONED on v — unlike localCheckpoint, a persisted
+    * frame keeps its outputPartitioning visible to Catalyst, so the
+    * per-round O(E) join reuses the partitioning and only the O(V) label
+    * frame moves (the one-time repartition replaces 3+ per-round exchanges
+    * of the big side; the Bench/Verify harness sweeps persisted frames
+    * between queries, the q261 contract). */
+  private def edgeFrame(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    e.repartition(col("v")).persist()
 
   /** The bipartite LPA edge frame + final labels (q326's census loop twin). */
   private def lpaGraph(s: org.apache.spark.sql.SparkSession, d: String)
@@ -620,8 +641,7 @@ object GraphOps {
     val ps = Tables.lineitem(s, d)
       .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
       .distinct()
-    val e = ps.unionAll(ps.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+    val e = edgeFrame(ps.unionAll(ps.select(col("v").as("u"), col("u").as("v"))))
     (e, lpaLabelsFor(e))
   }
 
@@ -633,11 +653,13 @@ object GraphOps {
     val dec = "decimal(38,0)"
     val m = e.agg((count(lit(1)) / 2).cast("long").as("m"))
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // v-side join first: it reuses the edge frame's persisted partitioning,
+    // so only the u-side join exchanges the O(E) frame (once)
     val sic = e
-      .join(lab.select(col("node").as("au"), col("lab").as("la")),
-        col("u") === col("au"))
       .join(lab.select(col("node").as("bu"), col("lab").as("lb")),
         col("v") === col("bu"))
+      .join(lab.select(col("node").as("au"), col("lab").as("la")),
+        col("u") === col("au"))
       .filter(col("la") === col("lb"))
       .agg(count(lit(1)).cast(dec).as("sic"))
     val dc = lab.join(deg, col("node") === col("u"))
