@@ -86,6 +86,14 @@ object GraftFunctions {
     column(org.apache.spark.sql.graft.TopKAgg(
       expression(key), expression(payload), k).toAggregateExpression())
 
+  /** Most-frequent-long per group, smallest value on ties — the
+    * synchronous-LPA label update as ONE aggregation (exact label→count map
+    * buffer, degree-bounded; map-side partial merge), replacing the
+    * census-then-argmax two-shuffle form. Null for an all-null group. */
+  def labelMode(lab: Column): Column =
+    column(org.apache.spark.sql.graft.LabelModeAgg(
+      expression(lab)).toAggregateExpression())
+
   /** Misra–Gries heavy-hitters summary: ≤ k−1 (token, est) entries per
     * group with the mergeable-summaries guarantee est ≤ true ≤ est + n/k —
     * the one-pass dominant-token census that replaces a corpus-wide token

@@ -28,10 +28,12 @@ import graft.functions.CrossHash.{h60, h60Sql}
   */
 object Dedup {
 
-  /** q305's staged on-disk LSH indexes by corpus dir: the index is a pure
-    * function of the corpus slice, so one JVM stages it once and every later
-    * admission run reads the parquet — the maintained-across-refreshes
-    * production shape IncrementalDedupSpec proves across sessions. */
+  /** q305's staged on-disk LSH indexes by corpus SNAPSHOT (the
+    * `Scratch.sourceKey` mtime fingerprint, not the bare dir path): the
+    * index is a pure function of the corpus slice, so one JVM stages it once
+    * per snapshot and every later admission run reads the parquet — the
+    * maintained-across-refreshes production shape IncrementalDedupSpec
+    * proves across sessions. */
   private val persistedIndexDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -439,9 +441,10 @@ object Dedup {
       // positional prefix: first n − ceil(0.9n) + 1 (exact integer ceil);
       // a Jaccard-0.9 pair always shares one of these rare tokens.
       // Bucket governor (doc above): rank members per prefix token by doc_id,
-      // keep the first 256 — candidate volume per bucket is bounded at
-      // 256²/2 instead of sum-of-squares in occupancy. The window partitions
-      // by the token fingerprint, so it parallelizes across buckets.
+      // keep the first 512 (sized from measured occupancy; mirrored in the
+      // oracle) — candidate volume per bucket is bounded at 512²/2 instead
+      // of sum-of-squares in occupancy. The window partitions by the token
+      // fingerprint, so it parallelizes across buckets.
       val pfx = graft.util.CacheOnce.persistForOneAction(
         sets.selectExpr("doc_id", "n",
           "explode(slice(hs, 1, cast(n - ((9*n + 9) div 10) + 1 as int))) AS h")
@@ -739,8 +742,12 @@ object Dedup {
            |WHERE s.source = 'src19'
            |ORDER BY s.doc_id""".stripMargin
       }) { (s, d) =>
-      // ---- index staging: ONE corpus pass per JVM per corpus dir ----------
-      val idxDir = persistedIndexDirs.getOrElseUpdate(d, {
+      // ---- index staging: ONE corpus pass per JVM per corpus SNAPSHOT -----
+      // keyed on the mtime fingerprint, not the bare dir path: a regenerated
+      // documents.parquet under the same path must re-stage (the q311/q184
+      // staleness class; Scratch.sourceKey is the shared fingerprint)
+      val idxDir = persistedIndexDirs.getOrElseUpdate(
+        graft.util.Scratch.sourceKey(d, "documents"), {
         val dir = graft.util.Scratch.dir("graft-lsh-index").toString
         val corpusDocs = Tables.documents(s, d).filter(col("source") =!= "src19")
         // bucket table: (band, key, cid) — q301's bandedKeys schema.

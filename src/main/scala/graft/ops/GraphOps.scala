@@ -390,7 +390,7 @@ object GraphOps {
 
     GraftQuery(
       "q326_label_propagation",
-      s"Label-propagation community detection ($LpaRounds fixed synchronous BSP rounds) over the part↔supplier co-occurrence graph — the near-linear community finder (Raghavan et al.) pipelines run where modularity solvers don't scale: every node starts as its own label and each round adopts the MOST FREQUENT label among its neighbors, ties broken by smallest label — the argmax is a row_number over each node's neighbor-label census ordered (count DESC, label ASC), so the update is total and bit-identical across engines and partitionings (async/random-order LPA is not reproducible; the synchronous total-order form is). Per round: one O(E) equi-join of the label frame to the edge list + a (node,label) census + a per-node window over that node's DISTINCT neighbor labels (bounded by degree) — the q310/q176 BSP cost shape, localCheckpoint truncating lineage, census short-circuit once a fixpoint census repeats. The per-round census (distinct labels, assignment checksum, largest community) makes a single wrongly-adopted label fail the gate — and on this BIPARTITE graph it records synchronous LPA's known two-coloring oscillation, which the q333 modularity eval quantifies at Q = −0.5 (see there; the pair demonstrates detection, and that production projects to one mode first).",
+      s"Label-propagation community detection ($LpaRounds fixed synchronous BSP rounds) over the part↔supplier co-occurrence graph — the near-linear community finder (Raghavan et al.) pipelines run where modularity solvers don't scale: every node starts as its own label and each round adopts the MOST FREQUENT label among its neighbors, ties broken by smallest label — the (count DESC, label ASC) order is total, so the update is bit-identical across engines and partitionings (async/random-order LPA is not reproducible; the synchronous total-order form is; the oracle states it as a row_number over each node's neighbor-label census). Per round the engine pays ONE exchange: the O(E) equi-join of the label frame to the edge list feeds groupBy(node) directly through the native LabelModeAgg (exact degree-bounded label→count map, map-side-merged; q212's bounded-aggregate doctrine — the census+argmax two-shuffle forms this replaces are pinned bit-identical in KernelSpec), localCheckpoint truncating lineage, short-circuit once the full-assignment xor fingerprint repeats (a true fixpoint: the update is a deterministic function of the assignment). The per-round census (distinct labels, assignment checksum, largest community) makes a single wrongly-adopted label fail the gate — and on this BIPARTITE graph it records synchronous LPA's known two-coloring oscillation, which the q333 modularity eval quantifies at Q = −0.5 (see there; the pair demonstrates detection, and that production projects to one mode first).",
       lpaSql) { (s, d) =>
       val ps = Tables.lineitem(s, d)
         .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
@@ -400,14 +400,21 @@ object GraphOps {
       var lab = e.select(col("u").as("node")).distinct()
         .withColumn("lab", col("node")).localCheckpoint()
       // one groupBy(lab) frame yields the whole census: group count =
-      // n_labels, max group size = largest community, and the assignment
-      // checksum sum-over-nodes(lab) = sum-over-labels(lab·size)
+      // n_labels, max group size = largest community, the assignment
+      // checksum sum-over-nodes(lab) = sum-over-labels(lab·size) — plus an
+      // ORDER-INVARIANT 64-bit fingerprint of the full (node, label)
+      // assignment (bit_xor of xxhash64 pairs, xor-of-group-xors), which
+      // gates the short-circuit: the 3-value census is a lossy summary two
+      // DIFFERENT assignments can collide on, and replaying fabricated
+      // rows off a collision would diverge silently on un-gated stages
       def censusOf(round: Int, lf: org.apache.spark.sql.DataFrame)
-          : (Int, Long, Long, Long) = {
-        val r = lf.groupBy(col("lab")).agg(count(lit(1)).as("c"))
+          : (Int, Long, Long, Long, Long) = {
+        val r = lf.groupBy(col("lab")).agg(count(lit(1)).as("c"),
+            expr("bit_xor(xxhash64(node, lab))").as("x"))
           .agg(count(lit(1)), coalesce(sum(col("lab") * col("c")), lit(0L)),
-            coalesce(max(col("c")), lit(0L))).head()
-        (round, r.getLong(0), r.getLong(1), r.getLong(2))
+            coalesce(max(col("c")), lit(0L)),
+            coalesce(expr("bit_xor(x)"), lit(0L))).head()
+        (round, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       }
       val rows = scala.collection.mutable.ArrayBuffer(censusOf(0, lab))
       var converged = false
@@ -416,14 +423,17 @@ object GraphOps {
         else {
           lab = lpaRound(e, lab)
           val r = censusOf(i, lab)
-          // labels can oscillate but an identical census means the same
-          // partition multiset — further synchronous rounds replay it
-          converged = (r._2, r._3, r._4) == (rows.last._2, rows.last._3, rows.last._4)
+          // identical full-assignment fingerprint across consecutive rounds
+          // is a true fixpoint (the synchronous update is a deterministic
+          // function of the assignment), so further rounds replay it
+          converged =
+            (r._2, r._3, r._4, r._5) == (rows.last._2, rows.last._3, rows.last._4, rows.last._5)
           rows += r
         }
       }
       import s.implicits._
-      rows.toSeq.toDF("round", "n_labels", "sum_labels", "max_comm")
+      rows.toSeq.map(t => (t._1, t._2, t._3, t._4))
+        .toDF("round", "n_labels", "sum_labels", "max_comm")
         .orderBy(col("round"))
     },
 
@@ -586,36 +596,35 @@ object GraphOps {
        |  $qPpmSql
        |FROM g CROSS JOIN mm CROSS JOIN sic""".stripMargin
 
-  /** Run the fixed-round synchronous LPA loop over an arbitrary directed
-    * edge frame — the Spark twin of [[lpaRoundsSql]], shared by q326's
-    * census loop, q333 and q335. No census short-circuit here: labels at a
-    * fixpoint are idempotent under further rounds, so the plain fixed-round
-    * loop lands on the same frame. */
   /** One synchronous LPA round: adopt the most frequent neighbor label,
-    * smallest label on ties. The argmax runs as ONE map-side-combinable
-    * PRIMITIVE max — (count, label-with-min-tiebreak) packed arithmetically
-    * into a single long, cnt·2⁴⁰ − lab (q174's winnowing encoding: one
-    * integer max implements the whole selection rule) — instead of a
-    * row_number window, which would SORT the (node, label) census (up to
-    * O(E) rows in round 1, ~240M on the sf10 projected graph), and instead
-    * of max(struct(...)), whose non-primitive buffer falls out of
-    * whole-stage HashAggregate. Node ids are < 2⁴⁰ (they derive from
-    * dimension keys; 2⁴⁰ ≈ 1.1e12) and counts are degree-bounded, so
-    * cnt·2⁴⁰ stays far under Long.Max. Bit-identical to the oracle's
-    * row_number formulation: the order is total either way. */
+    * smallest label on ties — the Spark twin of one [[lpaRoundsSql]] step,
+    * shared by q326's census loop, q333 and q335. The argmax runs as ONE
+    * native bounded aggregation ([[org.apache.spark.sql.graft.LabelModeAgg]]
+    * — q212's TopKAgg doctrine applied to the mode): the edge join feeds
+    * `groupBy(u)` DIRECTLY, the buffer is an exact degree-bounded
+    * label→count map merged map-side, and eval emits the winning label
+    * under the (count DESC, label ASC) total order. Earlier forms paid a
+    * SECOND aggregation pass over the (node, label) census — the
+    * row_number window SORTS it, and even the primitive-packed
+    * `max(cnt·2⁴⁰ − lab)` needed `groupBy(u, lab).count` first (one
+    * exchange of the census on (u, lab), then another on u; ~240M census
+    * rows per round on the sf10 projected graph). This round is one
+    * exchange on u, full stop. Bit-identical to the oracle's row_number
+    * formulation (KernelSpec pins the packed-max, window and LabelModeAgg
+    * forms to each other): the order is total either way. */
   private def lpaRound(e: org.apache.spark.sql.DataFrame,
                        lab: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val L = 1L << 40
+      : org.apache.spark.sql.DataFrame =
     e.join(lab.withColumnRenamed("node", "vn"), col("v") === col("vn"))
-      .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("u"))
-      .agg(max(col("cnt") * L - col("lab")).as("k"))
-      // decode: lab ∈ [0, L) ⇒ cnt = ceil(k/L), lab = cnt·L − k
-      .selectExpr("u AS node", s"((k + $L - 1) div $L) * $L - k AS lab")
+      .agg(graft.functions.GraftFunctions.labelMode(col("lab")).as("lab"))
+      .withColumnRenamed("u", "node")
       .localCheckpoint()
-  }
 
+  /** Run the fixed-round synchronous LPA loop over an arbitrary directed
+    * edge frame (q333/q335's entry). No short-circuit here: labels at a
+    * fixpoint are idempotent under further rounds, so the plain fixed-round
+    * loop lands on the same frame. */
   private def lpaLabelsFor(e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     var lab = e.select(col("u").as("node")).distinct()

@@ -1458,7 +1458,7 @@ object TextAnalysis {
 
     GraftQuery(
       "q327_rater_agreement",
-      "Cohen's kappa inter-rater agreement — the labeling-pipeline QA statistic that discounts agreement-by-chance (raw percent-agreement is inflated whenever labels are imbalanced; kappa subtracts what two independent coin-flippers with the same marginals would score): two deterministic document-quality raters — A: n_chars ≥ 300 (the metadata length rule), B: token count ≥ 55 (the tokenizer's view of the same construct) — produce a 2×2 confusion census, and κ = (N·Σdiag − Σ a_i·b_i)/(N² − Σ a_i·b_i) ships in exact ppm via DECIMAL(38,0) cross-multiplication (po and pe never materialize as floats). One scan, a 4-row census, constant-size everything after — at 100 TB the entire cost is the map pass that rates in-row.",
+      "Cohen's kappa inter-rater agreement — the labeling-pipeline QA statistic that discounts agreement-by-chance (raw percent-agreement is inflated whenever labels are imbalanced; kappa subtracts what two independent coin-flippers with the same marginals would score): two deterministic document-quality raters — A: n_chars ≥ 300 (the metadata length rule), B: token count ≥ 55 (the tokenizer's view of the same construct) — produce a 2×2 confusion census, and κ = (N·Σdiag − Σ a_i·b_i)/(N² − Σ a_i·b_i) ships in exact ppm via DECIMAL(38,0) cross-multiplication (po and pe never materialize as floats) — floor-divided through the offset-positive pattern (κ ≥ −1, so +1e6·den then −1e6 keeps Spark's truncating `div` and DuckDB's flooring `//` bit-identical even when the raters disagree MORE than chance and κ goes negative), with the pe = 1 degenerate census (all mass in one diagonal cell — the denominator vanishes) pinned to κ = 1 by convention. One scan, a 4-row census, constant-size everything after — at 100 TB the entire cost is the map pass that rates in-row.",
       """WITH r AS (SELECT
         |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
         |    CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
@@ -1469,15 +1469,19 @@ object TextAnalysis {
         |    CAST(count(*) FILTER (WHERE ra = 0 AND rb = 1) AS HUGEINT) AS n01,
         |    CAST(count(*) FILTER (WHERE ra = 1 AND rb = 0) AS HUGEINT) AS n10,
         |    CAST(count(*) FILTER (WHERE ra = 1 AND rb = 1) AS HUGEINT) AS n11
-        |  FROM r)
+        |  FROM r),
+        |k AS (SELECT n00, n01, n10, n11,
+        |    (n00 + n01 + n10 + n11) * (n00 + n11)
+        |      - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)) AS num,
+        |    (n00 + n01 + n10 + n11) * (n00 + n01 + n10 + n11)
+        |      - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)) AS den
+        |  FROM cm)
         |SELECT CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
         |  CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
-        |  CAST(1000000 * ((n00 + n01 + n10 + n11) * (n00 + n11)
-        |      - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)))
-        |    // ((n00 + n01 + n10 + n11) * (n00 + n01 + n10 + n11)
-        |      - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)))
-        |    AS BIGINT) AS kappa_ppm
-        |FROM cm""".stripMargin) { (s, d) =>
+        |  CAST(CASE WHEN den = 0 THEN 1000000
+        |       ELSE (1000000 * num + 1000000 * den) // den - 1000000
+        |       END AS BIGINT) AS kappa_ppm
+        |FROM k""".stripMargin) { (s, d) =>
       val dec = "decimal(38,0)"
       Tables.documents(s, d)
         .select(
@@ -1492,15 +1496,26 @@ object TextAnalysis {
             .cast(dec).as("n10"),
           sum(when(col("ra") === 1 && col("rb") === 1, 1L).otherwise(0L))
             .cast(dec).as("n11"))
+        // kappa = (po - pe)/(1 - pe) with po,pe cleared to the common
+        // N² denominator: (N·Σdiag − Σmarg)/(N² − Σmarg), all integer
+        .selectExpr("n00", "n01", "n10", "n11",
+          """(n00 + n01 + n10 + n11) * (n00 + n11)
+            |  - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11))
+            |  AS num""".stripMargin,
+          """(n00 + n01 + n10 + n11) * (n00 + n01 + n10 + n11)
+            |  - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11))
+            |  AS den""".stripMargin)
         .selectExpr("CAST(n00 AS BIGINT) AS n00", "CAST(n01 AS BIGINT) AS n01",
           "CAST(n10 AS BIGINT) AS n10", "CAST(n11 AS BIGINT) AS n11",
-          // kappa = (po - pe)/(1 - pe) with po,pe cleared to the common
-          // N² denominator: (N·Σdiag − Σmarg)/(N² − Σmarg), all integer
-          """CAST(1000000 * ((n00 + n01 + n10 + n11) * (n00 + n11)
-            |    - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)))
-            |  div ((n00 + n01 + n10 + n11) * (n00 + n01 + n10 + n11)
-            |    - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)))
-            |  AS BIGINT) AS kappa_ppm""".stripMargin)
+          // kappa is NEGATIVE whenever the raters disagree more than chance,
+          // and Spark `div` truncates toward zero while DuckDB `//` floors —
+          // they agree only on non-negatives, so offset by +1e6·den first
+          // (kappa >= -1 bounds the shift) and subtract 1e6 after. den = 0
+          // iff all mass sits in one DIAGONAL cell (marginals saturate) —
+          // then po = 1 and kappa is 1 by the standard convention.
+          """CAST(CASE WHEN den = 0 THEN 1000000
+            |     ELSE (1000000 * num + 1000000 * den) div den - 1000000
+            |     END AS BIGINT) AS kappa_ppm""".stripMargin)
     },
 
     GraftQuery(

@@ -396,6 +396,102 @@ case class MisraGriesAgg(
     copy(child = newChildren.head)
 }
 
+/** Most-frequent-long argmax (mode with smallest-value tie-break) as ONE
+  * native aggregate — built for the synchronous-LPA label update
+  * ([[graft.ops.GraphOps]] q326/q333/q335), where every node adopts the most
+  * frequent label among its neighbors, ties to the SMALLEST label.
+  *
+  * The declarative forms both pay a second aggregation pass over the
+  * (node, label) census: `row_number() OVER (PARTITION BY node ORDER BY
+  * cnt DESC, lab)` sorts the census, and even the packed-long form
+  * `max(cnt·2⁴⁰ − lab)` needs `groupBy(node, lab).count` FIRST — one
+  * shuffle of the census on (node, lab), then a second on node. This
+  * aggregate goes straight from the edge join to `groupBy(node)`: the
+  * buffer is an exact label→count map, map-side partial aggregation
+  * collapses duplicate labels before the shuffle (ObjectHashAggregate), so
+  * ONE exchange moves one ≤distinct-labels-entry buffer per (partition,
+  * node) — on a 240M-census-row LPA round that deletes the whole second
+  * exchange + aggregation pass.
+  *
+  * Buffer bound: entries = the group's distinct input values, ≤ the node's
+  * degree for LPA (and shrinking as labels converge) — degree-bounded the
+  * same way the census row count itself is, never corpus-bounded.
+  *
+  * eval emits the winning label DIRECTLY ((count DESC, value ASC) total
+  * order — bit-identical to the row_number twin, differentially pinned in
+  * KernelSpec); null for an all-null/empty group, mirroring max().
+  */
+case class LabelModeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.HashMap[Long, Long]]
+  with ExpectsInputTypes {
+
+  private type Buf = scala.collection.mutable.HashMap[Long, Long]
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "label_mode_agg"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): Buf = new Buf
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val lab = v.asInstanceOf[Long]
+      buf.update(lab, buf.getOrElse(lab, 0L) + 1L)
+    }
+    buf
+  }
+
+  override def merge(buf: Buf, other: Buf): Buf = {
+    other.foreach { case (lab, c) =>
+      buf.update(lab, buf.getOrElse(lab, 0L) + c)
+    }
+    buf
+  }
+
+  override def eval(buf: Buf): Any =
+    if (buf.isEmpty) null
+    else {
+      var bestLab = 0L
+      var bestCnt = -1L
+      buf.foreach { case (lab, c) =>
+        if (c > bestCnt || (c == bestCnt && lab < bestLab)) {
+          bestCnt = c; bestLab = lab
+        }
+      }
+      bestLab
+    }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (lab, c) => bb.putLong(lab); bb.putLong(c) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Buf
+    var i = 0
+    while (i < n) { buf.update(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LabelModeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LabelModeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LabelModeAgg =
+    copy(child = newChildren.head)
+}
+
 /** Count–Min sketch (Cormode & Muthukrishnan, "An improved data stream
   * summary: the count-min sketch and its applications", J. Algorithms 2005)
   * as ONE native mergeable aggregate — the point-frequency dual of

@@ -322,6 +322,50 @@ class KernelSpec extends SparkSpec {
     assert(kv === tv)
   }
 
+  test("LabelModeAgg == row_number window twin == packed-max twin (LPA argmax)") {
+    import org.apache.spark.sql.expressions.Window
+    // the q326 bipartite neighbor-label frame at round 1 (every neighbor
+    // still carries its own id as label — the most tie-heavy real round)
+    val ps = Tables.lineitem(spark, sf)
+      .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      .distinct()
+    val e = ps.unionAll(ps.select(col("v").as("u"), col("u").as("v")))
+    val lab0 = e.select(col("u").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    val joined = e.join(lab0.withColumnRenamed("node", "vn"), col("v") === col("vn"))
+      .select(col("u"), col("lab"))
+    val viaAgg = joined.groupBy(col("u"))
+      .agg(graft.functions.GraftFunctions.labelMode(col("lab")).as("lab"))
+    val census = joined.groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("u")).orderBy(col("cnt").desc, col("lab"))
+    val viaWin = census.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("u"), col("lab"))
+    val L = 1L << 40
+    val viaPacked = census.groupBy(col("u"))
+      .agg(max(col("cnt") * L - col("lab")).as("k"))
+      .selectExpr("u", s"((k + $L - 1) div $L) * $L - k AS lab")
+    assert(viaAgg.exceptAll(viaWin).count() === 0)
+    assert(viaWin.exceptAll(viaAgg).count() === 0)
+    assert(viaAgg.exceptAll(viaPacked).count() === 0)
+    assert(viaPacked.exceptAll(viaAgg).count() === 0)
+    // tie-heavy synthetic: equal counts resolve to the SMALLEST label
+    import spark.implicits._
+    val tie = Seq((1L, 7L), (1L, 5L), (1L, 7L), (1L, 5L), (1L, 9L),
+      (2L, 3L), (2L, 3L), (2L, 2L)).toDF("u", "lab")
+    val t = tie.repartition(4).groupBy(col("u"))
+      .agg(graft.functions.GraftFunctions.labelMode(col("lab")).as("lab"))
+      .orderBy(col("u")).as[(Long, Long)].collect()
+    assert(t === Array((1L, 5L), (2L, 3L)))
+    // all-null group -> null, mirroring max(); null rows don't count
+    val n = Seq((1L, Option.empty[Long]), (1L, None), (2L, Some(4L)), (2L, None))
+      .toDF("u", "lab")
+      .groupBy(col("u"))
+      .agg(graft.functions.GraftFunctions.labelMode(col("lab")).as("lab"))
+      .orderBy(col("u")).collect()
+    assert(n(0).isNullAt(1))
+    assert(n(1).getLong(1) === 4L)
+  }
+
   test("cappedCollect: bounded buffer, overflow witness, merge respects the cap") {
     import spark.implicits._
     // a 200-member group and a 3-member group with cap 64: the big group's
