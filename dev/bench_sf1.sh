@@ -8,7 +8,7 @@
 # or a fix.
 set -e
 cd "$(dirname "$0")/.."
-QUERIES="q40,q83,q73,q112,q113,q127,q130,q174,q189,q214,q261,q53,q98,q158,q175,q44,q210,q301,q302,q31,q09,q308,q310,q311,q316,q318,q326,q335"
+QUERIES="q40,q83,q73,q112,q113,q127,q130,q174,q189,q214,q261,q53,q98,q158,q175,q44,q210,q301,q302,q31,q09,q308,q310,q311,q316,q318,q326,q335,q142,q232,q339,q340,q341"
 REPS="${SPARK_GRAFT_REPS:-2}"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_REPS="$REPS"
 

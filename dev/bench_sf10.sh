@@ -8,7 +8,19 @@
 #   sbt -batch "runMain graft.ScaleData /root/testdata/sf0.1 scaledata/sf10 100"
 set -e
 cd "$(dirname "$0")/.."
-QUERIES="q40,q83,q73,q112,q113,q127,q130,q174,q189,q214,q261,q53,q98,q158,q175,q44,q210,q301,q302,q31,q09,q42,q209,q305,q306,q308,q310,q311,q316,q318,q326,q335"
+# Widened depth tier (VERDICT r12 worklist #4): EVERY query >=0.5s at sf1,
+# derived from the round's refreshed BENCH_sf1_full.json (run
+# dev/bench_sf1_full.sh first) — full exact names, so prefixes can't
+# over-match. The old hand-picked 32-query list missed the streaming
+# family, q214, q232, q142 and the TPC-H heavies.
+QUERIES=$(python3 - <<'PY'
+import json
+b = json.load(open('BENCH_sf1_full.json'))
+sel = sorted(q for q, r in b['queries'].items()
+             if (r.get('sf1_sec') or 0) >= 0.5)
+print(','.join(sel))
+PY
+)
 REPS="${SPARK_GRAFT_REPS:-2}"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_REPS="$REPS"
 # 100x data in one local[32] JVM needs real heap: the default 8g run died

@@ -815,6 +815,141 @@ object Dedup {
           coalesce(col("n_dups"), lit(0L)).as("n_dups"),
           (coalesce(col("n_dups"), lit(0L)) > 0).as("is_dup"))
         .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
+      "q340_weighted_minhash",
+      "WEIGHTED MinHash near-dup — field-weighted similarity via the integer-replication construction: the plain 3-gram Jaccard (q38-q40) treats a token seen once and a token seen twenty times identically, but boilerplate-vs-content discrimination needs WEIGHTED Jaccard J_w = Σ min(w_A,w_B) / Σ max(w_A,w_B). Replicate each token t into (t,1)…(t,w) copies (w = its term frequency capped at 4 — the cap bounds replication cost AND is itself the weighting policy: beyond a few repeats, more copies add no signal), and plain Jaccard over the expanded multisets IS weighted Jaccard exactly, so the unmodified 32-function MinHash machinery estimates it with the same 1/√k error and the same mergeability. Each copy hashes INDEPENDENTLY (hc = h60(t‖'#'‖c) mod P — an arithmetic combine would put copies on consecutive integers where the small-multiplier affine family always elects the first copy, collapsing the estimator to unweighted set MinHash), so the oracle rebuilds every signature bit-for-bit from md5. Candidates come from 4-band × 8-row banding over the WEIGHTED signatures — longer rows than the 3-gram pipeline's 8×4 because the unigram universe is denser, moving the collision threshold up to (1/4)^(1/8) ≈ 0.84 — with the 256-member bucket governor (q44 doctrine, oracle-mirrored); per pair the output ships the signature estimate AND the exact capped-weight Jaccard with signed error — the calibration surface (q265 doctrine) for the weighted estimator. Scale shape: expansion is ≤4× the token census, signatures ride the native MinHashAgg buffer, candidate volume is governor-bounded — the whole pipeline inherits q40's linearity.",
+      {
+        val hc = s"${h60Sql("tok || '#' || CAST(c AS VARCHAR)")} % $P"
+        val mins = hashParams.zipWithIndex.map { case ((a, b), i) =>
+          s"min(($a*hc + $b) % $P) AS mh" + f"$i%02d"
+        }.mkString(", ")
+        // 4 bands × 8 rows (vs the 3-gram pipeline's 8×4): the unigram
+        // weighted universe is far denser than shingles — common tokens
+        // alone make moderate weighted Jaccard ubiquitous — so the banding
+        // threshold moves up to (1/4)^(1/8) ≈ 0.84 to keep candidates to
+        // genuine near-dups
+        val bandSelects = (0 until 4).map { b =>
+          val key = (0 until 8)
+            .map(r => f"mh${b * 8 + r}%02d").mkString(" || ',' || ")
+          s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        val matchSum = (0 until 32).map(i =>
+          f"CASE WHEN sa.mh$i%02d = sb.mh$i%02d THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $tokCte,
+           |w AS (SELECT doc_id, tok, least(count(*), 4) AS w
+           |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) x GROUP BY 1, 2),
+           |sw AS (SELECT doc_id, sum(w) AS sw FROM w GROUP BY doc_id),
+           |ex AS (SELECT doc_id, $hc AS hc
+           |  FROM (SELECT doc_id, tok, unnest(generate_series(1, w)) AS c
+           |        FROM w) y),
+           |sig AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |bk AS (SELECT doc_id, band, key,
+           |    row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+           |  FROM bands),
+           |pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+           |    AND a.doc_id < b.doc_id
+           |  WHERE a.rn <= 256 AND b.rn <= 256),
+           |est AS (SELECT p.da, p.db, ($matchSum) * 31250 AS est_ppm
+           |  FROM pairs p JOIN sig sa ON sa.doc_id = p.da
+           |  JOIN sig sb ON sb.doc_id = p.db),
+           |inter AS (SELECT p.da, p.db,
+           |    CAST(sum(least(wa.w, wb.w)) AS BIGINT) AS inter
+           |  FROM pairs p JOIN w wa ON wa.doc_id = p.da
+           |  JOIN w wb ON wb.doc_id = p.db AND wb.tok = wa.tok
+           |  GROUP BY 1, 2)
+           |SELECT e.da AS doc_a, e.db AS doc_b,
+           |  CAST(e.est_ppm AS BIGINT) AS est_ppm,
+           |  CAST(coalesce(i.inter, 0) * 1000000
+           |      // (swa.sw + swb.sw - coalesce(i.inter, 0)) AS BIGINT)
+           |    AS exact_ppm,
+           |  CAST(e.est_ppm - coalesce(i.inter, 0) * 1000000
+           |      // (swa.sw + swb.sw - coalesce(i.inter, 0)) AS BIGINT)
+           |    AS err_ppm
+           |FROM est e LEFT JOIN inter i ON i.da = e.da AND i.db = e.db
+           |JOIN sw swa ON swa.doc_id = e.da
+           |JOIN sw swb ON swb.doc_id = e.db
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }) { (s, d) =>
+      val as = hashParams.map(_._1).toArray
+      val bs = hashParams.map(_._2).toArray
+      // capped-tf token census: the weighted universe (one action, 3 uses)
+      val wtok = graft.util.CacheOnce.persistForOneAction(
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(least(count(lit(1)), lit(4L)).as("w")))
+      val sw = wtok.groupBy(col("doc_id")).agg(sum(col("w")).as("sw"))
+      // integer replication: (t, 1)…(t, w) — plain Jaccard over the expanded
+      // multiset IS weighted Jaccard. Each copy gets its OWN md5-mixed
+      // element hash (h60 of "tok#c"): an arithmetic combine like 31·hs + c
+      // puts a token's copies on consecutive integers, and under the
+      // small-multiplier affine family the c = 1 copy then wins every min —
+      // the signature silently degenerates to UNWEIGHTED set MinHash
+      // (measured: +0.35 mean bias vs exact weighted Jaccard)
+      val exp = wtok
+        .select(col("doc_id"), col("tok"),
+          explode(sequence(lit(1L), col("w"))).as("c"))
+        .withColumn("hc", pmod(
+          h60(concat(col("tok"), lit("#"), col("c").cast("string"))), lit(P)))
+      val sig = exp.groupBy(col("doc_id"))
+        .agg(graft.functions.GraftFunctions.minhashAgg(col("hc"), as, bs, P)
+          .as("sig"))
+        .select((col("doc_id") +: hashParams.indices.map(i =>
+          col("sig").getItem(i).as(f"mh$i%02d"))): _*)
+      // 4×8 banding (see the oracle note: denser unigram universe → higher
+      // threshold) + the 256-member bucket governor (rank by doc_id,
+      // oracle-mirrored): candidate volume per bucket bounded at 256²/2
+      val bandCols = (0 until 4).map { b =>
+        val key = concat_ws(",",
+          (0 until 8).map(r => col(f"mh${b * 8 + r}%02d")): _*)
+        struct(lit(b).as("band"), key.as("key"))
+      }
+      val bk = sig
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bkx"))
+        .select(col("doc_id"), col("bkx.band").as("band"),
+          col("bkx.key").as("key"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("key")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= 256).drop("rn")
+      val pairs = bk.select(col("doc_id").as("da"), col("band"), col("key"))
+        .join(bk.select(col("doc_id").as("db"), col("band"), col("key")),
+          Seq("band", "key"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db")).distinct()
+      val sa = sig.select((col("doc_id").as("da") +: (0 until 32).map(i =>
+        col(f"mh$i%02d").as(f"a$i%02d"))): _*)
+      val sb = sig.select((col("doc_id").as("db") +: (0 until 32).map(i =>
+        col(f"mh$i%02d").as(f"b$i%02d"))): _*)
+      val matches = (0 until 32).map(i =>
+        when(col(f"a$i%02d") === col(f"b$i%02d"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val est = pairs.join(sa, "da").join(sb, "db")
+        .select(col("da"), col("db"), (matches * 31250L).as("est_ppm"))
+      val inter = pairs
+        .join(wtok.select(col("doc_id").as("da"), col("tok"),
+          col("w").as("wa")), "da")
+        .join(wtok.select(col("doc_id").as("db"), col("tok"),
+          col("w").as("wb")), Seq("db", "tok"))
+        .groupBy(col("da"), col("db"))
+        .agg(sum(least(col("wa"), col("wb"))).as("inter"))
+      est.join(inter, Seq("da", "db"), "left")
+        .join(sw.select(col("doc_id").as("da"), col("sw").as("swa")), "da")
+        .join(sw.select(col("doc_id").as("db"), col("sw").as("swb")), "db")
+        .select(col("da").as("doc_a"), col("db").as("doc_b"), col("est_ppm"),
+          expr("""coalesce(inter, 0) * 1000000
+            | div (swa + swb - coalesce(inter, 0))""".stripMargin)
+            .as("exact_ppm"),
+          (col("est_ppm") - expr("""coalesce(inter, 0) * 1000000
+            | div (swa + swb - coalesce(inter, 0))""".stripMargin))
+            .as("err_ppm"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 }

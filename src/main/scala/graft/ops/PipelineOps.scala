@@ -87,6 +87,76 @@ object PipelineOps {
     bandedPairs(bands, cap)
   }
 
+  /** Connected components via ALTERNATING Large-Star / Small-Star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+    * 2014) — the O(log n)-round alternative to [[connectedComponents]]'s
+    * min-label propagation, whose round count is O(diameter): min-label
+    * moves the smallest id ONE hop per round, so a long-path graph (chained
+    * near-dup clusters, linked-page graphs) pays diameter-many O(E)
+    * passes, while star contraction HALVES tree heights every alternation.
+    * That asymmetry is invisible at test SFs and decisive at 100 TB — this
+    * is the form a production components job runs.
+    *
+    * Both operations preserve connectivity and are expressible as exactly
+    * the engine's bounded primitives: per round, a groupBy(u).min neighbor
+    * aggregate plus one equi-join of that min back to the edge list —
+    * large-star hangs every neighbor v > u onto min(N(u) ∪ {u}), small-star
+    * rewires the smaller neighbors (and u) onto min(N⁻(u) ∪ {u}). All
+    * emitted edges point (larger → smaller) by construction, so the edge
+    * set stays canonical without re-normalization. Convergence = the edge
+    * set reaches a fixpoint, detected by the q326 doctrine: an
+    * order-invariant (count, bit_xor of xxhash64(u,v)) fingerprint repeats
+    * across one full L+S alternation — at the fixpoint the edges form a
+    * star forest with every component's min-id node at the center, and the
+    * star edges ARE the label assignment. */
+  private[graft] def largeSmallStarComponents(nodes: DataFrame,
+                                              edges: DataFrame,
+                                              maxIters: Int = 30): DataFrame = {
+    var e = edges
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    def fingerprint(f: DataFrame): (Long, Long) = {
+      val r = f.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var last = fingerprint(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // large-star: every neighbor v > u hangs onto m = min(N(u) ∪ {u});
+      // m ≤ u < v keeps the (larger → smaller) canonical orientation
+      val bidirL = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mL = bidirL.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val eL = bidirL.join(mL, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      // small-star: the SMALLER neighbors (and u itself) rewire onto
+      // m = min(N⁻(u)); again every emitted edge points larger → smaller
+      val bidirS = eL.unionAll(eL.select(col("v").as("u"), col("u").as("v")))
+      val nbrS = bidirS.filter(col("v") < col("u"))
+      val mS = nbrS.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val eS = nbrS.join(mS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionAll(mS.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      val fp = fingerprint(eS)
+      converged = fp == last
+      last = fp
+      e = eS
+      iter += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIters rounds")
+    // star forest → labels: leaves carry their center, centers and isolated
+    // nodes label themselves (min() is a no-op at a true fixpoint — belt)
+    val stars = e.groupBy(col("u").as("node")).agg(min(col("v")).as("lab"))
+    nodes.join(stars, Seq("node"), "left")
+      .select(col("node"), coalesce(col("lab"), col("node")).as("label"))
+  }
+
   /** Min-label propagation to fixpoint: label(n) ← min(label(n),
     * min over neighbors' labels); converged when Σlabel stops falling
     * (labels are monotone non-increasing with a fixed node set). */
@@ -145,6 +215,41 @@ object PipelineOps {
       labels.groupBy(col("label").as("component_id"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("component_id"))
+    },
+
+    GraftQuery(
+      "q339_star_contraction_components",
+      "Connected components via ALTERNATING LARGE-STAR/SMALL-STAR contraction (Kiveris et al., SoCC 2014) over the same MinHash-LSH candidate edges as q83 — the O(log n)-ROUND components algorithm a 100 TB corpus actually runs: q83's min-label propagation moves the smallest id one hop per round (round count = graph DIAMETER — fine on LSH blob clusters, pathological on chained near-dup paths and link graphs), while star contraction halves tree heights every alternation, so the round count is logarithmic REGARDLESS of topology. Each operation is one groupBy-min + one equi-join over a canonically-oriented (larger→smaller) edge set that only ever shrinks toward a star forest; the fixpoint is detected by the q326 doctrine (order-invariant count+bit_xor edge-set fingerprint repeating across a full L+S alternation), at which point the star edges ARE the component assignment — centers are component minima. Output: the duplicate-cluster SIZE HISTOGRAM (how many singletons, pairs, triples… — the shape number a dedup run reports), fully determined by the true components, which the recursive oracle computes independently; RobustStatsSpec additionally pins the full label frame equal to q83's propagation output node-for-node.",
+      {
+        val bandSelects = (0 until Dedup.NumBands).map { b =>
+          val key = (0 until Dedup.RowsPerBand)
+            .map(r => f"mh${b * Dedup.RowsPerBand + r}%02d").mkString(" || ',' || ")
+          s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH RECURSIVE sig AS (
+           |${Dedup.minhashSql}
+           |),
+           |bands AS (
+           |  $bandSelects),
+           |e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           |      FROM bands a JOIN bands b
+           |        ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id),
+           |reach(node, label) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.src, r.label FROM reach r JOIN e ON r.node = e.dst),
+           |lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+           |cs AS (SELECT label, count(*) AS sz FROM lab GROUP BY label)
+           |SELECT CAST(sz AS BIGINT) AS component_size,
+           |  CAST(count(*) AS BIGINT) AS n_components
+           |FROM cs GROUP BY sz ORDER BY component_size""".stripMargin
+      }) { (s, d) =>
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("node"))
+      val labels = largeSmallStarComponents(nodes, lshEdges(s, d))
+      labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("component_size"))
+        .agg(count(lit(1)).as("n_components"))
+        .orderBy(col("component_size"))
     },
 
     GraftQuery(

@@ -35,6 +35,13 @@ object TextAnalysis {
 
   private val stopwords = profiles.flatMap(_._2).distinct.sorted
 
+  /** q341's staged sketch-statistics catalog by corpus SNAPSHOT (combined
+    * `Scratch.sourceKey` fingerprint of the four base tables — the q305
+    * staleness doctrine): one Count-Min sketch + row count per (relation,
+    * join key), built in one pass each and persisted as a 5-row parquet. */
+  private val statsCatalogDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -1292,6 +1299,139 @@ object TextAnalysis {
           (col("est_join") >= col("exact_join")).as("never_under"),
           expr("CAST(est_join * 1000000 div exact_join - 1000000 AS BIGINT)")
             .as("over_ppm"))
+    },
+
+    GraftQuery(
+      "q341_sketch_stats_catalog",
+      "The SKETCH STATISTICS CATALOG — q318's join-size estimator promoted to the optimizer-integration capstone: one Count-Min sketch (4×1024, shared md5-affine family) plus row count per (relation, join key) is built in ONE pass per relation and PERSISTED as a 5-row parquet catalog keyed on the corpus snapshot (the q305/q311 sourceKey staleness doctrine — a regenerated table re-stages its statistics); the cost surface then answers |A ⋈ B| for every edge of the schema's join graph (events⋈orders, events⋈customer, orders⋈customer, lineitem⋈orders) by reading the CATALOG ONLY — four inner products over 32 KiB arrays, NO base-table scan, which is precisely how an optimizer consults statistics: collect once at ingest, estimate at plan time in microseconds. Per edge the surface ships (n_left, n_right, est_rows, actual_rows, never_under, over_ppm) — the actuals are the same-scan hash-domain inner products, making this simultaneously the estimator's calibration tier (q318 doctrine) and a regression gate for the catalog itself: every counter, estimate and error is bit-identical in DuckDB. At 100 TB: statistics maintenance is mergeable (counter linearity — per-partition/per-refresh sketches SUM), the catalog is kilobytes per relation, and the broadcast-vs-shuffle join decision this surface informs is the single biggest plan lever the engine has.",
+      {
+        val p = Dedup.P
+        val rels = Seq(
+          ("cust", "customer", "c_custkey"),
+          ("evu", "events", "user_id"),
+          ("lio", "lineitem", "l_orderkey"),
+          ("ordc", "orders", "o_custkey"),
+          ("ordk", "orders", "o_orderkey"))
+        val hctes = rels.map { case (nm, tbl, k) =>
+          s"""h_$nm AS MATERIALIZED (SELECT ${h60Sql(s"CAST($k AS VARCHAR)")} % $p AS hs
+             |  FROM $tbl)""".stripMargin
+        }.mkString(",\n")
+        val sctes = rels.map { case (nm, _, _) =>
+          s"""c_$nm AS MATERIALIZED (SELECT d,
+             |    (((2*d+1)*hs + (7919*d+13)) % $p) % 1024 AS c,
+             |    count(*) AS cnt FROM h_$nm CROSS JOIN dd GROUP BY 1, 2),
+             |n_$nm AS (SELECT count(*) AS n FROM h_$nm)""".stripMargin
+        }.mkString(",\n")
+        val edges = Seq(
+          ("events.user_id x orders.o_custkey", "evu", "ordc"),
+          ("events.user_id x customer.c_custkey", "evu", "cust"),
+          ("orders.o_custkey x customer.c_custkey", "ordc", "cust"),
+          ("lineitem.l_orderkey x orders.o_orderkey", "lio", "ordk"))
+        val edgeSels = edges.map { case (edge, l, r) =>
+          s"""SELECT '$edge' AS join_edge,
+             |  (SELECT CAST(n AS BIGINT) FROM n_$l) AS n_left,
+             |  (SELECT CAST(n AS BIGINT) FROM n_$r) AS n_right,
+             |  (SELECT CAST(min(ej) AS BIGINT) FROM (
+             |     SELECT a.d, CAST(sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS HUGEINT) AS ej
+             |     FROM c_$l a JOIN c_$r b ON a.d = b.d AND a.c = b.c
+             |     GROUP BY a.d) q) AS est_rows,
+             |  (SELECT CAST(coalesce(sum(CAST(x.cnt AS HUGEINT) * y.cnt), 0) AS BIGINT)
+             |   FROM (SELECT hs, count(*) AS cnt FROM h_$l GROUP BY hs) x
+             |   JOIN (SELECT hs, count(*) AS cnt FROM h_$r GROUP BY hs) y
+             |     USING (hs)) AS actual_rows""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+           |$hctes,
+           |$sctes
+           |SELECT join_edge, n_left, n_right, est_rows, actual_rows,
+           |  est_rows >= actual_rows AS never_under,
+           |  CAST(CASE WHEN actual_rows = 0 THEN 0
+           |       ELSE est_rows * 1000000 // actual_rows - 1000000
+           |       END AS BIGINT) AS over_ppm
+           |FROM ($edgeSels) e
+           |ORDER BY join_edge""".stripMargin
+      }) { (s, d) =>
+      val depth = 4
+      val w = 1024
+      val p = Dedup.P
+      val as = Dedup.hashParams.take(depth).map(_._1).toArray
+      val bs = Dedup.hashParams.take(depth).map(_._2).toArray
+      val rels: Seq[(String, DataFrame)] = Seq(
+        "customer.c_custkey" ->
+          Tables.customer(s, d).select(col("c_custkey").as("k")),
+        "events.user_id" ->
+          Tables.events(s, d).select(col("user_id").as("k")),
+        "lineitem.l_orderkey" ->
+          Tables.lineitem(s, d).select(col("l_orderkey").as("k")),
+        "orders.o_custkey" ->
+          Tables.orders(s, d).select(col("o_custkey").as("k")),
+        "orders.o_orderkey" ->
+          Tables.orders(s, d).select(col("o_orderkey").as("k")))
+      val relMap = rels.toMap
+      def hashed(df: DataFrame) =
+        df.select(pmod(h60(col("k").cast("string")), lit(p)).as("hs"))
+      // ---- catalog staging: one pass per relation, once per snapshot -----
+      val snap = Seq("customer", "events", "lineitem", "orders")
+        .map(t => graft.util.Scratch.sourceKey(d, t)).mkString("|")
+      val catDir = statsCatalogDirs.getOrElseUpdate(snap, {
+        val dir = graft.util.Scratch.dir("graft-stats-catalog").toString
+        rels.map { case (nm, df) =>
+          hashed(df).agg(
+            graft.functions.GraftFunctions.countMin(col("hs"), as, bs, p, w)
+              .as("sk"),
+            count(lit(1)).as("n"))
+            .select(lit(nm).as("rel"), col("n"), col("sk"))
+        }.reduce(_ unionAll _)
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+        dir
+      })
+      val cat = s.read.parquet(catDir)
+      // ---- plan-time estimates: CATALOG ONLY, no base-table scan ---------
+      val edges = Seq(
+        ("events.user_id x orders.o_custkey",
+          "events.user_id", "orders.o_custkey"),
+        ("events.user_id x customer.c_custkey",
+          "events.user_id", "customer.c_custkey"),
+        ("orders.o_custkey x customer.c_custkey",
+          "orders.o_custkey", "customer.c_custkey"),
+        ("lineitem.l_orderkey x orders.o_orderkey",
+          "lineitem.l_orderkey", "orders.o_orderkey"))
+      import s.implicits._
+      val edf = edges.toDF("join_edge", "lrel", "rrel")
+      val ipCols = (0 until depth).map { di =>
+        expr(s"""aggregate(
+          |  zip_with(slice(ska, ${di * w + 1}, $w), slice(skb, ${di * w + 1}, $w),
+          |    (x, y) -> CAST(x AS DECIMAL(38,0)) * y),
+          |  CAST(0 AS DECIMAL(38,0)), (acc, t) -> acc + t)""".stripMargin)
+      }
+      val est = edf
+        .join(broadcast(cat.select(col("rel").as("lrel"), col("n").as("n_left"),
+          col("sk").as("ska"))), "lrel")
+        .join(broadcast(cat.select(col("rel").as("rrel"), col("n").as("n_right"),
+          col("sk").as("skb"))), "rrel")
+        .select(col("join_edge"), col("n_left"), col("n_right"),
+          least(ipCols: _*).as("est_rows"))
+      // ---- calibration tier: same-scan hash-domain actuals per edge ------
+      val actuals = edges.map { case (nm, l, r) =>
+        hashed(relMap(l)).groupBy(col("hs")).agg(count(lit(1)).as("ca"))
+          .join(hashed(relMap(r)).groupBy(col("hs")).agg(count(lit(1)).as("cb")),
+            "hs")
+          .agg(coalesce(
+            expr("CAST(sum(CAST(ca AS DECIMAL(38,0)) * cb) AS DECIMAL(38,0))"),
+            lit(0).cast("decimal(38,0)")).as("actual_rows"))
+          .select(lit(nm).as("join_edge"), col("actual_rows"))
+      }.reduce(_ unionAll _)
+      est.join(actuals, "join_edge")
+        .select(col("join_edge"), col("n_left"), col("n_right"),
+          col("est_rows").cast("long").as("est_rows"),
+          col("actual_rows").cast("long").as("actual_rows"))
+        .select(col("join_edge"), col("n_left"), col("n_right"),
+          col("est_rows"), col("actual_rows"),
+          (col("est_rows") >= col("actual_rows")).as("never_under"),
+          expr("""CAST(CASE WHEN actual_rows = 0 THEN 0
+            |     ELSE est_rows * 1000000 div actual_rows - 1000000
+            |     END AS BIGINT)""".stripMargin).as("over_ppm"))
+        .orderBy(col("join_edge"))
     },
 
     GraftQuery(

@@ -309,7 +309,7 @@ object StreamingOps {
 
     GraftQuery(
       "q197_stream_cdc_apply",
-      "Streaming CDC APPLY — each micro-batch UPSERTS (q173 MERGE, not append) the batch's latest state per user into the transactional sink: per batch, one window reduces the batch to its newest row per user (so the driver-side connector images are |users|, never |events|), the merge rewrites only key-range-matched files, and because the staged micro-batches are time-ordered, sequential batch-latest merges converge to the GLOBAL latest-per-user — the materialized-view maintenance loop every CDC consumer runs. Read-back equals the batch argmax oracle.",
+      "Streaming CDC APPLY — each micro-batch UPSERTS (q173 MERGE, not append) the batch's latest state per user into the transactional sink: per batch, one window reduces the batch to its newest row per user (so the driver-side connector images are |distinct keys|, never |events|), the merge rewrites only key-range-matched files, and because the staged micro-batches are time-ordered, sequential batch-latest merges converge to the GLOBAL latest-per-user — the materialized-view maintenance loop every CDC consumer runs. The sink's merge API is driver-mediated by design, so the per-batch key cardinality is an ENFORCED operating limit (graft.cdc.maxKeysPerBatch, default 2^20): a wide-key batch — an unpartitioned backfill — fails loudly with a remediation hint via a pre-collect count instead of materializing on the driver; StreamingSpec exercises both sides of the bound. Read-back equals the batch argmax oracle.",
       """WITH l AS (SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |SELECT event_type AS vendor,
@@ -327,11 +327,30 @@ object StreamingOps {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val w = Window.partitionBy(col("user_id"))
             .orderBy(col("ts").desc, col("event_id").desc)
-          val images = batch
+          val imgFrame = batch
             .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
             .select(col("event_type"), col("event_id"),
               unix_timestamp(col("ts")).as("tss"), cents(col("value")).as("c"),
               col("user_id"))
+            .localCheckpoint()
+          // OPERATING LIMIT, enforced loudly: the sink's merge API is
+          // driver-mediated by design, so each micro-batch's row images —
+          // |distinct keys in the batch|, never |events| — cross the
+          // driver. A wide-key batch (initial CDC backfill over a 100 TB
+          // key space) must fail with a remediation hint BEFORE the
+          // collect materializes it, not OOM the driver mid-stream; the
+          // cheap count on the checkpointed frame buys that guarantee.
+          // Bounded-key steady-state CDC (the operator's contract) is
+          // unaffected. Conf: graft.cdc.maxKeysPerBatch (default 2^20).
+          val maxKeys = batch.sparkSession.conf
+            .getOption("graft.cdc.maxKeysPerBatch").map(_.toLong)
+            .getOrElse(1L << 20)
+          val nKeys = imgFrame.count()
+          require(nKeys <= maxKeys,
+            s"CDC apply: micro-batch carries $nKeys distinct keys > " +
+              s"graft.cdc.maxKeysPerBatch=$maxKeys; shrink the trigger " +
+              "interval or partition the backfill by key range")
+          val images = imgFrame
             .collect().toSeq.map { r =>
               Map(
                 "vendor" -> r.getString(0),

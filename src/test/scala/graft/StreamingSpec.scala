@@ -213,6 +213,27 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("q197 CDC apply enforces the per-batch key-cardinality operating limit") {
+    // under the limit: the registry query runs to completion (the gated
+    // default path) — and over the limit, the stream fails LOUDLY with the
+    // remediation hint before anything key-proportional crosses the driver
+    val confKey = "graft.cdc.maxKeysPerBatch"
+    spark.conf.set(confKey, "3") // sf0.001 has far more than 3 users
+    try {
+      val err = intercept[Exception] {
+        SparkEntry.queries("q197_stream_cdc_apply")(spark, sf).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("maxKeysPerBatch")),
+        s"expected the operating-limit message, got: ${messages(err)}")
+    } finally spark.conf.unset(confKey)
+    // default bound: runs clean and converges to latest-per-user
+    val out = SparkEntry.queries("q197_stream_cdc_apply")(spark, sf)
+    assert(out.count() > 0)
+  }
+
   test("checkpoint restart resumes exactly-once: no recount, no gap") {
     // The production crash-recovery contract: a file-stream aggregate stopped
     // after its first micro-batch and RESTARTED from the same checkpoint must
