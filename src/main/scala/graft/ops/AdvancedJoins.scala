@@ -370,11 +370,15 @@ object AdvancedJoins {
 
     GraftQuery(
       "q243_grid_spatial_join",
-      "Uniform-grid spatial self-join — the 2D generalization of q125's 1D bin trick and the workhorse behind every 'points within distance r' join: customers land on a 1024x1024 synthetic plane (md5-derived coordinates, rerun-stable), cell width = r makes any Chebyshev-r pair differ by <=1 cell per axis, the probe side explodes to its 3x3 neighborhood, and Catalyst plans ONE shuffled equi-join on the cell key — never a cross product. Each pair meets exactly once (only one of the 9 probe cells equals the build cell), so there is no dedupe shuffle; the Chebyshev residual filters inline. Pair volume = sum over cells of |cell|·|3x3 load|, linear for bounded density at ANY scale. Top-20 nearest pairs as evidence.",
-      """WITH p AS (SELECT c_custkey AS id,
+      "Uniform-grid spatial self-join — the 2D generalization of q125's 1D bin trick and the workhorse behind every 'points within distance r' join: customers land on a 1024x1024 synthetic plane (md5-derived coordinates, rerun-stable), cell width = r makes any Chebyshev-r pair differ by <=1 cell per axis, the probe side explodes to its 3x3 neighborhood, and Catalyst plans ONE shuffled equi-join on the cell key — never a cross product. Each pair meets exactly once (only one of the 9 probe cells equals the build cell), so there is no dedupe shuffle; the Chebyshev residual filters inline. Pair volume = sum over cells of |cell|·|3x3 load| — linear only while DENSITY is bounded, and on a FIXED plane replication grows density linearly (pairs quadratically: this query measured 47x per decade at sf10 before the governor), so cell membership is CAPPED at 64 points per cell, rank by id, oracle-mirrored (the q44/q127 doctrine on a spatial grid — inert at every gated SF where occupancy stays Poisson-thin ~1-9, biting only where the all-pairs-within-r answer itself goes quadratic; past the cap the production move is a finer grid over a larger domain, the q73 NLIST note's spatial twin). Top-20 nearest pairs as evidence.",
+      """WITH p0 AS (SELECT c_custkey AS id,
         |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 8)) AS BIGINT) % 1024 AS x,
         |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 8)) AS BIGINT) % 1024 AS y
         |  FROM customer),
+        |p AS (SELECT id, x, y FROM (
+        |    SELECT id, x, y, row_number() OVER (
+        |      PARTITION BY x // 8, y // 8 ORDER BY id) AS rn FROM p0) g
+        |  WHERE rn <= 64),
         |probe AS (SELECT id, x, y, (x // 8) + dx AS cx, (y // 8) + dy AS cy
         |  FROM p CROSS JOIN (VALUES (-1), (0), (1)) dxs(dx)
         |         CROSS JOIN (VALUES (-1), (0), (1)) dys(dy)),
@@ -388,8 +392,15 @@ object AdvancedJoins {
       def coord(salt: String) =
         expr(s"conv(substring(md5(CAST(c_custkey AS STRING) || '$salt'), 1, 8), 16, 10)")
           .cast("long") % 1024L
+      // cell-occupancy governor (description above): both join sides read
+      // the same <=64-per-cell membership, so pair volume per cell is a
+      // constant and the total is bounded by the FIXED cell count
       val p = Tables.customer(s, d).select(col("c_custkey").as("id"),
-        coord("x").as("x"), coord("y").as("y"))
+          coord("x").as("x"), coord("y").as("y"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(expr("x div 8"), expr("y div 8")).orderBy(col("id"))))
+        .filter(col("rn") <= 64).drop("rn")
       val offsets = Seq(-1L, 0L, 1L)
       // the 9-cell neighborhood expands via a literal-array explode (a pure
       // Generate, no join node) — each probe row emits its 3x3 cells in place
