@@ -82,6 +82,13 @@ object Bench {
       graft.util.CacheOnce.sweepAll() // orphaned one-action listeners first
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // ContextCleaner reaps shuffle files / broadcasts only when their
+      // references are GC'd: without an explicit GC a multi-hundred-query
+      // leg accumulates them for its whole lifetime, and late queries
+      // measure the backlog, not themselves (measured: q157 13.8s late in a
+      // 295-query sf10 leg vs 4.7s on a fresh JVM, same code, same data).
+      // The GC runs BETWEEN reps, so no timed region pays for it.
+      System.gc()
     }
     // One measured execution: a noop-format write forces the FULL projection
     // (a count() lets Catalyst prune the very columns some queries exist to
@@ -129,6 +136,10 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val flagged = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.flatMap { case (name, fn) =>
+      // progress breadcrumb to stderr (stdout carries ONE json line): when a
+      // query kills the JVM at a big SF, the last breadcrumb names it —
+      // without this, a 295-query leg's OOM is anonymous
+      System.err.println(s"[bench] ${java.time.Instant.now()} start $name")
       // min of `reps` runs: single-shot timings proved too noisy to compare
       // round-over-round (phantom 8× "regressions" under sandbox contention);
       // the min is the least-contended observation of the same fixed plan

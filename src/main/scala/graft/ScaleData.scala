@@ -111,9 +111,17 @@ object ScaleData {
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
 
-    def save(df: DataFrame, name: String, files: Int): Unit =
+    // file counts scale with the replication factor (base counts are the
+    // 10x stage's): a 100x corpus written as 8 files gives a 32-core scan
+    // only 8 CPU-bound map tasks (parquet can't split below the row-group),
+    // which under-parallelizes every per-row-heavy query and measures the
+    // staging artifact, not the plan — a real corpus at that volume has
+    // thousands of splits. factor=10 keeps the historical sf1 layout.
+    def save(df: DataFrame, name: String, baseFiles: Int): Unit = {
+      val files = (baseFiles * (factor / 10.0)).round.toInt.max(baseFiles)
       df.repartition(files).write.mode(SaveMode.Overwrite)
         .parquet(s"$out/$name.parquet")
+    }
 
     // replicate with per-replica column edits; one scan per replica unions
     // into a single write (each branch keeps its own parallel scan tasks)

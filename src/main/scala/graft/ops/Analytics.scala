@@ -541,10 +541,10 @@ object Analytics {
         |  FROM h),
         |a AS (SELECT rk, CAST(sum(f) AS BIGINT) AS n,
         |    CAST(sum(v * f) AS BIGINT) AS sx,
-        |    CAST(sum(v * (f * c + (f * (f + 1)) // 2)) AS BIGINT) AS srx
+        |    sum(CAST(v AS HUGEINT) * (f * c + (f * (f + 1)) // 2)) AS srx
         |  FROM cum GROUP BY rk)
         |SELECT rk AS regionkey, n, sx AS sum_cents,
-        |  CAST(((2 * srx - (n + 1) * sx) // n) * 1000000 // sx AS BIGINT) AS gini_ppm
+        |  CAST(((2 * srx - (CAST(n AS HUGEINT) + 1) * sx) // n) * 1000000 // sx AS BIGINT) AS gini_ppm
         |FROM a ORDER BY regionkey""".stripMargin) { (s, d) =>
       val o = Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -554,18 +554,24 @@ object Analytics {
       val cumW = Window.partitionBy(col("rk")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val a = h.withColumn("c", coalesce(sum(col("f")).over(cumW), lit(0L)))
-        // per-value rank-sum term, all long arithmetic (f·(f+1) is even,
-        // so the div is exact); magnitudes stay under 2^62 at any SF
+        // per-value rank-sum term: long arithmetic is safe per TERM
+        // (f·(f+1) is even so the div is exact; v·f·c tops out ~2^54 at
+        // sf10), but the SUM of terms is Σ rank·v ≈ n²·v̄/2 — past 2^63 by
+        // sf10 (measured: ANSI overflow on the second-decade bench) — so
+        // the accumulator widens to decimal(38,0), exact integers still
         .selectExpr("rk", "f", "v",
-          "v * (f * c + (f * (f + 1)) div 2) AS term")
+          "CAST(v * (f * c + (f * (f + 1)) div 2) AS DECIMAL(38,0)) AS term")
         .groupBy(col("rk"))
         .agg(sum(col("f")).as("n"), sum(col("v") * col("f")).as("sx"),
           sum(col("term")).as("srx"))
-      // two-step floor division keeps every intermediate in long range
-      // (a single ((…)*1e6) numerator would overflow); the oracle uses
-      // the identical step order, so results match exactly
+      // identical two-step floor division in both engines (decimal(38,0)
+      // here, HUGEINT there — both exact integers, both floor on the
+      // non-negative quotients), so results match bit-for-bit; the ×1e6
+      // happens on the already-divided ≤sx-sized quotient, then the final
+      // div returns a long
       a.selectExpr("rk AS regionkey", "n", "sx AS sum_cents",
-        "((2 * srx - (n + 1) * sx) div n) * 1000000 div sx AS gini_ppm")
+        "CAST(((2 * srx - (CAST(n AS DECIMAL(38,0)) + 1) * sx) div n) " +
+          "* CAST(1000000 AS DECIMAL(38,0)) div sx AS BIGINT) AS gini_ppm")
         .orderBy(col("regionkey"))
     },
 
@@ -925,9 +931,9 @@ object Analytics {
         |  JOIN region r ON n.n_regionkey = r.r_regionkey
         |  GROUP BY 1, 2)
         |SELECT r_name, n_name, cents,
-        |  CAST(cents * 1000000 // sum(cents) OVER (PARTITION BY r_name) AS BIGINT)
+        |  CAST(CAST(cents AS HUGEINT) * 1000000 // sum(cents) OVER (PARTITION BY r_name) AS BIGINT)
         |    AS share_of_region_ppm,
-        |  CAST(sum(cents) OVER (PARTITION BY r_name) * 1000000
+        |  CAST(CAST(sum(cents) OVER (PARTITION BY r_name) AS HUGEINT) * 1000000
         |    // sum(cents) OVER () AS BIGINT) AS region_share_ppm
         |FROM nv ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
       val nv = Tables.orders(s, d)
@@ -939,11 +945,14 @@ object Analytics {
         .agg(sum(cents(col("o_totalprice"))).as("cents"))
       val reg = Window.partitionBy(col("r_name"))
       val all = Window.partitionBy()
+      // ppm cross-multiplies widen to decimal(38,0): a REGION's cents sum
+      // times 1e6 is past 2^63 at sf10 (measured ANSI overflow on the
+      // second-decade bench); exact integers, identical floors both engines
       nv.withColumn("rc", sum(col("cents")).over(reg))
         .withColumn("tc", sum(col("cents")).over(all))
         .selectExpr("r_name", "n_name", "cents",
-          "cents * 1000000 div rc AS share_of_region_ppm",
-          "rc * 1000000 div tc AS region_share_ppm")
+          "CAST(cents AS DECIMAL(38,0)) * 1000000 div rc AS share_of_region_ppm",
+          "CAST(rc AS DECIMAL(38,0)) * 1000000 div tc AS region_share_ppm")
         .orderBy(col("r_name"), col("n_name"))
     },
 
@@ -2062,7 +2071,7 @@ object Analytics {
 
     GraftQuery(
       "q281_peak_concurrency",
-      "Peak concurrency — max simultaneous sessions (the capacity number every on-call dashboard tracks): 10-min-gap sessions become [start, end) intervals, each interval SPLITS at day boundaries so the +1/-1 sweep-line runs per day partition (the trick that turns the classic single-global-sort formulation into a partitioned window at any scale), ends process before starts at equal instants (half-open semantics), and each day reports its peak with the FIRST microsecond that reached it. The global answer is then a 30-row max.",
+      "Peak concurrency — max simultaneous sessions (the capacity number every on-call dashboard tracks): 10-min-gap sessions become [start, end) intervals, each interval SPLITS at day boundaries, and the +1/-1 sweep-line runs as a TWO-PHASE prefix sum — ordered local sums inside (day, hour) buckets, then each bucket's carry-in from a window over the tiny (day, hour) totals frame (≤24 rows/day at ANY volume). The two-phase shape matters because the corpus's day span is FIXED while point volume grows with SF: a plain per-day sweep concentrates every decade of growth into ~30 single-task sorts (measured 26x/decade before the rewrite), while bucketed local sums keep task size ∝ data/720 and the carry chain domain-bounded. Ends process before starts at equal instants (half-open semantics); day peaks come from a map-side hash aggregate plus a ≤|days|-row broadcast that picks the FIRST microsecond reaching each peak. The global answer is then a 30-row max.",
       """WITH g AS (SELECT user_id, ts, event_id,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |              > INTERVAL 10 MINUTE OR
@@ -2107,13 +2116,39 @@ object Analytics {
           least(col("eu"), (col("day") + 1) * 86400000000L).as("ce"))
       val pts = clipped.select(col("day"), col("cs").as("us"), lit(1).as("delta"))
         .unionAll(clipped.select(col("day"), col("ce").as("us"), lit(-1).as("delta")))
-      val sweep = Window.partitionBy(col("day")).orderBy(col("us"), col("delta"))
+      // TWO-PHASE prefix sum: the corpus's DAY span is fixed while the point
+      // volume grows with SF, so a per-day sweep concentrates every decade
+      // of growth into ~30 single-task sorts (measured 26x/decade on the
+      // second-decade bench). Phase 1 runs the ordered sum inside (day,
+      // hour) buckets — 24x the parallelism, each task 1/24 the points;
+      // phase 2 adds each bucket's carry-in, a window over the tiny
+      // (day, hour) TOTALS frame (≤24 rows per day at any SF). Bucketing by
+      // us preserves the global (us, delta) order across bucket boundaries,
+      // so c is bit-identical to the single-sweep formulation the oracle
+      // runs.
+      val localW = Window.partitionBy(col("day"), col("hb"))
+        .orderBy(col("us"), col("delta"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = pts.withColumn("c", sum(col("delta")).over(sweep))
-      val dayPeak = Window.partitionBy(col("day"))
-      cum.withColumn("peak", max(col("c")).over(dayPeak))
+      val ptsB = pts.withColumn("hb", expr("us div 3600000000"))
+      val totals = ptsB.groupBy(col("day"), col("hb"))
+        .agg(sum(col("delta")).as("tot"))
+      val carryW = Window.partitionBy(col("day")).orderBy(col("hb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carries = totals
+        .withColumn("carry", coalesce(sum(col("tot")).over(carryW), lit(0L)))
+        .select(col("day"), col("hb"), col("carry"))
+      val cum = graft.util.CacheOnce.persistForOneAction(
+        ptsB.withColumn("lc", sum(col("delta")).over(localW))
+          .join(broadcast(carries), Seq("day", "hb"))
+          .select(col("day"), col("us"),
+            (col("carry") + col("lc")).as("c")))
+      // day peak via hash aggregate (map-side partials — no per-day window
+      // task), then a ≤|days|-row broadcast picks each day's first peak us
+      val peaks = cum.groupBy(col("day")).agg(max(col("c")).as("peak"))
+      cum.join(broadcast(peaks), Seq("day"))
+        .filter(col("c") === col("peak"))
         .groupBy(col("day"), col("peak"))
-        .agg(min(when(col("c") === col("peak"), col("us"))).as("first_peak_us"))
+        .agg(min(col("us")).as("first_peak_us"))
         .select(col("day"), col("peak").cast("long").as("peak"),
           col("first_peak_us").cast("long").as("first_peak_us"))
         .orderBy(col("day"))
@@ -2499,7 +2534,7 @@ object Analytics {
 
     GraftQuery(
       "q215_auc_rank",
-      "EXACT AUC-ROC by rank-sum (Mann-Whitney U) — the classifier-evaluation metric every quality-filter model ships with, computed with zero floats: does event value predict purchase? Scores quantize to dollar buckets (a fixed ~560-value domain at ANY corpus size), one histogram aggregate counts (pos, neg) per bucket, a running negatives-below window over the BUCKET frame gives each bucket's pairwise wins, and tie buckets contribute the half-win term at 2x integer scale: auc_x2 = Σ pos·(2·neg_below + neg); auc_ppm = auc_x2·1e6 // (2·n_pos·n_neg). No row-level sort anywhere — the q51 selection doctrine applied to ranking evaluation (domain contract: n_pos·n_neg·2e6 < 2^63, i.e. ~2M positives × negatives per evaluation — per-slice AUCs at larger scale).",
+      "EXACT AUC-ROC by rank-sum (Mann-Whitney U) — the classifier-evaluation metric every quality-filter model ships with, computed with zero floats: does event value predict purchase? Scores quantize to dollar buckets (a fixed ~560-value domain at ANY corpus size), one histogram aggregate counts (pos, neg) per bucket, a running negatives-below window over the BUCKET frame gives each bucket's pairwise wins, and tie buckets contribute the half-win term at 2x integer scale: auc_x2 = Σ pos·(2·neg_below + neg); auc_ppm = auc_x2·1e6 // (2·n_pos·n_neg). No row-level sort anywhere — the q51 selection doctrine applied to ranking evaluation. The win-sum and the n_pos·n_neg cross-multiply ride exact decimal(38,0)/HUGEINT arithmetic: the old long-domain contract (~2M pos×neg) measurably overflowed on the second-decade bench, and an evaluation metric must not cap the corpus it can grade.",
       """WITH s AS (SELECT CAST(floor(value) AS BIGINT) AS sc,
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
         |  FROM events),
@@ -2512,10 +2547,10 @@ object Analytics {
         |t AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
         |        CAST(sum(nn) AS BIGINT) AS n_neg FROM h)
         |SELECT n_pos, n_neg,
-        |  (CAST(sum(np * (2 * neg_below + nn)) AS BIGINT) * 1000000)
-        |    // (2 * n_pos * n_neg) AS auc_ppm,
-        |  (CAST(sum(np * (2 * neg_below + nn)) AS BIGINT) * 1000000)
-        |    // (n_pos * n_neg) - 1000000 AS gini_ppm
+        |  CAST((sum(CAST(np AS HUGEINT) * (2 * neg_below + nn)) * 1000000)
+        |    // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS auc_ppm,
+        |  CAST((sum(CAST(np AS HUGEINT) * (2 * neg_below + nn)) * 1000000)
+        |    // (CAST(n_pos AS HUGEINT) * n_neg) - 1000000 AS BIGINT) AS gini_ppm
         |FROM r CROSS JOIN t GROUP BY n_pos, n_neg""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val sc = Tables.events(s, d).select(
@@ -2532,10 +2567,14 @@ object Analytics {
       val t = h.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
       r.crossJoin(broadcast(t))
         .groupBy(col("n_pos"), col("n_neg"))
-        .agg(sum(col("np") * (lit(2) * col("neg_below") + col("nn"))).as("x2"))
+        // the win-sum x2 ≈ 2·n_pos·n_neg passes 2^50 at sf10, so x2·1e6 and
+        // the n_pos·n_neg·2e6 denominator both need decimal(38,0) (measured
+        // ANSI overflow on the second-decade bench); exact, same floors
+        .agg(sum((col("np") * (lit(2) * col("neg_below") + col("nn")))
+          .cast("decimal(38,0)")).as("x2"))
         .selectExpr("n_pos", "n_neg",
-          "(x2 * 1000000) div (2 * n_pos * n_neg) AS auc_ppm",
-          "(x2 * 1000000) div (n_pos * n_neg) - 1000000 AS gini_ppm")
+          "CAST((x2 * 1000000) div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg) AS BIGINT) AS auc_ppm",
+          "CAST((x2 * 1000000) div (CAST(n_pos AS DECIMAL(38,0)) * n_neg) - 1000000 AS BIGINT) AS gini_ppm")
     },
 
     GraftQuery(

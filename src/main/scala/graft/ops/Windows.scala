@@ -80,8 +80,8 @@ object Windows {
         |      FROM n JOIN nation na ON n.c_nationkey = na.n_nationkey
         |      JOIN region r ON na.n_regionkey = r.r_regionkey)
         |SELECT r_name, n_name, cents,
-        |  (cents * 1000000) // CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT) AS region_share_ppm,
-        |  (cents * 1000000) // CAST(sum(cents) OVER () AS BIGINT) AS global_share_ppm
+        |  CAST((CAST(cents AS HUGEINT) * 1000000) // CAST(sum(cents) OVER (PARTITION BY r_name) AS HUGEINT) AS BIGINT) AS region_share_ppm,
+        |  CAST((CAST(cents AS HUGEINT) * 1000000) // CAST(sum(cents) OVER () AS HUGEINT) AS BIGINT) AS global_share_ppm
         |FROM j ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
       val n = Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -95,8 +95,11 @@ object Windows {
       // fact-table sort
       val byRegion = Window.partitionBy(col("r_name"))
       val global = Window.partitionBy()
+      // the ppm cross-multiply widens to decimal(38,0): a nation's cents
+      // sum passes 2^43 at sf10, so cents*1e6 brushes 2^63 — measured ANSI
+      // overflow on the second-decade bench; exact integers, same floors
       j.select(col("r_name"), col("n_name"), col("cents"),
-          (col("cents") * 1000000L).as("num"),
+          (col("cents").cast("decimal(38,0)") * 1000000L).as("num"),
           sum(col("cents")).over(byRegion).as("rsum"),
           sum(col("cents")).over(global).as("gsum"))
         .selectExpr("r_name", "n_name", "cents",

@@ -309,7 +309,7 @@ object StreamingOps {
 
     GraftQuery(
       "q197_stream_cdc_apply",
-      "Streaming CDC APPLY — each micro-batch UPSERTS (q173 MERGE, not append) the batch's latest state per user into the transactional sink: per batch, one window reduces the batch to its newest row per user (so the driver-side connector images are |distinct keys|, never |events|), the merge rewrites only key-range-matched files, and because the staged micro-batches are time-ordered, sequential batch-latest merges converge to the GLOBAL latest-per-user — the materialized-view maintenance loop every CDC consumer runs. The sink's merge API is driver-mediated by design, so the per-batch key cardinality is an ENFORCED operating limit (graft.cdc.maxKeysPerBatch, default 2^20): a wide-key batch — an unpartitioned backfill — fails loudly with a remediation hint via a pre-collect count instead of materializing on the driver; StreamingSpec exercises both sides of the bound. Read-back equals the batch argmax oracle.",
+      "Streaming CDC APPLY — each micro-batch UPSERTS (SQL MERGE INTO, not append) the batch's latest state per user into the transactional sink: per batch, one window reduces the batch to its newest row per user, a catalog MERGE INTO (the q257 DSv2 row-level operation) upserts those images ENTIRELY executor-side — the source stays a distributed frame end to end, so NOTHING key-proportional ever crosses the driver and the apply loop has no key-cardinality ceiling at all (the second-decade bench run proved the need: a 100x key space blew past any driver-image bound by construction) — and because the staged micro-batches are time-ordered, sequential batch-latest merges converge to the GLOBAL latest-per-user: the materialized-view maintenance loop every CDC consumer runs. The sink's driver-image merge API keeps its own maxMergeImages guard for its config-sized contract (FormSinkSpec); the CDC path simply no longer rides it. Read-back equals the batch argmax oracle.",
       """WITH l AS (SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |SELECT event_type AS vendor,
@@ -319,7 +319,19 @@ object StreamingOps {
         |  printf('U%09dD', user_id) AS po_number
         |FROM l WHERE rn = 1 ORDER BY po_number""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val dir = graft.util.Scratch.dir("graft-q197-sink").toString // fresh per run
+      // catalog-registered sink table: the MERGE below is the q257 DSv2
+      // row-level operation — a distributed copy-on-write group rewrite —
+      // NOT the driver-image connector API. No row image is ever collected.
+      if (s.conf.getOption("spark.sql.catalog.graft_q197").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft_q197", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q197.root",
+          graft.util.Scratch.dir("graft-q197-catalog").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q197.cdc")
+      s.sql("DROP TABLE IF EXISTS graft_q197.cdc.state") // fresh per run
+      s.sql("""CREATE TABLE graft_q197.cdc.state (
+        vendor STRING, description STRING, picker_erk STRING,
+        charge_code STRING, po_number STRING)""")
       val src = twoBatchEventsStream(s, d)
         .filter(col("event_type") =!= SentinelType)
       val q = src.writeStream
@@ -327,48 +339,28 @@ object StreamingOps {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val w = Window.partitionBy(col("user_id"))
             .orderBy(col("ts").desc, col("event_id").desc)
-          val imgFrame = batch
+          batch
             .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-            .select(col("event_type"), col("event_id"),
-              unix_timestamp(col("ts")).as("tss"), cents(col("value")).as("c"),
-              col("user_id"))
-            .localCheckpoint()
-          // OPERATING LIMIT, enforced loudly: the sink's merge API is
-          // driver-mediated by design, so each micro-batch's row images —
-          // |distinct keys in the batch|, never |events| — cross the
-          // driver. A wide-key batch (initial CDC backfill over a 100 TB
-          // key space) must fail with a remediation hint BEFORE the
-          // collect materializes it, not OOM the driver mid-stream; the
-          // cheap count on the checkpointed frame buys that guarantee.
-          // Bounded-key steady-state CDC (the operator's contract) is
-          // unaffected. Conf: graft.cdc.maxKeysPerBatch (default 2^20).
-          val maxKeys = batch.sparkSession.conf
-            .getOption("graft.cdc.maxKeysPerBatch").map(_.toLong)
-            .getOrElse(1L << 20)
-          val nKeys = imgFrame.count()
-          require(nKeys <= maxKeys,
-            s"CDC apply: micro-batch carries $nKeys distinct keys > " +
-              s"graft.cdc.maxKeysPerBatch=$maxKeys; shrink the trigger " +
-              "interval or partition the backfill by key range")
-          val images = imgFrame
-            .collect().toSeq.map { r =>
-              Map(
-                "vendor" -> r.getString(0),
-                "description" -> r.getLong(1).toString,
-                "picker_erk" -> r.getLong(2).toString,
-                "charge_code" -> r.getLong(3).toString,
-                "po_number" -> f"U${r.getLong(4)}%09dD")
-            }
-          require(graft.sources.FormSinkSource
-            .merge(dir, "po_number", images).nonEmpty,
-            "CDC apply lost a race in a single-writer stream")
+            .select(col("event_type").as("vendor"),
+              col("event_id").cast("string").as("description"),
+              unix_timestamp(col("ts")).cast("string").as("picker_erk"),
+              cents(col("value")).cast("string").as("charge_code"),
+              format_string("U%09dD", col("user_id")).as("po_number"))
+            .createOrReplaceTempView("graft_q197_src")
+          // executor-side upsert: the batch's latest-per-key images flow
+          // shuffle-to-shuffle into the sink's ReplaceData plan; the only
+          // driver traffic is the manifest swap. A 100 TB backfill batch
+          // is just a bigger shuffle, not a driver OOM.
+          batch.sparkSession.sql(
+            """MERGE INTO graft_q197.cdc.state t USING graft_q197_src s
+              |ON t.po_number = s.po_number
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
           ()
         }
         .start()
       q.awaitTermination()
-      s.read.format(graft.sources.FormSinkSource.Format)
-        .option("path", dir).load()
-        .orderBy(col("po_number"))
+      s.table("graft_q197.cdc.state").orderBy(col("po_number"))
     },
 
     GraftQuery(

@@ -92,6 +92,57 @@ class SketchOpsSpec extends SparkSpec {
     } finally h.unpersist()
   }
 
+  test("q341 catalog estimates: never under, and the events-orders edge equals q318") {
+    val cat = SparkEntry.queries("q341_sketch_stats_catalog")(spark, sf).collect()
+    assert(cat.length === 4)
+    // the inner-product estimator's defining property: collisions only ADD
+    // mass, so est >= actual on every edge — and over_ppm agrees in sign
+    cat.foreach { r =>
+      assert(r.getAs[Boolean]("never_under"),
+        s"edge ${r.getString(0)}: est ${r.getAs[Long]("est_rows")} < " +
+          s"actual ${r.getAs[Long]("actual_rows")}")
+      assert(r.getAs[Long]("over_ppm") >= 0L)
+    }
+    // cross-query consistency: q318 builds the SAME 4x1024 sketch over the
+    // same md5-affine family for events.user_id x orders.o_custkey — the
+    // catalog path (persisted parquet, read back) must reproduce its
+    // estimate and hash-domain actual bit-for-bit
+    val q318 = SparkEntry.queries("q318_cm_join_size_estimate")(spark, sf)
+      .collect().head
+    val edge = cat.find(_.getString(0) == "events.user_id x orders.o_custkey").get
+    assert(edge.getAs[Long]("est_rows") === q318.getAs[Long]("est_join"))
+    assert(edge.getAs[Long]("actual_rows") === q318.getAs[Long]("exact_join"))
+  }
+
+  test("q340 replication identity: expanded-set Jaccard IS capped-weight Jaccard") {
+    // the construction's load-bearing claim, checked brute-force in JVM
+    // arithmetic on real doc pairs: J(expand(A), expand(B)) with w capped
+    // at 4 equals sum(min w)/sum(max w) exactly — and q340's exact_ppm
+    // column matches it through the engine
+    import graft.functions.ColumnOps.tokens
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).groupBy(identity).map { case (t, g) =>
+          t -> math.min(g.size, 4) }).toMap
+    val out = SparkEntry.queries("q340_weighted_minhash")(spark, sf).collect()
+    assert(out.nonEmpty, "fixture produced no banded pairs")
+    out.take(50).foreach { r =>
+      val (a, b) = (docs(r.getAs[Long]("doc_a")), docs(r.getAs[Long]("doc_b")))
+      val keys = a.keySet ++ b.keySet
+      val inter = keys.iterator
+        .map(t => math.min(a.getOrElse(t, 0), b.getOrElse(t, 0))).sum.toLong
+      val union = keys.iterator
+        .map(t => math.max(a.getOrElse(t, 0), b.getOrElse(t, 0))).sum.toLong
+      // expanded-set identity: |expA ∩ expB| = Σ min(w), |expA ∪ expB| = Σ max(w)
+      val expA = a.iterator.flatMap { case (t, w) => (1 to w).map((t, _)) }.toSet
+      val expB = b.iterator.flatMap { case (t, w) => (1 to w).map((t, _)) }.toSet
+      assert((expA & expB).size.toLong === inter)
+      assert((expA | expB).size.toLong === union)
+      assert(r.getAs[Long]("exact_ppm") === inter * 1000000L / union)
+    }
+  }
+
   test("k-core fixed 6-round peel has reached its fixpoint on the test graph") {
     val census = SparkEntry.queries("q310_kcore_peeling")(spark, sf)
       .orderBy(col("round")).collect()

@@ -213,25 +213,26 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
-  test("q197 CDC apply enforces the per-batch key-cardinality operating limit") {
-    // under the limit: the registry query runs to completion (the gated
-    // default path) — and over the limit, the stream fails LOUDLY with the
-    // remediation hint before anything key-proportional crosses the driver
-    val confKey = "graft.cdc.maxKeysPerBatch"
-    spark.conf.set(confKey, "3") // sf0.001 has far more than 3 users
-    try {
-      val err = intercept[Exception] {
-        SparkEntry.queries("q197_stream_cdc_apply")(spark, sf).collect()
-      }
-      def messages(t: Throwable): Seq[String] =
-        if (t == null) Seq.empty
-        else Option(t.getMessage).toSeq ++ messages(t.getCause)
-      assert(messages(err).exists(_.contains("maxKeysPerBatch")),
-        s"expected the operating-limit message, got: ${messages(err)}")
-    } finally spark.conf.unset(confKey)
-    // default bound: runs clean and converges to latest-per-user
-    val out = SparkEntry.queries("q197_stream_cdc_apply")(spark, sf)
-    assert(out.count() > 0)
+  test("q197 CDC apply merges executor-side and converges to latest-per-user") {
+    // the distributed MERGE INTO path (nothing key-proportional crosses the
+    // driver): sequential batch-latest upserts over time-ordered micro-
+    // batches must equal the one-shot batch argmax frame exactly — same
+    // rows, zero duplicate keys surviving the matched-update
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.ColumnOps.cents
+    val out = SparkEntry.queries("q197_stream_cdc_apply")(spark, sf).collect()
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val expect = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_type").as("vendor"),
+        col("event_id").cast("string").as("description"),
+        unix_timestamp(col("ts")).cast("string").as("picker_erk"),
+        cents(col("value")).cast("string").as("charge_code"),
+        format_string("U%09dD", col("user_id")).as("po_number"))
+      .orderBy(col("po_number")).collect()
+    assert(out.length === expect.length)
+    assert(out.toSeq === expect.toSeq)
   }
 
   test("checkpoint restart resumes exactly-once: no recount, no gap") {
