@@ -25,7 +25,7 @@ REPS="${SPARK_GRAFT_REPS:-2}"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_REPS="$REPS"
 # 100x data in one local[32] JVM needs real heap: the default 8g run died
 # mid-board (stopped SparkContext); full logs kept for the autopsy either way
-export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}"
+export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}"
 
 SPARK_GRAFT_SF_DIR="$PWD/scaledata/sf1" SPARK_GRAFT_BENCH_OUT=/tmp/bench10_sf1.json \
   sbt -batch "runMain graft.Bench" > /tmp/bench10_sf1.log 2>&1 || true

@@ -147,7 +147,7 @@ object Dedup {
 
     GraftQuery(
       "q265_minhash_calibration",
-      "MinHash ESTIMATOR CALIBRATION — the evaluation every dedup deployment owes its threshold choice: for every doc pair the GOVERNED generator admits (shingle buckets capped at 256 members by doc_id rank — the q44/q127 governor class, MIRRORED in the oracle; an ungoverned shingle self-join was this board's last uncapped candidate generator and measured 21.8x per decade before the cap), the exact 3-gram Jaccard — full-set intersection via the sorted 60-bit fingerprint merge kernel, so the cap bounds only the pair POPULATION, never a pair's value — meets the 32-component signature estimate (matching components x 31250 ppm), bucketed by exact-similarity decile with pair count, mean estimate and mean absolute error per bucket. This is how you pick the LSH band threshold empirically: the bucket where |error| stops drowning the signal IS the operating point. All integer ppm; candidate volume is bounded at 256²/2 per bucket at any corpus size.",
+      "MinHash ESTIMATOR CALIBRATION — the evaluation every dedup deployment owes its threshold choice: each doc meets its first 32 co-shingled partners (rank by partner id over the co-shingle pair frame — deterministic, MIRRORED in the oracle), so the calibrated population is ≤32·n BY CONSTRUCTION at any corpus size; per admitted pair the exact 3-gram Jaccard (shared-fingerprint count from the pair census — the partner cap bounds only the POPULATION, never a pair's value) meets the 32-component signature estimate (matching components x 31250 ppm), bucketed by exact-similarity decile with pair count, mean estimate and mean absolute error per bucket. This is how you pick the LSH band threshold empirically: the bucket where |error| stops drowning the signal IS the operating point. Scale shape, measured the hard way: the corpus carries ~2.7M co-shingle buckets of small occupancy (max 28 at sf10) ⇒ ~126M raw pairs, so any per-pair ARRAY work (signatures, full sets) explodes — the ungoverned form measured 118s/21.8x per decade and a sets-join variant filled the disk; here the pair census shuffles 16-byte keys only and signatures join the ≤32·n survivors. Shingle buckets also carry the 256 q44 safety cap. All integer ppm.",
       {
         val hs = s"${h60Sql("sh")} % $P"
         val mins = hashParams.zipWithIndex.map { case ((a, b), i) =>
@@ -157,8 +157,8 @@ object Dedup {
         s"""WITH $tokCte,
            |$shCte,
            |hh AS MATERIALIZED (SELECT doc_id, ${h60Sql("sh")} AS h FROM sh),
-           |st AS MATERIALIZED (SELECT doc_id, list_sort(list(h)) AS shs,
-           |      count(*) AS sz FROM hh GROUP BY doc_id),
+           |st AS MATERIALIZED (SELECT doc_id, count(*) AS sz
+           |      FROM hh GROUP BY doc_id),
            |h AS (SELECT doc_id, $hs AS hs FROM sh),
            |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
            |sigl AS (SELECT doc_id, $sigList AS sig FROM sig),
@@ -166,15 +166,20 @@ object Dedup {
            |    SELECT doc_id, h,
            |      row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
            |    FROM hh) WHERE rn <= 256),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |      FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id),
+           |p AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |      count(*) AS inter
+           |      FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2),
+           |pc AS (SELECT doc_a, doc_b, inter FROM (
+           |    SELECT doc_a, doc_b, inter,
+           |      row_number() OVER (PARTITION BY doc_a ORDER BY doc_b) AS prn
+           |    FROM p) WHERE prn <= 32),
            |pairs AS (SELECT doc_a, doc_b,
-           |    CAST(floor(1000000.0 * len(list_intersect(x.shs, y.shs))
-           |         / (x.sz + y.sz - len(list_intersect(x.shs, y.shs)))) AS BIGINT)
+           |    CAST(floor(1000000.0 * inter / (x.sz + y.sz - inter)) AS BIGINT)
            |      AS exact_ppm,
            |    CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
            |      q -> CASE WHEN q[1] = q[2] THEN 1 ELSE 0 END)) * 31250 AS BIGINT) AS est_ppm
-           |  FROM cand JOIN st x ON x.doc_id = doc_a JOIN st y ON y.doc_id = doc_b
+           |  FROM pc JOIN st x ON x.doc_id = doc_a JOIN st y ON y.doc_id = doc_b
            |  JOIN sigl sa ON sa.doc_id = doc_a JOIN sigl sb ON sb.doc_id = doc_b)
            |SELECT exact_ppm // 100000 AS decile, count(*) AS n_pairs,
            |  CAST(sum(est_ppm) // count(*) AS BIGINT) AS mean_est_ppm,
@@ -183,42 +188,45 @@ object Dedup {
            |FROM pairs GROUP BY decile ORDER BY decile""".stripMargin
       }) { (s, d) =>
       // (doc_id, 60-bit shingle fingerprint): longs shuffle, never shingle
-      // strings; feeds the set tier, the governor AND the signature tier
+      // strings; feeds the pair census, the governor AND the signature tier
       val sh = graft.util.CacheOnce.persistForOneAction(
         Tables.documents(s, d)
           .select(col("doc_id"),
             explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh")))
       val hh = sh.select(col("doc_id"), h60(col("sh")).as("h"))
-      val sets = hh.groupBy(col("doc_id"))
-        .agg(sort_array(collect_set(col("h"))).as("shs"),
-          count(lit(1)).as("sz"))
-      // bucket governor (q44/q127 doctrine): 256 members per shingle bucket
-      // by doc_id rank, oracle-mirrored — candidate volume per bucket is
-      // 256²/2 instead of occupancy², which an sf10 corpus's cross-replica
-      // numeric shingles push into the millions (measured 118s / 21.8x per
-      // decade ungoverned)
+      val sz = hh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      // bucket safety cap (q44 doctrine, oracle-mirrored; the measured sf10
+      // max occupancy is 28 so it never binds on THIS corpus — it exists
+      // for the pathological bucket a real corpus eventually grows)
       val cap = hh.withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("h")).orderBy(col("doc_id"))))
         .filter(col("rn") <= 256).drop("rn")
-      val cand = cap.select(col("doc_id").as("doc_a"), col("h"))
+      // exact shared-shingle census per co-shingled pair: 16-byte keys
+      // through the shuffle, never arrays — ~126M raw pairs at sf10 make
+      // any per-raw-pair array join explode (a full-set variant filled the
+      // disk; the ungoverned original ran 118s)
+      val p = cap.select(col("doc_id").as("doc_a"), col("h"))
         .join(cap.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
         .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      // per-doc partner cap: each doc calibrates against its first 32
+      // co-shingled partners (rank by partner id — deterministic, mirrored)
+      // ⇒ the population that touches signature arrays is ≤32·n at any SF
+      val pc = p.withColumn("prn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_a")).orderBy(col("doc_b"))))
+        .filter(col("prn") <= 32).drop("prn")
       val as = hashParams.map(_._1).toArray
       val bs = hashParams.map(_._2).toArray
       val sig = sh.withColumn("hs", pmod(h60(col("sh")), lit(P)))
         .groupBy(col("doc_id"))
         .agg(graft.functions.GraftFunctions.minhashAgg(col("hs"), as, bs, P).as("sig"))
-      val pairs = cand
-        .join(sets.select(col("doc_id").as("doc_a"),
-          col("shs").as("sha"), col("sz").as("sza")), "doc_a")
-        .join(sets.select(col("doc_id").as("doc_b"),
-          col("shs").as("shb"), col("sz").as("szb")), "doc_b")
+      val pairs = pc
+        .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
         .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
         .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
-        .withColumn("inter", graft.functions.GraftFunctions
-          .sortedIntersectCount(col("sha"), col("shb")))
         .select(
           expr("CAST(floor(1000000.0 * inter / (sza + szb - inter)) AS BIGINT)")
             .as("exact_ppm"),
