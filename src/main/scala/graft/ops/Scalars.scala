@@ -322,11 +322,20 @@ object Scalars {
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val mixed = when(col("o_orderkey") % 2 === 0, upper(col("o_orderpriority")))
         .otherwise(lower(col("o_orderpriority")))
+      // two-level distinct decomposition: grouping FIRST on (ci-key,
+      // binary variant) collapses the corpus to |prios|×|variants| rows in
+      // the map-side partial aggregate, and the variant census is a count
+      // over that tiny frame. countDistinct would instead Expand the scan
+      // and ship every row to the (5-key) final aggregate — the collated
+      // hash is also ~3x a binary hash per row, so paying it on partials
+      // only matters (measured 13.5x per decade before).
       Tables.orders(s, d)
         .select(mixed.as("mixed"))
-        .groupBy(collate(col("mixed"), "UTF8_LCASE").as("prio_ci"))
-        .agg(count(lit(1)).as("n"),
-          countDistinct(collate(col("mixed"), "UTF8_BINARY")).as("n_case_variants"))
+        .groupBy(collate(col("mixed"), "UTF8_LCASE").as("prio_ci"),
+          collate(col("mixed"), "UTF8_BINARY").as("mv"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("prio_ci"))
+        .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_case_variants"))
         .select(lower(col("prio_ci")).cast("string").as("prio"),
           col("n"), col("n_case_variants"))
         .orderBy(col("prio"))
