@@ -123,10 +123,19 @@ object Bench {
     Seq("q184_binaryfile_source", "q305_persisted_lsh_index",
       "q341_sketch_stats_catalog").foreach { nm =>
       selected.get(nm).foreach { fn =>
+        // NonFatal only: an OOM/linkage error here must propagate — a
+        // swallowed fatal leaves rep 1 silently re-measuring the staging
+        // write this warm-up exists to exclude, or kills the leg later
+        // with no breadcrumb tying it to staging. Non-fatal staging
+        // failures print alongside the [bench] breadcrumbs, same reason.
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           sweepCaches()
-        } catch { case _: Throwable => () }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] ${java.time.Instant.now()} " +
+              s"untimed staging warm-up FAILED for $nm: $e")
+        }
       }
     }
 

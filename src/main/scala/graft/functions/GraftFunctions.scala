@@ -72,6 +72,14 @@ object GraftFunctions {
     column(org.apache.spark.sql.graft.SortedIntersectCount(
       expression(a), expression(b)))
 
+  /** Σ min(w_A, w_B) over common keys of two ascending-sorted `array<long>`
+    * columns packing (key << 3 | weight), keys distinct per array — the
+    * weighted-Jaccard intersection mass as a row-local codegen merge walk
+    * (q340's exact-verify tier; see SortedMinWeightIntersect). */
+  def sortedMinWeightIntersect(a: Column, b: Column): Column =
+    column(org.apache.spark.sql.graft.SortedMinWeightIntersect(
+      expression(a), expression(b)))
+
   /** MinHash signature aggregate over pre-hashed shingle values: one
     * `array<long>` of k per-function minima per group (native
     * TypedImperativeAggregate; map-side partial merge). */

@@ -554,13 +554,15 @@ object Analytics {
       val cumW = Window.partitionBy(col("rk")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val a = h.withColumn("c", coalesce(sum(col("f")).over(cumW), lit(0L)))
-        // per-value rank-sum term: long arithmetic is safe per TERM
-        // (f·(f+1) is even so the div is exact; v·f·c tops out ~2^54 at
-        // sf10), but the SUM of terms is Σ rank·v ≈ n²·v̄/2 — past 2^63 by
-        // sf10 (measured: ANSI overflow on the second-decade bench) — so
-        // the accumulator widens to decimal(38,0), exact integers still
+        // per-value rank-sum term widened BEFORE the multiply, mirroring
+        // the oracle's sum(CAST(v AS HUGEINT) * ...): v·f·c measured ~2^54
+        // at sf10 and f·c grows ~100× per decade, so a Long-resident
+        // product is exactly the ANSI-overflow class the r13 fix removed —
+        // widening only the accumulator would bring it back one decade
+        // later, and asymmetrically (Spark crashes, the oracle answers).
+        // The rank factor itself stays Long (f·c ≤ n² ≈ 2^61 at sf1000).
         .selectExpr("rk", "f", "v",
-          "CAST(v * (f * c + (f * (f + 1)) div 2) AS DECIMAL(38,0)) AS term")
+          "CAST(v AS DECIMAL(38,0)) * (f * c + (f * (f + 1)) div 2) AS term")
         .groupBy(col("rk"))
         .agg(sum(col("f")).as("n"), sum(col("v") * col("f")).as("sx"),
           sum(col("term")).as("srx"))
@@ -2569,9 +2571,12 @@ object Analytics {
         .groupBy(col("n_pos"), col("n_neg"))
         // the win-sum x2 ≈ 2·n_pos·n_neg passes 2^50 at sf10, so x2·1e6 and
         // the n_pos·n_neg·2e6 denominator both need decimal(38,0) (measured
-        // ANSI overflow on the second-decade bench); exact, same floors
-        .agg(sum((col("np") * (lit(2) * col("neg_below") + col("nn")))
-          .cast("decimal(38,0)")).as("x2"))
+        // ANSI overflow on the second-decade bench); np widens BEFORE the
+        // multiply — the oracle does sum(CAST(np AS HUGEINT) * ...), and a
+        // Long-resident per-term product (np·2·neg_below ~ n² per score
+        // bucket) re-crosses 2^63 a decade later; exact, same floors
+        .agg(sum(col("np").cast("decimal(38,0)")
+          * (lit(2) * col("neg_below") + col("nn"))).as("x2"))
         .selectExpr("n_pos", "n_neg",
           "CAST((x2 * 1000000) div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg) AS BIGINT) AS auc_ppm",
           "CAST((x2 * 1000000) div (CAST(n_pos AS DECIMAL(38,0)) * n_neg) - 1000000 AS BIGINT) AS gini_ppm")

@@ -147,7 +147,7 @@ object Dedup {
 
     GraftQuery(
       "q265_minhash_calibration",
-      "MinHash ESTIMATOR CALIBRATION — the evaluation every dedup deployment owes its threshold choice: each doc meets its first 32 co-shingled partners (rank by partner id over the co-shingle pair frame — deterministic, MIRRORED in the oracle), so the calibrated population is ≤32·n BY CONSTRUCTION at any corpus size; per admitted pair the exact 3-gram Jaccard (shared-fingerprint count from the pair census — the partner cap bounds only the POPULATION, never a pair's value) meets the 32-component signature estimate (matching components x 31250 ppm), bucketed by exact-similarity decile with pair count, mean estimate and mean absolute error per bucket. This is how you pick the LSH band threshold empirically: the bucket where |error| stops drowning the signal IS the operating point. Scale shape, measured the hard way: the corpus carries ~2.7M co-shingle buckets of small occupancy (max 28 at sf10) ⇒ ~126M raw pairs, so any per-pair ARRAY work (signatures, full sets) explodes — the ungoverned form measured 118s/21.8x per decade and a sets-join variant filled the disk; here the pair census shuffles 16-byte keys only and signatures join the ≤32·n survivors. Shingle buckets also carry the 256 q44 safety cap. All integer ppm.",
+      "MinHash ESTIMATOR CALIBRATION — the evaluation every dedup deployment owes its threshold choice: each doc meets its first 32 co-shingled partners (rank by partner id over the co-shingle pair frame — deterministic, MIRRORED in the oracle), so the calibrated population is ≤32·n BY CONSTRUCTION at any corpus size; per admitted pair the exact 3-gram Jaccard IN THE 60-BIT FINGERPRINT DOMAIN (shared-h60 count from the pair census, mirrored in the oracle — a cross-doc fingerprint collision perturbs exact_ppm identically on both engines, ~n·s/2^60 expected, zero observed at sf10; the partner cap bounds only the POPULATION, never a pair's value) meets the 32-component signature estimate (matching components x 31250 ppm), bucketed by exact-similarity decile with pair count, mean estimate and mean absolute error per bucket. This is how you pick the LSH band threshold empirically: the bucket where |error| stops drowning the signal IS the operating point. Scale shape, measured the hard way: the corpus carries ~2.7M co-shingle buckets of small occupancy (max 28 at sf10) ⇒ ~126M raw pairs, so any per-pair ARRAY work (signatures, full sets) explodes — the ungoverned form measured 118s/21.8x per decade and a sets-join variant filled the disk; here the pair census shuffles 16-byte keys only and signatures join the ≤32·n survivors. Shingle buckets also carry the 256 q44 safety cap. All integer ppm.",
       {
         val hs = s"${h60Sql("sh")} % $P"
         val mins = hashParams.zipWithIndex.map { case ((a, b), i) =>
@@ -852,9 +852,10 @@ object Dedup {
 
     GraftQuery(
       "q340_weighted_minhash",
-      "WEIGHTED MinHash near-dup — field-weighted similarity via the integer-replication construction: the plain 3-gram Jaccard (q38-q40) treats a token seen once and a token seen twenty times identically, but boilerplate-vs-content discrimination needs WEIGHTED Jaccard J_w = Σ min(w_A,w_B) / Σ max(w_A,w_B). Replicate each token t into (t,1)…(t,w) copies (w = its term frequency capped at 4 — the cap bounds replication cost AND is itself the weighting policy: beyond a few repeats, more copies add no signal), and plain Jaccard over the expanded multisets IS weighted Jaccard exactly, so the unmodified 32-function MinHash machinery estimates it with the same 1/√k error and the same mergeability. Each copy hashes INDEPENDENTLY (hc = h60(t‖'#'‖c) mod P — an arithmetic combine would put copies on consecutive integers where the small-multiplier affine family always elects the first copy, collapsing the estimator to unweighted set MinHash), so the oracle rebuilds every signature bit-for-bit from md5. Candidates come from 4-band × 8-row banding over the WEIGHTED signatures — longer rows than the 3-gram pipeline's 8×4 because the unigram universe is denser, moving the collision threshold up to (1/4)^(1/8) ≈ 0.84 — with the 256-member bucket governor (q44 doctrine, oracle-mirrored); per pair the output ships the signature estimate AND the exact capped-weight Jaccard with signed error — the calibration surface (q265 doctrine) for the weighted estimator. Scale shape: expansion is ≤4× the token census, signatures ride the native MinHashAgg buffer, candidate volume is governor-bounded — the whole pipeline inherits q40's linearity.",
+      "WEIGHTED MinHash near-dup — field-weighted similarity via the integer-replication construction: the plain 3-gram Jaccard (q38-q40) treats a token seen once and a token seen twenty times identically, but boilerplate-vs-content discrimination needs WEIGHTED Jaccard J_w = Σ min(w_A,w_B) / Σ max(w_A,w_B). Replicate each token t into (t,1)…(t,w) copies (w = its term frequency capped at 4 — the cap bounds replication cost AND is itself the weighting policy: beyond a few repeats, more copies add no signal), and plain Jaccard over the expanded multisets IS weighted Jaccard exactly, so the unmodified 32-function MinHash machinery estimates it with the same 1/√k error and the same mergeability. Each copy hashes INDEPENDENTLY (hc = h60(t‖'#'‖c) mod P — an arithmetic combine would put copies on consecutive integers where the small-multiplier affine family always elects the first copy, collapsing the estimator to unweighted set MinHash), so the oracle rebuilds every signature bit-for-bit from md5. Candidates come from 4-band × 8-row banding over the WEIGHTED signatures — longer rows than the 3-gram pipeline's 8×4 because the unigram universe is denser, moving the collision threshold up to (1/4)^(1/8) ≈ 0.84 — with the 256-member bucket governor (q44 doctrine, oracle-mirrored); per pair the output ships the signature estimate AND the exact capped-weight Jaccard with signed error — the calibration surface (q265 doctrine) for the weighted estimator. The whole census rides the 60-BIT FINGERPRINT domain (q265's h60 doctrine — longs shuffle, never token strings; a cross-doc fp collision perturbs both engines identically), and the exact tier is ROW-LOCAL: each doc's census packs once into a sorted (fp<<3|w) long array and every governed pair verifies via the SortedMinWeightIntersect codegen merge walk — the (doc,token)⋈(doc,token) double join it replaces re-shipped the corpus-sized weighted census per candidate pair (140.6 s, the r13 board's #2 sf10 absolute). Scale shape: expansion is ≤4× the token census, signatures ride the native MinHashAgg buffer, candidate volume is governor-bounded — the whole pipeline inherits q40's linearity.",
       {
-        val hc = s"${h60Sql("tok || '#' || CAST(c AS VARCHAR)")} % $P"
+        val hc =
+          s"${h60Sql("CAST(fp AS VARCHAR) || '#' || CAST(c AS VARCHAR)")} % $P"
         val mins = hashParams.zipWithIndex.map { case ((a, b), i) =>
           s"min(($a*hc + $b) % $P) AS mh" + f"$i%02d"
         }.mkString(", ")
@@ -872,11 +873,11 @@ object Dedup {
           f"CASE WHEN sa.mh$i%02d = sb.mh$i%02d THEN 1 ELSE 0 END")
           .mkString(" + ")
         s"""WITH $tokCte,
-           |w AS (SELECT doc_id, tok, least(count(*), 4) AS w
+           |w AS (SELECT doc_id, ${h60Sql("tok")} AS fp, least(count(*), 4) AS w
            |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) x GROUP BY 1, 2),
            |sw AS (SELECT doc_id, sum(w) AS sw FROM w GROUP BY doc_id),
            |ex AS (SELECT doc_id, $hc AS hc
-           |  FROM (SELECT doc_id, tok, unnest(generate_series(1, w)) AS c
+           |  FROM (SELECT doc_id, fp, unnest(generate_series(1, w)) AS c
            |        FROM w) y),
            |sig AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
            |bands AS (
@@ -894,7 +895,7 @@ object Dedup {
            |inter AS (SELECT p.da, p.db,
            |    CAST(sum(least(wa.w, wb.w)) AS BIGINT) AS inter
            |  FROM pairs p JOIN w wa ON wa.doc_id = p.da
-           |  JOIN w wb ON wb.doc_id = p.db AND wb.tok = wa.tok
+           |  JOIN w wb ON wb.doc_id = p.db AND wb.fp = wa.fp
            |  GROUP BY 1, 2)
            |SELECT e.da AS doc_a, e.db AS doc_b,
            |  CAST(e.est_ppm AS BIGINT) AS est_ppm,
@@ -911,25 +912,29 @@ object Dedup {
       }) { (s, d) =>
       val as = hashParams.map(_._1).toArray
       val bs = hashParams.map(_._2).toArray
-      // capped-tf token census: the weighted universe (one action, 3 uses)
+      // capped-tf census on the 60-BIT FINGERPRINT domain (q265's h60
+      // doctrine: longs shuffle, never token strings; cross-doc fp
+      // collisions perturb both engines identically) — one action, 3 uses
       val wtok = graft.util.CacheOnce.persistForOneAction(
         Tables.documents(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-          .groupBy(col("doc_id"), col("tok"))
+          .select(col("doc_id"), h60(col("tok")).as("fp"))
+          .groupBy(col("doc_id"), col("fp"))
           .agg(least(count(lit(1)), lit(4L)).as("w")))
       val sw = wtok.groupBy(col("doc_id")).agg(sum(col("w")).as("sw"))
       // integer replication: (t, 1)…(t, w) — plain Jaccard over the expanded
       // multiset IS weighted Jaccard. Each copy gets its OWN md5-mixed
-      // element hash (h60 of "tok#c"): an arithmetic combine like 31·hs + c
+      // element hash (h60 of "fp#c"): an arithmetic combine like 31·hs + c
       // puts a token's copies on consecutive integers, and under the
       // small-multiplier affine family the c = 1 copy then wins every min —
       // the signature silently degenerates to UNWEIGHTED set MinHash
       // (measured: +0.35 mean bias vs exact weighted Jaccard)
       val exp = wtok
-        .select(col("doc_id"), col("tok"),
+        .select(col("doc_id"), col("fp"),
           explode(sequence(lit(1L), col("w"))).as("c"))
         .withColumn("hc", pmod(
-          h60(concat(col("tok"), lit("#"), col("c").cast("string"))), lit(P)))
+          h60(concat(col("fp").cast("string"), lit("#"),
+            col("c").cast("string"))), lit(P)))
       val sig = exp.groupBy(col("doc_id"))
         .agg(graft.functions.GraftFunctions.minhashAgg(col("hc"), as, bs, P)
           .as("sig"))
@@ -965,13 +970,23 @@ object Dedup {
         .reduce(_ + _)
       val est = pairs.join(sa, "da").join(sb, "db")
         .select(col("da"), col("db"), (matches * 31250L).as("est_ppm"))
+      // exact-verify tier, ROW-LOCAL: each doc's census packs once into a
+      // sorted (fp << 3 | w) long array and every governed pair verifies by
+      // one codegen merge walk — the (doc,fp) ⋈ (doc,fp) double join this
+      // replaces re-shipped the full weighted census per candidate pair
+      // (the r13 board's #2 sf10 absolute, 140.6 s; exactly the per-pair
+      // array-work shape the doctrine warns about — but HERE the pair
+      // population is banding-governed, so two bounded arrays per pair
+      // beat re-joining the corpus-sized census twice)
+      val wl = wtok.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(
+          shiftleft(col("fp"), 3) + col("w"))).as("wl"))
       val inter = pairs
-        .join(wtok.select(col("doc_id").as("da"), col("tok"),
-          col("w").as("wa")), "da")
-        .join(wtok.select(col("doc_id").as("db"), col("tok"),
-          col("w").as("wb")), Seq("db", "tok"))
-        .groupBy(col("da"), col("db"))
-        .agg(sum(least(col("wa"), col("wb"))).as("inter"))
+        .join(wl.select(col("doc_id").as("da"), col("wl").as("wla")), "da")
+        .join(wl.select(col("doc_id").as("db"), col("wl").as("wlb")), "db")
+        .select(col("da"), col("db"),
+          graft.functions.GraftFunctions
+            .sortedMinWeightIntersect(col("wla"), col("wlb")).as("inter"))
       est.join(inter, Seq("da", "db"), "left")
         .join(sw.select(col("doc_id").as("da"), col("sw").as("swa")), "da")
         .join(sw.select(col("doc_id").as("db"), col("sw").as("swb")), "db")

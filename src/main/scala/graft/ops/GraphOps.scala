@@ -390,15 +390,13 @@ object GraphOps {
 
     GraftQuery(
       "q326_label_propagation",
-      s"Label-propagation community detection ($LpaRounds fixed synchronous BSP rounds) over the part↔supplier co-occurrence graph — the near-linear community finder (Raghavan et al.) pipelines run where modularity solvers don't scale: every node starts as its own label and each round adopts the MOST FREQUENT label among its neighbors, ties broken by smallest label — the (count DESC, label ASC) order is total, so the update is bit-identical across engines and partitionings (async/random-order LPA is not reproducible; the synchronous total-order form is; the oracle states it as a row_number over each node's neighbor-label census). Per round the engine pays ONE exchange: the O(E) equi-join of the label frame to the edge list feeds groupBy(node) directly through the native LabelModeAgg (exact degree-bounded label→count map, map-side-merged; q212's bounded-aggregate doctrine — the census+argmax two-shuffle forms this replaces are pinned bit-identical in KernelSpec), localCheckpoint truncating lineage, short-circuit once the full-assignment xor fingerprint repeats (a true fixpoint: the update is a deterministic function of the assignment). The per-round census (distinct labels, assignment checksum, largest community) makes a single wrongly-adopted label fail the gate — and on this BIPARTITE graph it records synchronous LPA's known two-coloring oscillation, which the q333 modularity eval quantifies at Q = −0.5 (see there; the pair demonstrates detection, and that production projects to one mode first).",
+      s"Label-propagation community detection ($LpaRounds fixed synchronous BSP rounds) over the part↔supplier co-occurrence graph — the near-linear community finder (Raghavan et al.) pipelines run where modularity solvers don't scale: every node starts as its own label and each round adopts the MOST FREQUENT label among its neighbors, ties broken by smallest label — the (count DESC, label ASC) order is total, so the update is bit-identical across engines and partitionings (async/random-order LPA is not reproducible; the synchronous total-order form is; the oracle states it as a row_number over each node's neighbor-label census). Per round the engine pays ZERO exchanges under the node-count gate (≤4M nodes): the O(V) label frame BROADCASTS into the join against edges persisted hash-partitioned on the adopting node, the broadcast join preserves that partitioning, and groupBy(node) feeds the native LabelModeAgg (exact degree-bounded label→count map, map-side-merged; q212's bounded-aggregate doctrine — the census+argmax two-shuffle forms this replaces are pinned bit-identical in KernelSpec) partial+final in the SAME stage — nothing O(E) crosses the wire after the one-time repartition; past the gate it degrades to the one-exchange-per-round shuffle form (v-partitioned edges, label frame moves, census exchange on node). localCheckpoint truncates each round's O(V) lineage, short-circuit once the full-assignment xor fingerprint repeats (a true fixpoint: the update is a deterministic function of the assignment). The per-round census (distinct labels, assignment checksum, largest community) makes a single wrongly-adopted label fail the gate — and on this BIPARTITE graph it records synchronous LPA's known two-coloring oscillation, which the q333 modularity eval quantifies at Q = −0.5 (see there; the pair demonstrates detection, and that production projects to one mode first).",
       lpaSql) { (s, d) =>
       val ps = Tables.lineitem(s, d)
         .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
         .distinct()
-      val e = ps.unionAll(ps.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint()
-      var lab = e.select(col("u").as("node")).distinct()
-        .withColumn("lab", col("node")).localCheckpoint()
+      val lpa = new Lpa(ps.unionAll(ps.select(col("v").as("u"), col("u").as("v"))))
+      var lab = lpa.lab0
       // one groupBy(lab) frame yields the whole census: group count =
       // n_labels, max group size = largest community, the assignment
       // checksum sum-over-nodes(lab) = sum-over-labels(lab·size) — plus an
@@ -421,7 +419,7 @@ object GraphOps {
       for (i <- 1 to LpaRounds) {
         if (converged) rows += rows.last.copy(_1 = i)
         else {
-          lab = lpaRound(e, lab)
+          lab = lpa.round(lab)
           val r = censusOf(i, lab)
           // identical full-assignment fingerprint across consecutive rounds
           // is a true fixpoint (the synchronous update is a deterministic
@@ -441,8 +439,8 @@ object GraphOps {
       "q333_lpa_modularity",
       s"Newman modularity of the q326 label-propagation partition — the metric that says whether the communities MEAN anything (Q compares internal-edge mass to the degree-preserving random expectation), in EXACT integer arithmetic: Q = (2m·Σᵢc − Σ d_c²) / (4m²) where Σᵢc counts DIRECTED same-label edge endpoints (so the ÷2 for undirected internal edges cancels against 2m — no halving anywhere) and d_c is each community's degree mass; the single floor-division happens once, offset positive first because Q can be negative and Spark's `div` truncates toward zero while DuckDB's `//` floors — they agree only on non-negatives (Q ≥ −1 bounds the shift). On THIS graph the metric reads exactly −0.5, the floor of Q's range — the textbook signature of synchronous LPA's bipartite two-coloring oscillation (labels ping-pong between the part and supplier sides, so internal-edge mass is ZERO): catching that pathology is precisely why a structure finder ships with its measured quality number (q266's recall-eval doctrine applied to communities — a pipeline gates on Q and learns it must PROJECT a bipartite graph to one mode, q208's wedge tier, before community detection). Cost beyond the $LpaRounds LPA rounds: one O(E) two-sided label join + two census aggregates.",
       lpaModularitySql) { (s, d) =>
-      val (e, lab) = lpaGraph(s, d)
-      modularityOf(e, lab)
+      val (lpa, lab) = lpaGraph(s, d)
+      modularityOf(lpa, lab)
     },
 
     GraftQuery(
@@ -456,13 +454,13 @@ object GraphOps {
         .join(op.select(col("o"), col("p").as("v")), Seq("o"))
         .filter(col("u") < col("v"))
         .select(col("u"), col("v")).distinct()
-      val e = edgeFrame(
+      val lpa = new Lpa(
         und.unionAll(und.select(col("v").as("u"), col("u").as("v"))))
-      val lab = lpaLabelsFor(e)
+      val lab = lpa.labels
       val nn = lab.agg(count(lit(1)).as("n_nodes"))
       val mx = lab.groupBy(col("lab")).agg(count(lit(1)).as("c"))
         .agg(max(col("c")).as("max_comm"))
-      modularityOf(e, lab)
+      modularityOf(lpa, lab)
         .crossJoin(broadcast(nn)).crossJoin(broadcast(mx))
         .select(col("n_nodes"), col("m"), col("n_communities"),
           col("max_comm"), col("q_ppm"))
@@ -596,79 +594,109 @@ object GraphOps {
        |  $qPpmSql
        |FROM g CROSS JOIN mm CROSS JOIN sic""".stripMargin
 
-  /** One synchronous LPA round: adopt the most frequent neighbor label,
-    * smallest label on ties — the Spark twin of one [[lpaRoundsSql]] step,
-    * shared by q326's census loop, q333 and q335. The argmax runs as ONE
-    * native bounded aggregation ([[org.apache.spark.sql.graft.LabelModeAgg]]
-    * — q212's TopKAgg doctrine applied to the mode): the edge join feeds
-    * `groupBy(u)` DIRECTLY, the buffer is an exact degree-bounded
-    * label→count map merged map-side, and eval emits the winning label
-    * under the (count DESC, label ASC) total order. Earlier forms paid a
-    * SECOND aggregation pass over the (node, label) census — the
-    * row_number window SORTS it, and even the primitive-packed
-    * `max(cnt·2⁴⁰ − lab)` needed `groupBy(u, lab).count` first (one
-    * exchange of the census on (u, lab), then another on u; ~240M census
-    * rows per round on the sf10 projected graph). This round is one
-    * exchange on u, full stop. Bit-identical to the oracle's row_number
-    * formulation (KernelSpec pins the packed-max, window and LabelModeAgg
-    * forms to each other): the order is total either way. */
-  private def lpaRound(e: org.apache.spark.sql.DataFrame,
-                       lab: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    e.join(lab.withColumnRenamed("node", "vn"), col("v") === col("vn"))
-      .groupBy(col("u"))
-      .agg(graft.functions.GraftFunctions.labelMode(col("lab")).as("lab"))
-      .withColumnRenamed("u", "node")
-      .localCheckpoint()
+  /** Node-count gate for the ZERO-EXCHANGE LPA round: up to this many
+    * nodes the O(V) label frame broadcasts each round (4M nodes ≈ 64 MB of
+    * (node, lab) longs — comfortably executor-resident; the sf10 graphs
+    * carry ~2.1M), above it the loop degrades to the shuffle form below.
+    * Per-session override for specs exercising the degradation path. */
+  private def lpaBroadcastNodes(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption("graft.lpa.broadcastNodes").map(_.toLong)
+      .getOrElse(4000000L)
 
-  /** Run the fixed-round synchronous LPA loop over an arbitrary directed
-    * edge frame (q333/q335's entry). No short-circuit here: labels at a
-    * fixpoint are idempotent under further rounds, so the plain fixed-round
-    * loop lands on the same frame. */
-  private def lpaLabelsFor(e: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    var lab = e.select(col("u").as("node")).distinct()
-      .withColumn("lab", col("node")).localCheckpoint()
-    for (_ <- 1 to LpaRounds) lab = lpaRound(e, lab)
-    lab
+  /** Shared LPA machinery for one query: partitions + persists the edge
+    * frame in the layout its round shape wants and serves the rounds.
+    *
+    * Round shape (the r13 q335 finding — the native LabelModeAgg argmax
+    * left the per-round O(E) edge⋈label exchange as the dominant term at
+    * sf10): with the label frame BROADCAST, the round is zero-exchange —
+    * the edge frame persists hash-partitioned on u, the broadcast hash
+    * join preserves that partitioning, and `groupBy(u)` runs partial+final
+    * in the same stage, so NOTHING O(E) ever crosses the wire after the
+    * one-time repartition. The gate is the node count, measured ONCE per
+    * query from the initial label frame (an O(V) driver scalar — the same
+    * plan-time sizing job q304's bloom does): past [[lpaBroadcastNodes]]
+    * the machinery falls back to v-partitioned edges, where the per-round
+    * join reuses the persisted partitioning and only the census exchange
+    * on u moves O(E)-bounded partial maps — the r13 shape, still one
+    * exchange per round. persist() not localCheckpoint: a checkpointed
+    * frame loses its outputPartitioning to Catalyst (measured: every
+    * round re-exchanges the O(E) side); the Bench/Verify harness sweeps
+    * persisted frames between queries (the q261 contract).
+    *
+    * One synchronous round adopts the most frequent neighbor label,
+    * smallest label on ties, via ONE native bounded aggregation
+    * ([[org.apache.spark.sql.graft.LabelModeAgg]] — exact degree-bounded
+    * label→count map, map-side merged; KernelSpec pins it bit-identical
+    * to the row_number-window and packed-max twins, and the oracle states
+    * the same total (count DESC, label ASC) order). */
+  private final class Lpa(eRaw: org.apache.spark.sql.DataFrame) {
+    private val session = eRaw.sparkSession
+    /** Every node its own label — round 0, localCheckpointed because each
+      * round's O(V) output re-enters the next round's plan. */
+    val lab0: org.apache.spark.sql.DataFrame =
+      eRaw.select(col("u").as("node")).distinct()
+        .withColumn("lab", col("node")).localCheckpoint()
+    private val bcast = lab0.count() <= lpaBroadcastNodes(session)
+    /** Edge frame persisted pre-partitioned: on u when the rounds run
+      * zero-exchange (the groupBy(u) inherits it through the broadcast
+      * join), on v for the shuffle fallback (the per-round join reuses
+      * it and only the label frame moves). */
+    val e: org.apache.spark.sql.DataFrame =
+      (if (bcast) eRaw.repartition(col("u"))
+       else eRaw.repartition(col("v"))).persist()
+    /** The label frame as a join side — broadcast under the gate. */
+    def labSide(lab: org.apache.spark.sql.DataFrame,
+                nodeAs: String, labAs: String)
+        : org.apache.spark.sql.DataFrame = {
+      val side = lab.select(col("node").as(nodeAs), col("lab").as(labAs))
+      if (bcast) broadcast(side) else side
+    }
+    /** One synchronous LPA round (see class doc). */
+    def round(lab: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      e.join(labSide(lab, "vn", "vl"), col("v") === col("vn"))
+        .groupBy(col("u"))
+        .agg(graft.functions.GraftFunctions.labelMode(col("vl")).as("lab"))
+        .withColumnRenamed("u", "node")
+        .localCheckpoint()
+    /** The fixed-round loop (q333/q335's entry). No short-circuit here:
+      * labels at a fixpoint are idempotent under further rounds, so the
+      * plain fixed-round loop lands on the same frame. */
+    def labels: org.apache.spark.sql.DataFrame = {
+      var lab = lab0
+      for (_ <- 1 to LpaRounds) lab = round(lab)
+      lab
+    }
   }
 
-  /** The edge frame every LPA consumer joins on `v` (each round) or scans:
-    * persisted PRE-PARTITIONED on v — unlike localCheckpoint, a persisted
-    * frame keeps its outputPartitioning visible to Catalyst, so the
-    * per-round O(E) join reuses the partitioning and only the O(V) label
-    * frame moves (the one-time repartition replaces 3+ per-round exchanges
-    * of the big side; the Bench/Verify harness sweeps persisted frames
-    * between queries, the q261 contract). */
-  private def edgeFrame(e: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    e.repartition(col("v")).persist()
-
-  /** The bipartite LPA edge frame + final labels (q326's census loop twin). */
+  /** The bipartite LPA machinery + final labels (q326's census loop twin). */
   private def lpaGraph(s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      : (Lpa, org.apache.spark.sql.DataFrame) = {
     val ps = Tables.lineitem(s, d)
       .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
       .distinct()
-    val e = edgeFrame(ps.unionAll(ps.select(col("v").as("u"), col("u").as("v"))))
-    (e, lpaLabelsFor(e))
+    val lpa = new Lpa(ps.unionAll(ps.select(col("v").as("u"), col("u").as("v"))))
+    (lpa, lpa.labels)
   }
 
   /** (n_communities, m, q_ppm) 1-row modularity frame — Spark twin of
-    * [[modularityCtesSql]]; `e` directed-both-ways, `lab` (node, lab). */
-  private def modularityOf(e: org.apache.spark.sql.DataFrame,
+    * [[modularityCtesSql]]; edges directed-both-ways, `lab` (node, lab).
+    * Under the broadcast gate both label joins are map-side and the degree
+    * census inherits the u-partitioning — the whole metric is
+    * exchange-free over the persisted edges. */
+  private def modularityOf(lpa: Lpa,
                            lab: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val dec = "decimal(38,0)"
+    val e = lpa.e
     val m = e.agg((count(lit(1)) / 2).cast("long").as("m"))
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    // v-side join first: it reuses the edge frame's persisted partitioning,
-    // so only the u-side join exchanges the O(E) frame (once)
+    // v-side join first: in the shuffle fallback it reuses the edge
+    // frame's persisted v-partitioning, so only the u-side join exchanges
+    // the O(E) frame (once); under the gate both sides broadcast
     val sic = e
-      .join(lab.select(col("node").as("bu"), col("lab").as("lb")),
-        col("v") === col("bu"))
-      .join(lab.select(col("node").as("au"), col("lab").as("la")),
-        col("u") === col("au"))
+      .join(lpa.labSide(lab, "bu", "lb"), col("v") === col("bu"))
+      .join(lpa.labSide(lab, "au", "la"), col("u") === col("au"))
       .filter(col("la") === col("lb"))
       .agg(count(lit(1)).cast(dec).as("sic"))
     val dc = lab.join(deg, col("node") === col("u"))

@@ -102,22 +102,36 @@ object ScaleOps {
     graft.util.Scratch.sourceKey(d, table)
   private def orcKey(d: String): String = sourceKey(d, "lineitem")
 
+  /** One fingerprint for the WHOLE q111 bucket corpus (both join sides):
+    * the bucket count and every staged table key on this combined value,
+    * so regenerating either source parquet in place re-stages BOTH sides
+    * at the shared new count — keying each staged table on only its own
+    * table's fingerprint let a partial regeneration re-stage lineitem at a
+    * fresh count while reusing the old orders table at the stale one,
+    * silently re-inserting the exchange q111 exists to not pay. */
+  private def bucketCorpusKey(d: String): String =
+    sourceKey(d, "lineitem") + "|" + sourceKey(d, "orders")
+
   /** Bucket count for the q111 co-located join, derived from the CORPUS
     * (~64 MB of lineitem per bucket, power-of-2, floor 8, cap 1024): a
     * hard-coded count is the fixed-parallelism trap — at 10× the data each
     * bucket is 10× fatter and the exchange-free SMJ still runs |buckets|
     * tasks (measured 25× per decade at 8 buckets on sf10). Both join sides
     * MUST share the count or Spark re-shuffles one side, so it keys on the
-    * corpus dir, not the table. Memoized per (JVM, source fingerprint). */
+    * combined corpus fingerprint, not the table. Memoized per (JVM,
+    * corpus fingerprint). */
   private val bucketCounts =
     scala.collection.concurrent.TrieMap.empty[String, Int]
   private def bucketsFor(d: String): Int =
-    bucketCounts.getOrElseUpdate(sourceKey(d, "lineitem"), {
+    bucketCounts.getOrElseUpdate(bucketCorpusKey(d), {
       val dir = java.nio.file.Paths.get(d, "lineitem.parquet")
+      // Scratch.listEntries, not a raw Files.list stream: the raw stream
+      // leaks a directory FD unless closed (its doc calls out the
+      // FD-exhaustion failure mode this exists to prevent)
       val bytes =
-        try java.nio.file.Files.list(dir).mapToLong(p =>
+        try graft.util.Scratch.listEntries(dir).map(p =>
           try java.nio.file.Files.size(p) catch { case _: Throwable => 0L })
-          .sum()
+          .sum
         catch { case _: Throwable => 0L }
       var b = 8
       while (b < 1024 && bytes / b > 64L * 1024 * 1024) b *= 2
@@ -130,12 +144,13 @@ object ScaleOps {
   /** Bucketed-table staging, once per (JVM, sf dir, source mtime): q111
     * measures the co-located JOIN, not the one-time layout write — exactly
     * how a production table is bucketed once at ingest and joined forever
-    * after. The catalog name embeds a source fingerprint so a regenerated
-    * source parquet re-stages instead of answering stale. */
+    * after. The catalog name embeds the COMBINED corpus fingerprint (see
+    * [[bucketCorpusKey]]) so regenerating either source parquet re-stages
+    * both join sides together at the shared bucket count. */
   private def stagedBucketTable(s: SparkSession, d: String, table: String,
                                 key: String, cols: Seq[String]): DataFrame = {
     val fp = java.lang.Long.toHexString(
-      graft.functions.CrossHash.h60Local(sourceKey(d, table)))
+      graft.functions.CrossHash.h60Local(bucketCorpusKey(d) + "|" + table))
     val tbl = s"graft_bkt_${table}_$fp"
     if (!s.catalog.tableExists(tbl)) {
       // repartition on the bucket key first: task hash-partitioning aligns

@@ -241,3 +241,87 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
 }
+
+/** Σ min(w_A, w_B) over the common keys of two ASCENDING-sorted long
+  * arrays whose elements pack (key << 3 | weight), weight ∈ 1..7 — the
+  * weighted-Jaccard intersection mass by one merge walk, O(|A|+|B|)
+  * primitive comparisons. [[SortedIntersectCount]] extended to weights:
+  * q340's exact-verify tier previously re-joined the full per-doc weighted
+  * token census TWICE per governed candidate pair ((doc,tok) ⋈ (doc,tok) —
+  * the board's #2 sf10 absolute at 140.6 s); with each doc's census packed
+  * once into a sorted array, every pair verifies row-locally. Contract:
+  * keys are distinct WITHIN each array (a (doc, key)-grouped census
+  * guarantees it), arrays sorted ascending on the packed long (= ascending
+  * on key, since key occupies the high bits and is < 2^60 so the pack
+  * never overflows into the sign bit). Unsorted or duplicate-key inputs
+  * silently mis-count — keep the `sort_array(collect_list(key*8+w))`
+  * construction and this kernel adjacent in the same plan. */
+case class SortedMinWeightIntersect(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_min_weight_intersect"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var (i, j) = (0, 0)
+    var s = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      val xk = xv >>> 3
+      val yk = yv >>> 3
+      if (xk == yk) {
+        val xw = xv & 7L
+        val yw = yv & 7L
+        s += (if (xw < yw) xw else yw)
+        i += 1; j += 1
+      }
+      else if (xk < yk) i += 1
+      else j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val xk = ctx.freshName("xk")
+      val yk = ctx.freshName("yk")
+      val xw = ctx.freshName("xw")
+      val yw = ctx.freshName("yw")
+      s"""
+         |final int $nx = $a.numElements();
+         |final int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $s = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  final long $xv = $a.getLong($i);
+         |  final long $yv = $b.getLong($j);
+         |  final long $xk = $xv >>> 3;
+         |  final long $yk = $yv >>> 3;
+         |  if ($xk == $yk) {
+         |    final long $xw = $xv & 7L;
+         |    final long $yw = $yv & 7L;
+         |    $s += ($xw < $yw) ? $xw : $yw;
+         |    $i++; $j++;
+         |  }
+         |  else if ($xk < $yk) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedMinWeightIntersect =
+    copy(left = newLeft, right = newRight)
+}

@@ -107,6 +107,38 @@ object KernelProperties extends Properties("graft.kernels") {
         intersectCount(sa, sb) == (sa.toSet intersect sb.toSet).size.toLong
     }
 
+  // ---- q340 weighted merge-walk kernel ------------------------------------
+
+  private def minWeightIntersect(a: Seq[Long], b: Seq[Long]): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def lit(s: Seq[Long]) = Literal(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(s.toArray[Any]),
+      ArrayType(LongType))
+    org.apache.spark.sql.graft.SortedMinWeightIntersect(lit(a), lit(b))
+      .eval(null).asInstanceOf[Long]
+  }
+
+  /** Differential vs the (key → weight) map it replaces: q340's exact
+    * weighted-Jaccard intersection mass Σ min(w_A, w_B) over common keys,
+    * computed by the packed merge walk, must equal the brute-force map
+    * form — including keys near the 60-bit ceiling (the pack's high end)
+    * and disjoint/empty inputs. */
+  property("sorted_min_weight_intersect == Σ min(w) map reference") =
+    forAll(
+      Gen.mapOf(Gen.zip(
+        Gen.oneOf(Gen.choose(0L, 40L), Gen.choose((1L << 60) - 40L, (1L << 60) - 1L)),
+        Gen.choose(1L, 4L))),
+      Gen.mapOf(Gen.zip(
+        Gen.oneOf(Gen.choose(0L, 40L), Gen.choose((1L << 60) - 40L, (1L << 60) - 1L)),
+        Gen.choose(1L, 4L)))) { (wa, wb) =>
+      def pack(m: Map[Long, Long]) =
+        m.toSeq.map { case (k, w) => (k << 3) | w }.sorted
+      val expect = wa.keySet.intersect(wb.keySet).iterator
+        .map(k => math.min(wa(k), wb(k))).sum
+      minWeightIntersect(pack(wa), pack(wb)) == expect
+    }
+
   /** The AllPairs/PPJoin prefix theorem q127 rests on: for any two distinct
     * sets with Jaccard ≥ t under ANY shared total token order, the
     * (n − ceil(t·n) + 1)-prefixes intersect — so prefix-join candidate
