@@ -98,10 +98,11 @@ object Clustering {
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist2").as("dist2"))
   }
 
-  /** Two Lloyd rounds over the embeddings table → (vec_id, cid, dist2).
-    * The Spark twin of [[kmeansCtes]]. */
-  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+  /** Two Lloyd rounds over an arbitrary (vec_id, embedding) frame →
+    * (assignments (vec_id, cid, dist2), learned codebook (cid, c)) — the
+    * engine shared by q112's full-dim clustering and q345's per-subspace
+    * PQ codebooks. */
+  private def kmeans2(e: DataFrame): (DataFrame, DataFrame) = {
     val c0 = e.orderBy(col("vec_id")).limit(K)
       .select(col("vec_id").as("cid"), col("embedding").as("c"))
     val a1 = assign(e, c0)
@@ -116,8 +117,13 @@ object Clustering {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("isum"), col("n")))),
         x => (x("isum").cast("double") / (x("n").cast("double") * lit(1000000.0)))
           .cast("float")).as("c"))
-    assign(e, c1)
+    (assign(e, c1), c1)
   }
+
+  /** Two Lloyd rounds over the embeddings table → (vec_id, cid, dist2).
+    * The Spark twin of [[kmeansCtes]]. */
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame =
+    kmeans2(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))._1
 
   def queries: Seq[GraftQuery] = Seq(
 
@@ -242,7 +248,93 @@ object Clustering {
           round(col("w").cast("double") / lit(1000000.0) / col("nn") * lit(1000000.0))
             .cast("long").as("v_e6"))
         .orderBy(col("pos"))
+    },
+
+    GraftQuery(
+      "q345_ivf_pq",
+      s"IVF-PQ product quantization — the codebook compression every billion-vector ANN index (FAISS's IVFPQ) runs on top of the q112/q73 coarse tier: the 64-dim embedding splits into $PqM disjoint $PqSubDim-dim SUBSPACES, each subspace learns its own $K-codeword codebook by the same two Lloyd rounds as q112 (the kmeans2 engine, reused verbatim per subspace — broadcast-only iterations, integer-exact centroid recomputes), and every vector encodes as $PqM one-byte codes: 64 floats → 4 bytes, a 64× compression whose effective cell grid is $K^$PqM = 4096 while training only ${PqM}·$K codewords. The query ships the metric that decides whether the compressed index is USABLE — per-vector reconstruction cosine between the original and its codeword concatenation (q267's calibration doctrine applied to PQ instead of int8): histogrammed by shifted-ppm vigintile with exact count and cos-ppm mass per bucket (sums, not means — no negative floor-division anywhere; the +1e6 shift keeps the bucket division on non-negatives where both engines floor identically). Scale shape: each subspace round is one broadcast of ${K}·${PqSubDim} floats + one linear scan (nothing corpus-sized ever shuffles), encoding is a map, and the calibration is one scan + a ≤21-row aggregate — the whole trainer is $PqM× q112's cost regardless of corpus size.",
+      pqSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // per-subspace codebooks + assignments via the shared 2-round Lloyd
+      // engine; reconstruction = the m-th codeword in subspace order
+      val recon = (0 until PqM).map { m =>
+        val sub = emb.select(col("vec_id"),
+          slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("embedding"))
+        val (am, cm) = kmeans2(sub)
+        am.join(cm, "cid").select(col("vec_id"), col("c").as(s"r$m"))
+      }.reduce(_.join(_, "vec_id"))
+      val cosc = emb.join(recon, "vec_id")
+        .select(cosineSim(col("embedding"),
+          concat((0 until PqM).map(m => col(s"r$m")): _*)).as("cos"))
+        .select(floor(col("cos") * 1000000).cast("long").as("cos_ppm"))
+      cosc
+        .selectExpr("CAST((cos_ppm + 1000000) div 100000 AS BIGINT) AS bucket",
+          "cos_ppm")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("cos_ppm")).as("sum_cos_ppm"))
+        .orderBy(col("bucket"))
     })
+
+  /** PQ geometry: 4 subspaces × 16 dims over the 64-dim embeddings, K
+    * codewords each — shared by the Spark plan and the unrolled oracle. */
+  val PqM = 4
+  val PqSubDim = 16
+
+  /** One subspace's unrolled two-round Lloyd chain (suffix `$m`), the
+    * sliced twin of [[kmeansCtes]], ending in the codebook c1$m and the
+    * final assignment a2$m. */
+  private def pqChainSql(m: Int): String = {
+    val lo = m * PqSubDim + 1
+    val hi = (m + 1) * PqSubDim
+    s"""e$m AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings),
+       |c0$m AS (SELECT vec_id AS cid, embedding AS c FROM e$m ORDER BY vec_id LIMIT $K),
+       |d1$m AS (SELECT e$m.vec_id, c0$m.cid, ${dist2Sql(s"e$m.embedding", s"c0$m.c")} AS dist2
+       |       FROM e$m CROSS JOIN c0$m),
+       |m1$m AS (SELECT vec_id, min(dist2) AS md FROM d1$m GROUP BY vec_id),
+       |a1$m AS (SELECT d1$m.vec_id, min(d1$m.cid) AS cid
+       |       FROM d1$m JOIN m1$m ON d1$m.vec_id = m1$m.vec_id AND d1$m.dist2 = m1$m.md
+       |       GROUP BY d1$m.vec_id),
+       |ex$m AS (SELECT a1$m.cid,
+       |         unnest(list_transform(generate_series(1, len(e$m.embedding)),
+       |                i -> struct_pack(p := i, v := e$m.embedding[i]))) AS u
+       |       FROM a1$m JOIN e$m ON a1$m.vec_id = e$m.vec_id),
+       |comp$m AS (SELECT cid, u.p AS pos,
+       |           sum(CAST(round(CAST(u.v AS DOUBLE) * 1000000) AS BIGINT)) AS isum,
+       |           count(*) AS n
+       |         FROM ex$m GROUP BY cid, u.p),
+       |c1$m AS MATERIALIZED (SELECT cid,
+       |         list(CAST(CAST(isum AS DOUBLE) / (n * 1000000.0) AS FLOAT) ORDER BY pos) AS c
+       |       FROM comp$m GROUP BY cid),
+       |d2$m AS (SELECT e$m.vec_id, c1$m.cid, ${dist2Sql(s"e$m.embedding", s"c1$m.c")} AS dist2
+       |       FROM e$m CROSS JOIN c1$m),
+       |m2$m AS (SELECT vec_id, min(dist2) AS md FROM d2$m GROUP BY vec_id),
+       |a2$m AS MATERIALIZED (SELECT d2$m.vec_id, min(d2$m.cid) AS cid
+       |       FROM d2$m JOIN m2$m ON d2$m.vec_id = m2$m.vec_id AND d2$m.dist2 = m2$m.md
+       |       GROUP BY d2$m.vec_id)""".stripMargin
+  }
+
+  /** q345's oracle: the $PqM suffixed subspace chains + reconstruction
+    * cosine histogram (sequential-fold cosine, identical to the codegen
+    * [[graft.functions.ColumnOps.cosineSim]] contract). */
+  private def pqSql: String = {
+    val chains = (0 until PqM).map(pqChainSql).mkString(",\n")
+    val joins = (0 until PqM).map(m =>
+      s"JOIN a2$m ON a2$m.vec_id = emb.vec_id JOIN c1$m ON c1$m.cid = a2$m.cid")
+      .mkString("\n  ")
+    val rc = (0 until PqM).map(m => s"c1$m.c").mkString(" || ")
+    val cosExpr = s"CASE WHEN ${normSql("x")} * ${normSql("rc")} = 0 THEN 0.0 " +
+      s"ELSE ${dotSql("x", "rc")} / (${normSql("x")} * ${normSql("rc")}) END"
+    s"""WITH $chains,
+       |recon AS (SELECT emb.vec_id, emb.embedding AS x, $rc AS rc
+       |  FROM embeddings emb
+       |  $joins),
+       |h AS (SELECT CAST(floor(1000000 * ($cosExpr)) AS BIGINT) AS cos_ppm
+       |      FROM recon)
+       |SELECT (cos_ppm + 1000000) // 100000 AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(cos_ppm) AS BIGINT) AS sum_cos_ppm
+       |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
 
   private def normProdSql(a: String, b: String) =
     s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +

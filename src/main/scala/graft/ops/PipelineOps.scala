@@ -1262,6 +1262,76 @@ object PipelineOps {
             |  4, 'distinct_3grams', s4, s3 - s4)
             |AS (stage, rule, survivors, dropped)""".stripMargin)
         .orderBy(col("stage"))
+    },
+
+    GraftQuery(
+      "q344_ffd_packing",
+      "First-fit-decreasing sequence packing under a 512-token bin cap — the packing PRODUCTION pretraining uses where q93's concat-and-chunk would split documents across context windows: docs never split, each goes whole into the first bin that still fits it, largest-first (FFD's 11/9·OPT+1 guarantee is the reason it is the default offline heuristic). Packing is inherently a sequential fold, so the scale shape is the production one — SHARD, THEN PACK: docs shard by (lang, doc_id mod 16) and FFD runs independently per shard (pack quality is per-shard, exactly like a 1000-worker packing job; the shard count is this query's declared parallelism knob the way q111's bucket count is, corpus-derived in production). Per shard the fold is ONE codegen `aggregate` HOF over the size-sorted array — state = the open bins' remaining capacities, first-fit via array_position over a vectorized >= scan — no UDF, no driver loop, nothing leaves the executor; the oracle replays the IDENTICAL fold as a group-parallel recursive CTE (all shards advance rank-by-rank together). Bin COUNT and fill depend only on the sorted size multiset, so the census is deterministic without any tie policy. Output: exact per-lang bin census — docs, bins, fill ppm, the honest waste number a packing run is judged by. Docs longer than the cap truncate to one full bin (the tokenizer-side truncation every context-window pipeline applies).",
+      """WITH RECURSIVE t AS (SELECT doc_id, lang,
+        |    least(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')), 512) AS tok,
+        |    doc_id % 16 AS shard
+        |  FROM documents),
+        |it AS MATERIALIZED (SELECT lang, shard, tok,
+        |    row_number() OVER (PARTITION BY lang, shard
+        |                       ORDER BY tok DESC, doc_id) AS rk
+        |  FROM t),
+        |gs AS MATERIALIZED (SELECT lang, shard, count(*) AS n,
+        |    CAST(sum(tok) AS BIGINT) AS sum_tok
+        |  FROM it GROUP BY 1, 2),
+        |fold AS (
+        |  SELECT lang, shard, 0 AS k, CAST([] AS BIGINT[]) AS rems FROM gs
+        |  UNION ALL
+        |  SELECT f.lang, f.shard, f.k + 1,
+        |    CASE WHEN list_position(
+        |           list_transform(f.rems, r -> r >= i.tok), true) = 0
+        |         THEN list_append(f.rems, 512 - i.tok)
+        |         ELSE list_transform(generate_series(1, len(f.rems)), j ->
+        |           CASE WHEN j = list_position(
+        |                  list_transform(f.rems, r -> r >= i.tok), true)
+        |                THEN f.rems[j] - i.tok ELSE f.rems[j] END)
+        |    END
+        |  FROM fold f JOIN it i ON i.lang = f.lang AND i.shard = f.shard
+        |    AND i.rk = f.k + 1),
+        |fin AS (SELECT f.lang, f.shard, len(f.rems) AS n_bins
+        |  FROM fold f JOIN gs ON gs.lang = f.lang AND gs.shard = f.shard
+        |    AND f.k = gs.n)
+        |SELECT gs.lang, CAST(sum(gs.n) AS BIGINT) AS n_docs,
+        |  CAST(sum(fin.n_bins) AS BIGINT) AS n_bins,
+        |  CAST(sum(gs.sum_tok) * 1000000
+        |      // (sum(fin.n_bins) * 512) AS BIGINT) AS fill_ppm
+        |FROM gs JOIN fin ON fin.lang = gs.lang AND fin.shard = gs.shard
+        |GROUP BY gs.lang ORDER BY gs.lang""".stripMargin) { (s, d) =>
+      val cap = 512L
+      val shards = Tables.documents(s, d)
+        .select(col("lang"), (col("doc_id") % 16).as("shard"),
+          least(size(tokens(col("text"))).cast("long"), lit(cap)).as("tok"))
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+          // FFD order: sizes descending — the census depends only on this
+          // sorted multiset, so no id tie-break is needed
+          sort_array(collect_list(col("tok")), asc = false).as("ts"))
+      // the fold: bins = remaining capacities; first fit = first index
+      // whose remainder admits the item (vectorized >= scan +
+      // array_position), else open a bin. All executor-side, per shard.
+      def firstFit(rems: Column, t: Column): Column =
+        array_position(transform(rems, r => r >= t), lit(true))
+      val packed = shards.withColumn("rems", aggregate(
+        col("ts"),
+        array().cast("array<long>"),
+        (rems, t) => when(firstFit(rems, t) === 0,
+          concat(rems, array(lit(cap) - t)))
+          .otherwise({
+            val pos = firstFit(rems, t)
+            zip_with(rems, sequence(lit(1L), size(rems).cast("long")),
+              (r, j) => when(j === pos, r - t).otherwise(r))
+          })))
+      packed.groupBy(col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(size(col("rems"))).cast("long").as("n_bins"),
+          expr(s"CAST(sum(sum_tok) * 1000000 div (sum(size(rems)) * $cap) " +
+            "AS BIGINT)").as("fill_ppm"))
+        .orderBy(col("lang"))
     }
   )
 

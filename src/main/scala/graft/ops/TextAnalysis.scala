@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
@@ -38,9 +38,122 @@ object TextAnalysis {
   /** q341's staged sketch-statistics catalog by corpus SNAPSHOT (combined
     * `Scratch.sourceKey` fingerprint of the four base tables — the q305
     * staleness doctrine): one Count-Min sketch + row count per (relation,
-    * join key), built in one pass each and persisted as a 5-row parquet. */
+    * join key), built in one pass each and persisted as a 5-row parquet.
+    * Shared with q346, which turns the catalog into plan decisions. */
   private val statsCatalogDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Catalog geometry (q341/q346): 4×1024 Count-Min over the shared
+    * md5-affine family, h60 mod [[Dedup.P]] key domain. */
+  private val CmDepth = 4
+  private val CmWidth = 1024
+
+  /** The cataloged (relation.key → key frame) list — q341's five rows. */
+  private def statsRels(s: SparkSession, d: String): Seq[(String, DataFrame)] =
+    Seq(
+      "customer.c_custkey" ->
+        Tables.customer(s, d).select(col("c_custkey").as("k")),
+      "events.user_id" ->
+        Tables.events(s, d).select(col("user_id").as("k")),
+      "lineitem.l_orderkey" ->
+        Tables.lineitem(s, d).select(col("l_orderkey").as("k")),
+      "orders.o_custkey" ->
+        Tables.orders(s, d).select(col("o_custkey").as("k")),
+      "orders.o_orderkey" ->
+        Tables.orders(s, d).select(col("o_orderkey").as("k")))
+
+  private def statsHashed(df: DataFrame): DataFrame =
+    df.select(pmod(h60(col("k").cast("string")), lit(Dedup.P)).as("hs"))
+
+  /** q346's broadcast gate: a build side estimated at or under this many
+    * rows broadcasts; above it the merge hint enforces the shuffle verdict.
+    * Session-overridable (graft.catalog.broadcastRowBound) so PlanSpec can
+    * flip the decision and pin that the physical plan flips with it. */
+  val CatalogBroadcastRowBound = 1000000L
+
+  /** q346's oracle: the same CM sketches rebuilt in SQL (q341's fragments),
+    * the same decision CASEs against the same bound literal, the executed
+    * 3-way count, and the decision-derived broadcast census the Spark side
+    * must read back from its own physical plan. */
+  private def catalogPlanSql: String = {
+    val p = Dedup.P
+    val rels = Seq(("evu", "events", "user_id"),
+      ("ordc", "orders", "o_custkey"), ("cust", "customer", "c_custkey"))
+    val hctes = rels.map { case (nm, tbl, k) =>
+      s"""h_$nm AS MATERIALIZED (SELECT ${h60Sql(s"CAST($k AS VARCHAR)")} % $p AS hs
+         |  FROM $tbl)""".stripMargin
+    }.mkString(",\n")
+    val sctes = rels.map { case (nm, _, _) =>
+      s"""c_$nm AS MATERIALIZED (SELECT d,
+         |    (((2*d+1)*hs + (7919*d+13)) % $p) % $CmWidth AS c,
+         |    count(*) AS cnt FROM h_$nm CROSS JOIN dd GROUP BY 1, 2),
+         |n_$nm AS (SELECT count(*) AS n FROM h_$nm)""".stripMargin
+    }.mkString(",\n")
+    def edgeEst(l: String, r: String) =
+      s"""(SELECT CAST(min(ej) AS BIGINT) FROM (
+         |   SELECT a.d, CAST(sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS HUGEINT) AS ej
+         |   FROM c_$l a JOIN c_$r b ON a.d = b.d AND a.c = b.c
+         |   GROUP BY a.d) q)""".stripMargin
+    s"""WITH dd AS (SELECT unnest(generate_series(0, ${CmDepth - 1})) AS d),
+       |$hctes,
+       |$sctes,
+       |eo AS (SELECT ${edgeEst("evu", "ordc")} AS est),
+       |oc AS (SELECT ${edgeEst("ordc", "cust")} AS est),
+       |act AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+       |  FROM events JOIN orders ON user_id = o_custkey
+       |  JOIN customer ON o_custkey = c_custkey),
+       |nn AS (SELECT (SELECT CAST(n AS BIGINT) FROM n_evu) AS ne,
+       |  (SELECT CAST(n AS BIGINT) FROM n_ordc) AS no,
+       |  (SELECT CAST(n AS BIGINT) FROM n_cust) AS nc),
+       |dec AS (SELECT
+       |    CASE WHEN no <= ne THEN 'orders' ELSE 'events' END AS b1,
+       |    least(no, ne) AS n1,
+       |    CASE WHEN least(no, ne) <= $CatalogBroadcastRowBound
+       |         THEN 'broadcast' ELSE 'shuffle' END AS d1,
+       |    CASE WHEN nc <= (SELECT est FROM eo)
+       |         THEN 'customer' ELSE 'intermediate' END AS b2,
+       |    least(nc, (SELECT est FROM eo)) AS n2,
+       |    CASE WHEN least(nc, (SELECT est FROM eo)) <= $CatalogBroadcastRowBound
+       |         THEN 'broadcast' ELSE 'shuffle' END AS d2
+       |  FROM nn),
+       |pb AS (SELECT CAST(CASE WHEN d1 = 'broadcast' THEN 1 ELSE 0 END
+       |    + CASE WHEN d2 = 'broadcast' THEN 1 ELSE 0 END AS BIGINT) AS nb
+       |  FROM dec)
+       |SELECT CAST(1 AS BIGINT) AS stage,
+       |  'events.user_id x orders.o_custkey' AS join_edge,
+       |  b1 AS build_side, n1 AS est_build_rows,
+       |  (SELECT est FROM eo) AS est_edge_rows, d1 AS decision,
+       |  actual_rows, nb AS n_broadcast_in_plan
+       |FROM dec, act, pb
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT),
+       |  'orders.o_custkey x customer.c_custkey',
+       |  b2, n2, (SELECT est FROM oc), d2, actual_rows, nb
+       |FROM dec, act, pb
+       |ORDER BY stage""".stripMargin
+  }
+
+  /** Stage (once per JVM × corpus snapshot) and return the catalog dir:
+    * one pass per relation, persisted as a 5-row parquet of
+    * (rel, n, 4096-long sketch). */
+  private def statsCatalogDir(s: SparkSession, d: String): String = {
+    val as = Dedup.hashParams.take(CmDepth).map(_._1).toArray
+    val bs = Dedup.hashParams.take(CmDepth).map(_._2).toArray
+    val snap = Seq("customer", "events", "lineitem", "orders")
+      .map(t => graft.util.Scratch.sourceKey(d, t)).mkString("|")
+    statsCatalogDirs.getOrElseUpdate(snap, {
+      val dir = graft.util.Scratch.dir("graft-stats-catalog").toString
+      statsRels(s, d).map { case (nm, df) =>
+        statsHashed(df).agg(
+          graft.functions.GraftFunctions
+            .countMin(col("hs"), as, bs, Dedup.P, CmWidth).as("sk"),
+          count(lit(1)).as("n"))
+          .select(lit(nm).as("rel"), col("n"), col("sk"))
+      }.reduce(_ unionAll _)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      dir
+    })
+  }
 
   def queries: Seq[GraftQuery] = Seq(
 
@@ -1356,36 +1469,10 @@ object TextAnalysis {
       val p = Dedup.P
       val as = Dedup.hashParams.take(depth).map(_._1).toArray
       val bs = Dedup.hashParams.take(depth).map(_._2).toArray
-      val rels: Seq[(String, DataFrame)] = Seq(
-        "customer.c_custkey" ->
-          Tables.customer(s, d).select(col("c_custkey").as("k")),
-        "events.user_id" ->
-          Tables.events(s, d).select(col("user_id").as("k")),
-        "lineitem.l_orderkey" ->
-          Tables.lineitem(s, d).select(col("l_orderkey").as("k")),
-        "orders.o_custkey" ->
-          Tables.orders(s, d).select(col("o_custkey").as("k")),
-        "orders.o_orderkey" ->
-          Tables.orders(s, d).select(col("o_orderkey").as("k")))
+      val rels = statsRels(s, d)
       val relMap = rels.toMap
-      def hashed(df: DataFrame) =
-        df.select(pmod(h60(col("k").cast("string")), lit(p)).as("hs"))
-      // ---- catalog staging: one pass per relation, once per snapshot -----
-      val snap = Seq("customer", "events", "lineitem", "orders")
-        .map(t => graft.util.Scratch.sourceKey(d, t)).mkString("|")
-      val catDir = statsCatalogDirs.getOrElseUpdate(snap, {
-        val dir = graft.util.Scratch.dir("graft-stats-catalog").toString
-        rels.map { case (nm, df) =>
-          hashed(df).agg(
-            graft.functions.GraftFunctions.countMin(col("hs"), as, bs, p, w)
-              .as("sk"),
-            count(lit(1)).as("n"))
-            .select(lit(nm).as("rel"), col("n"), col("sk"))
-        }.reduce(_ unionAll _)
-          .coalesce(1).write.mode("overwrite").parquet(dir)
-        dir
-      })
-      val cat = s.read.parquet(catDir)
+      def hashed(df: DataFrame) = statsHashed(df)
+      val cat = s.read.parquet(statsCatalogDir(s, d))
       // ---- plan-time estimates: CATALOG ONLY, no base-table scan ---------
       val edges = Seq(
         ("events.user_id x orders.o_custkey",
@@ -1432,6 +1519,83 @@ object TextAnalysis {
             |     ELSE est_rows * 1000000 div actual_rows - 1000000
             |     END AS BIGINT)""".stripMargin).as("over_ppm"))
         .orderBy(col("join_edge"))
+    },
+
+    GraftQuery(
+      "q346_catalog_planned_join",
+      s"The q341 catalog DRIVING AN ACTUAL PLAN — statistics that nobody consults are dead weight, so this query closes the loop: the 3-way events⋈orders⋈customer join is PHYSICALLY PLANNED from the persisted sketch catalog (5 rows read at plan time — the microsecond stats lookup every CBO does; no base table is scanned to decide). Stage 1 (events⋈orders) picks its build side and broadcast-vs-shuffle from the cataloged row counts against the $CatalogBroadcastRowBound-row bound (conf graft.catalog.broadcastRowBound — PlanSpec flips it and pins that the physical plan flips with it, broadcast↔sort-merge). Stage 2 is the decision a row-count-only planner CANNOT make: its probe side is the stage-1 INTERMEDIATE, whose size exists in no catalog count — only the Count-Min inner product estimates it — so the build-side choice compares est(events⋈orders) from the SKETCH against n_customer. The decisions are not just reported, they are ENFORCED (broadcast() hint vs merge hint, so Spark's own auto-broadcast can't silently second-guess the shuffle verdict) and then AUDITED: n_broadcast_in_plan counts the BroadcastHashJoin operators in the planned physical tree (q110's census-self-check doctrine applied to join strategy), and the oracle pins it to the decision-derived count — a regressed hint, a broken size gate or an ignored decision fails the gate, not just a spec. actual_rows is the executed 3-way count, closing est-vs-actual on the same surface.",
+      catalogPlanSql) { (s, d) =>
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      val bound = s.conf.getOption("graft.catalog.broadcastRowBound")
+        .map(_.toLong).getOrElse(CatalogBroadcastRowBound)
+      // plan-time stats consult: the catalog is 5 rows × 32 KiB BY
+      // CONSTRUCTION (CmDepth×CmWidth longs per relation) — this collect is
+      // the optimizer's statistics lookup, size-bounded by schema, never by
+      // corpus (the same contract as the two other tiny collect sites)
+      val stats = s.read.parquet(statsCatalogDir(s, d)).collect()
+        .map(r => r.getString(r.fieldIndex("rel")) ->
+          (r.getLong(r.fieldIndex("n")),
+            r.getSeq[Long](r.fieldIndex("sk")).toArray)).toMap
+      def estOf(lk: String, rk: String): Long = {
+        val a = stats(lk)._2
+        val b = stats(rk)._2
+        (0 until CmDepth).map { di =>
+          var acc = 0L
+          var i = 0
+          while (i < CmWidth) {
+            acc += a(di * CmWidth + i) * b(di * CmWidth + i); i += 1
+          }
+          acc
+        }.min
+      }
+      val nE = stats("events.user_id")._1
+      val nO = stats("orders.o_custkey")._1
+      val nC = stats("customer.c_custkey")._1
+      val estEO = estOf("events.user_id", "orders.o_custkey")
+      val estOC = estOf("orders.o_custkey", "customer.c_custkey")
+      // stage 1: build = the smaller cataloged side, broadcast under bound
+      val s1BuildOrders = nO <= nE
+      val s1BuildN = math.min(nO, nE)
+      val s1Bcast = s1BuildN <= bound
+      // stage 2: the probe is the stage-1 intermediate — its size is in no
+      // row count, only the sketch inner product; build = min(est, n_cust)
+      val s2BuildCustomer = nC <= estEO
+      val s2BuildN = math.min(nC, estEO)
+      val s2Bcast = s2BuildN <= bound
+      // the decision is enforced, not advisory: merge hint on the shuffle
+      // verdict so the engine's own auto-broadcast can't second-guess it
+      def side(df: DataFrame, bcast: Boolean): DataFrame =
+        if (bcast) broadcast(df) else df.hint("merge")
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val or = Tables.orders(s, d).select(col("o_custkey"))
+      val cu = Tables.customer(s, d).select(col("c_custkey"))
+      val j1 =
+        if (s1BuildOrders)
+          ev.join(side(or, s1Bcast), col("user_id") === col("o_custkey"))
+        else side(ev, s1Bcast).join(or, col("user_id") === col("o_custkey"))
+      val j2 =
+        if (s2BuildCustomer)
+          j1.join(side(cu, s2Bcast), col("o_custkey") === col("c_custkey"))
+        else side(j1, s2Bcast).join(cu, col("o_custkey") === col("c_custkey"))
+      val actual = j2.agg(count(lit(1)).as("actual_rows"))
+      // strategy census over the PLANNED physical tree (pre-AQE — the
+      // catalog's verdict is a planning decision, and this audits planning)
+      val nBhj = actual.queryExecution.sparkPlan.collect {
+        case _: BroadcastHashJoinExec => 1
+      }.sum
+      import s.implicits._
+      Seq(
+        (1L, "events.user_id x orders.o_custkey",
+          if (s1BuildOrders) "orders" else "events", s1BuildN, estEO,
+          if (s1Bcast) "broadcast" else "shuffle"),
+        (2L, "orders.o_custkey x customer.c_custkey",
+          if (s2BuildCustomer) "customer" else "intermediate", s2BuildN, estOC,
+          if (s2Bcast) "broadcast" else "shuffle"))
+        .toDF("stage", "join_edge", "build_side", "est_build_rows",
+          "est_edge_rows", "decision")
+        .crossJoin(broadcast(actual))
+        .withColumn("n_broadcast_in_plan", lit(nBhj.toLong))
+        .orderBy(col("stage"))
     },
 
     GraftQuery(
@@ -1792,6 +1956,115 @@ object TextAnalysis {
           min(col("rep_ppm")).as("min_rep_ppm"),
           max(col("rep_ppm")).as("max_rep_ppm"))
         .orderBy(col("lang"))
+    },
+
+    GraftQuery(
+      "q343_bpe_trainer",
+      s"The FULL multi-round BPE trainer — q121 learns merge #1; this runs the actual training loop for $BpeRounds rounds, each round (1) counting adjacent SYMBOL pairs over the (word, freq) vocabulary weighted by frequency, (2) electing the merge under the total (count DESC, pair ASC) order, and (3) APPLYING it greedily left-to-right, non-overlapping (the standard apply: 'aaaa' under (a,a) → [aa,aa], 'aaa' → [aa,a]) — so round 2 counts pairs over MERGED symbols, which is what makes it a trainer rather than $BpeRounds independent censuses. The apply is a per-word sequential fold, expressed engine-natively twice: Spark runs it as a codegen `aggregate` HOF with (emitted, carry) struct state over each word's symbol array — embarrassingly parallel, vocab-sized, no shuffle — while the oracle unrolls the SAME greedy semantics as gaps-and-islands SQL (match runs via i − row_number, odd-parity keeps, boundary emit suppression) per round, the LPA-unroll doctrine applied to tokenizer training. The elected rule rides a 1-row BROADCAST frame into the next round's fold — never a driver collect. Scale shape: after the one corpus-wide (word → freq) reduction every round is vocab-bounded (pair census + argmax + map-side fold), the exact property that makes BPE trainable at 100 TB; rounds localCheckpoint like every iterative loop here.",
+      bpeTrainerSql) { (s, d) =>
+      // corpus → (word, freq) once; every round after is vocab-bounded
+      val wf0 = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        // initial symbols: one char each (mirrored substr both engines —
+        // Spark's split(w, "") keeps a trailing empty match, so it is NOT
+        // the twin of DuckDB's string_split)
+        .select(col("w"), col("f"),
+          transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1))).as("syms"))
+      var wf = wf0.localCheckpoint()
+      val ruleFrames = (1 to BpeRounds).map { r =>
+        // pair census over CURRENT symbols, weighted by word freq; argmax
+        // under (n DESC, a, b) — the census is vocab-sized, the sort tiny
+        val rule = wf.filter(size(col("syms")) >= 2)
+          .select(col("f"), explode(transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("a"),
+              element_at(col("syms"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("f")).as("n"))
+          .orderBy(desc("n"), col("a"), col("b"))
+          .limit(1)
+          .localCheckpoint() // consumed twice (apply + output); 1 row
+        // greedy left-to-right apply as a fold: state = (emitted, carry);
+        // carry==a meeting x==b emits the merged symbol and clears carry,
+        // so an emitted merge can never chain within the round
+        val st = (acc: org.apache.spark.sql.Column,
+                  x: org.apache.spark.sql.Column) =>
+          when(acc.getField("carry").isNull,
+            struct(acc.getField("res").as("res"), x.as("carry")))
+            .when(acc.getField("carry") === col("a") && x === col("b"),
+              struct(concat(acc.getField("res"),
+                array(concat(col("a"), col("b")))).as("res"),
+                lit(null).cast("string").as("carry")))
+            .otherwise(struct(
+              concat(acc.getField("res"), array(acc.getField("carry")))
+                .as("res"), x.as("carry")))
+        wf = wf.crossJoin(broadcast(rule))
+          .select(col("w"), col("f"), aggregate(
+            col("syms"),
+            struct(array().cast("array<string>").as("res"),
+              lit(null).cast("string").as("carry")),
+            st,
+            acc => when(acc.getField("carry").isNull, acc.getField("res"))
+              .otherwise(concat(acc.getField("res"),
+                array(acc.getField("carry"))))).as("syms"))
+          .localCheckpoint()
+        rule.select(lit(r).cast("long").as("round"), col("a"), col("b"),
+          col("n"))
+      }
+      ruleFrames.reduce(_ unionAll _).orderBy(col("round"))
     }
   )
+
+  /** Fixed BPE training rounds — shared by the Spark loop and the unrolled
+    * oracle chain. */
+  val BpeRounds = 4
+
+  /** Unrolled DuckDB twin of the BPE training loop: per round, a pair
+    * census + (count DESC, pair ASC) argmax, then the greedy
+    * left-to-right non-overlapping apply as gaps-and-islands SQL — match
+    * flags, run ids via i − row_number, odd-parity keeps within each run
+    * (the fold's 'carry consumed' twin), boundary emit suppression via
+    * lag(kept). Every multi-use CTE is MATERIALIZED (the k-core lesson:
+    * inlined multi-reference CTEs re-evaluate the chain exponentially). */
+  private def bpeTrainerSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val p = r - 1
+      s"""rule$r AS MATERIALIZED (SELECT a, b, n FROM (
+         |    SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(f) AS BIGINT) AS n
+         |    FROM w$p, LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+         |    GROUP BY 1, 2) z ORDER BY n DESC, a, b LIMIT 1),
+         |sy$r AS (SELECT w, f, i, syms[i] AS s,
+         |    CASE WHEN i < len(syms) AND syms[i] = (SELECT a FROM rule$r)
+         |              AND syms[i + 1] = (SELECT b FROM rule$r)
+         |         THEN 1 ELSE 0 END AS m
+         |  FROM w$p, LATERAL unnest(generate_series(1, len(syms))) AS u(i)),
+         |k$r AS (SELECT *, CASE WHEN m = 1 AND
+         |      (row_number() OVER (PARTITION BY w, m, grp ORDER BY i)) % 2 = 1
+         |    THEN 1 ELSE 0 END AS kept
+         |  FROM (SELECT *, i - row_number() OVER (PARTITION BY w, m ORDER BY i)
+         |          AS grp FROM sy$r) z),
+         |e$r AS (SELECT w, f, i,
+         |    CASE WHEN kept = 1 THEN s || (SELECT b FROM rule$r) ELSE s END AS sym,
+         |    CASE WHEN coalesce(lag(kept) OVER (PARTITION BY w ORDER BY i), 0) = 1
+         |         THEN 0 ELSE 1 END AS emit
+         |  FROM k$r),
+         |w$r AS MATERIALIZED (SELECT w, f,
+         |    list(sym ORDER BY i) FILTER (WHERE emit = 1) AS syms
+         |  FROM e$r GROUP BY w, f)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS round, a, b, n FROM rule$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+       |    x -> x <> '') AS toks FROM documents),
+       |w0 AS MATERIALIZED (SELECT w, count(*) AS f,
+       |    list_transform(generate_series(1, length(w)),
+       |      i -> substr(w, i, 1)) AS syms
+       |  FROM (SELECT unnest(toks) AS w FROM t) x GROUP BY w),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
 }

@@ -243,6 +243,51 @@ object Windows {
         .select(col("c_mktsegment"), (col("pos") + 1).cast("long").as("rk"),
           col("x.payload").as("o_orderkey"), col("x.key").as("cents"))
         .orderBy(col("c_mktsegment"), col("rk"))
+    },
+
+    GraftQuery(
+      "q342_bounded_window_lag",
+      "q17's per-user ORDERED window with the hot-key ceiling REMOVED — the registered remedy for the one skew shape no runtime governor splits (measured on the Zipf tier: a per-user lag window's hottest logical key grew 1.19×→2.89× across the sf1→sf10 decade, because AQE can split a skewed JOIN partition but never an ORDERED window partition — every row of a user must meet its neighbors in one sorted task). The bounded form salts the partition key with the ORDER key's hour bucket: lag/lead run locally inside (user, hour-chunk) — the hottest task now holds one user-HOUR, volume/720 of the old ceiling — and the chunk-boundary rows recover their true neighbors from a CARRY frame (per-chunk first/last values, one row per non-empty (user, chunk); its own window partitions by user over ≤720 DOMAIN-BOUNDED rows — q168's contract) joined back on the salted key, where no key is hot BY CONSTRUCTION. Output is BIT-IDENTICAL to the naive window — the oracle IS q17's plain-lag SQL — so this is the q98-salted-partial / q281-prefix-sum doctrine extended to its last holdout: ordered per-row windows. Cost on uniform data: one extra bounded-domain window + one salted join; value: the zipf-stage ratio is the registered claim, measured on both skew tiers.",
+      """SELECT event_id, user_id,
+        |  CAST(floor((value - lag(value)  OVER w) * 100) AS BIGINT) AS delta_prev_cents,
+        |  CAST(floor((lead(value) OVER w - value) * 100) AS BIGINT) AS delta_next_cents
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      // salt = the order key's hour bucket: order-respecting (chunk
+      // boundaries are ts boundaries), so cross-chunk adjacency is exactly
+      // "previous/next non-empty chunk's boundary row"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          date_trunc("hour", col("ts")).as("chunk"))
+      val wLoc = Window.partitionBy(col("user_id"), col("chunk"))
+        .orderBy(col("ts"), col("event_id"))
+      val loc = ev.select(col("event_id"), col("user_id"), col("chunk"),
+        col("value"),
+        lag(col("value"), 1).over(wLoc).as("lp"),
+        lead(col("value"), 1).over(wLoc).as("ln"),
+        row_number().over(wLoc).as("rn"),
+        count(lit(1)).over(
+          Window.partitionBy(col("user_id"), col("chunk"))).as("cnt"))
+      // carry frame: first/last value per non-empty (user, chunk) — ONE
+      // primitive aggregate (no struct-max; q335's packed-argmax lesson),
+      // then previous/next boundary values via a window whose partitions
+      // are bounded by the hour DOMAIN (≤720 rows per user), never volume
+      val bounds = loc.groupBy(col("user_id"), col("chunk"))
+        .agg(max(when(col("rn") === 1, col("value"))).as("first_v"),
+          max(when(col("rn") === col("cnt"), col("value"))).as("last_v"))
+      val wChunk = Window.partitionBy(col("user_id")).orderBy(col("chunk"))
+      val carry = bounds.select(col("user_id"), col("chunk"),
+        lag(col("last_v"), 1).over(wChunk).as("carry_prev"),
+        lead(col("first_v"), 1).over(wChunk).as("carry_next"))
+      // the re-join is on the SALTED key (user, chunk): no hot partitions
+      loc.join(carry, Seq("user_id", "chunk"))
+        .select(col("event_id"), col("user_id"),
+          floor((col("value") - coalesce(col("lp"), col("carry_prev"))) * 100)
+            .cast("long").as("delta_prev_cents"),
+          floor((coalesce(col("ln"), col("carry_next")) - col("value")) * 100)
+            .cast("long").as("delta_next_cents"))
+        .orderBy(col("event_id"))
     }
   )
 }

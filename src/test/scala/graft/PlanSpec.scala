@@ -626,4 +626,30 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges <= 3, s"unexpected exchange count $exchanges:\n" + plan.take(3000))
   }
+
+  test("the sketch catalog's verdict flips the physical join strategy (q346)") {
+    // Default bound: every build side fits → both stages decide broadcast,
+    // and the query's own plan census (BroadcastHashJoin count over the
+    // planned tree) must agree with its decisions — the oracle pins the
+    // same invariant, this pins the FLIP, which the fixed-corpus oracle
+    // can't exercise.
+    val run = SparkEntry.queries("q346_catalog_planned_join")
+    val base = run(spark, sf).collect().sortBy(_.getLong(0))
+    assert(base.forall(_.getString(5) == "broadcast"),
+      base.mkString("\n"))
+    assert(base.head.getAs[Long]("n_broadcast_in_plan") == 2L,
+      base.mkString("\n"))
+    // Bound of 1 row: the same catalog now verdicts shuffle; the merge
+    // hint must defeat Spark's own auto-broadcast (the corpus is tiny, so
+    // without enforcement the plan would stay BroadcastHashJoin and the
+    // census would read 2, not 0)
+    spark.conf.set("graft.catalog.broadcastRowBound", "1")
+    try {
+      val flipped = run(spark, sf).collect().sortBy(_.getLong(0))
+      assert(flipped.forall(_.getString(5) == "shuffle"),
+        flipped.mkString("\n"))
+      assert(flipped.head.getAs[Long]("n_broadcast_in_plan") == 0L,
+        flipped.mkString("\n"))
+    } finally spark.conf.unset("graft.catalog.broadcastRowBound")
+  }
 }
