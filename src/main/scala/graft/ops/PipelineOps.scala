@@ -1266,12 +1266,14 @@ object PipelineOps {
 
     GraftQuery(
       "q344_ffd_packing",
-      "First-fit-decreasing sequence packing under a 512-token bin cap — the packing PRODUCTION pretraining uses where q93's concat-and-chunk would split documents across context windows: docs never split, each goes whole into the first bin that still fits it, largest-first (FFD's 11/9·OPT+1 guarantee is the reason it is the default offline heuristic). Packing is inherently a sequential fold, so the scale shape is the production one — SHARD, THEN PACK: docs shard by (lang, doc_id mod 16) and FFD runs independently per shard (pack quality is per-shard, exactly like a 1000-worker packing job; the shard count is this query's declared parallelism knob the way q111's bucket count is, corpus-derived in production). Per shard the fold is ONE codegen `aggregate` HOF over the size-sorted array — state = the open bins' remaining capacities, first-fit via array_position over a vectorized >= scan — no UDF, no driver loop, nothing leaves the executor; the oracle replays the IDENTICAL fold as a group-parallel recursive CTE (all shards advance rank-by-rank together). Bin COUNT and fill depend only on the sorted size multiset, so the census is deterministic without any tie policy. Output: exact per-lang bin census — docs, bins, fill ppm, the honest waste number a packing run is judged by. Docs longer than the cap truncate to one full bin (the tokenizer-side truncation every context-window pipeline applies).",
-      """WITH RECURSIVE t AS (SELECT doc_id, lang,
+      "First-fit-decreasing sequence packing under a 512-token bin cap — the packing PRODUCTION pretraining uses where q93's concat-and-chunk would split documents across context windows: docs never split, each goes whole into the first bin that still fits it, largest-first (FFD's 11/9·OPT+1 guarantee is the reason it is the default offline heuristic). Packing is inherently a sequential fold, so the scale shape is the production one — SHARD, THEN PACK: the shard count DERIVES FROM THE CORPUS (⌊n/256⌋ floor 4, computed by both engines from the same count — q111's corpus-derived-bucket doctrine; a FIXED shard count is the fixed-parallelism trap, and the fold's O(docs·bins) inner scan makes it quadratic per shard: the 16-shard first cut measured 5.4× per decade and climbing), docs shard by (lang, doc_id mod shards), and FFD runs independently per ~256-doc shard — per-shard work is BOUNDED at any SF and the shard count scales exactly like a 1000-worker packing job's worker count. Per shard the fold is ONE codegen `aggregate` HOF over the size-sorted array — state = the open bins' remaining capacities, first-fit via array_position over a vectorized >= scan — no UDF, no driver loop, nothing leaves the executor; the oracle replays the IDENTICAL fold as a group-parallel recursive CTE (all shards advance rank-by-rank together). Bin COUNT and fill depend only on the sorted size multiset, so the census is deterministic without any tie policy. Output: exact per-lang bin census — docs, bins, fill ppm, the honest waste number a packing run is judged by. Docs longer than the cap truncate to one full bin (the tokenizer-side truncation every context-window pipeline applies).",
+      """WITH RECURSIVE nsh AS (SELECT greatest(4, count(*) // 256) AS nsh
+        |  FROM documents),
+        |t AS (SELECT doc_id, lang,
         |    least(len(list_filter(regexp_split_to_array(text, '\s+'),
         |      x -> x <> '')), 512) AS tok,
-        |    doc_id % 16 AS shard
-        |  FROM documents),
+        |    doc_id % nsh.nsh AS shard
+        |  FROM documents CROSS JOIN nsh),
         |it AS MATERIALIZED (SELECT lang, shard, tok,
         |    row_number() OVER (PARTITION BY lang, shard
         |                       ORDER BY tok DESC, doc_id) AS rk
@@ -1303,8 +1305,13 @@ object PipelineOps {
         |FROM gs JOIN fin ON fin.lang = gs.lang AND fin.shard = gs.shard
         |GROUP BY gs.lang ORDER BY gs.lang""".stripMargin) { (s, d) =>
       val cap = 512L
-      val shards = Tables.documents(s, d)
-        .select(col("lang"), (col("doc_id") % 16).as("shard"),
+      // corpus-derived shard count (~256 docs/shard, floor 4): per-shard
+      // fold work stays bounded at any SF; the count is one 1-row
+      // broadcast, computed identically by the oracle
+      val nsh = Tables.documents(s, d)
+        .agg(greatest(lit(4L), expr("count(1) div 256")).as("nsh"))
+      val shards = Tables.documents(s, d).crossJoin(broadcast(nsh))
+        .select(col("lang"), (col("doc_id") % col("nsh")).as("shard"),
           least(size(tokens(col("text"))).cast("long"), lit(cap)).as("tok"))
         .groupBy(col("lang"), col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
