@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column-level helpers shared across the operator library. All are built
@@ -66,5 +67,67 @@ object ColumnOps {
     val d  = dotProduct(a, b)
     val nn = l2Norm(a) * l2Norm(b)
     when(nn === lit(0.0), lit(0.0)).otherwise(d / nn)
+  }
+
+  /** Skew-safe BOUNDED ordered window — `lag(value, 1)` / `lead(value, 1)`
+    * with the hot-key ceiling removed (q342's pattern, extracted as the
+    * engine's reusable operator: AQE can split a skewed JOIN partition but
+    * never an ORDERED window partition — every row of a hot key must meet
+    * its neighbors in one sorted task, so a per-key lag window is the one
+    * skew shape no runtime governor splits; measured 1.19×→2.89× across
+    * the sf1→sf10 Zipf decade on the naive form vs 1.04× on this one).
+    *
+    * lag/lead run locally inside (part, chunk) SALTED partitions — the
+    * hottest task holds one (key, chunk), volume/|chunk domain| of the old
+    * ceiling — and the chunk-boundary rows recover their true neighbors
+    * from a CARRY frame (per-chunk first/last values, one row per
+    * non-empty (part, chunk); its own window partitions by `part` over
+    * domain-bounded rows) joined back on the salted key, where no key is
+    * hot BY CONSTRUCTION.
+    *
+    * `chunk` must be a NON-DECREASING function of the leading order column
+    * (e.g. `date_trunc("hour", orderBy.head)`) with a domain-bounded
+    * distinct count per key — then chunk boundaries are order boundaries
+    * and cross-chunk adjacency is exactly "previous/next non-empty chunk's
+    * boundary row". Output is BIT-IDENTICAL to the naive
+    * `lag/lead(value) OVER (PARTITION BY part ORDER BY orderBy)` —
+    * including NULL `value`s: carry substitution gates on chunk POSITION
+    * (first/last row), never on value nullness (the r14 ADVICE contract).
+    *
+    * Cost on uniform data: one extra bounded-domain window + one salted
+    * join. Adopters: q342 (events value deltas), q135 (Markov lag).
+    */
+  def boundedLagLead(df: DataFrame, part: Seq[String], orderBy: Seq[Column],
+                     chunk: Column, value: Column,
+                     lagAs: Option[String], leadAs: Option[String]): DataFrame = {
+    require(lagAs.nonEmpty || leadAs.nonEmpty, "request lag, lead or both")
+    val ck = "__bl_chunk"
+    val keys = part :+ ck
+    val wLoc = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    val wCnt = Window.partitionBy(keys.map(col): _*)
+    val loc = df.withColumn(ck, chunk)
+      .withColumn("__bl_lp", lag(value, 1).over(wLoc))
+      .withColumn("__bl_ln", lead(value, 1).over(wLoc))
+      .withColumn("__bl_rn", row_number().over(wLoc))
+      .withColumn("__bl_cnt", count(lit(1)).over(wCnt))
+    // carry frame: first/last value per non-empty (part, chunk) — primitive
+    // conditional aggregates (no struct-max; the q335 packed-argmax lesson);
+    // a NULL boundary value carries as NULL, which IS the true neighbor
+    val bounds = loc.groupBy(keys.map(col): _*)
+      .agg(max(when(col("__bl_rn") === 1, value)).as("__bl_fv"),
+        max(when(col("__bl_rn") === col("__bl_cnt"), value)).as("__bl_lv"))
+    val wChunk = Window.partitionBy(part.map(col): _*).orderBy(col(ck))
+    val carry = bounds.select(
+      (part.map(col) :+ col(ck) :+
+        lag(col("__bl_lv"), 1).over(wChunk).as("__bl_cp") :+
+        lead(col("__bl_fv"), 1).over(wChunk).as("__bl_cn")): _*)
+    // the re-join is on the SALTED key (part, chunk): no hot partitions
+    val joined = loc.join(carry, keys)
+    val outCols = df.columns.toSeq.map(col) ++
+      lagAs.map(n => when(col("__bl_rn") === 1, col("__bl_cp"))
+        .otherwise(col("__bl_lp")).as(n)) ++
+      leadAs.map(n => when(col("__bl_rn") === col("__bl_cnt"), col("__bl_cn"))
+        .otherwise(col("__bl_ln")).as(n))
+    joined.select(outCols: _*)
   }
 }

@@ -189,8 +189,10 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.registry.foreach(ext.injectFunction)
-    // plan rewrites (each gated by its own conf key, off by default)
+    // plan rewrites (each gated by its own conf key or per-attribute
+    // metadata mark, inert by default)
     ext.injectOptimizerRule(_ => graft.plans.BinRangeJoin())
+    ext.injectOptimizerRule(_ => graft.plans.CatalogJoinHints())
     // whole-operator extensions (planned only when their node appears)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
   }

@@ -395,7 +395,7 @@ object GraphOps {
       val ps = Tables.lineitem(s, d)
         .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
         .distinct()
-      val lpa = new Lpa(ps.unionAll(ps.select(col("v").as("u"), col("u").as("v"))))
+      val lpa = new Lpa(ps)
       var lab = lpa.lab0
       // one groupBy(lab) frame yields the whole census: group count =
       // n_labels, max group size = largest community, the assignment
@@ -454,8 +454,7 @@ object GraphOps {
         .join(op.select(col("o"), col("p").as("v")), Seq("o"))
         .filter(col("u") < col("v"))
         .select(col("u"), col("v")).distinct()
-      val lpa = new Lpa(
-        und.unionAll(und.select(col("v").as("u"), col("u").as("v"))))
+      val lpa = new Lpa(und)
       val lab = lpa.labels
       val nn = lab.agg(count(lit(1)).as("n_nodes"))
       val mx = lab.groupBy(col("lab")).agg(count(lit(1)).as("c"))
@@ -603,8 +602,11 @@ object GraphOps {
     s.conf.getOption("graft.lpa.broadcastNodes").map(_.toLong)
       .getOrElse(4000000L)
 
-  /** Shared LPA machinery for one query: partitions + persists the edge
-    * frame in the layout its round shape wants and serves the rounds.
+  /** Shared LPA machinery for one query: takes the UNDIRECTED edge set
+    * (each edge once — symmetrization happens in here, against a cache, so
+    * an expensive derivation never cold-evaluates twice), partitions +
+    * persists the directed frame in the layout its round shape wants and
+    * serves the rounds.
     *
     * Round shape (the r13 q335 finding — the native LabelModeAgg argmax
     * left the per-round O(E) edge⋈label exchange as the dominant term at
@@ -629,21 +631,46 @@ object GraphOps {
     * label→count map, map-side merged; KernelSpec pins it bit-identical
     * to the row_number-window and packed-max twins, and the oracle states
     * the same total (count DESC, label ASC) order). */
-  private final class Lpa(eRaw: org.apache.spark.sql.DataFrame) {
-    private val session = eRaw.sparkSession
+  private final class Lpa(undirected: org.apache.spark.sql.DataFrame) {
+    private val session = undirected.sparkSession
+    /** The undirected edge derivation CACHED before symmetrization: both
+      * union branches (u,v) and (v,u) read one materialization, so an
+      * expensive derivation (q335's 120M-pair projection at sf10) is
+      * computed exactly once — the r14 shape cold-evaluated eRaw twice
+      * (once under lab0's checkpoint, once under e's persist) and ran the
+      * projection's final dedup aggregate once per union branch on top.
+      * Unpersisted as soon as [[e]]/[[lab0]] are materialized below. */
+    private val und = undirected.persist()
+    private val eRaw =
+      und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    /** u-partitioned edges persisted FIRST — before the gate decision —
+      * so the one cold evaluation of the edge derivation happens exactly
+      * once, under this cache's materialization. */
+    private val eU = eRaw.repartition(col("u")).persist()
     /** Every node its own label — round 0, localCheckpointed because each
-      * round's O(V) output re-enters the next round's plan. */
+      * round's O(V) output re-enters the next round's plan. Derived from
+      * the PERSISTED edges: distinct(u) over a u-partitioned cache is
+      * exchange-free (HashPartitioning(u) satisfies the grouping), and
+      * materializing it materializes the cache. */
     val lab0: org.apache.spark.sql.DataFrame =
-      eRaw.select(col("u").as("node")).distinct()
+      eU.select(col("u").as("node")).distinct()
         .withColumn("lab", col("node")).localCheckpoint()
     private val bcast = lab0.count() <= lpaBroadcastNodes(session)
     /** Edge frame persisted pre-partitioned: on u when the rounds run
       * zero-exchange (the groupBy(u) inherits it through the broadcast
       * join), on v for the shuffle fallback (the per-round join reuses
-      * it and only the label frame moves). */
+      * it and only the label frame moves) — re-partitioned FROM the
+      * u-cache, one extra O(E) exchange at construction, never a second
+      * cold evaluation of the edge derivation. */
     val e: org.apache.spark.sql.DataFrame =
-      (if (bcast) eRaw.repartition(col("u"))
-       else eRaw.repartition(col("v"))).persist()
+      if (bcast) { und.unpersist(); eU }
+      else {
+        val ev = eU.repartition(col("v")).persist()
+        ev.count() // materialize from the u-cache before dropping it
+        und.unpersist()
+        eU.unpersist()
+        ev
+      }
     /** The label frame as a join side — broadcast under the gate. */
     def labSide(lab: org.apache.spark.sql.DataFrame,
                 nodeAs: String, labAs: String)
@@ -675,7 +702,7 @@ object GraphOps {
     val ps = Tables.lineitem(s, d)
       .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
       .distinct()
-    val lpa = new Lpa(ps.unionAll(ps.select(col("v").as("u"), col("u").as("v"))))
+    val lpa = new Lpa(ps)
     (lpa, lpa.labels)
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
-import graft.functions.ColumnOps.{cents, shingles, tokens}
+import graft.functions.ColumnOps.{boundedLagLead, cents, shingles, tokens}
 import graft.functions.CrossHash.{h60, h60Sql}
 
 /** Training-data pipeline operators beyond the per-document tier: duplicate-
@@ -404,7 +404,7 @@ object PipelineOps {
 
     GraftQuery(
       "q135_markov_transitions",
-      "Behavioral transition matrix: per-user event streams ordered by (ts, event_id), each adjacent (prev_type → type) pair counted globally, with per-source-state probabilities as exact integer ppm. One lag window partitioned by user (state distributes with the key) + one small aggregate over the 25-cell matrix — the Markov-chain census behind session modeling and bot detection.",
+      "Behavioral transition matrix: per-user event streams ordered by (ts, event_id), each adjacent (prev_type → type) pair counted globally, with per-source-state probabilities as exact integer ppm — the Markov-chain census behind session modeling and bot detection. The per-user lag runs through the engine's BOUNDED ordered window (ColumnOps.boundedLagLead, q342's operator: hour-chunk salted lag + domain-bounded carry, bit-identical to the naive window — the oracle IS the naive SQL), so a Zipf-hot user (the one skew shape AQE cannot split, 2.02× measured on this query's naive form at the sf10 Zipf tier) never single-tasks its whole stream; the 25-cell matrix census after it is skew-free by construction.",
       """WITH t AS (SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id
         |                          ORDER BY ts, event_id) AS prev_type
@@ -415,11 +415,11 @@ object PipelineOps {
         |SELECT from_type, to_type, n,
         |  (n * 1000000) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
         |FROM c ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val c = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"),
-          lag(col("event_type"), 1).over(w).as("prev_type"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val c = boundedLagLead(ev, Seq("user_id"),
+          Seq(col("ts"), col("event_id")), date_trunc("hour", col("ts")),
+          col("event_type"), Some("prev_type"), None)
         .filter(col("prev_type").isNotNull)
         .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
         .agg(count(lit(1)).as("n"))

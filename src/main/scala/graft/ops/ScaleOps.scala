@@ -63,6 +63,47 @@ object ScaleOps {
         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
 
+  /** Hilbert-curve index of the low `bits` bits of (x, y) — [[morton]]'s
+    * space-filling cousin with strictly better locality: consecutive
+    * indexes are always UNIT grid steps (the ScaleOpsSpec-pinned property),
+    * where the Z curve jumps 2^k cells at quadrant seams, so a sorted
+    * layout packs 2-D-adjacent rows into fewer, tighter runs. One fold
+    * over the bit levels, top-down: at level s the quadrant digit
+    * (3·rx)⊕ry scales by s², then the low bits (masked to [0, s), so
+    * flips stay in range) rotate/flip into the quadrant's frame. Pure
+    * integer when/mask arithmetic; the per-level (x, y, d) state folds
+    * through one `aggregate` HOF, so the expression stays LINEAR in
+    * `bits` (a withColumn chain would collapse into an exponential tree).
+    */
+  private[graft] def hilbert(x: org.apache.spark.sql.Column,
+                             y: org.apache.spark.sql.Column,
+                             bits: Int): org.apache.spark.sql.Column =
+    aggregate(
+      array(((bits - 1) to 0 by -1).map(b => lit(1L << b)): _*),
+      struct(x.cast("long").as("x"), y.cast("long").as("y"),
+        lit(0L).as("d")),
+      (acc, s) => {
+        val ax = acc.getField("x")
+        val ay = acc.getField("y")
+        val rx = when(ax.bitwiseAND(s) =!= 0, lit(1L)).otherwise(lit(0L))
+        val ry = when(ay.bitwiseAND(s) =!= 0, lit(1L)).otherwise(lit(0L))
+        val d2 = acc.getField("d") +
+          s * s * ((lit(3L) * rx).bitwiseXOR(ry))
+        val xm = ax.bitwiseAND(s - 1)
+        val ym = ay.bitwiseAND(s - 1)
+        // ry = 0: flip both coords inside the quadrant when rx = 1, then
+        // swap x↔y (the Hilbert U-turn); ry = 1: keep the frame
+        val nx = when(ry === 0,
+          when(rx === 1, s - 1 - ym).otherwise(ym)).otherwise(xm)
+        val ny = when(ry === 0,
+          when(rx === 1, s - 1 - xm).otherwise(xm)).otherwise(ym)
+        struct(nx.as("x"), ny.as("y"), d2.as("d"))
+      },
+      acc => acc.getField("d"))
+
+  private val stagedHilbert =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Rewrite `df`'s (l_orderkey, l_partkey, l_quantity) projection into 16
     * files clustered by `layoutKey`: range-partition + in-partition sort,
     * then drop the key so the stored schema stays clean. One row group per
@@ -404,6 +445,27 @@ object ScaleOps {
           col("l_partkey").between(100, 299))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
+    },
+
+    GraftQuery(
+      "q349_hilbert_layout",
+      "Hilbert-curve layout — the data-layout BAKE-OFF against q122's Z-order, same table, same 16-file range-partition + sort staging, same 2-D range predicate, head to head (the comparison a lakehouse table service runs before picking its OPTIMIZE clustering): the Hilbert index visits the grid in UNIT steps only (consecutive indexes are always 2-D neighbors — pinned as a property in ScaleOpsSpec over the full order-3 curve, bijection + unit-step + canonical orientation), where the Z curve long-jumps 2^k cells at every quadrant seam, so a 2-D-contiguous query region maps to fewer, tighter index runs and therefore fewer files whose min/max straddle the predicate. The curve evaluates as one codegen'd integer fold (mask/flip/swap per bit level — no UDF, linear expression size), the layout cost is the same one-time rewrite every clustering pays, and the scanned-rows census z vs hilbert vs scattered is the spec's recorded verdict. The ANSWER is layout-invariant (the oracle reads the original table); the LAYOUT is the point.",
+      """SELECT 'hilbert' AS layout, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 1999 AND l_partkey BETWEEN 100 AND 299""".stripMargin) { (s, d) =>
+      val dir = stagedHilbert.getOrElseUpdate(sourceKey(d, "lineitem"), {
+        val p = graft.util.Scratch.dir("graft-hilbert").toString
+        stageByLayout(Tables.lineitem(s, d), p,
+          hilbert(col("l_orderkey"), col("l_partkey"), MortonBits))
+        p
+      })
+      s.read.parquet(dir)
+        .filter(col("l_orderkey").between(1000, 1999) &&
+          col("l_partkey").between(100, 299))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(lit("hilbert").as("layout"), col("n_rows"), col("sum_qty"))
     },
 
     GraftQuery(

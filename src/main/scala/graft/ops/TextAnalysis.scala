@@ -43,10 +43,12 @@ object TextAnalysis {
   private val statsCatalogDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Catalog geometry (q341/q346): 4×1024 Count-Min over the shared
-    * md5-affine family, h60 mod [[Dedup.P]] key domain. */
-  private val CmDepth = 4
-  private val CmWidth = 1024
+  /** Catalog geometry (q341/q346/q348): 4×1024 Count-Min over the shared
+    * md5-affine family, h60 mod [[Dedup.P]] key domain — single-sourced
+    * with the optimizer rule that consumes the catalog
+    * ([[graft.plans.CatalogJoinHints]]). */
+  private val CmDepth = graft.plans.CatalogJoinHints.CmDepth
+  private val CmWidth = graft.plans.CatalogJoinHints.CmWidth
 
   /** The cataloged (relation.key → key frame) list — q341's five rows. */
   private def statsRels(s: SparkSession, d: String): Seq[(String, DataFrame)] =
@@ -132,6 +134,13 @@ object TextAnalysis {
        |FROM dec, act, pb
        |ORDER BY stage""".stripMargin
   }
+
+  /** q348's oracle: q346's decision/census math verbatim (the rule must
+    * reproduce the hand-planned decisions exactly), tagged by planner. */
+  private def rulePlanSql: String =
+    s"""SELECT q.*, 'rule' AS planned_by FROM (
+       |${catalogPlanSql}
+       |) q ORDER BY stage""".stripMargin
 
   /** Stage (once per JVM × corpus snapshot) and return the catalog dir:
     * one pass per relation, persisted as a 5-row parquet of
@@ -1536,17 +1545,23 @@ object TextAnalysis {
         .map(r => r.getString(r.fieldIndex("rel")) ->
           (r.getLong(r.fieldIndex("n")),
             r.getSeq[Long](r.fieldIndex("sk")).toArray)).toMap
+      // Accumulates in BigInt, mirroring the oracle's HUGEINT lane: under
+      // heavy key skew at design scale a per-row Long sum of cell products
+      // can approach 2^63 (the r14 ADVICE overflow asymmetry — Spark wraps
+      // where DuckDB answers). The decision comparisons stay exact in
+      // BigInt; the returned Long saturates at MaxValue, which preserves
+      // every ≤-bound verdict (a saturated estimate is still "huge")
       def estOf(lk: String, rk: String): Long = {
         val a = stats(lk)._2
         val b = stats(rk)._2
         (0 until CmDepth).map { di =>
-          var acc = 0L
+          var acc = BigInt(0)
           var i = 0
           while (i < CmWidth) {
-            acc += a(di * CmWidth + i) * b(di * CmWidth + i); i += 1
+            acc += BigInt(a(di * CmWidth + i)) * b(di * CmWidth + i); i += 1
           }
           acc
-        }.min
+        }.min.min(BigInt(Long.MaxValue)).toLong
       }
       val nE = stats("events.user_id")._1
       val nO = stats("orders.o_custkey")._1
@@ -1595,6 +1610,67 @@ object TextAnalysis {
           "est_edge_rows", "decision")
         .crossJoin(broadcast(actual))
         .withColumn("n_broadcast_in_plan", lit(nBhj.toLong))
+        .orderBy(col("stage"))
+    },
+
+    GraftQuery(
+      "q348_rule_planned_join",
+      "q346 PROMOTED FROM HINTS TO A RULE — the same 3-way events⋈orders⋈customer join written with ZERO hints or stats consults in the query: the injected graft.plans.CatalogJoinHints optimizer rule recognizes the catalog-MARKED join keys (opt-in rides per-attribute column metadata carrying the catalog entry + staged path — so installing the rule re-plans nothing else in the session), reads the persisted 5-row sketch catalog at plan time, estimates each side (cataloged count for a base relation; Count-Min inner product for the stage-1 INTERMEDIATE — the estimate no row count holds), and stamps the BROADCAST/SHUFFLE_MERGE strategy hint itself, enforced against Spark's auto-broadcast exactly as q346 enforced by hand. The output rows are the EXPECTED decisions computed from the same shared estimation code the rule runs (CatalogJoinHints.stats/innerProductEst — single-sourced, so the expectation cannot drift from the implementation), n_broadcast_in_plan is the MEASURED BroadcastHashJoin census over the physical plan the rule actually produced, and the oracle pins both to the decision-derived count: a rule that stops firing, mis-reads the catalog or loses to auto-broadcast fails the gate. PlanSpec additionally flips graft.catalog.broadcastRowBound and pins that the UNHINTED query's physical strategy flips with it — statistics driving plans through the optimizer, the CBO loop closed end to end.",
+      rulePlanSql) { (s, d) =>
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      import graft.plans.CatalogJoinHints
+      graft.plans.GraftPlans.install(s)
+      val dir = statsCatalogDir(s, d)
+      // the opt-in mark: catalog entry + staged path as column metadata —
+      // it rides the AttributeReference through analysis and optimization,
+      // so the rule sees exactly these keys and nothing else
+      def mark(df: DataFrame, c: String, key: String): DataFrame = {
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(CatalogJoinHints.KeyMeta, key)
+          .putString(CatalogJoinHints.DirMeta, dir).build()
+        df.select(col(c).as(c, md))
+      }
+      val ev = mark(Tables.events(s, d).select(col("user_id")),
+        "user_id", "events.user_id")
+      val or = mark(Tables.orders(s, d).select(col("o_custkey")),
+        "o_custkey", "orders.o_custkey")
+      val cu = mark(Tables.customer(s, d).select(col("c_custkey")),
+        "c_custkey", "customer.c_custkey")
+      // the query itself: two plain joins, not a hint in sight
+      val actual = ev.join(or, col("user_id") === col("o_custkey"))
+        .join(cu, col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("actual_rows"))
+      val nBhj = actual.queryExecution.sparkPlan.collect {
+        case _: BroadcastHashJoinExec => 1
+      }.sum
+      // expected decisions from the SAME estimation code the rule runs
+      val st = CatalogJoinHints.stats(s, dir)
+      val bound = s.conf.getOption("graft.catalog.broadcastRowBound")
+        .map(_.toLong).getOrElse(CatalogJoinHints.DefaultBound)
+      val nE = st("events.user_id")._1
+      val nO = st("orders.o_custkey")._1
+      val nC = st("customer.c_custkey")._1
+      val estEO = CatalogJoinHints.innerProductEst(
+        st, "events.user_id", "orders.o_custkey")
+      val estOC = CatalogJoinHints.innerProductEst(
+        st, "orders.o_custkey", "customer.c_custkey")
+      val s1BuildOrders = nO <= nE
+      val s1N = math.min(nO, nE)
+      val s2BuildCustomer = nC <= estEO
+      val s2N = math.min(nC, estEO)
+      import s.implicits._
+      Seq(
+        (1L, "events.user_id x orders.o_custkey",
+          if (s1BuildOrders) "orders" else "events", s1N, estEO,
+          if (s1N <= bound) "broadcast" else "shuffle"),
+        (2L, "orders.o_custkey x customer.c_custkey",
+          if (s2BuildCustomer) "customer" else "intermediate", s2N, estOC,
+          if (s2N <= bound) "broadcast" else "shuffle"))
+        .toDF("stage", "join_edge", "build_side", "est_build_rows",
+          "est_edge_rows", "decision")
+        .crossJoin(broadcast(actual))
+        .withColumn("n_broadcast_in_plan", lit(nBhj.toLong))
+        .withColumn("planned_by", lit("rule"))
         .orderBy(col("stage"))
     },
 
@@ -1962,60 +2038,103 @@ object TextAnalysis {
       "q343_bpe_trainer",
       s"The FULL multi-round BPE trainer — q121 learns merge #1; this runs the actual training loop for $BpeRounds rounds, each round (1) counting adjacent SYMBOL pairs over the (word, freq) vocabulary weighted by frequency, (2) electing the merge under the total (count DESC, pair ASC) order, and (3) APPLYING it greedily left-to-right, non-overlapping (the standard apply: 'aaaa' under (a,a) → [aa,aa], 'aaa' → [aa,a]) — so round 2 counts pairs over MERGED symbols, which is what makes it a trainer rather than $BpeRounds independent censuses. The apply is a per-word sequential fold, expressed engine-natively twice: Spark runs it as a codegen `aggregate` HOF with (emitted, carry) struct state over each word's symbol array — embarrassingly parallel, vocab-sized, no shuffle — while the oracle unrolls the SAME greedy semantics as gaps-and-islands SQL (match runs via i − row_number, odd-parity keeps, boundary emit suppression) per round, the LPA-unroll doctrine applied to tokenizer training. The elected rule rides a 1-row BROADCAST frame into the next round's fold — never a driver collect. Scale shape: after the one corpus-wide (word → freq) reduction every round is vocab-bounded (pair census + argmax + map-side fold), the exact property that makes BPE trainable at 100 TB; rounds localCheckpoint like every iterative loop here.",
       bpeTrainerSql) { (s, d) =>
-      // corpus → (word, freq) once; every round after is vocab-bounded
-      val wf0 = Tables.documents(s, d)
-        .select(explode(tokens(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("f"))
-        // initial symbols: one char each (mirrored substr both engines —
-        // Spark's split(w, "") keeps a trailing empty match, so it is NOT
-        // the twin of DuckDB's string_split)
-        .select(col("w"), col("f"),
-          transform(sequence(lit(1), length(col("w"))),
-            i => col("w").substr(i, lit(1))).as("syms"))
-      var wf = wf0.localCheckpoint()
-      val ruleFrames = (1 to BpeRounds).map { r =>
-        // pair census over CURRENT symbols, weighted by word freq; argmax
-        // under (n DESC, a, b) — the census is vocab-sized, the sort tiny
-        val rule = wf.filter(size(col("syms")) >= 2)
-          .select(col("f"), explode(transform(
-            sequence(lit(1), size(col("syms")) - 1),
-            i => struct(element_at(col("syms"), i).as("a"),
-              element_at(col("syms"), i + 1).as("b")))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("f")).as("n"))
-          .orderBy(desc("n"), col("a"), col("b"))
-          .limit(1)
-          .localCheckpoint() // consumed twice (apply + output); 1 row
-        // greedy left-to-right apply as a fold: state = (emitted, carry);
-        // carry==a meeting x==b emits the merged symbol and clears carry,
-        // so an emitted merge can never chain within the round
-        val st = (acc: org.apache.spark.sql.Column,
-                  x: org.apache.spark.sql.Column) =>
-          when(acc.getField("carry").isNull,
-            struct(acc.getField("res").as("res"), x.as("carry")))
-            .when(acc.getField("carry") === col("a") && x === col("b"),
-              struct(concat(acc.getField("res"),
-                array(concat(col("a"), col("b")))).as("res"),
-                lit(null).cast("string").as("carry")))
-            .otherwise(struct(
-              concat(acc.getField("res"), array(acc.getField("carry")))
-                .as("res"), x.as("carry")))
-        wf = wf.crossJoin(broadcast(rule))
-          .select(col("w"), col("f"), aggregate(
-            col("syms"),
-            struct(array().cast("array<string>").as("res"),
-              lit(null).cast("string").as("carry")),
-            st,
-            acc => when(acc.getField("carry").isNull, acc.getField("res"))
-              .otherwise(concat(acc.getField("res"),
-                array(acc.getField("carry"))))).as("syms"))
-          .localCheckpoint()
-        rule.select(lit(r).cast("long").as("round"), col("a"), col("b"),
-          col("n"))
-      }
-      ruleFrames.reduce(_ unionAll _).orderBy(col("round"))
+      bpeTrain(s, d)._2.reduce(_ unionAll _).orderBy(col("round"))
+    },
+
+    GraftQuery(
+      "q347_bpe_roundtrip",
+      s"The BPE arc CLOSED — train → apply → evaluate in one query (the r14 verdict's learned-tokenizer round trip): q343's $BpeRounds-round trainer runs unchanged (same shared loop, same merge elections), its final vocabulary — every word's trained symbol decomposition — then joins the PER-LANGUAGE word-frequency census (the apply is word-deterministic, so the corpus-wide application is exactly the vocab join weighted by frequency: nothing re-tokenizes, the one corpus scan the evaluation adds is the per-lang census itself), and the evaluation ships the numbers a tokenizer team actually gates on, per language, in exact integers: word/token/char/symbol mass, compression_ppm (symbols per char — the pre-merge baseline is 1e6 by construction, every merge moves it down) and merged_mass_ppm (how much of the emitted stream the learned merges cover — q129's OOV question inverted: a subword vocab has no OOV, so coverage becomes HOW MUCH of the corpus the learned units absorb). The merges are trained GLOBALLY but evaluated per-lang, surfacing exactly the mono-lingual bias a shared tokenizer develops on skewed mixtures. All ratios floor-divide on the DECIMAL(38,0)/HUGEINT lane, same step order both engines.",
+      bpeRoundtripSql) { (s, d) =>
+      val wfFinal = bpeTrain(s, d)._1
+      // per-language (word, freq) census — the one corpus scan this adds
+      val wl = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("f"))
+      wl.join(wfFinal.select(col("w"), col("syms")), "w")
+        .select(col("lang"), col("f"),
+          length(col("w")).cast("long").as("nch"),
+          size(col("syms")).cast("long").as("nsym"),
+          size(filter(col("syms"), x => length(x) > 1))
+            .cast("long").as("nmerged"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("f")).as("n_tokens"),
+          expr("CAST(sum(CAST(f AS DECIMAL(38,0)) * nch) AS BIGINT)")
+            .as("n_chars"),
+          expr("CAST(sum(CAST(f AS DECIMAL(38,0)) * nsym) AS BIGINT)")
+            .as("n_symbols"),
+          expr("CAST(sum(CAST(f AS DECIMAL(38,0)) * nmerged) AS BIGINT)")
+            .as("n_merged"))
+        .selectExpr("lang", "n_words", "n_tokens", "n_chars", "n_symbols",
+          """CAST(1000000 * CAST(n_symbols AS DECIMAL(38,0))
+            |  div n_chars AS BIGINT) AS compression_ppm""".stripMargin,
+          """CAST(1000000 * CAST(n_merged AS DECIMAL(38,0))
+            |  div greatest(n_symbols, 1) AS BIGINT) AS merged_mass_ppm"""
+            .stripMargin)
+        .orderBy(col("lang"))
     }
   )
+
+  /** The q343 training loop, shared with q347's round trip: corpus →
+    * (word, freq, one-char syms) once, then [[BpeRounds]] rounds of
+    * (vocab-bounded pair census → total-order merge election → greedy
+    * left-to-right fold apply). Returns the final vocabulary frame
+    * (w, f, syms) and the per-round 1-row rule frames (round, a, b, n). */
+  private def bpeTrain(s: SparkSession, d: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    // corpus → (word, freq) once; every round after is vocab-bounded
+    val wf0 = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      // initial symbols: one char each (mirrored substr both engines —
+      // Spark's split(w, "") keeps a trailing empty match, so it is NOT
+      // the twin of DuckDB's string_split)
+      .select(col("w"), col("f"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"))
+    var wf = wf0.localCheckpoint()
+    val ruleFrames = (1 to BpeRounds).map { r =>
+      // pair census over CURRENT symbols, weighted by word freq; argmax
+      // under (n DESC, a, b) — the census is vocab-sized, the sort tiny
+      val rule = wf.filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("n"))
+        .orderBy(desc("n"), col("a"), col("b"))
+        .limit(1)
+        .localCheckpoint() // consumed twice (apply + output); 1 row
+      // greedy left-to-right apply as a fold: state = (emitted, carry);
+      // carry==a meeting x==b emits the merged symbol and clears carry,
+      // so an emitted merge can never chain within the round
+      val st = (acc: org.apache.spark.sql.Column,
+                x: org.apache.spark.sql.Column) =>
+        when(acc.getField("carry").isNull,
+          struct(acc.getField("res").as("res"), x.as("carry")))
+          .when(acc.getField("carry") === col("a") && x === col("b"),
+            struct(concat(acc.getField("res"),
+              array(concat(col("a"), col("b")))).as("res"),
+              lit(null).cast("string").as("carry")))
+          .otherwise(struct(
+            concat(acc.getField("res"), array(acc.getField("carry")))
+              .as("res"), x.as("carry")))
+      wf = wf.crossJoin(broadcast(rule))
+        .select(col("w"), col("f"), aggregate(
+          col("syms"),
+          struct(array().cast("array<string>").as("res"),
+            lit(null).cast("string").as("carry")),
+          st,
+          acc => when(acc.getField("carry").isNull, acc.getField("res"))
+            .otherwise(concat(acc.getField("res"),
+              array(acc.getField("carry"))))).as("syms"))
+        .localCheckpoint()
+      rule.select(lit(r).cast("long").as("round"), col("a"), col("b"),
+        col("n"))
+    }
+    (wf, ruleFrames)
+  }
 
   /** Fixed BPE training rounds — shared by the Spark loop and the unrolled
     * oracle chain. */
@@ -2028,7 +2147,42 @@ object TextAnalysis {
     * (the fold's 'carry consumed' twin), boundary emit suppression via
     * lag(kept). Every multi-use CTE is MATERIALIZED (the k-core lesson:
     * inlined multi-reference CTEs re-evaluate the chain exponentially). */
-  private def bpeTrainerSql: String = {
+  private def bpeTrainerSql: String =
+    s"""WITH $bpeChainCtes
+       |${(1 to BpeRounds)
+          .map(r => s"SELECT $r AS round, a, b, n FROM rule$r")
+          .mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+
+  /** q347's oracle: the SAME unrolled training chain, its final vocabulary
+    * (w$BpeRounds) joined to a per-language word-frequency census, ratios
+    * floor-divided on the HUGEINT lane in the Spark side's step order. */
+  private def bpeRoundtripSql: String =
+    s"""WITH $bpeChainCtes,
+       |tl AS (SELECT lang, list_filter(regexp_split_to_array(text, '\\s+'),
+       |    x -> x <> '') AS toks FROM documents),
+       |wl AS (SELECT lang, w, count(*) AS f
+       |  FROM (SELECT lang, unnest(toks) AS w FROM tl) x GROUP BY 1, 2),
+       |j AS (SELECT wl.lang, wl.f, length(wl.w) AS nch,
+       |    len(wv.syms) AS nsym,
+       |    len(list_filter(wv.syms, s -> length(s) > 1)) AS nmerged
+       |  FROM wl JOIN w$BpeRounds wv ON wl.w = wv.w),
+       |g AS (SELECT lang, count(*) AS n_words,
+       |    CAST(sum(f) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CAST(f AS HUGEINT) * nch) AS BIGINT) AS n_chars,
+       |    CAST(sum(CAST(f AS HUGEINT) * nsym) AS BIGINT) AS n_symbols,
+       |    CAST(sum(CAST(f AS HUGEINT) * nmerged) AS BIGINT) AS n_merged
+       |  FROM j GROUP BY lang)
+       |SELECT lang, n_words, n_tokens, n_chars, n_symbols,
+       |  CAST(1000000 * CAST(n_symbols AS HUGEINT) // n_chars AS BIGINT)
+       |    AS compression_ppm,
+       |  CAST(1000000 * CAST(n_merged AS HUGEINT)
+       |    // greatest(n_symbols, 1) AS BIGINT) AS merged_mass_ppm
+       |FROM g ORDER BY lang""".stripMargin
+
+  /** The unrolled training chain's CTE body (t, w0, rule/apply per round),
+    * shared by the q343 and q347 oracles. */
+  private def bpeChainCtes: String = {
     val rounds = (1 to BpeRounds).map { r =>
       val p = r - 1
       s"""rule$r AS MATERIALIZED (SELECT a, b, n FROM (
@@ -2054,17 +2208,12 @@ object TextAnalysis {
          |    list(sym ORDER BY i) FILTER (WHERE emit = 1) AS syms
          |  FROM e$r GROUP BY w, f)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeRounds)
-      .map(r => s"SELECT $r AS round, a, b, n FROM rule$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH t AS (SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+    s"""t AS (SELECT list_filter(regexp_split_to_array(text, '\\s+'),
        |    x -> x <> '') AS toks FROM documents),
        |w0 AS MATERIALIZED (SELECT w, count(*) AS f,
        |    list_transform(generate_series(1, length(w)),
        |      i -> substr(w, i, 1)) AS syms
        |  FROM (SELECT unnest(toks) AS w FROM t) x GROUP BY w),
-       |$rounds
-       |$out
-       |ORDER BY round""".stripMargin
+       |$rounds""".stripMargin
   }
 }

@@ -254,38 +254,19 @@ object Windows {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin) { (s, d) =>
-      // salt = the order key's hour bucket: order-respecting (chunk
-      // boundaries are ts boundaries), so cross-chunk adjacency is exactly
-      // "previous/next non-empty chunk's boundary row"
+      // the whole pattern is the engine's reusable operator since r15 —
+      // graft.functions.ColumnOps.boundedLagLead (salt = the order key's
+      // hour bucket, carry substitution POSITION-gated so NULL values stay
+      // bit-identical to the naive window); q135 is the second adopter
       val ev = Tables.events(s, d)
-        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-          date_trunc("hour", col("ts")).as("chunk"))
-      val wLoc = Window.partitionBy(col("user_id"), col("chunk"))
-        .orderBy(col("ts"), col("event_id"))
-      val loc = ev.select(col("event_id"), col("user_id"), col("chunk"),
-        col("value"),
-        lag(col("value"), 1).over(wLoc).as("lp"),
-        lead(col("value"), 1).over(wLoc).as("ln"),
-        row_number().over(wLoc).as("rn"),
-        count(lit(1)).over(
-          Window.partitionBy(col("user_id"), col("chunk"))).as("cnt"))
-      // carry frame: first/last value per non-empty (user, chunk) — ONE
-      // primitive aggregate (no struct-max; q335's packed-argmax lesson),
-      // then previous/next boundary values via a window whose partitions
-      // are bounded by the hour DOMAIN (≤720 rows per user), never volume
-      val bounds = loc.groupBy(col("user_id"), col("chunk"))
-        .agg(max(when(col("rn") === 1, col("value"))).as("first_v"),
-          max(when(col("rn") === col("cnt"), col("value"))).as("last_v"))
-      val wChunk = Window.partitionBy(col("user_id")).orderBy(col("chunk"))
-      val carry = bounds.select(col("user_id"), col("chunk"),
-        lag(col("last_v"), 1).over(wChunk).as("carry_prev"),
-        lead(col("first_v"), 1).over(wChunk).as("carry_next"))
-      // the re-join is on the SALTED key (user, chunk): no hot partitions
-      loc.join(carry, Seq("user_id", "chunk"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      boundedLagLead(ev, Seq("user_id"),
+          Seq(col("ts"), col("event_id")), date_trunc("hour", col("ts")),
+          col("value"), Some("lag_v"), Some("lead_v"))
         .select(col("event_id"), col("user_id"),
-          floor((col("value") - coalesce(col("lp"), col("carry_prev"))) * 100)
+          floor((col("value") - col("lag_v")) * 100)
             .cast("long").as("delta_prev_cents"),
-          floor((coalesce(col("ln"), col("carry_next")) - col("value")) * 100)
+          floor((col("lead_v") - col("value")) * 100)
             .cast("long").as("delta_next_cents"))
         .orderBy(col("event_id"))
     }

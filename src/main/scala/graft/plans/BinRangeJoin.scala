@@ -139,6 +139,9 @@ object GraftPlans {
     val cur = spark.experimental.extraOptimizations
     if (!cur.exists(_.isInstanceOf[BinRangeJoin]))
       spark.experimental.extraOptimizations = cur :+ BinRangeJoin()
+    val cur2 = spark.experimental.extraOptimizations
+    if (!cur2.exists(_.isInstanceOf[CatalogJoinHints]))
+      spark.experimental.extraOptimizations = cur2 :+ CatalogJoinHints()
     val strats = spark.experimental.extraStrategies
     if (!strats.contains(org.apache.spark.sql.graft.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
