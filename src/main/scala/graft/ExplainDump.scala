@@ -63,7 +63,11 @@ object ExplainDump {
     "q343_bpe_trainer",          // vocab-bounded rounds, fold-as-aggregate HOF
     "q344_ffd_packing",          // shard-then-pack, per-shard FFD fold
     "q345_ivf_pq",               // per-subspace Lloyd, broadcast-only rounds
-    "q346_catalog_planned_join") // catalog-consulted hints, plan census
+    "q346_catalog_planned_join", // catalog-consulted hints, plan census
+    "q135_markov_transitions",   // boundedLagLead adopter: salted lag windows
+    "q347_bpe_roundtrip",        // trained vocab join, per-lang exact census
+    "q348_rule_planned_join",    // CatalogJoinHints rule-stamped strategies
+    "q349_hilbert_layout")       // hilbert fold staging, 2-D min/max pruning
 
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

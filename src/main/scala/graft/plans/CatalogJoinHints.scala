@@ -99,18 +99,30 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
   /** Row-count estimate of one join side, from the catalog only: a marked
     * base relation → its cataloged count; a one-level inner equi-join of
     * two marked relations → the CM inner product of its own keys' sketches.
-    * Anything else → None (no hint; default planning). */
-  private def estRows(p: LogicalPlan): Option[Long] = p match {
-    case Project(_, c) => estRows(c)
-    case j @ Join(_, _, Inner, Some(cond), _) =>
-      markedKeys(j, cond).map { case (ka, kb, dir) =>
-        innerProductEst(stats(SparkSession.active, dir), ka, kb)
-      }
-    case _ =>
-      p.output.collectFirst {
-        case a: AttributeReference if keyOf(a).isDefined && dirOf(a).isDefined =>
-          stats(SparkSession.active, dirOf(a).get)(keyOf(a).get)._1
-      }
+    * Anything else → None (no hint; default planning).
+    *
+    * The marked attribute lives in the side's OWN output (the Alias that
+    * carries the metadata projects it there and every plan above
+    * propagates the AttributeReference) — so the base lookup reads
+    * `p.output`, never the leaf relation's unmarked schema; projections
+    * are stripped only to detect whether the side is itself a join. */
+  private def estRows(p: LogicalPlan): Option[Long] = {
+    @scala.annotation.tailrec
+    def strip(q: LogicalPlan): LogicalPlan = q match {
+      case Project(_, c) => strip(c)
+      case _ => q
+    }
+    strip(p) match {
+      case j @ Join(_, _, Inner, Some(cond), _) =>
+        markedKeys(j, cond).map { case (ka, kb, dir) =>
+          innerProductEst(stats(SparkSession.active, dir), ka, kb)
+        }
+      case _ =>
+        p.output.collectFirst {
+          case a: AttributeReference if keyOf(a).isDefined && dirOf(a).isDefined =>
+            stats(SparkSession.active, dirOf(a).get)(keyOf(a).get)._1
+        }
+    }
   }
 }
 

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnOps
+
+/** The bounded ordered window's bit-identical contract
+  * ([[graft.functions.ColumnOps.boundedLagLead]], q342/q135's operator):
+  * differential against the NAIVE lag/lead window on a fixture that
+  * exercises every boundary the salted form must get right — hot keys
+  * spanning many hour chunks, singleton keys, order ties resolved by the
+  * tiebreaker column, and NULL values landing on chunk boundaries AND
+  * mid-chunk (the r14 ADVICE case: carry substitution must gate on chunk
+  * POSITION, because nullness-gating would substitute the previous chunk's
+  * boundary value where the naive window yields NULL). */
+class BoundedWindowSpec extends SparkSpec {
+
+  /** 600 rows, ~20 users (user 1 hot: every 3rd row), timestamps spread
+    * over ~4 hours with duplicate (user, ts) pairs (event_id breaks ties),
+    * every 11th value NULL. */
+  private lazy val fixture = spark.range(600).selectExpr(
+    "id AS event_id",
+    "CASE WHEN id % 3 = 0 THEN 1 ELSE id % 19 + 2 END AS user_id",
+    // (id div 2): consecutive pairs share a timestamp → genuine ties
+    "timestamp_micros(1700000000000000 + ((id div 2) * 211 % 14400) * 1000000) AS ts",
+    "CASE WHEN id % 11 = 0 THEN CAST(NULL AS DOUBLE) ELSE (id * 7 % 100) / 4.0 END AS value",
+    "concat('t', id % 4) AS tag")
+
+  test("boundedLagLead ≡ naive lag/lead, including NULL values (doubles)") {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val naive = fixture
+      .select(col("event_id"), lag(col("value"), 1).over(w).as("l"),
+        lead(col("value"), 1).over(w).as("ld"))
+      .orderBy(col("event_id")).collect().toSeq
+    val bounded = ColumnOps.boundedLagLead(fixture, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), date_trunc("hour", col("ts")),
+        col("value"), Some("l"), Some("ld"))
+      .select(col("event_id"), col("l"), col("ld"))
+      .orderBy(col("event_id")).collect().toSeq
+    assert(bounded === naive)
+  }
+
+  test("boundedLagLead ≡ naive lag, string-typed value (q135's shape)") {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val naive = fixture
+      .select(col("event_id"), lag(col("tag"), 1).over(w).as("prev"))
+      .orderBy(col("event_id")).collect().toSeq
+    val bounded = ColumnOps.boundedLagLead(fixture, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), date_trunc("hour", col("ts")),
+        col("tag"), Some("prev"), None)
+      .select(col("event_id"), col("prev"))
+      .orderBy(col("event_id")).collect().toSeq
+    assert(bounded === naive)
+  }
+
+  test("the fixture genuinely exercises the contract's edges") {
+    // NULL values exist, some ON chunk boundaries; multiple chunks per user
+    val chunks = fixture
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("c"))
+      .distinct().groupBy(col("user_id")).count().collect()
+    assert(chunks.exists(_.getLong(1) >= 3), "users must span several chunks")
+    val wLoc = Window
+      .partitionBy(col("user_id"), date_trunc("hour", col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    val edge = fixture
+      .withColumn("rn", row_number().over(wLoc))
+      .filter(col("value").isNull && col("rn") === 1).count()
+    assert(edge > 0, "a NULL value must land on a chunk boundary")
+  }
+}

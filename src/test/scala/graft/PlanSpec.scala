@@ -652,4 +652,45 @@ class PlanSpec extends SparkSpec {
         flipped.mkString("\n"))
     } finally spark.conf.unset("graft.catalog.broadcastRowBound")
   }
+
+  test("the CatalogJoinHints RULE plans the unhinted join from the catalog (q348)") {
+    // same contract as q346's flip test, but the query carries ZERO hints:
+    // the injected rule must read the catalog off the metadata-marked keys
+    // and stamp the strategy itself — in both directions of the bound
+    val run = SparkEntry.queries("q348_rule_planned_join")
+    val base = run(spark, sf).collect().sortBy(_.getLong(0))
+    assert(base.forall(_.getString(5) == "broadcast"), base.mkString("\n"))
+    assert(base.head.getAs[Long]("n_broadcast_in_plan") == 2L,
+      base.mkString("\n"))
+    spark.conf.set("graft.catalog.broadcastRowBound", "1")
+    try {
+      // the rule's SHUFFLE_MERGE stamp must defeat auto-broadcast on this
+      // tiny corpus, exactly like q346's hand-written merge hint
+      val flipped = run(spark, sf).collect().sortBy(_.getLong(0))
+      assert(flipped.forall(_.getString(5) == "shuffle"),
+        flipped.mkString("\n"))
+      assert(flipped.head.getAs[Long]("n_broadcast_in_plan") == 0L,
+        flipped.mkString("\n"))
+    } finally spark.conf.unset("graft.catalog.broadcastRowBound")
+  }
+
+  test("CatalogJoinHints fires only on marked columns — zero blast radius") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    graft.plans.GraftPlans.install(spark)
+    // shuffle verdict bound: if the rule fired on this UNMARKED join it
+    // would stamp merge and kill the broadcast; Spark's own auto-broadcast
+    // (tiny corpus) must remain in charge instead
+    spark.conf.set("graft.catalog.broadcastRowBound", "1")
+    try {
+      val ev = Tables.events(spark, sf).select(col("user_id"))
+      val or = Tables.orders(spark, sf).select(col("o_custkey"))
+      val j = ev.join(or, col("user_id") === col("o_custkey"))
+        .agg(count(lit(1)))
+      val nBhj = j.queryExecution.sparkPlan.collect {
+        case _: BroadcastHashJoinExec => 1
+      }.sum
+      assert(nBhj == 1,
+        "unmarked join must keep Spark's own planning (auto-broadcast)")
+    } finally spark.conf.unset("graft.catalog.broadcastRowBound")
+  }
 }

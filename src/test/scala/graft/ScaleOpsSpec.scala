@@ -132,6 +132,66 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
+  test("q349: the hilbert index is a bijective unit-step curve (order 3)") {
+    // the full 8×8 grid: indexes must be a permutation of 0..63 (bijection)
+    // and consecutive indexes must be 2-D NEIGHBORS (|Δx|+|Δy| = 1) — the
+    // locality property the z curve lacks (it jumps 2^k cells at quadrant
+    // seams); endpoints pin the canonical Hilbert orientation
+    val rows = spark.range(64)
+      .selectExpr("id div 8 AS x", "id % 8 AS y")
+      .select(col("x"), col("y"),
+        ScaleOps.hilbert(col("x"), col("y"), 3).as("d"))
+      .collect()
+    val byD = rows.map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1)))).toMap
+    assert(byD.keySet === (0L until 64L).toSet)
+    (0L until 63L).foreach { i =>
+      val (x1, y1) = byD(i)
+      val (x2, y2) = byD(i + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"non-unit step at d=$i: ($x1,$y1)->($x2,$y2)")
+    }
+    assert(byD(0L) === ((0L, 0L)))
+    assert(byD(63L) === ((7L, 0L)))
+  }
+
+  test("q349: layout bake-off — hilbert vs z-order vs scattered, scanned rows") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    val sel = (df: org.apache.spark.sql.DataFrame) => df
+      .filter(col("l_orderkey").between(1000, 1999) &&
+        col("l_partkey").between(100, 299))
+      .agg(count(lit(1)), sum(col("l_quantity").cast("long")))
+    def scannedRows(dir: String): (Long, Long) = {
+      val df = sel(spark.read.parquet(dir))
+      val res = df.collect().head.getLong(0)
+      val scan = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }.head
+      (scan.metrics("numOutputRows").value, res)
+    }
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val hDir = graft.util.Scratch.dir("hilbert-spec").toString
+      val zDir = graft.util.Scratch.dir("zorder-spec-b").toString
+      val sDir = graft.util.Scratch.dir("scatter-spec-b").toString
+      ScaleOps.stageByLayout(Tables.lineitem(spark, sf), hDir,
+        ScaleOps.hilbert(col("l_orderkey"), col("l_partkey"), 18))
+      ScaleOps.stageByLayout(Tables.lineitem(spark, sf), zDir,
+        ScaleOps.morton(col("l_orderkey"), col("l_partkey"), 18))
+      ScaleOps.stageByLayout(Tables.lineitem(spark, sf), sDir,
+        xxhash64(col("l_orderkey"), col("l_partkey")))
+      val (hScan, hRes) = scannedRows(hDir)
+      val (zScan, zRes) = scannedRows(zDir)
+      val (sScan, sRes) = scannedRows(sDir)
+      assert(hRes === sRes && zRes === sRes) // layout never changes the answer
+      // both curves prune hard against the scattered control; the recorded
+      // head-to-head census is the bake-off verdict
+      assert(hScan < sScan / 2, s"hilbert=$hScan scattered=$sScan")
+      assert(zScan < sScan / 2, s"z=$zScan scattered=$sScan")
+      info(s"scanned-rows census: hilbert=$hScan zorder=$zScan scattered=$sScan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("q114: boilerplate is real, bounded, and drives the keep verdict") {
     val rep = q("q114_boilerplate_segments").collect()
     assert(rep.nonEmpty)
