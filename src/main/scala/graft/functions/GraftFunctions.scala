@@ -27,6 +27,13 @@ object GraftFunctions {
   def vecNorm(a: Column): Column =
     column(VectorNorm(expression(a)))
 
+  /** Hilbert-curve index of two long columns' low `bits` bits (codegen
+    * kernel; q349's layout key — see ScaleOps.hilbertHof for the fold
+    * twin). */
+  def hilbertIndex(x: Column, y: Column, bits: Int): Column =
+    column(org.apache.spark.sql.graft.HilbertIndex(
+      expression(x), expression(y), bits))
+
   /** Whitespace tokenizer (codegen kernel, ASCII `\s` class). */
   def tokenize(text: Column): Column =
     column(Tokenize(expression(text)))

@@ -67,17 +67,28 @@ object ScaleOps {
     * space-filling cousin with strictly better locality: consecutive
     * indexes are always UNIT grid steps (the ScaleOpsSpec-pinned property),
     * where the Z curve jumps 2^k cells at quadrant seams, so a sorted
-    * layout packs 2-D-adjacent rows into fewer, tighter runs. One fold
-    * over the bit levels, top-down: at level s the quadrant digit
-    * (3·rx)⊕ry scales by s², then the low bits (masked to [0, s), so
-    * flips stay in range) rotate/flip into the quadrant's frame. Pure
-    * integer when/mask arithmetic; the per-level (x, y, d) state folds
-    * through one `aggregate` HOF, so the expression stays LINEAR in
-    * `bits` (a withColumn chain would collapse into an exponential tree).
-    */
+    * layout packs 2-D-adjacent rows into fewer, tighter runs. Native
+    * codegen kernel ([[org.apache.spark.sql.graft.HilbertIndex]] — one
+    * tight integer bit walk per row); [[hilbertHof]] is the
+    * differential-test twin. */
   private[graft] def hilbert(x: org.apache.spark.sql.Column,
                              y: org.apache.spark.sql.Column,
                              bits: Int): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.hilbertIndex(x, y, bits)
+
+  /** HOF formulation of [[hilbert]] — the differential-test twin
+    * (tokens/tokensHof doctrine; ScaleOpsSpec pins cell equality over the
+    * full order-3 grid). One fold over the bit levels, top-down: at level
+    * s the quadrant digit (3·rx)⊕ry scales by s², then the low bits
+    * (masked to [0, s), so flips stay in range) rotate/flip into the
+    * quadrant's frame. The per-level (x, y, d) state folds through one
+    * `aggregate` HOF — linear expression size, but CodegenFallback
+    * (interpreted lambdas + a struct per level per row: measured 83 s vs
+    * ~3 s for the kernel on the sf1 staging rewrite), which is why the
+    * kernel owns the hot path. */
+  private[graft] def hilbertHof(x: org.apache.spark.sql.Column,
+                                y: org.apache.spark.sql.Column,
+                                bits: Int): org.apache.spark.sql.Column =
     aggregate(
       array(((bits - 1) to 0 by -1).map(b => lit(1L << b)): _*),
       struct(x.cast("long").as("x"), y.cast("long").as("y"),

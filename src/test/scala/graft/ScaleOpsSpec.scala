@@ -140,8 +140,13 @@ class ScaleOpsSpec extends SparkSpec {
     val rows = spark.range(64)
       .selectExpr("id div 8 AS x", "id % 8 AS y")
       .select(col("x"), col("y"),
-        ScaleOps.hilbert(col("x"), col("y"), 3).as("d"))
+        ScaleOps.hilbert(col("x"), col("y"), 3).as("d"),
+        ScaleOps.hilbertHof(col("x"), col("y"), 3).as("dh"))
       .collect()
+    // the codegen kernel and its HOF fold twin agree cell for cell (the
+    // tokens/tokensHof differential doctrine)
+    rows.foreach(r => assert(r.getLong(2) === r.getLong(3),
+      s"kernel/HOF divergence at (${r.getLong(0)},${r.getLong(1)})"))
     val byD = rows.map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1)))).toMap
     assert(byD.keySet === (0L until 64L).toSet)
     (0L until 63L).foreach { i =>
