@@ -144,8 +144,16 @@ a = json.load(open('/tmp/bench10_rem_sf1.json'))
 b = json.load(open('/tmp/bench10_rem_sf10.json'))
 for q in sorted(set(a['queries']) | set(b['queries'])):
     r = out['queries'].get(q, {})
-    t0 = min(x for x in [a['queries'].get(q), r.get('sf1_sec')] if x)
-    t1 = min(x for x in [b['queries'].get(q), r.get('sf10_sec')] if x)
+    # None-filter (not truthiness: 0.0 s is a legal timing); if a breach
+    # query produced no timing anywhere, carry the original row instead of
+    # letting min() throw and abort the scrub (r15 ADVICE item)
+    c0 = [x for x in [a['queries'].get(q), r.get('sf1_sec')] if x is not None]
+    c1 = [x for x in [b['queries'].get(q), r.get('sf10_sec')] if x is not None]
+    if not c0 or not c1:
+        print('remeasure produced no timing for', q, '- keeping original row')
+        continue
+    t0 = min(c0)
+    t1 = min(c1)
     out['queries'][q] = {
         'sf1_sec': t0, 'sf10_sec': t1,
         'ratio': round(t1 / t0, 2) if t1 and t0 > 0 else None,

@@ -479,6 +479,35 @@ object EtlQueries {
     },
 
     GraftQuery(
+      "q350_sink_clustered_compaction",
+      "OPTIMIZE-CLUSTER on the transactional sink — q349's Hilbert kernel wired into the table's maintenance path (r15 worklist 6c, the q235/q349 marriage): lineitem's (orderkey, partkey) coordinates land in the sink as zero-padded fixed-width strings (string min/max stats then ORDER like the numbers — the q116 po_number trick), one 8-file arrival-order append, then FormSinkSource.compactClustered re-lays the snapshot out as 16 files range-partitioned + sorted by the codegen'd Hilbert index of the two coordinates and publishes ONE atomic truncate commit. Arrival order scatters the 2-D space across every file (a box predicate's min/max straddles all 8); the clustered layout gives each file a tight Hilbert run, so the same manifest-stats skipping q235 proved now PRUNES most files for a 2-D box (FormSinkSpec pins the skipping census before/after via FormSinkSource.skippingCensus — the measured point of the operation; census numbers stay out of the oracle because they are layout, not answer). The ANSWER is layout-invariant: the box aggregate reads back through the clustered table and must equal the oracle's read of the original lineitem — content surviving a distributed truncate-rewrite byte-exactly IS the correctness claim.",
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 1999 AND l_partkey BETWEEN 100 AND 299""".stripMargin) { (s, d) =>
+      val dir = graft.util.Scratch.dir("graft-q350-sink").toString
+      val sinkFmt = graft.sources.FormSinkSource.Format
+      Tables.lineitem(s, d).select(
+          lit("L").as("vendor"),
+          format_string("%09d", col("l_orderkey")).as("description"),
+          format_string("%09d", col("l_partkey")).as("picker_erk"),
+          col("l_quantity").cast("long").cast("string").as("charge_code"),
+          concat_ws("-", col("l_orderkey"), col("l_partkey"),
+            col("l_linenumber")).as("po_number"))
+        .repartition(8) // arrival-order files: every one straddles the box
+        .write.format(sinkFmt).mode(SaveMode.Append).option("path", dir).save()
+      graft.sources.FormSinkSource.compactClustered(s, dir,
+        df => graft.functions.GraftFunctions.hilbertIndex(
+          df("description").cast("long"), df("picker_erk").cast("long"), 18),
+        files = 16)
+      s.read.format(sinkFmt).option("path", dir).load()
+        .filter(col("description").between("000001000", "000001999") &&
+          col("picker_erk").between("000000100", "000000299"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("charge_code").cast("long")).as("sum_qty"))
+    },
+
+    GraftQuery(
       "q109_sink_changefeed",
       "Incremental downstream consumption: after three manifest-swap commits (0..999, 1000..1999, 2000..2499), changesFromVersion=1/changesToVersion=2 reads EXACTLY the second commit's rows — each commit's delta is readable once by advancing the version cursor, the consumer-side twin of the producer's watermark increment (and what a remote mutable table cannot offer at all). Only the delta's files are opened; the feed rejects ranges spanning a truncate/compaction rewrite.",
       """WITH src AS (

@@ -118,16 +118,66 @@ object ColumnOps {
         max(when(col("__bl_rn") === col("__bl_cnt"), value)).as("__bl_lv"))
     val wChunk = Window.partitionBy(part.map(col): _*).orderBy(col(ck))
     val carry = bounds.select(
-      (part.map(col) :+ col(ck) :+
+      (part.map(c => col(c).as("__bl_k_" + c)) :+ col(ck).as("__bl_k_" + ck) :+
         lag(col("__bl_lv"), 1).over(wChunk).as("__bl_cp") :+
         lead(col("__bl_fv"), 1).over(wChunk).as("__bl_cn")): _*)
-    // the re-join is on the SALTED key (part, chunk): no hot partitions
-    val joined = loc.join(carry, keys)
+    // the re-join is on the SALTED key (part, chunk): no hot partitions.
+    // NULL-SAFE equality: a NULL order key makes the chunk NULL, and that
+    // NULL chunk is a real group (groupBy/window both keep it; it sorts
+    // first under ASC exactly as the naive window sorts NULL order keys
+    // first) — a null-unsafe join would silently DROP those rows, breaking
+    // the bit-identical contract (the r15 ADVICE item).
+    val joined = loc.join(carry,
+      keys.map(k => col(k) <=> col("__bl_k_" + k)).reduce(_ && _))
     val outCols = df.columns.toSeq.map(col) ++
       lagAs.map(n => when(col("__bl_rn") === 1, col("__bl_cp"))
         .otherwise(col("__bl_lp")).as(n)) ++
       leadAs.map(n => when(col("__bl_rn") === col("__bl_cnt"), col("__bl_cn"))
         .otherwise(col("__bl_ln")).as(n))
+    joined.select(outCols: _*)
+  }
+
+  /** Skew-safe BOUNDED running sum — `sum(value) OVER (PARTITION BY part
+    * ORDER BY orderBy ROWS UNBOUNDED PRECEDING)` with the hot-key ceiling
+    * removed, the prefix-aggregate sibling of [[boundedLagLead]] (same
+    * salting contract: `chunk` non-decreasing in the leading order column,
+    * domain-bounded per key).
+    *
+    * The running sum decomposes exactly over chunks: each row's prefix =
+    * (sum of ALL values in this key's EARLIER chunks) + (running sum
+    * within its own chunk). The local term runs in the salted (part,
+    * chunk) partition; the carry base is one cumulative window over the
+    * per-chunk totals frame (one row per non-empty (part, chunk) —
+    * domain-bounded), joined back null-safe on the salted key.
+    *
+    * Bit-identical to the naive window including NULL semantics: sum
+    * skips NULLs and is NULL over an all-NULL (or empty) prefix, so the
+    * result is NULL iff both the local prefix and every earlier chunk
+    * carry no non-NULL value. Adopter: q152 (sessionization's running
+    * session counter — the second ordered window the lag rewrite alone
+    * leaves hot). */
+  def boundedRunningSum(df: DataFrame, part: Seq[String],
+                        orderBy: Seq[Column], chunk: Column,
+                        value: Column, asCol: String): DataFrame = {
+    val ck = "__br_chunk"
+    val keys = part :+ ck
+    val wLoc = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val loc = df.withColumn(ck, chunk)
+      .withColumn("__br_ls", sum(value).over(wLoc))
+    val totals = loc.groupBy(keys.map(col): _*)
+      .agg(sum(value).as("__br_tot"))
+    val wPrev = Window.partitionBy(part.map(col): _*).orderBy(col(ck))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = totals.select(
+      (part.map(c => col(c).as("__br_k_" + c)) :+ col(ck).as("__br_k_" + ck) :+
+        sum(col("__br_tot")).over(wPrev).as("__br_base")): _*)
+    val joined = loc.join(carry,
+      keys.map(k => col(k) <=> col("__br_k_" + k)).reduce(_ && _))
+    val outCols = df.columns.toSeq.map(col) :+
+      when(col("__br_ls").isNull && col("__br_base").isNull, lit(null))
+        .otherwise(coalesce(col("__br_base"), lit(0L)) +
+          coalesce(col("__br_ls"), lit(0L))).as(asCol)
     joined.select(outCols: _*)
   }
 }

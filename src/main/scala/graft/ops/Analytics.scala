@@ -396,7 +396,7 @@ object Analytics {
 
     GraftQuery(
       "q152_session_paths",
-      "Top navigation paths: each user session (10-min gap sessionization, the q55 rewrite) reduced to its ordered event-type sequence, then the 20 most frequent paths — the product-analytics staple. The path string is built by a deterministic ordered aggregation within the session; only fixed-size path strings shuffle to the final count.",
+      "Top navigation paths: each user session (10-min gap sessionization, the q55 rewrite) reduced to its ordered event-type sequence, then the 20 most frequent paths — the product-analytics staple. The path string is built by a deterministic ordered aggregation within the session; only fixed-size path strings shuffle to the final count. BOTH per-user ordered windows run through the engine's bounded operators (ColumnOps.boundedLagLead for the gap lag, ColumnOps.boundedRunningSum for the session counter — hour-chunk salting, bit-identical to the naive windows, which remain the oracle): sessionization is the canonical Zipf-hot workload (one bot user = one sorted task under the naive form, 1.81× measured at the sf10 Zipf tier), and the lag rewrite alone would leave the running-sum window as the hot task.",
       """WITH g AS (SELECT user_id, ts, event_id, event_type,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |              > INTERVAL 10 MINUTE OR
@@ -412,15 +412,19 @@ object Analytics {
         |  FROM s GROUP BY user_id, sid)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
         |FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin) { (s, d) =>
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sessions = Tables.events(s, d)
+      val ev = Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val marked = graft.functions.ColumnOps.boundedLagLead(ev,
+          Seq("user_id"), Seq(col("ts"), col("event_id")),
+          date_trunc("hour", col("ts")), col("ts"), Some("prev_ts"), None)
         .withColumn("new_s",
-          when(lag(col("ts"), 1).over(byUser).isNull ||
-            col("ts") - lag(col("ts"), 1).over(byUser) > expr("INTERVAL 10 MINUTE"), 1)
+          when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") > expr("INTERVAL 10 MINUTE"), 1)
             .otherwise(0))
-        .withColumn("sid", sum(col("new_s")).over(run))
+        .drop("prev_ts")
+      val sessions = graft.functions.ColumnOps.boundedRunningSum(marked,
+        Seq("user_id"), Seq(col("ts"), col("event_id")),
+        date_trunc("hour", col("ts")), col("new_s"), "sid")
       // ordered path assembly: sort the collected (ts, event_id, type)
       // structs inside each session — deterministic, no second window
       sessions.groupBy(col("user_id"), col("sid"))

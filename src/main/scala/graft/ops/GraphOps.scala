@@ -447,13 +447,27 @@ object GraphOps {
       "q335_projected_community_quality",
       s"The REMEDIATION of the q326/q333 finding, end to end — one-mode projection, then LPA, then modularity, in one query: the bipartite part↔supplier graph projects to part–part CO-PURCHASE edges (distinct within-order pairs — per-basket pairing, so the projection is quadratic only in basket width ≤ 7, exactly q321's bounded shape, never in a supplier's degree), the same $LpaRounds synchronous LPA rounds run on the projected graph, and the same exact-integer Q ships alongside the node/community census. The three-query arc is the operating doctrine for community detection at 100 TB: q326 finds structure, q333's Q = −0.5 says the structure is a bipartite artifact, THIS query projects to one mode and re-measures — Q flips sign (the synthetic co-purchases carry little genuine community structure and the metric reports exactly that, which is the honest result a curation pipeline must see). Projection cost: one (order, part) distinct + one within-order self-join bounded by basket width; everything after is the q326/q333 machinery unchanged.",
       projectedLpaSql) { (s, d) =>
+      // input-scaled exchange widths (r15 verdict item 1): the projection's
+      // ~300M-pair dedup through 32 session-fixed partitions built 9M-row
+      // hash tables per task. One cheap count sizes every fat exchange:
+      // the (o,p) frame hashes on o alone (satisfies BOTH the distinct's
+      // (o,p) clustering and the self-join's o clustering — zero further
+      // exchanges until the pair dedup), and the pair dedup repartitions
+      // to ~2M-row tasks before distinct (the exchange it needs anyway,
+      // now corpus-sized).
+      val liN = graft.util.Sizing.parquetRowCount(d, "lineitem")
+      val nJoin = graft.util.Sizing.exchangePartitions(s, liN)
+      // basket width ≤ 7 ⇒ at most 3 (u<v) pairs per lineitem row
+      val nDedup = graft.util.Sizing.exchangePartitions(s, 3L * liN)
       val op = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .repartition(nJoin, col("o"))
         .distinct()
       val und = op.select(col("o"), col("p").as("u"))
         .join(op.select(col("o"), col("p").as("v")), Seq("o"))
         .filter(col("u") < col("v"))
-        .select(col("u"), col("v")).distinct()
+        .select(col("u"), col("v"))
+        .repartition(nDedup, col("u"), col("v")).distinct()
       val lpa = new Lpa(und)
       val lab = lpa.labels
       val nn = lab.agg(count(lit(1)).as("n_nodes"))
@@ -641,12 +655,21 @@ object GraphOps {
       * projection's final dedup aggregate once per union branch on top.
       * Unpersisted as soon as [[e]]/[[lab0]] are materialized below. */
     private val und = undirected.persist()
+    /** Materializes the cache AND sizes every exchange below: the edge
+      * count is the one number that says how wide the u/v exchanges and
+      * the per-round census hash tables must be. 32 session-fixed
+      * partitions at sf10 meant ~9M-row hash tables per task (GC-bound —
+      * the r15 verdict's residual superlinear term in q335); the width
+      * now scales with the corpus via [[graft.util.Sizing]]. */
+    private val undN = und.count()
+    private val nE =
+      graft.util.Sizing.exchangePartitions(session, 2L * undN)
     private val eRaw =
       und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
     /** u-partitioned edges persisted FIRST — before the gate decision —
       * so the one cold evaluation of the edge derivation happens exactly
       * once, under this cache's materialization. */
-    private val eU = eRaw.repartition(col("u")).persist()
+    private val eU = eRaw.repartition(nE, col("u")).persist()
     /** Every node its own label — round 0, localCheckpointed because each
       * round's O(V) output re-enters the next round's plan. Derived from
       * the PERSISTED edges: distinct(u) over a u-partitioned cache is
@@ -665,7 +688,7 @@ object GraphOps {
     val e: org.apache.spark.sql.DataFrame =
       if (bcast) { und.unpersist(); eU }
       else {
-        val ev = eU.repartition(col("v")).persist()
+        val ev = eU.repartition(nE, col("v")).persist()
         ev.count() // materialize from the u-cache before dropping it
         und.unpersist()
         eU.unpersist()
@@ -699,8 +722,12 @@ object GraphOps {
   /** The bipartite LPA machinery + final labels (q326's census loop twin). */
   private def lpaGraph(s: org.apache.spark.sql.SparkSession, d: String)
       : (Lpa, org.apache.spark.sql.DataFrame) = {
+    // corpus-sized dedup exchange (same fix family as q335's projection)
+    val nDedup = graft.util.Sizing.exchangePartitions(
+      s, graft.util.Sizing.parquetRowCount(d, "lineitem"))
     val ps = Tables.lineitem(s, d)
       .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      .repartition(nDedup, col("u"), col("v"))
       .distinct()
     val lpa = new Lpa(ps)
     (lpa, lpa.labels)

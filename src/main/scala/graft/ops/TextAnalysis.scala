@@ -142,6 +142,90 @@ object TextAnalysis {
        |${catalogPlanSql}
        |) q ORDER BY stage""".stripMargin
 
+  /** q351's oracle — the DEEP-tree twin of [[catalogPlanSql]]: the same
+    * catalog sketch math recomputed in DuckDB, three stages, where stage 3's
+    * left side is a DEPTH-2 intermediate whose estimate is the base-sketch
+    * inner product scaled by the nested join's contraction factor (raw_ol ×
+    * est_eo // n_orders — ONE HUGEINT floor-division, exactly the rule's
+    * BigInt chain; the factor is scalar so it commutes with the min-depth). */
+  private def deepCatalogPlanSql: String = {
+    val p = Dedup.P
+    val rels = Seq(("evu", "events", "user_id"),
+      ("ordc", "orders", "o_custkey"), ("ordo", "orders", "o_orderkey"),
+      ("line", "lineitem", "l_orderkey"), ("cust", "customer", "c_custkey"))
+    val hctes = rels.map { case (nm, tbl, k) =>
+      s"""h_$nm AS MATERIALIZED (SELECT ${h60Sql(s"CAST($k AS VARCHAR)")} % $p AS hs
+         |  FROM $tbl)""".stripMargin
+    }.mkString(",\n")
+    val sctes = rels.map { case (nm, _, _) =>
+      s"""c_$nm AS MATERIALIZED (SELECT d,
+         |    (((2*d+1)*hs + (7919*d+13)) % $p) % $CmWidth AS c,
+         |    count(*) AS cnt FROM h_$nm CROSS JOIN dd GROUP BY 1, 2),
+         |n_$nm AS (SELECT count(*) AS n FROM h_$nm)""".stripMargin
+    }.mkString(",\n")
+    def edgeEst(l: String, r: String) =
+      s"""(SELECT CAST(min(ej) AS HUGEINT) FROM (
+         |   SELECT a.d, CAST(sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS HUGEINT) AS ej
+         |   FROM c_$l a JOIN c_$r b ON a.d = b.d AND a.c = b.c
+         |   GROUP BY a.d) q)""".stripMargin
+    s"""WITH dd AS (SELECT unnest(generate_series(0, ${CmDepth - 1})) AS d),
+       |$hctes,
+       |$sctes,
+       |eo AS (SELECT ${edgeEst("evu", "ordc")} AS est),
+       |ol AS (SELECT ${edgeEst("ordo", "line")} AS est),
+       |oc AS (SELECT ${edgeEst("ordc", "cust")} AS est),
+       |nn AS (SELECT (SELECT CAST(n AS HUGEINT) FROM n_evu) AS ne,
+       |  (SELECT CAST(n AS HUGEINT) FROM n_ordc) AS no,
+       |  (SELECT CAST(n AS HUGEINT) FROM n_line) AS nl,
+       |  (SELECT CAST(n AS HUGEINT) FROM n_cust) AS nc),
+       |d2i AS (SELECT (SELECT est FROM ol) * (SELECT est FROM eo) // no AS est2
+       |  FROM nn),
+       |act AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+       |  FROM events JOIN orders ON user_id = o_custkey
+       |  JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN customer ON o_custkey = c_custkey),
+       |dec AS (SELECT
+       |    CASE WHEN no <= ne THEN 'orders' ELSE 'events' END AS b1,
+       |    least(no, ne) AS n1,
+       |    CASE WHEN least(no, ne) <= $CatalogBroadcastRowBound
+       |         THEN 'broadcast' ELSE 'shuffle' END AS d1,
+       |    CASE WHEN nl <= (SELECT est FROM eo)
+       |         THEN 'lineitem' ELSE 'intermediate' END AS b2,
+       |    least(nl, (SELECT est FROM eo)) AS n2,
+       |    CASE WHEN least(nl, (SELECT est FROM eo)) <= $CatalogBroadcastRowBound
+       |         THEN 'broadcast' ELSE 'shuffle' END AS d2,
+       |    CASE WHEN nc <= (SELECT est2 FROM d2i)
+       |         THEN 'customer' ELSE 'intermediate' END AS b3,
+       |    least(nc, (SELECT est2 FROM d2i)) AS n3,
+       |    CASE WHEN least(nc, (SELECT est2 FROM d2i)) <= $CatalogBroadcastRowBound
+       |         THEN 'broadcast' ELSE 'shuffle' END AS d3
+       |  FROM nn),
+       |pb AS (SELECT CAST(CASE WHEN d1 = 'broadcast' THEN 1 ELSE 0 END
+       |    + CASE WHEN d2 = 'broadcast' THEN 1 ELSE 0 END
+       |    + CASE WHEN d3 = 'broadcast' THEN 1 ELSE 0 END AS BIGINT) AS nb
+       |  FROM dec)
+       |SELECT CAST(1 AS BIGINT) AS stage,
+       |  'events.user_id x orders.o_custkey' AS join_edge,
+       |  b1 AS build_side, CAST(n1 AS BIGINT) AS est_build_rows,
+       |  CAST((SELECT est FROM eo) AS BIGINT) AS est_edge_rows,
+       |  d1 AS decision, actual_rows, nb AS n_broadcast_in_plan,
+       |  'rule-deep' AS planned_by
+       |FROM dec, act, pb
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT),
+       |  'orders.o_orderkey x lineitem.l_orderkey',
+       |  b2, CAST(n2 AS BIGINT), CAST((SELECT est FROM ol) AS BIGINT), d2,
+       |  actual_rows, nb, 'rule-deep'
+       |FROM dec, act, pb
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT),
+       |  'orders.o_custkey x customer.c_custkey',
+       |  b3, CAST(n3 AS BIGINT), CAST((SELECT est FROM oc) AS BIGINT), d3,
+       |  actual_rows, nb, 'rule-deep'
+       |FROM dec, act, pb
+       |ORDER BY stage""".stripMargin
+  }
+
   /** Stage (once per JVM × corpus snapshot) and return the catalog dir:
     * one pass per relation, persisted as a 5-row parquet of
     * (rel, n, 4096-long sketch). */
@@ -1671,6 +1755,71 @@ object TextAnalysis {
         .crossJoin(broadcast(actual))
         .withColumn("n_broadcast_in_plan", lit(nBhj.toLong))
         .withColumn("planned_by", lit("rule"))
+        .orderBy(col("stage"))
+    },
+
+    GraftQuery(
+      "q351_deep_rule_planned_join",
+      "CatalogJoinHints past depth 1 (r15 worklist 6b): an unhinted LEFT-DEEP 4-way join events⋈orders⋈lineitem⋈customer where stage 3's build-side decision needs the size of a DEPTH-2 intermediate — an estimate no row count holds and the depth-1 rule used to refuse (returned None, stamped nothing). The estimator now recurses: a nested join side contributes its own CM estimate over the cataloged rows of the upward key's owner as a SCALAR factor (est2 = raw_ol × est_eo ÷ n_orders — one BigInt floor-division per level, canonical left-then-right; scalar factors commute with both the per-depth sum and the min-over-depths, so this equals the inner product over per-cell-scaled sketches without materializing one; the independence assumption is the classic CBO one and is stated, not hidden). The output rows are the EXPECTED three-stage decisions from the same shared estimation code the rule runs, n_broadcast_in_plan is the measured BroadcastHashJoin census over the plan the rule actually produced, and the oracle recomputes every sketch, estimate, scale factor and decision in DuckDB HUGEINT — PlanSpec additionally flips the bound and pins the physical flip on all three stages.",
+      deepCatalogPlanSql) { (s, d) =>
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      import graft.plans.CatalogJoinHints
+      graft.plans.GraftPlans.install(s)
+      val dir = statsCatalogDir(s, d)
+      def mark(df: DataFrame, cs: (String, String)*): DataFrame =
+        df.select(cs.map { case (c, key) =>
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(CatalogJoinHints.KeyMeta, key)
+            .putString(CatalogJoinHints.DirMeta, dir).build()
+          col(c).as(c, md)
+        }: _*)
+      val ev = mark(Tables.events(s, d), "user_id" -> "events.user_id")
+      val or = mark(Tables.orders(s, d),
+        "o_custkey" -> "orders.o_custkey", "o_orderkey" -> "orders.o_orderkey")
+      val li = mark(Tables.lineitem(s, d),
+        "l_orderkey" -> "lineitem.l_orderkey")
+      val cu = mark(Tables.customer(s, d), "c_custkey" -> "customer.c_custkey")
+      // the query: three plain joins, zero hints, zero stats consults
+      val actual = ev.join(or, col("user_id") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(cu, col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("actual_rows"))
+      val nBhj = actual.queryExecution.sparkPlan.collect {
+        case _: BroadcastHashJoinExec => 1
+      }.sum
+      // expected decisions from the SAME estimation code the rule runs
+      val st = CatalogJoinHints.stats(s, dir)
+      val bound = s.conf.getOption("graft.catalog.broadcastRowBound")
+        .map(_.toLong).getOrElse(CatalogJoinHints.DefaultBound)
+      val nE = BigInt(st("events.user_id")._1)
+      val nO = BigInt(st("orders.o_custkey")._1)
+      val nL = BigInt(st("lineitem.l_orderkey")._1)
+      val nC = BigInt(st("customer.c_custkey")._1)
+      val estEO = CatalogJoinHints.innerProductBig(
+        st, "events.user_id", "orders.o_custkey")
+      val rawOL = CatalogJoinHints.innerProductBig(
+        st, "orders.o_orderkey", "lineitem.l_orderkey")
+      val rawOC = CatalogJoinHints.innerProductBig(
+        st, "orders.o_custkey", "customer.c_custkey")
+      val est2 = rawOL * estEO / nO // the depth-2 intermediate, scaled once
+      def dec(n: BigInt) = if (n <= bound) "broadcast" else "shuffle"
+      def sat(b: BigInt) = CatalogJoinHints.toLongSat(b)
+      import s.implicits._
+      Seq(
+        (1L, "events.user_id x orders.o_custkey",
+          if (nO <= nE) "orders" else "events", sat(nO.min(nE)), sat(estEO),
+          dec(nO.min(nE))),
+        (2L, "orders.o_orderkey x lineitem.l_orderkey",
+          if (nL <= estEO) "lineitem" else "intermediate",
+          sat(nL.min(estEO)), sat(rawOL), dec(nL.min(estEO))),
+        (3L, "orders.o_custkey x customer.c_custkey",
+          if (nC <= est2) "customer" else "intermediate",
+          sat(nC.min(est2)), sat(rawOC), dec(nC.min(est2))))
+        .toDF("stage", "join_edge", "build_side", "est_build_rows",
+          "est_edge_rows", "decision")
+        .crossJoin(broadcast(actual))
+        .withColumn("n_broadcast_in_plan", lit(nBhj.toLong))
+        .withColumn("planned_by", lit("rule-deep"))
         .orderBy(col("stage"))
     },
 

@@ -42,7 +42,7 @@ object Windows {
 
     GraftQuery(
       "q132_distribution_windows",
-      "Distribution window family — percent_rank, cume_dist, ntile(4) — per market-segment order-value ranking (deterministic (cents, key) order so ties cannot differ between engines); percent_rank/cume_dist emitted as exact integer ppm. Partitioned by a real key like every other window here — state distributes, no global sort.",
+      "Distribution window family — percent_rank, cume_dist, ntile(4) — per market-segment order-value ranking (deterministic (cents, key) order so ties cannot differ between engines); percent_rank/cume_dist emitted as exact integer ppm. NOT the naive 5-partition segment window (the fixed-domain trap: 5 tasks sort n/5 rows forever): rank-from-census over a 1024-bin quantization of the cents domain — a ≤5·1024-row census carries per-bucket base offsets and per-segment n, rank = base + within-bucket row_number, and prank/cdist/ntile are exact closed forms of (rank, n). Window parallelism is 5·1024 partitions at any corpus size.",
       """WITH c2 AS (SELECT o_orderkey, c_mktsegment,
         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders JOIN customer ON o_custkey = c_custkey)
@@ -53,20 +53,63 @@ object Windows {
         |FROM c2
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY cents, o_orderkey)
         |ORDER BY c_mktsegment, cents, o_orderkey""".stripMargin) { (s, d) =>
+      // The naive plan — Window.partitionBy(c_mktsegment) — is the
+      // fixed-partition scale trap: 5 segment values mean 5 tasks each
+      // sorting n/5 rows no matter the corpus (8.55×/decade measured at
+      // sf10, the r15 verdict's weak item 2). The distribution family is
+      // an exact function of (rank, n), and rank decomposes over ANY
+      // order-respecting bucketing, so: quantize the cents domain into
+      // B=1024 fixed-width bins (integer div — bucketing only has to be
+      // deterministic + monotone in cents, the oracle never sees it),
+      // census the (segment, bucket) counts (≤ 5·1024 rows at ANY scale),
+      // one cumulative window over that bounded census gives each bucket
+      // its base offset and each segment its n, then rank = base +
+      // row_number within (segment, bucket) — a window over 5·1024
+      // partitions of ~n/5120 rows instead of 5 partitions of n/5.
+      // percent_rank = (rn−1)/(n−1), cume_dist = rn/n (total order ⇒
+      // rank = row_number), ntile(4) from the standard first-(n%4)-
+      // buckets-get-one-extra closed form — all reproduced in the same
+      // double/integer arithmetic both engines use internally.
+      val B = 1024
       val c2 = Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("c_mktsegment"),
           cents(col("o_totalprice")).as("cents"))
-      val w = Window.partitionBy(col("c_mktsegment"))
+      // bin bounds from the orders scan alone (min/max of one column —
+      // no second pass over the join; the join is inner-total so the
+      // orders domain covers the joined domain)
+      val bounds = Tables.orders(s, d)
+        .agg(min(cents(col("o_totalprice"))).as("mn"),
+          max(cents(col("o_totalprice"))).as("mx"))
+      val c2b = graft.util.CacheOnce.persistForOneAction(
+        c2.crossJoin(broadcast(bounds))
+          .selectExpr("o_orderkey", "c_mktsegment", "cents",
+            s"CAST(least(${B - 1}, ((cents - mn) * $B) div (mx - mn + 1)) AS INT) AS bkt"))
+      val census = c2b.groupBy(col("c_mktsegment"), col("bkt"))
+        .agg(count(lit(1)).as("cb"))
+      val wS = Window.partitionBy(col("c_mktsegment")).orderBy(col("bkt"))
+      val cum = census.select(
+        col("c_mktsegment").as("s2"), col("bkt").as("b2"),
+        (sum(col("cb")).over(wS) - col("cb")).as("base"),
+        sum(col("cb")).over(Window.partitionBy(col("c_mktsegment"))).as("n"))
+      val wBo = Window.partitionBy(col("c_mktsegment"), col("bkt"))
         .orderBy(col("cents"), col("o_orderkey"))
-      // percent_rank = (rank−1)/(n−1), cume_dist = rank/n: both exact
-      // per-row doubles from integer rank/count — round(×1e6) agrees
-      // bit-for-bit across engines
-      c2.select(col("o_orderkey"), col("c_mktsegment"),
-          round(percent_rank().over(w) * 1000000).cast("long").as("prank_ppm"),
-          round(cume_dist().over(w) * 1000000).cast("long").as("cdist_ppm"),
-          ntile(4).over(w).cast("int").as("quartile"))
-        .orderBy(col("c_mktsegment"), col("prank_ppm"), col("o_orderkey"))
+      c2b.withColumn("rib", row_number().over(wBo))
+        .join(broadcast(cum),
+          col("c_mktsegment") === col("s2") && col("bkt") === col("b2"))
+        .withColumn("rn", col("base") + col("rib"))
+        .selectExpr("o_orderkey", "c_mktsegment", "cents",
+          """CAST(round(CASE WHEN n > 1
+            |  THEN (CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)) * 1000000
+            |  ELSE 0.0D END) AS BIGINT) AS prank_ppm""".stripMargin,
+          "CAST(round((CAST(rn AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS cdist_ppm",
+          """CAST(CASE WHEN rn <= (n % 4) * ((n div 4) + 1)
+            |  THEN 1 + (rn - 1) div ((n div 4) + 1)
+            |  ELSE 1 + (n % 4) + (rn - (n % 4) * ((n div 4) + 1) - 1) div (n div 4)
+            |  END AS INT) AS quartile""".stripMargin)
+        .orderBy(col("c_mktsegment"), col("cents"), col("o_orderkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          col("prank_ppm"), col("cdist_ppm"), col("quartile"))
     },
 
     GraftQuery(

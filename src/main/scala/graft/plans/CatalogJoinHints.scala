@@ -45,7 +45,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * collect — the microsecond stats lookup every CBO does) and memoized
   * JVM-wide; the path is content-addressed by the corpus sourceKey
   * fingerprint upstream, so staleness invalidates the path, never the
-  * cache (the staging-memo doctrine). Deeper trees than one join level
+  * cache (the staging-memo doctrine). Marked join trees estimate to ANY
+  * depth (r16): a nested join side contributes its own estimate over the
+  * cataloged base rows of the upward key's owner as a scalar factor — see
+  * estRows. Non-join, non-leaf shapes (aggregates, generators) still
   * estimate as None and stamp nothing — the engine's default planning
   * applies (documented fallback, not a silent guess).
   *
@@ -77,7 +80,11 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** The join's cross-side equi pair where BOTH attributes carry the
-    * catalog mark — the rule's opt-in trigger. */
+    * catalog mark — the rule's opt-in trigger. Returned SIDE-ORDERED
+    * (left side's key first): the deep-tree estimator scales each side's
+    * base sketch by that side's own contraction factor, so it must know
+    * which key lives where (the depth-1 inner product was symmetric and
+    * didn't care). */
   private def markedKeys(j: Join, cond: Expression)
       : Option[(String, String, String)] =
     splitConjunctivePredicates(cond).collectFirst {
@@ -86,7 +93,9 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
             dirOf(a).isDefined &&
             (a.references.subsetOf(j.left.outputSet) !=
               b.references.subsetOf(j.left.outputSet)) =>
-        (keyOf(a).get, keyOf(b).get, dirOf(a).get)
+        if (a.references.subsetOf(j.left.outputSet))
+          (keyOf(a).get, keyOf(b).get, dirOf(a).get)
+        else (keyOf(b).get, keyOf(a).get, dirOf(a).get)
     }
 
   private def keyOf(a: AttributeReference): Option[String] =
@@ -105,25 +114,76 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
     * carries the metadata projects it there and every plan above
     * propagates the AttributeReference) — so the base lookup reads
     * `p.output`, never the leaf relation's unmarked schema; projections
-    * are stripped only to detect whether the side is itself a join. */
-  private def estRows(p: LogicalPlan): Option[Long] = {
-    @scala.annotation.tailrec
-    def strip(q: LogicalPlan): LogicalPlan = q match {
-      case Project(_, c) => strip(c)
-      case _ => q
-    }
+    * are stripped only to detect whether the side is itself a join.
+    *
+    * The cataloged-count lookup fires ONLY when the side is a chain of
+    * CARDINALITY-NON-INCREASING unary nodes (Project — column pruning;
+    * Filter — including the isnotnull the optimizer infers from the join
+    * itself) over a LEAF relation: there the cataloged count is the true
+    * count or a safe OVER-estimate (can only miss a broadcast, never OOM
+    * one). Any other node — Aggregate, Window, Generate, Union — returns
+    * None even though the marked attribute still rides its output: its
+    * cardinality is not bounded by the base relation's, and estimating it
+    * as such could stamp an enforced BROADCAST on an arbitrarily large
+    * intermediate (the r15 ADVICE contract). Default planning applies
+    * instead.
+    *
+    * Marked joins recurse to ANY depth (r16 — the r15 worklist 6b): a
+    * join-of-join side's estimate is the base-sketch CM inner product of
+    * its own keys, scaled by each join child's contraction factor
+    * (childEst / cataloged rows of the key's owner relation). The factor
+    * is a SCALAR, so it commutes with both the per-depth sum and the
+    * min-over-depths — the result equals the inner product over
+    * per-cell-scaled sketches without materializing one, and the oracle
+    * reproduces it as one HUGEINT floor-division per level in canonical
+    * left-then-right order. The scaling assumes the join key and the
+    * upward key are independently distributed (the classic CBO
+    * assumption); everything stays in BigInt and saturates at
+    * Long.MaxValue, which preserves every ≤-bound verdict. */
+  private def estRows(p: LogicalPlan): Option[Long] =
+    estimate(p).map(toLongSat)
+
+  @scala.annotation.tailrec
+  private def strip(q: LogicalPlan): LogicalPlan = q match {
+    case Project(_, c) => strip(c)
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(_, c) => strip(c)
+    case _ => q
+  }
+
+  private def estimate(p: LogicalPlan): Option[BigInt] =
     strip(p) match {
       case j @ Join(_, _, Inner, Some(cond), _) =>
-        markedKeys(j, cond).map { case (ka, kb, dir) =>
-          innerProductEst(stats(SparkSession.active, dir), ka, kb)
+        markedKeys(j, cond).flatMap { case (kl, kr, dir) =>
+          val st = stats(SparkSession.active, dir)
+          val raw = innerProductBig(st, kl, kr)
+          for {
+            fl <- sideFactor(j.left, kl, st)
+            fr <- sideFactor(j.right, kr, st)
+          } yield fr(fl(raw))
         }
-      case _ =>
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
+        // read p.output (the marked projection), not the leaf's unmarked schema
         p.output.collectFirst {
           case a: AttributeReference if keyOf(a).isDefined && dirOf(a).isDefined =>
-            stats(SparkSession.active, dirOf(a).get)(keyOf(a).get)._1
+            BigInt(stats(SparkSession.active, dirOf(a).get)(keyOf(a).get)._1)
         }
+      case _ => None
     }
-  }
+
+  /** How a join child rescales the base-sketch inner product taken over
+    * its key `k`: a leaf (the sketch's own frame) contributes identity; a
+    * nested marked join contributes ×(childEst / |owner(k)|) as one
+    * BigInt floor-division; anything else poisons the whole estimate. */
+  private def sideFactor(side: LogicalPlan, k: String,
+                         st: Map[String, (Long, Array[Long])])
+      : Option[BigInt => BigInt] =
+    strip(side) match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
+        Some(identity)
+      case _: Join =>
+        estimate(side).map(n => (x: BigInt) => x * n / BigInt(st(k)._1))
+      case _ => None
+    }
 }
 
 object CatalogJoinHints {
@@ -159,7 +219,14 @@ object CatalogJoinHints {
     * (the q346 overflow doctrine); the Long saturates at MaxValue, which
     * preserves every ≤-bound verdict. */
   def innerProductEst(st: Map[String, (Long, Array[Long])],
-                      ka: String, kb: String): Long = {
+                      ka: String, kb: String): Long =
+    toLongSat(innerProductBig(st, ka, kb))
+
+  /** The exact-BigInt tier of [[innerProductEst]] — the deep-tree
+    * estimator and q351's expected-decision math both chain scale factors
+    * onto this before saturating once at the end. */
+  def innerProductBig(st: Map[String, (Long, Array[Long])],
+                      ka: String, kb: String): BigInt = {
     val a = st(ka)._2
     val b = st(kb)._2
     (0 until CmDepth).map { di =>
@@ -169,6 +236,8 @@ object CatalogJoinHints {
         acc += BigInt(a(di * CmWidth + i)) * b(di * CmWidth + i); i += 1
       }
       acc
-    }.min.min(BigInt(Long.MaxValue)).toLong
+    }.min
   }
+
+  def toLongSat(b: BigInt): Long = b.min(BigInt(Long.MaxValue)).toLong
 }

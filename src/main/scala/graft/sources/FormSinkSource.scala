@@ -299,6 +299,50 @@ object FormSinkSource {
     else { Files.deleteIfExists(merged); None } // lost to a concurrent commit
   }
 
+  /** OPTIMIZE-CLUSTER compaction — [[compact]]'s layout-aware sibling, the
+    * q349 Hilbert kernel married to the manifest's file-skipping stats
+    * (every lakehouse table service ships this as `OPTIMIZE ... ZORDER BY`):
+    * the committed snapshot is re-laid-out as `files` files ordered by
+    * `clusterKey` (range-partition + in-partition sort — a DISTRIBUTED
+    * rewrite, scaling with the table where [[compact]]'s driver-side concat
+    * is for small-file pressure only), and published as one atomic
+    * truncate commit. Because each output file now covers a TIGHT range of
+    * the cluster key's dimensions, the per-file min/max stats the writer
+    * records turn a box predicate into file skips — the q235 skipping
+    * census, manufactured by layout instead of by arrival order.
+    *
+    * Reading and rewriting the same snapshot in one job is safe here: data
+    * files are immutable and the rewrite's files stay invisible orphans
+    * until the manifest swap, so every scan task reads the OLD snapshot's
+    * bytes regardless of commit timing. The change feed treats the result
+    * like any truncate (spans across it are rejected loudly). */
+  def compactClustered(spark: org.apache.spark.sql.SparkSession, path: String,
+                       clusterKey: org.apache.spark.sql.DataFrame =>
+                         org.apache.spark.sql.Column,
+                       files: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format(Format).option("path", path).load()
+    df.withColumn("__cluster_key", clusterKey(df))
+      .repartitionByRange(files, col("__cluster_key"))
+      .sortWithinPartitions(col("__cluster_key"))
+      .drop("__cluster_key")
+      .write.format(Format).mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", path).save()
+    currentManifest(path)._1
+  }
+
+  /** Advisory skipping census: how many committed files a conjunction of
+    * pushable filters would open vs skip — (mayOpen, total). The same
+    * [[mayMatch]] the scan planner runs, surfaced so layout operations
+    * (q350) can measure their effect; cost is one manifest read, no data
+    * IO. */
+  def skippingCensus(path: String, filters: Seq[sqlf.Filter]): (Int, Int) = {
+    val (_, fileNames, stats) = currentManifestFull(path)
+    val open = fileNames.count(f =>
+      filters.forall(fl => mayMatch(stats.get(f), fl)))
+    (open, fileNames.size)
+  }
+
   /** Public snapshot inspection: (current version, the data-file names it
     * makes visible) — the `DESCRIBE HISTORY`-lite any table format exposes. */
   def snapshotInfo(path: String): (Long, Seq[String]) = currentManifest(path)

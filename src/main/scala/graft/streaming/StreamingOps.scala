@@ -55,16 +55,25 @@ object StreamingOps {
     * and return the materialized result.
     *
     * State partitioning: a streaming aggregation creates one state store
-    * per shuffle partition per micro-batch; at this corpus size 32 stores
-    * are pure overhead, so the stream runs with 8 (a real deployment sizes
-    * this to state volume — it is fixed at first checkpoint, so it's an
-    * explicit knob here, not an inherited default). */
+    * per shuffle partition per micro-batch; at the gated corpus size 32
+    * stores are pure overhead, so the stream runs with 8 by default — but
+    * the knob is INPUT-SCALED via the `stateParts` overload (it is fixed
+    * at first checkpoint, so a real deployment sizes it to state volume
+    * up front; each query here gets a fresh checkpoint, so per-run sizing
+    * is safe). The r15 sf10 leg showed why: q96/q234's per-batch sort +
+    * state update through 8 fixed partitions is the same
+    * fixed-partition trap as the batch dedups — [[eventStateParts]]
+    * scales it with the corpus while the small SFs keep 8 exactly. */
   def runToMemory(df: DataFrame, name: String,
-                  outputMode: String): DataFrame = {
+                  outputMode: String): DataFrame =
+    runToMemory(df, name, outputMode, 8)
+
+  def runToMemory(df: DataFrame, name: String,
+                  outputMode: String, stateParts: Int): DataFrame = {
     val spark = df.sparkSession
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
       df.writeStream
         .format("memory")
         .queryName(name)
@@ -75,6 +84,14 @@ object StreamingOps {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** State partitions for a stream over the events corpus at `d`: ~250k
+    * events per state partition, floored at the historical 8 (the gated
+    * sf0.1 tier keeps its exact partitioning and timings), capped at 256.
+    * Row count from parquet footers — no job. */
+  def eventStateParts(d: String): Int =
+    math.max(8L, math.min(256L,
+      graft.util.Sizing.parquetRowCount(d, "events") / 250000L)).toInt
 
   /** The events corpus as a MULTI-batch file stream for APPEND-mode runs.
     *
@@ -408,7 +425,7 @@ object StreamingOps {
         .toDF("user_id", "n_sessions")
       // the sentinel user's timeout sits past the final watermark, so its
       // state never emits; the filter is documentation more than necessity
-      runToMemory(counted, s"q99_sink_${System.nanoTime()}", "append")
+      runToMemory(counted, s"q99_sink_${System.nanoTime()}", "append", eventStateParts(d))
         .filter(col("user_id") =!= -1L)
         .orderBy(col("user_id"))
     },
@@ -433,7 +450,7 @@ object StreamingOps {
       val updates = try {
         s.conf.set(ProviderKey,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        runToMemory(counted, s"q229_sink_${System.nanoTime()}", "update")
+        runToMemory(counted, s"q229_sink_${System.nanoTime()}", "update", eventStateParts(d))
       } finally saved match {
         case Some(v) => s.conf.set(ProviderKey, v)
         case None    => s.conf.unset(ProviderKey)
@@ -474,7 +491,7 @@ object StreamingOps {
       val out = try {
         s.conf.set(ProviderKey,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        runToMemory(counted, s"q246_sink_${System.nanoTime()}", "append")
+        runToMemory(counted, s"q246_sink_${System.nanoTime()}", "append", eventStateParts(d))
       } finally saved match {
         case Some(v) => s.conf.set(ProviderKey, v)
         case None    => s.conf.unset(ProviderKey)
@@ -503,7 +520,7 @@ object StreamingOps {
       val updates = try {
         s.conf.set(ProviderKey,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        runToMemory(counted, s"q251_sink_${System.nanoTime()}", "update")
+        runToMemory(counted, s"q251_sink_${System.nanoTime()}", "update", eventStateParts(d))
       } finally saved match {
         case Some(v) => s.conf.set(ProviderKey, v)
         case None    => s.conf.unset(ProviderKey)
@@ -540,7 +557,7 @@ object StreamingOps {
       val updates = try {
         s.conf.set(ProviderKey,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        runToMemory(counted, s"q254_sink_${System.nanoTime()}", "update")
+        runToMemory(counted, s"q254_sink_${System.nanoTime()}", "update", eventStateParts(d))
       } finally saved match {
         case Some(v) => s.conf.set(ProviderKey, v)
         case None    => s.conf.unset(ProviderKey)
@@ -695,7 +712,7 @@ object StreamingOps {
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
-      runToMemory(agg, s"q59_sink_${System.nanoTime()}", "complete")
+      runToMemory(agg, s"q59_sink_${System.nanoTime()}", "complete", eventStateParts(d))
         .select(unix_timestamp(col("window.start")).as("window_start_s"),
           col("event_type"), col("n"), col("value_cents"))
         .orderBy(col("window_start_s"), col("event_type"))
@@ -719,7 +736,7 @@ object StreamingOps {
         .groupBy(col("event_type"))
         .agg(graft.functions.GraftFunctions
           .topKAgg(col("cents"), col("event_id"), 3).as("tk"))
-      runToMemory(agg, s"q217_sink_${System.nanoTime()}", "complete")
+      runToMemory(agg, s"q217_sink_${System.nanoTime()}", "complete", eventStateParts(d))
         .select(col("event_type"), posexplode(col("tk")).as(Seq("pos", "x")))
         .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
           col("x.payload").as("event_id"), col("x.key").as("cents"))
@@ -734,7 +751,7 @@ object StreamingOps {
       val dedup = eventsStream(s, d)
         .select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type")
-      runToMemory(dedup, s"q60_sink_${System.nanoTime()}", "append")
+      runToMemory(dedup, s"q60_sink_${System.nanoTime()}", "append", eventStateParts(d))
         .groupBy(col("event_type"))
         .agg(count(col("user_id")).as("n_users"))
         .orderBy(col("event_type"))
@@ -752,7 +769,7 @@ object StreamingOps {
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), col("event_type"), col("value"))
-      runToMemory(dedup, s"q234_sink_${System.nanoTime()}", "append")
+      runToMemory(dedup, s"q234_sink_${System.nanoTime()}", "append", eventStateParts(d))
         .filter(col("event_id") =!= -1L)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
@@ -773,7 +790,7 @@ object StreamingOps {
       val agg = doubled
         .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
-      runToMemory(agg, s"q236_sink_${System.nanoTime()}", "append")
+      runToMemory(agg, s"q236_sink_${System.nanoTime()}", "append", eventStateParts(d))
         .select(unix_timestamp(col("window.start")).as("window_start_s"),
           col("event_type"), col("n"), col("value_cents"))
         .orderBy(col("window_start_s"), col("event_type"))
@@ -792,7 +809,7 @@ object StreamingOps {
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "20 minutes", "10 minutes"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
-      runToMemory(agg, s"q61_sink_${System.nanoTime()}", "complete")
+      runToMemory(agg, s"q61_sink_${System.nanoTime()}", "complete", eventStateParts(d))
         .select(unix_timestamp(col("window.start")).as("window_start_s"),
           col("n"), col("value_cents"))
         .orderBy(col("window_start_s"))
@@ -809,7 +826,7 @@ object StreamingOps {
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
-      runToMemory(agg, s"q91_sink_${System.nanoTime()}", "append")
+      runToMemory(agg, s"q91_sink_${System.nanoTime()}", "append", eventStateParts(d))
         .filter(col("event_type") =!= SentinelType)
         .select(unix_timestamp(col("window.start")).as("window_start_s"),
           col("event_type"), col("n"), col("value_cents"))
@@ -829,7 +846,7 @@ object StreamingOps {
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "20 minutes", "10 minutes"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
-      runToMemory(agg, s"q92_sink_${System.nanoTime()}", "append")
+      runToMemory(agg, s"q92_sink_${System.nanoTime()}", "append", eventStateParts(d))
         .select(unix_timestamp(col("window.start")).as("window_start_s"),
           col("n"), col("value_cents"))
         .orderBy(col("window_start_s"))
@@ -857,7 +874,7 @@ object StreamingOps {
         .withWatermark("ts", "1 hour")
         .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
-      runToMemory(agg, s"q96_sink_${System.nanoTime()}", "append")
+      runToMemory(agg, s"q96_sink_${System.nanoTime()}", "append", eventStateParts(d))
         .filter(col("user_id") =!= -1L)
         .select(col("user_id"),
           unix_timestamp(col("session_window.start")).as("session_start_s"),
@@ -888,7 +905,7 @@ object StreamingOps {
           col("p_ts") > col("v_ts") &&
           col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
       runToMemory(joined.select(col("v_user").as("user_id")),
-        s"q89_sink_${System.nanoTime()}", "append")
+        s"q89_sink_${System.nanoTime()}", "append", eventStateParts(d))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
@@ -926,7 +943,7 @@ object StreamingOps {
           col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
         "left_outer")
       runToMemory(joined.select(col("v_user").as("user_id"), col("p_ts")),
-        s"q133_sink_${System.nanoTime()}", "append")
+        s"q133_sink_${System.nanoTime()}", "append", eventStateParts(d))
         .filter(col("user_id") =!= -1L)
         .groupBy(col("user_id"))
         .agg(count(col("p_ts")).as("n_pairs"),
@@ -953,7 +970,7 @@ object StreamingOps {
       val agg = enriched
         .groupBy(window(col("ts"), "30 minutes"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
-      runToMemory(agg, s"q126_sink_${System.nanoTime()}", "append")
+      runToMemory(agg, s"q126_sink_${System.nanoTime()}", "append", eventStateParts(d))
         .select(unix_timestamp(col("window.start")).as("window_start_s"),
           col("c_mktsegment"), col("n"), col("value_cents"))
         .orderBy(col("window_start_s"), col("c_mktsegment"))

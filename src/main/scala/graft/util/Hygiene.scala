@@ -64,6 +64,58 @@ object Scratch {
   }
 }
 
+/** Input-scaled exchange widths (the r15 verdict's q335/q208 fix family).
+  * `spark.sql.shuffle.partitions` is a SESSION constant — a dedup or census
+  * whose exchange inherits it builds per-task hash tables that grow
+  * linearly with the corpus (32 fixed partitions × 10× data = 10× the
+  * task's hash table, GC-bound long before it OOMs). Operators whose
+  * post-shuffle state is key-proportional size their exchanges from the
+  * data instead: rows ÷ target-rows-per-task, floored at the cluster's
+  * parallelism (never LESS parallel than the default) and capped so a
+  * mis-estimate cannot explode the task count. */
+object Sizing {
+  /** ~2M rows per post-shuffle task: a (long, long) pair hash table at 2M
+    * entries is ~100 MB including object headers — comfortably inside a
+    * task's share of executor memory at any sane configuration. */
+  val TargetRowsPerTask: Long = 2000000L
+
+  val MaxPartitions: Int = 4096
+
+  /** Partition count for an exchange expected to carry `rows` rows. */
+  def exchangePartitions(s: org.apache.spark.sql.SparkSession, rows: Long,
+                         perTask: Long = TargetRowsPerTask): Int = {
+    val floor = s.sparkContext.defaultParallelism.max(
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    math.min(MaxPartitions.toLong,
+      math.max(floor.toLong, rows / perTask + 1)).toInt
+  }
+
+  private val rowCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Row count of a driver table from parquet FOOTER metadata — no Spark
+    * job runs (the GraphOps.ordersRowCount pattern, generalized): sizing
+    * decisions made at query CONSTRUCTION time (bench registration,
+    * ExplainDump) must not cost a scan. Memoized on the
+    * [[Scratch.sourceKey]] snapshot so a regenerated corpus invalidates. */
+  def parquetRowCount(d: String, table: String): Long =
+    rowCounts.computeIfAbsent(Scratch.sourceKey(d, table) + "/" + table, _ => {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+      val fs = p.getFileSystem(conf)
+      val parts =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).toSeq
+        else Seq(p)
+      parts.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    }).longValue()
+}
+
 /** Size-gated broadcast hints for operators whose small side is small BY
   * CONTRACT, not by construction — e.g. an incremental-maintenance delta,
   * which is refresh-sized in production but could in principle grow with

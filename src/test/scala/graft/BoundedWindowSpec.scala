@@ -18,12 +18,17 @@ class BoundedWindowSpec extends SparkSpec {
 
   /** 600 rows, ~20 users (user 1 hot: every 3rd row), timestamps spread
     * over ~4 hours with duplicate (user, ts) pairs (event_id breaks ties),
-    * every 11th value NULL. */
+    * every 11th value NULL, every 37th TIMESTAMP NULL (the r15 ADVICE
+    * case: a NULL order key makes the chunk NULL — those rows form a real
+    * group that sorts first, and a null-unsafe carry re-join would DROP
+    * them). */
   private lazy val fixture = spark.range(600).selectExpr(
     "id AS event_id",
     "CASE WHEN id % 3 = 0 THEN 1 ELSE id % 19 + 2 END AS user_id",
     // (id div 2): consecutive pairs share a timestamp → genuine ties
-    "timestamp_micros(1700000000000000 + ((id div 2) * 211 % 14400) * 1000000) AS ts",
+    """CASE WHEN id % 37 = 0 THEN CAST(NULL AS TIMESTAMP)
+      |ELSE timestamp_micros(1700000000000000 + ((id div 2) * 211 % 14400) * 1000000)
+      |END AS ts""".stripMargin,
     "CASE WHEN id % 11 = 0 THEN CAST(NULL AS DOUBLE) ELSE (id * 7 % 100) / 4.0 END AS value",
     "concat('t', id % 4) AS tag")
 
@@ -67,5 +72,44 @@ class BoundedWindowSpec extends SparkSpec {
       .withColumn("rn", row_number().over(wLoc))
       .filter(col("value").isNull && col("rn") === 1).count()
     assert(edge > 0, "a NULL value must land on a chunk boundary")
+    assert(fixture.filter(col("ts").isNull).count() > 0,
+      "NULL order keys (⇒ NULL chunks) must be present")
+  }
+
+  test("boundedRunningSum ≡ naive running sum, incl. NULL values and NULL ts") {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = fixture
+      .select(col("event_id"), sum(col("value")).over(w).as("rs"))
+      .orderBy(col("event_id")).collect().toSeq
+    val bounded = ColumnOps.boundedRunningSum(fixture, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), date_trunc("hour", col("ts")),
+        col("value"), "rs")
+      .select(col("event_id"), col("rs"))
+      .orderBy(col("event_id")).collect().toSeq
+    assert(bounded === naive)
+  }
+
+  test("boundedRunningSum ≡ naive running sum, integer 0/1 marker (q152's sid shape)") {
+    val marked = fixture.withColumn("m", when(col("event_id") % 5 === 0, 1).otherwise(0))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = marked
+      .select(col("event_id"), sum(col("m")).over(w).as("sid"))
+      .orderBy(col("event_id")).collect().toSeq
+    val bounded = ColumnOps.boundedRunningSum(marked, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), date_trunc("hour", col("ts")),
+        col("m"), "sid")
+      .select(col("event_id"), col("sid"))
+      .orderBy(col("event_id")).collect().toSeq
+    assert(bounded === naive)
+  }
+
+  test("NULL-chunk rows are kept, not dropped (null-safe carry re-join)") {
+    val out = ColumnOps.boundedLagLead(fixture, Seq("user_id"),
+      Seq(col("ts"), col("event_id")), date_trunc("hour", col("ts")),
+      col("value"), Some("l"), Some("ld"))
+    assert(out.count() === fixture.count(),
+      "boundedLagLead must preserve every input row, including NULL ts")
   }
 }

@@ -367,6 +367,53 @@ class FormSinkSpec extends SparkSpec {
     assert(FormSinkSource.lastScanFileCensus === (3, 3))
   }
 
+  test("clustered compaction turns a 2-D box scan into file skips (q350's operation)") {
+    val dir = tmp()
+    // a 100×100 grid of (x, y) coordinates as zero-padded strings, arriving
+    // in an order that scatters the 2-D space across all 8 files
+    spark.range(10000).selectExpr(
+        "'L' AS vendor",
+        "printf('%09d', id % 100) AS description",
+        "printf('%09d', (id * 37) % 100) AS picker_erk",
+        "CAST(id % 7 AS STRING) AS charge_code",
+        "printf('P%09d', id) AS po_number")
+      .repartition(8)
+      .write.format(FormSinkSource.Format).mode(SaveMode.Append)
+      .option("path", dir).save()
+    def table = spark.read.format(FormSinkSource.Format)
+      .option("path", dir).load()
+    val box = col("description").between("000000010", "000000029") &&
+      col("picker_erk").between("000000010", "000000029")
+    val expected = table.filter(box).count()
+    assert(expected > 0)
+    // arrival order: every file's min/max straddles the box — zero pruning
+    assert(FormSinkSource.lastScanFileCensus === ((8, 8)))
+    val v = FormSinkSource.compactClustered(spark, dir,
+      df => graft.functions.GraftFunctions.hilbertIndex(
+        df("description").cast("long"), df("picker_erk").cast("long"), 7),
+      files = 16)
+    assert(v > 0)
+    // content survives the distributed truncate-rewrite byte-exactly
+    assert(table.count() === 10000)
+    assert(table.filter(box).count() === expected)
+    // ...and the SAME box now opens a small fraction of the (more numerous)
+    // files: each clustered file covers one tight Hilbert run, and a 20×20
+    // box intersects few runs. Inequality, not an exact count — file cut
+    // points come from range-partition sampling (layout, not answer).
+    val (openAfter, totalAfter) = FormSinkSource.lastScanFileCensus
+    assert(totalAfter === 16, s"clustered rewrite should publish 16 files, got $totalAfter")
+    assert(openAfter <= totalAfter / 2,
+      s"clustered layout must prune most files for the box: $openAfter/$totalAfter")
+    // the advisory census API agrees with what the scan planner did
+    import org.apache.spark.sql.{sources => sqlf}
+    val census = FormSinkSource.skippingCensus(dir, Seq(
+      sqlf.GreaterThanOrEqual("description", "000000010"),
+      sqlf.LessThanOrEqual("description", "000000029"),
+      sqlf.GreaterThanOrEqual("picker_erk", "000000010"),
+      sqlf.LessThanOrEqual("picker_erk", "000000029")))
+    assert(census === ((openAfter, totalAfter)))
+  }
+
   test("skipping handles all-null columns and survives compaction (merged stats)") {
     val dir = tmp()
     // commit 1: charge_code entirely null; commit 2: normal

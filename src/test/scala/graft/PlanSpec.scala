@@ -674,6 +674,64 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("graft.catalog.broadcastRowBound")
   }
 
+  test("the deep rule plans a DEPTH-2 intermediate from the catalog (q351)") {
+    // q348's contract one level deeper: stage 3's build side is a
+    // join-of-join whose size exists in no row count — the recursive
+    // estimator must still produce decisions, and the bound flip must
+    // flip the physical strategy on ALL THREE stages
+    val run = SparkEntry.queries("q351_deep_rule_planned_join")
+    val base = run(spark, sf).collect().sortBy(_.getLong(0))
+    assert(base.forall(_.getString(5) == "broadcast"), base.mkString("\n"))
+    assert(base.head.getAs[Long]("n_broadcast_in_plan") == 3L,
+      base.mkString("\n"))
+    spark.conf.set("graft.catalog.broadcastRowBound", "1")
+    try {
+      val flipped = run(spark, sf).collect().sortBy(_.getLong(0))
+      assert(flipped.forall(_.getString(5) == "shuffle"),
+        flipped.mkString("\n"))
+      assert(flipped.head.getAs[Long]("n_broadcast_in_plan") == 0L,
+        flipped.mkString("\n"))
+    } finally spark.conf.unset("graft.catalog.broadcastRowBound")
+  }
+
+  test("CatalogJoinHints estimates non-leaf sides as None — no stamp on a marked aggregate") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import graft.plans.CatalogJoinHints
+    graft.plans.GraftPlans.install(spark)
+    // minimal staged catalog: counts only (sketches unused on this path)
+    val dir = graft.util.Scratch.dir("plan-spec-agg-cat").toString
+    import spark.implicits._
+    Seq(("events.user_id", 1000L, Seq.fill(4096)(0L)),
+        ("orders.o_custkey", 1500L, Seq.fill(4096)(0L)))
+      .toDF("rel", "n", "sk").coalesce(1).write.mode("overwrite").parquet(dir)
+    def mark(df: org.apache.spark.sql.DataFrame, c: String, key: String) = {
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(CatalogJoinHints.KeyMeta, key)
+        .putString(CatalogJoinHints.DirMeta, dir).build()
+      df.select(col(c).as(c, md))
+    }
+    // the marked attribute SURVIVES the aggregate (grouping key), but the
+    // side's cardinality is no longer the base relation's: the rule must
+    // return None and stamp nothing (r15 ADVICE contract). With the bound
+    // at 1 row, the OLD base-count fallback would stamp SHUFFLE_MERGE and
+    // kill the broadcast; correct behavior leaves auto-broadcast in charge.
+    val ev = mark(Tables.events(spark, sf).select(col("user_id")),
+        "user_id", "events.user_id")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("k"))
+    val or = mark(Tables.orders(spark, sf).select(col("o_custkey")),
+      "o_custkey", "orders.o_custkey")
+    spark.conf.set("graft.catalog.broadcastRowBound", "1")
+    try {
+      val j = ev.join(or, col("user_id") === col("o_custkey"))
+        .agg(count(lit(1)))
+      val nBhj = j.queryExecution.sparkPlan.collect {
+        case _: BroadcastHashJoinExec => 1
+      }.sum
+      assert(nBhj == 1,
+        "a marked aggregate side must estimate as None → default planning")
+    } finally spark.conf.unset("graft.catalog.broadcastRowBound")
+  }
+
   test("CatalogJoinHints fires only on marked columns — zero blast radius") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     graft.plans.GraftPlans.install(spark)
