@@ -7,18 +7,9 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // Runtime-sized exchanges (r16, the q335/q208 fix generalized):
-      // every exchange STARTS wide and AQE coalesces it from MEASURED map
-      // output sizes — a fixed shuffle.partitions means per-task hash
-      // tables that grow linearly with the corpus (the fixed-32-partition
-      // dedup/census trap, 9M-row tasks at sf10). parallelismFirst
-      // (default true) + a small minPartitionSize keep small shuffles at
-      // full parallelism; fat shuffles simply stay wide.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.min(1024, cpus.toInt * 32))
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    graft.util.Sizing.configureAdaptiveWidths(builder, sfDir, cpus.toInt)
     // extra conf pass-through for special-stage legs (e.g. bench_skew.sh
     // sizes the AQE skew-split thresholds to the local Zipf stage); absent
     // in the driver's official runs, so those are untouched

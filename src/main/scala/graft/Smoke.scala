@@ -10,10 +10,6 @@ object Smoke {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // runtime-sized exchanges, mirroring Bench (see Bench.scala)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.min(1024, cpus.toInt * 32))
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

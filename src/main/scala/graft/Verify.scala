@@ -7,16 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // runtime-sized exchanges, mirroring Bench (see Bench.scala)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.min(1024, cpus.toInt * 32))
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // corpus-scaled exchange widths, mirroring Bench (no-op at sf<=0.1)
+    graft.util.Sizing.configureAdaptiveWidths(builder, sfDir, cpus.toInt)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Dev-loop filter (driver never sets it): verify just the named queries.

@@ -419,7 +419,9 @@ object GraphOps {
       for (i <- 1 to LpaRounds) {
         if (converged) rows += rows.last.copy(_1 = i)
         else {
-          lab = lpa.round(lab)
+          // round 1 runs from the identity assignment — the min-neighbor
+          // degenerate form is bit-identical (see Lpa.roundIdentity)
+          lab = if (i == 1) lpa.roundIdentity else lpa.round(lab)
           val r = censusOf(i, lab)
           // identical full-assignment fingerprint across consecutive rounds
           // is a true fixpoint (the synchronous update is a deterministic
@@ -459,10 +461,13 @@ object GraphOps {
       val nJoin = graft.util.Sizing.exchangePartitions(s, liN)
       // basket width ≤ 7 ⇒ at most 3 (u<v) pairs per lineitem row
       val nDedup = graft.util.Sizing.exchangePartitions(s, 3L * liN)
+      // no (o,p) distinct here: the PAIR-level distinct below subsumes it
+      // (duplicate (o,p) rows only re-derive pairs the dedup removes), so
+      // the projection pays one hash pass less over the 60M-row frame —
+      // the oracle's `SELECT DISTINCT` op CTE yields the same edge SET
       val op = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .repartition(nJoin, col("o"))
-        .distinct()
       val und = op.select(col("o"), col("p").as("u"))
         .join(op.select(col("o"), col("p").as("v")), Seq("o"))
         .filter(col("u") < col("v"))
@@ -662,6 +667,9 @@ object GraphOps {
       * the r15 verdict's residual superlinear term in q335); the width
       * now scales with the corpus via [[graft.util.Sizing]]. */
     private val undN = und.count()
+    /** Undirected edge count — the one-time sizing count doubles as
+      * modularity's m, saving a full O(E) pass over the directed cache. */
+    val edgeCount: Long = undN
     private val nE =
       graft.util.Sizing.exchangePartitions(session, 2L * undN)
     private val eRaw =
@@ -709,12 +717,26 @@ object GraphOps {
         .agg(graft.functions.GraftFunctions.labelMode(col("vl")).as("lab"))
         .withColumnRenamed("u", "node")
         .localCheckpoint()
+    /** Round 1 FROM THE IDENTITY assignment, degenerate-exact (r16): with
+      * lab0 every neighbor label is that neighbor's own id, and the edge
+      * set is deduplicated — so every label count is 1 and LabelModeAgg's
+      * total (count DESC, label ASC) order elects simply the SMALLEST
+      * neighbor. `min(v)` is the same answer as a codegen'd long-min: no
+      * degree-bounded maps, no label join at all. The event-log profile
+      * that motivated it: 86.8 s of q335's 173 s single-rep sf10 run was
+      * this ONE stage under the general form (every per-u map holds
+      * deg(u) distinct entries in round 1 — 240M map insertions; rounds
+      * 2-3, where labels have collapsed, cost 12 s each). */
+    def roundIdentity: org.apache.spark.sql.DataFrame =
+      e.groupBy(col("u")).agg(min(col("v")).as("lab"))
+        .withColumnRenamed("u", "node")
+        .localCheckpoint()
     /** The fixed-round loop (q333/q335's entry). No short-circuit here:
       * labels at a fixpoint are idempotent under further rounds, so the
       * plain fixed-round loop lands on the same frame. */
     def labels: org.apache.spark.sql.DataFrame = {
-      var lab = lab0
-      for (_ <- 1 to LpaRounds) lab = round(lab)
+      var lab = roundIdentity
+      for (_ <- 2 to LpaRounds) lab = round(lab)
       lab
     }
   }
@@ -743,18 +765,26 @@ object GraphOps {
       : org.apache.spark.sql.DataFrame = {
     val dec = "decimal(38,0)"
     val e = lpa.e
-    val m = e.agg((count(lit(1)) / 2).cast("long").as("m"))
-    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    // v-side join first: in the shuffle fallback it reuses the edge
-    // frame's persisted v-partitioning, so only the u-side join exchanges
-    // the O(E) frame (once); under the gate both sides broadcast
-    val sic = e
+    // m = |undirected edges| — already counted once when the Lpa sized its
+    // exchanges; re-deriving it as e.count/2 would be a full O(E) pass
+    val m = lpa.e.sparkSession.range(1).select(lit(lpa.edgeCount).as("m"))
+    // ONE pass over the O(E) cache computes BOTH modularity ingredients
+    // (r16 — deg and sic were two separate full passes): per (u, la) the
+    // degree AND the same-label endpoint count ride one aggregate; the
+    // grouped frame is O(V) (la is constant per u), and everything below
+    // it is census-sized. v-side join first: in the shuffle fallback it
+    // reuses the edge frame's persisted v-partitioning, so only the
+    // u-side join exchanges the O(E) frame (once); under the gate both
+    // sides broadcast and the pass is exchange-free.
+    val perNode = graft.util.CacheOnce.persistForOneAction(e
       .join(lpa.labSide(lab, "bu", "lb"), col("v") === col("bu"))
       .join(lpa.labSide(lab, "au", "la"), col("u") === col("au"))
-      .filter(col("la") === col("lb"))
-      .agg(count(lit(1)).cast(dec).as("sic"))
-    val dc = lab.join(deg, col("node") === col("u"))
-      .groupBy(col("lab")).agg(sum(col("deg")).cast(dec).as("dsum"))
+      .groupBy(col("u"), col("la"))
+      .agg(count(lit(1)).as("deg"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("same")))
+    val sic = perNode.agg(sum(col("same")).cast(dec).as("sic"))
+    val dc = perNode
+      .groupBy(col("la")).agg(sum(col("deg")).cast(dec).as("dsum"))
     dc.agg(count(lit(1)).as("n_communities"),
         sum(col("dsum") * col("dsum")).cast(dec).as("sd2"))
       .crossJoin(broadcast(m)).crossJoin(broadcast(sic))

@@ -16,13 +16,15 @@ import graft.functions.CrossHash.{h60Local, h60Sql}
   *   - q62/q63/q76: the decode body is a STUB (deterministic fake features
   *     from the raw bytes) — documents the contract over arbitrary corpus
   *     bytes;
-  *   - q142/q143: REAL codecs in the same contract — q142 round-trips
+  *   - q142/q143/q352: REAL codecs in the same contract — q142 round-trips
   *     genuine PNGs through the JDK's javax.imageio codec and verifies
   *     every decoded pixel against the arithmetic oracle; q143 parses real
-  *     RIFF/WAVE PCM with a hand-rolled little-endian reader. A production
+  *     RIFF/WAVE PCM with a hand-rolled little-endian reader; q352 demuxes
+  *     a genuine RIFF/AVI container frame-by-frame (q76's real twin — all
+  *     three modalities now have a real-codec tier). A production
   *     deployment swaps ONLY the batch body for its codec; every Spark-side
   *     contract (binary payloads, batch iterator, declared feature schema,
-  *     partitioning) stays identical across all five queries.
+  *     partitioning) stays identical across all of them.
   */
 object Multimodal {
 
@@ -213,6 +215,157 @@ object Multimodal {
       WavFeatures(rec.doc_id, rate, n.toLong, peak, sum)
     }
 
+  // ---- REAL video container (q352, the q76 stub's real-codec twin) -------
+
+  /** q352 geometry: `VidFrames` uncompressed RGB24 frames of
+    * `VidW`×`VidH`, every `VidSampleEvery`-th frame sampled. W chosen so
+    * a DIB row (3·W bytes) is already 4-byte aligned — no pad bytes. */
+  val VidW = 16
+  val VidH = 12
+  val VidFrames = 8
+  val VidSampleEvery = 2
+  val VidFps = 10
+
+  /** Deterministic RGB for (doc, frame, x, y) — shared with the oracle. */
+  private def synthVR(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
+  private def synthVG(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 17 + f * 29 + x * 11 + y * 3) % 256).toInt
+  private def synthVB(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 23 + f * 37 + x * 5 + y * 19) % 256).toInt
+
+  /** Encode a real RIFF/AVI container: canonical hdrl (avih + one video
+    * strl with a DIB BITMAPINFOHEADER) and a movi list of `00db`
+    * uncompressed frames — DIB convention: bottom-up rows, BGR byte
+    * order. The same canonical-layout honesty as q143's 44-byte WAV:
+    * every structure a compliant demuxer reads is present and correct. */
+  def encodeAvi(id: Long): Array[Byte] = {
+    val frameBytes = VidW * VidH * 3
+    val moviSize = 4 + VidFrames * (8 + frameBytes) // 'movi' + chunks
+    val hdrlSize = 4 + (8 + 56) + (12 + (8 + 56) + (8 + 40)) // 'hdrl' avih strl
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) // 'AVI ' LIST LIST
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(t: String): Unit = buf.put(t.getBytes("US-ASCII"))
+    tag("RIFF"); buf.putInt(riffSize); tag("AVI ")
+    tag("LIST"); buf.putInt(hdrlSize); tag("hdrl")
+    tag("avih"); buf.putInt(56)
+    buf.putInt(1000000 / VidFps).putInt(frameBytes * VidFps).putInt(0)
+      .putInt(0x10 /*AVIF_HASINDEX off; plain*/)
+      .putInt(VidFrames).putInt(0).putInt(1).putInt(frameBytes)
+      .putInt(VidW).putInt(VidH).putInt(0).putInt(0).putInt(0).putInt(0)
+    tag("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); tag("strl")
+    tag("strh"); buf.putInt(56)
+    tag("vids"); tag("DIB ")
+    buf.putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(VidFps) // scale, rate → fps
+      .putInt(0).putInt(VidFrames).putInt(frameBytes)
+      .putInt(-1).putInt(frameBytes)
+    buf.putShort(0).putShort(0).putShort(VidW.toShort).putShort(VidH.toShort)
+    tag("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(VidW).putInt(VidH)
+      .putShort(1).putShort(24).putInt(0 /*BI_RGB*/)
+      .putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+    tag("LIST"); buf.putInt(moviSize); tag("movi")
+    var f = 0
+    while (f < VidFrames) {
+      tag("00db"); buf.putInt(frameBytes)
+      var y = VidH - 1 // DIB rows bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < VidW) {
+          buf.put(synthVB(id, f, x, y).toByte) // DIB pixels are B,G,R
+            .put(synthVG(id, f, x, y).toByte)
+            .put(synthVR(id, f, x, y).toByte)
+          x += 1
+        }
+        y -= 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  final case class VideoFeatures(doc_id: Long, width: Int, height: Int,
+                                 n_frames: Long, n_sampled: Long,
+                                 sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL frame extraction: walk the RIFF chunk tree by tag+size (never by
+    * hardcoded offset), read geometry from avih, validate the stream is
+    * uncompressed 24-bit DIB from strf, then stream the movi `00db` chunks
+    * sampling every `VidSampleEvery`-th frame — per-channel integer sums
+    * over the sampled frames' pixels (bottom-up BGR undone). */
+  def decodeAviBatch(batch: Seq[MediaRecord]): Seq[VideoFeatures] =
+    batch.map { rec =>
+      val buf = java.nio.ByteBuffer.wrap(rec.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      require(tag() == "RIFF", s"doc ${rec.doc_id}: not RIFF"); buf.getInt
+      require(tag() == "AVI ", s"doc ${rec.doc_id}: not AVI")
+      require(tag() == "LIST", s"doc ${rec.doc_id}: missing hdrl LIST")
+      val hdrlSize = buf.getInt
+      val hdrlEnd = buf.position() + hdrlSize
+      require(tag() == "hdrl", s"doc ${rec.doc_id}: not hdrl")
+      require(tag() == "avih", s"doc ${rec.doc_id}: missing avih")
+      buf.getInt // avih size
+      buf.getInt; buf.getInt; buf.getInt; buf.getInt // usPerFrame..flags
+      val nFrames = buf.getInt
+      buf.getInt; buf.getInt; buf.getInt
+      val w = buf.getInt; val h = buf.getInt
+      buf.getInt; buf.getInt; buf.getInt; buf.getInt
+      // validate the video stream's format, then SKIP to the movi list by
+      // chunk sizes (a demuxer never assumes layout beyond the spec)
+      require(tag() == "LIST", s"doc ${rec.doc_id}: missing strl LIST")
+      buf.getInt
+      require(tag() == "strl", s"doc ${rec.doc_id}: not strl")
+      require(tag() == "strh", s"doc ${rec.doc_id}: missing strh")
+      val strhSize = buf.getInt
+      require(tag() == "vids", s"doc ${rec.doc_id}: first stream not video")
+      buf.position(buf.position() + strhSize - 4)
+      require(tag() == "strf", s"doc ${rec.doc_id}: missing strf")
+      buf.getInt
+      buf.getInt // biSize
+      require(buf.getInt == w && buf.getInt == h,
+        s"doc ${rec.doc_id}: strf geometry disagrees with avih")
+      buf.getShort
+      require(buf.getShort == 24, s"doc ${rec.doc_id}: not 24-bit")
+      require(buf.getInt == 0, s"doc ${rec.doc_id}: compressed (not BI_RGB)")
+      buf.position(hdrlEnd)
+      require(tag() == "LIST", s"doc ${rec.doc_id}: missing movi LIST")
+      buf.getInt
+      require(tag() == "movi", s"doc ${rec.doc_id}: not movi")
+      val rowBytes = ((w * 3 + 3) / 4) * 4 // DIB rows pad to 4 bytes
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var sampled = 0L
+      var f = 0
+      while (f < nFrames) {
+        require(tag() == "00db",
+          s"doc ${rec.doc_id}: frame $f is not an uncompressed video chunk")
+        val sz = buf.getInt
+        val start = buf.position()
+        if (f % VidSampleEvery == 0) {
+          sampled += 1
+          var y = h - 1
+          while (y >= 0) {
+            var x = 0
+            val row = start + (h - 1 - y) * rowBytes
+            while (x < w) {
+              sb += buf.get(row + x * 3) & 0xff
+              sg += buf.get(row + x * 3 + 1) & 0xff
+              sr += buf.get(row + x * 3 + 2) & 0xff
+              x += 1
+            }
+            y -= 1
+          }
+        }
+        buf.position(start + sz + (sz & 1)) // RIFF chunks pad to even
+        f += 1
+      }
+      VideoFeatures(rec.doc_id, w, h, nFrames.toLong, sampled, sr, sg, sb)
+    }
+
   def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -311,8 +464,32 @@ object Multimodal {
     },
 
     GraftQuery(
+      "q352_avi_frame_extract",
+      s"REAL video frame extraction in the batched partition map — the q76 stub's real-codec twin (r15 worklist 6a, completing the q142-PNG/q143-WAV tier for the third modality): each doc synthesizes $VidFrames ${VidW}×${VidH} RGB24 frames (pixels arithmetic in doc_id,frame,x,y), encodes a genuine RIFF/AVI container (canonical hdrl: avih + a vids strl with a BI_RGB BITMAPINFOHEADER; movi list of uncompressed 00db DIB frames — bottom-up rows, BGR bytes, even-size chunk padding), and the extract stage WALKS the chunk tree by tag+size like a compliant demuxer (geometry from avih, cross-checked against strf; rejects compressed streams), samples every ${VidSampleEvery}nd frame, and reduces per-channel integer sums over the sampled frames with the DIB row order and byte order undone. The oracle regenerates the sampled frames' pixel arithmetic — every extracted channel value of every sampled frame is verified. Same iterator-of-batches contract as the q76 stub; a production deployment swaps ONLY the demuxer body for ffmpeg bindings.",
+      s"""WITH fr AS (SELECT unnest(generate_series(0, ${VidFrames - 1}, $VidSampleEvery)) AS f),
+         |px AS (SELECT d.doc_id, fr.f, ux.x, uy.y
+         |  FROM documents d, fr,
+         |    LATERAL unnest(generate_series(0, ${VidW - 1})) AS ux(x),
+         |    LATERAL unnest(generate_series(0, ${VidH - 1})) AS uy(y))
+         |SELECT doc_id, $VidW AS width, $VidH AS height,
+         |  CAST($VidFrames AS BIGINT) AS n_frames,
+         |  CAST(${(VidFrames + VidSampleEvery - 1) / VidSampleEvery} AS BIGINT) AS n_sampled,
+         |  CAST(sum((doc_id * 31 + f * 41 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+         |  CAST(sum((doc_id * 17 + f * 29 + x * 11 + y * 3) % 256) AS BIGINT) AS sum_g,
+         |  CAST(sum((doc_id * 23 + f * 37 + x * 5 + y * 19) % 256) AS BIGINT) AS sum_b
+         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val records = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaRecord(id, "video", encodeAvi(id))))
+      records
+        .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeAviBatch))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
       "q76_frame_sample",
-      "Video-style frame sampling over binary payloads: 16-byte frames, every 4th sampled and fingerprinted in the batched decode stub; per-doc frame counts and fingerprint digest. Oracle regenerates frames arithmetically (corpus is ASCII, so char and byte offsets agree).",
+      "Video-style frame sampling over binary payloads: 16-byte frames, every 4th sampled and fingerprinted in the batched decode STUB; per-doc frame counts and fingerprint digest. Oracle regenerates frames arithmetically (corpus is ASCII, so char and byte offsets agree). The real-codec twin is q352: a genuine RIFF/AVI container demuxed frame-by-frame.",
       s"""WITH f AS (SELECT doc_id, u.i AS i,
          |    ${h60Sql("substr(text, CAST(u.i * 16 + 1 AS INTEGER), 16)")} AS fp
          |  FROM documents,

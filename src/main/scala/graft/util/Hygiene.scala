@@ -90,6 +90,49 @@ object Sizing {
       math.max(floor.toLong, rows / perTask + 1)).toInt
   }
 
+  /** Corpus-scaled AQE exchange widths for a session over `sfDir` — set on
+    * the BUILDER so streaming checkpoints inherit them too.
+    *
+    * The failure being fixed: `spark.sql.shuffle.partitions` is a session
+    * constant, so a pair-explosion dedup at 100× data builds 100× the
+    * per-task hash table. The failed first cut (measured, r16): a high
+    * `initialPartitionNum` with AQE's DEFAULT parallelismFirst=true is
+    * self-defeating — coalescing targets max(total/parallelism, minSize),
+    * which always merges back to ~defaultParallelism partitions, so the
+    * 1024-way map outputs were pure overhead (q208 +72% at sf1, zero gain
+    * anywhere). What actually works: start wide AND coalesce by SIZE
+    * (parallelismFirst=false, 8 MB advisory ⇒ ~500k pair-rows per task),
+    * so a 5 GB shuffle keeps ~600 partitions while census-sized shuffles
+    * merge to a handful.
+    *
+    * Scope-gated: the initial width is corpusBytes/8MB capped at 1024 —
+    * at the gated sf0.1/sf0.01 tiers that is ≤ cpus, and the session keeps
+    * stock AQE behavior EXACTLY (zero risk to the official board); the
+    * size-first regime only switches on where the fixed width is the
+    * proven bottleneck (sf1+). */
+  def configureAdaptiveWidths(builder: org.apache.spark.sql.SparkSession.Builder,
+                              sfDir: String, cpus: Int): Unit = {
+    val bytes =
+      try {
+        val root = java.nio.file.Paths.get(sfDir)
+        Scratch.listEntries(root).flatMap { p =>
+          if (java.nio.file.Files.isDirectory(p)) Scratch.listEntries(p)
+          else Seq(p)
+        }.map(p => try java.nio.file.Files.size(p) catch {
+          case _: Throwable => 0L
+        }).sum
+      } catch { case _: Throwable => 0L }
+    val initial = math.min(1024L, bytes / (8L << 20))
+    if (initial > cpus) {
+      builder
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          initial)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+          "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    }
+  }
+
   private val rowCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 

@@ -18,9 +18,6 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
-      // mirror the Bench/Verify runtime-sized exchange config (Bench.scala)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 128)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
