@@ -67,7 +67,12 @@ object ExplainDump {
     "q135_markov_transitions",   // boundedLagLead adopter: salted lag windows
     "q347_bpe_roundtrip",        // trained vocab join, per-lang exact census
     "q348_rule_planned_join",    // CatalogJoinHints rule-stamped strategies
-    "q349_hilbert_layout")       // hilbert fold staging, 2-D min/max pruning
+    "q349_hilbert_layout",       // hilbert fold staging, 2-D min/max pruning
+    "q132_distribution_windows", // rank-from-census: binned window partitions
+    "q152_session_paths",        // boundedLagLead + boundedRunningSum adopter
+    "q350_sink_clustered_compaction", // distributed Hilbert re-layout commit
+    "q351_deep_rule_planned_join",    // depth-2 catalog estimates, 3 stamps
+    "q352_avi_frame_extract")    // batched partition-map AVI demux
 
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
