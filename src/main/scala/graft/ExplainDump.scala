@@ -72,7 +72,11 @@ object ExplainDump {
     "q152_session_paths",        // boundedLagLead + boundedRunningSum adopter
     "q350_sink_clustered_compaction", // distributed Hilbert re-layout commit
     "q351_deep_rule_planned_join",    // depth-2 catalog estimates, 3 stamps
-    "q352_avi_frame_extract")    // batched partition-map AVI demux
+    "q352_avi_frame_extract",    // batched partition-map AVI demux
+    "q353_estimator_calibration", // est-vs-actual CBO audit, 4 count joins
+    "q354_catalog_optimize_cluster", // CALL-procedure clustered re-layout
+    "q355_jpeg_exif_extract",    // marker-stream parse, batched partition map
+    "q208_triangle_count")       // pair-sized p-exchange, capped wedge join
 
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Per-JOB wall-clock profile of ONE registered query — the per-stage
+  * evidence surface for scale claims (r16 verdict item 2): every Spark job
+  * the query materializes (sizing counts, projection/dedup, per-round BSP
+  * checkpoints, census aggregates, the final collect) is timed with its
+  * short call site, so "every remaining stage is data-proportional" can be
+  * CHECKED stage by stage across scale factors instead of asserted from
+  * the total. Dev/bench tooling, not part of the query surface.
+  *
+  * Env: `SPARK_GRAFT_SF_DIR` (corpus), `SPARK_GRAFT_CPUS`,
+  * `SPARK_GRAFT_PROFILE_QUERY` (registered query name). Emits ONE JSON
+  * line: `{"query":…,"sf":…,"total_sec":…,"rows":…,"jobs":[{"job":id,
+  * "site":…,"sec":…},…]}` — jobs in completion order.
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val name = sys.env.getOrElse("SPARK_GRAFT_PROFILE_QUERY",
+      "q335_projected_community_quality")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    graft.util.Sizing.configureAdaptiveWidths(builder, sfDir, cpus.toInt)
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: codegen/JIT + FS + vectorized parquet reader (the
+    // Bench warmup, minus streaming — graph queries never touch state)
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    val inflight =
+      new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Double)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+        inflight.put(js.jobId, (site, js.time))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        Option(inflight.remove(je.jobId)).foreach { case (site, t0) =>
+          done.add((je.jobId, site, (je.time - t0) / 1000.0))
+        }
+    })
+    val t0 = System.nanoTime()
+    val rows = SparkEntry.queries(name)(spark, sfDir).collect().length
+    val totalSec = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(2000) // drain the listener bus before reading `done`
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val jobsJson = {
+      import scala.jdk.CollectionConverters._
+      done.asScala.toSeq.sortBy(_._1).map { case (id, site, sec) =>
+        f"""{"job":$id,"site":"${esc(site)}","sec":$sec%.3f}"""
+      }.mkString("[", ",", "]")
+    }
+    println(f"""{"query":"${esc(name)}","sf":"${esc(sfDir)}",""" +
+      f""""total_sec":$totalSec%.3f,"rows":$rows,"jobs":$jobsJson}""")
+    spark.stop()
+  }
+}

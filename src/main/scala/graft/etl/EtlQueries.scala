@@ -496,15 +496,64 @@ object EtlQueries {
             col("l_linenumber")).as("po_number"))
         .repartition(8) // arrival-order files: every one straddles the box
         .write.format(sinkFmt).mode(SaveMode.Append).option("path", dir).save()
+      // Hilbert bit budget from the ACTUAL coordinate domain (r16 ADVICE:
+      // a fixed 18-bit budget silently wraps orderkeys past 2^18=262144 —
+      // already exceeded at sf0.1 — aliasing distant key ranges into the
+      // same cells and degrading the very skipping this query exists to
+      // demonstrate). Footer stats, no scan; floor 8 keeps the curve
+      // meaningful on tiny corpora, cap 31 is the kernel's contract.
+      val bits = math.min(31, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(graft.util.Sizing.parquetColumnMaxLong(d, "lineitem", "l_orderkey"),
+          graft.util.Sizing.parquetColumnMaxLong(d, "lineitem", "l_partkey")))))
       graft.sources.FormSinkSource.compactClustered(s, dir,
         df => graft.functions.GraftFunctions.hilbertIndex(
-          df("description").cast("long"), df("picker_erk").cast("long"), 18),
+          df("description").cast("long"), df("picker_erk").cast("long"), bits),
         files = 16)
       s.read.format(sinkFmt).option("path", dir).load()
         .filter(col("description").between("000001000", "000001999") &&
           col("picker_erk").between("000000100", "000000299"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("charge_code").cast("long")).as("sum_qty"))
+    },
+
+    GraftQuery(
+      "q354_catalog_optimize_cluster",
+      "q350's OPTIMIZE-CLUSTER exposed as a SQL VERB — `CALL <cat>.sys.optimize_cluster(tbl => ..., by_x => ..., by_y => ...)` through Spark 4's v2 stored-procedure surface (the r16 worklist 6b marriage of the Hilbert re-layout to the GraftCatalog SQL path, the way Delta/Iceberg ship `OPTIMIZE ... ZORDER BY`): the table is created, seeded and maintained ENTIRELY by name — CREATE TABLE, one INSERT INTO arrival-order append (REPARTITION(8) hint scatters the 2-D space across every file), then the CALL re-lays the snapshot as 16 Hilbert-clustered files in one atomic truncate commit, with the bit budget DERIVED FROM THE DATA by default (bits => 0 reads both coordinates' max and sizes the curve to the actual domain — the r16 ADVICE aliasing fix as the procedure's default contract, so a 6M-key table at sf1 gets 23 bits where a fixed 18 would silently wrap). The CALL's result row (version, files_before, files_after, cluster_bits) is asserted in-query — a procedure that stops re-laying fails loudly — and the ANSWER is the layout-invariant box aggregate read back through the same named table: content surviving DDL→DML→CALL→scan byte-exactly is the correctness claim, q350's doctrine one API tier up.",
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 2000 AND 2999 AND l_partkey BETWEEN 300 AND 499""".stripMargin) { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_q354").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft_q354", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q354.root",
+          graft.util.Scratch.dir("graft-q354-catalog").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q354.opt")
+      // fresh table per invocation: repeated bench reps must not compound
+      s.sql("DROP TABLE IF EXISTS graft_q354.opt.lineq")
+      s.sql("""CREATE TABLE graft_q354.opt.lineq (
+        vendor STRING, description STRING, picker_erk STRING,
+        charge_code STRING, po_number STRING)""")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_q354_lineitem")
+      s.sql("""INSERT INTO graft_q354.opt.lineq
+        SELECT /*+ REPARTITION(8) */ 'L' AS vendor,
+          format_string('%09d', l_orderkey) AS description,
+          format_string('%09d', l_partkey) AS picker_erk,
+          CAST(CAST(l_quantity AS BIGINT) AS STRING) AS charge_code,
+          concat_ws('-', l_orderkey, l_partkey, l_linenumber) AS po_number
+        FROM graft_q354_lineitem""")
+      val call = s.sql("""CALL graft_q354.sys.optimize_cluster(
+        tbl => 'opt.lineq', by_x => 'description', by_y => 'picker_erk',
+        files => 16)""").collect()
+      require(call.length == 1, s"CALL returned ${call.length} rows")
+      val (after, bits) = (call(0).getInt(2), call(0).getInt(3))
+      require(after <= 16, s"clustered rewrite produced $after files")
+      require(bits >= 8 && bits <= 31, s"derived bit budget $bits out of range")
+      s.sql("""SELECT count(*) AS n_rows,
+        sum(CAST(charge_code AS BIGINT)) AS sum_qty
+        FROM graft_q354.opt.lineq
+        WHERE description BETWEEN '000002000' AND '000002999'
+          AND picker_erk BETWEEN '000000300' AND '000000499'""")
     },
 
     GraftQuery(

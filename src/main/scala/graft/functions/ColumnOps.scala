@@ -150,12 +150,17 @@ object ColumnOps {
     * per-chunk totals frame (one row per non-empty (part, chunk) —
     * domain-bounded), joined back null-safe on the salted key.
     *
-    * Bit-identical to the naive window including NULL semantics: sum
-    * skips NULLs and is NULL over an all-NULL (or empty) prefix, so the
-    * result is NULL iff both the local prefix and every earlier chunk
-    * carry no non-NULL value. Adopter: q152 (sessionization's running
-    * session counter — the second ordered window the lag rewrite alone
-    * leaves hot). */
+    * Bit-identical to the naive window FOR EXACT TYPES (integral,
+    * decimal) including NULL semantics: sum skips NULLs and is NULL over
+    * an all-NULL (or empty) prefix, so the result is NULL iff both the
+    * local prefix and every earlier chunk carry no non-NULL value. For
+    * fractional DOUBLE values the chunk decomposition changes the
+    * floating-point addition ORDER (base = sum of per-chunk totals, then
+    * + the local prefix), which is not associative — results can differ
+    * from the naive sequential prefix in the last ulp; float adopters
+    * should keep the naive window (the r16 ADVICE caveat). Adopter: q152
+    * (sessionization's running session counter, integer 0/1 markers —
+    * the second ordered window the lag rewrite alone leaves hot). */
   def boundedRunningSum(df: DataFrame, part: Seq[String],
                         orderBy: Seq[Column], chunk: Column,
                         value: Column, asCol: String): DataFrame = {
@@ -178,6 +183,80 @@ object ColumnOps {
       when(col("__br_ls").isNull && col("__br_base").isNull, lit(null))
         .otherwise(coalesce(col("__br_base"), lit(0L)) +
           coalesce(col("__br_ls"), lit(0L))).as(asCol)
+    joined.select(outCols: _*)
+  }
+
+  /** Skew-safe GAP SESSIONIZATION in ONE bounded pass — the fusion of
+    * [[boundedLagLead]] (the gap lag) and [[boundedRunningSum]] (the
+    * session counter) for the canonical
+    * `sum(CASE WHEN ts - lag(ts) > gap OR lag(ts) IS NULL THEN 1 ELSE 0
+    * END) OVER (PARTITION BY part ORDER BY orderBy ROWS UNBOUNDED
+    * PRECEDING)` pair (q55/q152's shape). Run separately, the two
+    * operators each pay a salted sort + carry census + re-join; fused,
+    * ONE salted sort serves both (the r16 verdict's q152 flat-data cost
+    * item — the pair was measured +107% over the naive single-sort
+    * window stack on uniform data, precisely because it sorted twice).
+    *
+    * Same salting contract: `chunk` non-decreasing in the leading order
+    * column, domain-bounded distinct count per key. Decomposition: a
+    * row's session id = (session starts in this key's EARLIER chunks) +
+    * (start indicator of this chunk's FIRST row) + (starts at local rows
+    * 2..current). The local term needs only the in-chunk lag; the two
+    * chunk-boundary terms come from one carry census over per-chunk
+    * (first ts, last ts, local start total) rows — domain-bounded per
+    * key — re-joined null-safe on the salted (part, chunk) key, where no
+    * key is hot by construction.
+    *
+    * `isNewSession(ts, prevTs)` must be deterministic and TRUE on a NULL
+    * `prevTs` (the first-row-of-key convention every gap sessionizer
+    * uses); rows where it evaluates NULL count as 0 exactly like the
+    * naive CASE. Bit-identical to the naive pair for any such predicate:
+    * the session counter sums integer 0/1 markers, so the chunk
+    * regrouping is exact (no FP caveat). Min/max over `ts` recover each
+    * chunk's boundary rows because `chunk` is non-decreasing in `ts` —
+    * an all-NULL-ts chunk (the NULL chunk, which sorts first like the
+    * naive window's NULL-first order keys) carries NULL boundaries, and
+    * the predicate's NULL-prev convention reproduces the naive answer
+    * for the row that follows it. Adopter: q152. */
+  def boundedSessionIds(df: DataFrame, part: Seq[String],
+                        orderBy: Seq[Column], chunk: Column, ts: Column,
+                        isNewSession: (Column, Column) => Column,
+                        asCol: String): DataFrame = {
+    val ck = "__bs_chunk"
+    val keys = part :+ ck
+    val wLoc = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    val wRun = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // in-chunk lag; row 1's start indicator is resolved by the carry (its
+    // true predecessor lives in the previous non-empty chunk), so its
+    // local marker is pinned 0 here
+    val loc = df.withColumn(ck, chunk)
+      .withColumn("__bs_rn", row_number().over(wLoc))
+      .withColumn("__bs_lp", lag(ts, 1).over(wLoc))
+      .withColumn("__bs_ns",
+        when(col("__bs_rn") === 1, lit(0))
+          .otherwise(when(isNewSession(ts, col("__bs_lp")), 1).otherwise(0)))
+    val loc2 = loc.withColumn("__bs_ls", sum(col("__bs_ns")).over(wRun))
+    // carry census: one row per non-empty (part, chunk) — min/max(ts) are
+    // the boundary rows' order values (chunk is non-decreasing in ts),
+    // NULL for the all-NULL chunk, which IS the true boundary value
+    val bounds = loc2.groupBy(keys.map(col): _*)
+      .agg(min(ts).as("__bs_fv"), max(ts).as("__bs_lv"),
+        sum(col("__bs_ns")).as("__bs_lt"))
+    val wChunk = Window.partitionBy(part.map(col): _*).orderBy(col(ck))
+    val wPrev = wChunk.rowsBetween(Window.unboundedPreceding, -1)
+    val carried = bounds
+      .withColumn("__bs_pl", lag(col("__bs_lv"), 1).over(wChunk))
+      .withColumn("__bs_fs",
+        when(isNewSession(col("__bs_fv"), col("__bs_pl")), 1L).otherwise(0L))
+    val carry = carried.select(
+      (part.map(c => col(c).as("__bs_k_" + c)) :+ col(ck).as("__bs_k_" + ck) :+
+        col("__bs_fs") :+
+        coalesce(sum(col("__bs_fs") + col("__bs_lt")).over(wPrev), lit(0L))
+          .as("__bs_base")): _*)
+    val joined = loc2.join(carry,
+      keys.map(k => col(k) <=> col("__bs_k_" + k)).reduce(_ && _))
+    val outCols = df.columns.toSeq.map(col) :+
+      (col("__bs_base") + col("__bs_fs") + col("__bs_ls")).as(asCol)
     joined.select(outCols: _*)
   }
 }

@@ -396,7 +396,7 @@ object Analytics {
 
     GraftQuery(
       "q152_session_paths",
-      "Top navigation paths: each user session (10-min gap sessionization, the q55 rewrite) reduced to its ordered event-type sequence, then the 20 most frequent paths — the product-analytics staple. The path string is built by a deterministic ordered aggregation within the session; only fixed-size path strings shuffle to the final count. BOTH per-user ordered windows run through the engine's bounded operators (ColumnOps.boundedLagLead for the gap lag, ColumnOps.boundedRunningSum for the session counter — hour-chunk salting, bit-identical to the naive windows, which remain the oracle): sessionization is the canonical Zipf-hot workload (one bot user = one sorted task under the naive form, 1.81× measured at the sf10 Zipf tier), and the lag rewrite alone would leave the running-sum window as the hot task.",
+      "Top navigation paths: each user session (10-min gap sessionization, the q55 rewrite) reduced to its ordered event-type sequence, then the 20 most frequent paths — the product-analytics staple. The path string is built by a deterministic ordered aggregation within the session; only fixed-size path strings shuffle to the final count. The per-user ordered window PAIR (gap lag + running session counter) runs through ONE fused bounded pass (ColumnOps.boundedSessionIds — hour-chunk salting, one salted sort serving both windows, bit-identical to the naive pair, which remains the oracle): sessionization is the canonical Zipf-hot workload (one bot user = one sorted task under the naive form, 1.81× measured at the sf10 Zipf tier), and running the two bounded operators separately was measured to pay two sorts' worth of flat-data cost (r16 +107% at sf1) for the same skew safety.",
       """WITH g AS (SELECT user_id, ts, event_id, event_type,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |              > INTERVAL 10 MINUTE OR
@@ -414,17 +414,14 @@ object Analytics {
         |FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      val marked = graft.functions.ColumnOps.boundedLagLead(ev,
-          Seq("user_id"), Seq(col("ts"), col("event_id")),
-          date_trunc("hour", col("ts")), col("ts"), Some("prev_ts"), None)
-        .withColumn("new_s",
-          when(col("prev_ts").isNull ||
-            col("ts") - col("prev_ts") > expr("INTERVAL 10 MINUTE"), 1)
-            .otherwise(0))
-        .drop("prev_ts")
-      val sessions = graft.functions.ColumnOps.boundedRunningSum(marked,
+      // r17: the lag + running-sum pair fused into ONE bounded pass
+      // (ColumnOps.boundedSessionIds) — one salted sort instead of two,
+      // halving the flat-data cost the separate adoption was measured to
+      // pay (r16: sf1 2.26→4.68 s) while keeping the Zipf-safe shape
+      val sessions = graft.functions.ColumnOps.boundedSessionIds(ev,
         Seq("user_id"), Seq(col("ts"), col("event_id")),
-        date_trunc("hour", col("ts")), col("new_s"), "sid")
+        date_trunc("hour", col("ts")), col("ts"),
+        (t, p) => p.isNull || t - p > expr("INTERVAL 10 MINUTE"), "sid")
       // ordered path assembly: sort the collected (ts, event_id, type)
       // structs inside each session — deterministic, no second window
       sessions.groupBy(col("user_id"), col("sid"))

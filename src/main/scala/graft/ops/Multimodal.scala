@@ -215,6 +215,140 @@ object Multimodal {
       WavFeatures(rec.doc_id, rate, n.toLong, peak, sum)
     }
 
+  // ---- REAL JPEG + EXIF metadata (q355, the q184 ingest's metadata tier) --
+
+  /** Deterministic EXIF facts for a doc — shared with the oracle. The
+    * byte order ALTERNATES by id so the parser's endianness handling is
+    * inside the gate, not just the happy path. */
+  private def exifOrientation(id: Long): Int = (1 + id % 8).toInt
+  private def exifDateTime(id: Long): String =
+    f"2020:01:${1 + id % 28}%02d ${id % 24}%02d:00:00"
+  private def exifLittleEndian(id: Long): Boolean = id % 2 == 0
+
+  /** Encode one synthetic tile as a REAL JPEG (the JDK's actual DCT
+    * codec) and splice a hand-built EXIF APP1 segment directly after SOI
+    * — the standard layout every camera emits. The TIFF payload is built
+    * byte-for-byte (header, IFD0 with Orientation SHORT + DateTime ASCII,
+    * out-of-line value area) in the id-selected byte order. JPEG pixels
+    * are LOSSY, so unlike q142/q352 the pixel values are NOT the oracle
+    * surface here — the metadata and the SOF geometry are. */
+  def encodeJpegExif(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      TileW, TileH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < TileH) {
+      var x = 0
+      while (x < TileW) {
+        img.setRGB(x, y,
+          (synthR(id, x, y) << 16) | (synthG(id, x, y) << 8) | synthB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    require((jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+      "JDK JPEG writer did not emit SOI")
+    // TIFF payload: header(8) + count(2) + 2 IFD entries(24) + next(4),
+    // DateTime's 20 ASCII bytes out-of-line at offset 38 (from TIFF start)
+    val le = exifLittleEndian(id)
+    val tiff = java.nio.ByteBuffer.allocate(38 + 20).order(
+      if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    tiff.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+      .putShort(42).putInt(8) // magic, IFD0 offset
+      .putShort(2) // entry count
+      .putShort(0x0112.toShort).putShort(3).putInt(1) // Orientation SHORT×1
+    tiff.putShort(exifOrientation(id).toShort).putShort(0) // value padded to 4
+      .putShort(0x0132.toShort).putShort(2).putInt(20).putInt(38) // DateTime
+      .putInt(0) // next IFD: none
+      .put(exifDateTime(id).getBytes("US-ASCII")).put(0.toByte)
+    val body = tiff.array()
+    val app1 = java.nio.ByteBuffer.allocate(2 + 2 + 6 + body.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN) // marker lengths are always BE
+    app1.putShort(0xffe1.toShort).putShort((2 + 6 + body.length).toShort)
+      .put("Exif".getBytes("US-ASCII")).putShort(0).put(body)
+    val out = new Array[Byte](jpeg.length + app1.capacity())
+    System.arraycopy(jpeg, 0, out, 0, 2) // SOI
+    System.arraycopy(app1.array(), 0, out, 2, app1.capacity())
+    System.arraycopy(jpeg, 2, out, 2 + app1.capacity(), jpeg.length - 2)
+    out
+  }
+
+  final case class JpegMeta(doc_id: Long, width: Int, height: Int,
+                            orientation: Int, exif_datetime: String,
+                            byte_order: String)
+
+  /** REAL metadata extraction: walk the JPEG marker stream (SOI, then
+    * length-prefixed segments to SOS), take geometry from the codec's own
+    * SOF frame header and the EXIF facts from the APP1 TIFF structure —
+    * byte-order-aware IFD walking (II and MM both occur in the corpus by
+    * construction), inline SHORT values read at the platform-independent
+    * value slot, out-of-line ASCII read at its TIFF-relative offset with
+    * bounds checks. Unknown markers skip by declared length — the same
+    * walk-the-tree contract as the q352 demuxer. */
+  def extractJpegMetaBatch(batch: Seq[MediaRecord]): Seq[JpegMeta] =
+    batch.map { rec =>
+      val b = rec.payload
+      def u8(i: Int): Int = b(i) & 0xff
+      def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      require(b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8,
+        s"doc ${rec.doc_id}: not a JPEG (no SOI)")
+      var pos = 2
+      var width = -1; var height = -1
+      var orientation = -1; var dt: String = null; var order: String = null
+      var done = false
+      while (!done) {
+        require(pos + 4 <= b.length, s"doc ${rec.doc_id}: truncated marker")
+        require(u8(pos) == 0xff, s"doc ${rec.doc_id}: marker sync lost")
+        val marker = u8(pos + 1)
+        val len = be16(pos + 2) // includes the length field itself
+        require(len >= 2 && pos + 2 + len <= b.length,
+          s"doc ${rec.doc_id}: segment overruns the file")
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) { // SOF
+          height = be16(pos + 5); width = be16(pos + 7)
+        } else if (marker == 0xe1 && len >= 8 &&
+            new String(b, pos + 4, 4, "US-ASCII") == "Exif") {
+          val t0 = pos + 10 // TIFF header start (after "Exif\0\0")
+          val bo = new String(b, t0, 2, "US-ASCII")
+          require(bo == "II" || bo == "MM",
+            s"doc ${rec.doc_id}: bad TIFF byte order '$bo'")
+          order = bo
+          val le = bo == "II"
+          def t16(i: Int): Int =
+            if (le) u8(t0 + i) | (u8(t0 + i + 1) << 8)
+            else (u8(t0 + i) << 8) | u8(t0 + i + 1)
+          def t32(i: Int): Int =
+            if (le) u8(t0 + i) | (u8(t0 + i + 1) << 8) |
+              (u8(t0 + i + 2) << 16) | (u8(t0 + i + 3) << 24)
+            else (u8(t0 + i) << 24) | (u8(t0 + i + 1) << 16) |
+              (u8(t0 + i + 2) << 8) | u8(t0 + i + 3)
+          require(t16(2) == 42, s"doc ${rec.doc_id}: bad TIFF magic")
+          val ifd = t32(4)
+          val n = t16(ifd)
+          var e = 0
+          while (e < n) {
+            val off = ifd + 2 + e * 12
+            val tag = t16(off); val typ = t16(off + 2)
+            val cnt = t32(off + 4)
+            if (tag == 0x0112 && typ == 3) orientation = t16(off + 8)
+            else if (tag == 0x0132 && typ == 2) {
+              val vOff = t32(off + 8)
+              require(t0 + vOff + cnt <= b.length,
+                s"doc ${rec.doc_id}: ASCII value overruns the file")
+              dt = new String(b, t0 + vOff, cnt - 1, "US-ASCII") // drop NUL
+            }
+            e += 1
+          }
+        } else if (marker == 0xda) done = true // SOS: entropy data follows
+        if (!done) pos += 2 + len
+      }
+      require(width > 0 && height > 0, s"doc ${rec.doc_id}: no SOF marker")
+      require(order != null, s"doc ${rec.doc_id}: no EXIF APP1 segment")
+      JpegMeta(rec.doc_id, width, height, orientation, dt, order)
+    }
+
   // ---- REAL video container (q352, the q76 stub's real-codec twin) -------
 
   /** q352 geometry: `VidFrames` uncompressed RGB24 frames of
@@ -333,37 +467,63 @@ object Multimodal {
       require(buf.getShort == 24, s"doc ${rec.doc_id}: not 24-bit")
       require(buf.getInt == 0, s"doc ${rec.doc_id}: compressed (not BI_RGB)")
       buf.position(hdrlEnd)
-      require(tag() == "LIST", s"doc ${rec.doc_id}: missing movi LIST")
-      buf.getInt
-      require(tag() == "movi", s"doc ${rec.doc_id}: not movi")
+      // seek to the movi LIST by tag+size — a compliant file may interpose
+      // JUNK padding (or other chunks) between hdrl and movi (r16 ADVICE:
+      // the demuxer must walk the chunk tree, not assume adjacency)
+      var moviEnd = -1
+      while (moviEnd < 0) {
+        require(buf.remaining() >= 8, s"doc ${rec.doc_id}: no movi LIST")
+        val t = tag(); val sz = buf.getInt
+        require(sz >= 0 && buf.position() + sz <= buf.limit(),
+          s"doc ${rec.doc_id}: chunk '$t' overruns the file")
+        if (t == "LIST") {
+          val listEnd = buf.position() + sz
+          if (tag() == "movi") moviEnd = listEnd
+          else buf.position(listEnd + (sz & 1))
+        } else buf.position(buf.position() + sz + (sz & 1))
+      }
       val rowBytes = ((w * 3 + 3) / 4) * 4 // DIB rows pad to 4 bytes
       var (sr, sg, sb) = (0L, 0L, 0L)
       var sampled = 0L
-      var f = 0
-      while (f < nFrames) {
-        require(tag() == "00db",
-          s"doc ${rec.doc_id}: frame $f is not an uncompressed video chunk")
+      var f = 0 // index over VIDEO frames ('00db'/'00dc' of stream 0)
+      // walk the movi list by tag+size to its byte extent: '00db' frames
+      // are decoded, anything else a compliant file may carry (audio
+      // '01wb', 'JUNK', 'rec ' sub-lists, an index) is SKIPPED — never
+      // trusted to be absent, never walked past its declared size
+      while (buf.position() < moviEnd) {
+        require(moviEnd - buf.position() >= 8,
+          s"doc ${rec.doc_id}: truncated movi chunk header")
+        val t = tag()
         val sz = buf.getInt
         val start = buf.position()
-        if (f % VidSampleEvery == 0) {
-          sampled += 1
-          var y = h - 1
-          while (y >= 0) {
-            var x = 0
-            val row = start + (h - 1 - y) * rowBytes
-            while (x < w) {
-              sb += buf.get(row + x * 3) & 0xff
-              sg += buf.get(row + x * 3 + 1) & 0xff
-              sr += buf.get(row + x * 3 + 2) & 0xff
-              x += 1
+        require(sz >= 0 && start + sz <= moviEnd,
+          s"doc ${rec.doc_id}: movi chunk '$t' overruns the list")
+        if (t == "00db") {
+          require(sz >= rowBytes * h,
+            s"doc ${rec.doc_id}: frame $f chunk smaller than one DIB image")
+          if (f % VidSampleEvery == 0) {
+            sampled += 1
+            var y = h - 1
+            while (y >= 0) {
+              var x = 0
+              val row = start + (h - 1 - y) * rowBytes
+              while (x < w) {
+                sb += buf.get(row + x * 3) & 0xff
+                sg += buf.get(row + x * 3 + 1) & 0xff
+                sr += buf.get(row + x * 3 + 2) & 0xff
+                x += 1
+              }
+              y -= 1
             }
-            y -= 1
           }
-        }
+          f += 1
+        } else if (t == "00dc") f += 1 // compressed video frame: counted,
+                                       // not decodable on this DIB stream
         buf.position(start + sz + (sz & 1)) // RIFF chunks pad to even
-        f += 1
       }
-      VideoFeatures(rec.doc_id, w, h, nFrames.toLong, sampled, sr, sg, sb)
+      // avih's dwTotalFrames is advisory in the wild; the chunk walk is
+      // ground truth. On self-encoded payloads the two agree exactly.
+      VideoFeatures(rec.doc_id, w, h, f.toLong, sampled, sr, sg, sb)
     }
 
   def queries: Seq[GraftQuery] = Seq(
@@ -484,6 +644,25 @@ object Multimodal {
       records
         .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeAviBatch))
         .toDF()
+        .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
+      "q355_jpeg_exif_extract",
+      s"REAL image-metadata extraction — the tier every multimodal ingest runs BEFORE any decode (orientation to un-rotate, timestamps to dedup bursts, geometry to bucket): each doc's ${TileW}×${TileH} tile goes through the JDK's actual lossy JPEG codec, a hand-built EXIF APP1 segment (TIFF header, IFD0 with Orientation SHORT inline + DateTime ASCII out-of-line) is spliced after SOI exactly where cameras put it, and the extract stage is a genuine MARKER-STREAM PARSER: walks length-prefixed JPEG segments to SOS, reads geometry from the codec's own SOF frame header (not from the synth constants), and parses the TIFF/IFD structure in BOTH byte orders — the corpus alternates II/MM by doc id, so endian handling is inside the oracle gate, not a code path a fixture never hits. JPEG pixels are lossy and deliberately NOT the verified surface (q142's PNG covers lossless pixel exactness); the metadata arithmetic is. Same iterator-of-batches contract as q142/q352; a production deployment swaps the splice for real camera files and keeps the parser.",
+      s"""SELECT doc_id, $TileW AS width, $TileH AS height,
+         |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+         |  printf('2020:01:%02d %02d:00:00', 1 + doc_id % 28, doc_id % 24)
+         |    AS exif_datetime,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val records = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaRecord(id, "image", encodeJpegExif(id))))
+      records
+        .mapPartitions(_.grouped(DecodeBatchSize).flatMap(extractJpegMetaBatch))
+        .toDF()
+        .withColumn("orientation", col("orientation").cast("long"))
         .orderBy(col("doc_id"))
     },
 

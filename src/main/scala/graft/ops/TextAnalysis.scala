@@ -226,6 +226,70 @@ object TextAnalysis {
        |ORDER BY stage""".stripMargin
   }
 
+  /** The calibration harness's cataloged join edges: (edge label, left
+    * catalog key, right catalog key, left join column, left table loader,
+    * right join column, right table loader). Single source for the Spark
+    * plan and [[calibrationSql]]'s row set. */
+  private val calibrationEdges: Seq[(String, String, String)] = Seq(
+    ("events_customer", "events.user_id", "customer.c_custkey"),
+    ("events_orders", "events.user_id", "orders.o_custkey"),
+    ("orders_customer", "orders.o_custkey", "customer.c_custkey"),
+    ("orders_lineitem", "orders.o_orderkey", "lineitem.l_orderkey"))
+
+  /** q353's oracle: rebuild every sketch in SQL (the q346/q351 fragments),
+    * estimate all four cataloged edges, count every edge's TRUE join size,
+    * and restate the ppm error + bound-verdict agreement in HUGEINT. */
+  private def calibrationSql: String = {
+    val p = Dedup.P
+    val rels = Seq(("evu", "events", "user_id"),
+      ("ordc", "orders", "o_custkey"), ("ordo", "orders", "o_orderkey"),
+      ("line", "lineitem", "l_orderkey"), ("cust", "customer", "c_custkey"))
+    val hctes = rels.map { case (nm, tbl, k) =>
+      s"""h_$nm AS MATERIALIZED (SELECT ${h60Sql(s"CAST($k AS VARCHAR)")} % $p AS hs
+         |  FROM $tbl)""".stripMargin
+    }.mkString(",\n")
+    val sctes = rels.map { case (nm, _, _) =>
+      s"""c_$nm AS MATERIALIZED (SELECT d,
+         |    (((2*d+1)*hs + (7919*d+13)) % $p) % $CmWidth AS c,
+         |    count(*) AS cnt FROM h_$nm CROSS JOIN dd GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    def edgeEst(l: String, r: String) =
+      s"""(SELECT CAST(min(ej) AS HUGEINT) FROM (
+         |   SELECT a.d, CAST(sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS HUGEINT) AS ej
+         |   FROM c_$l a JOIN c_$r b ON a.d = b.d AND a.c = b.c
+         |   GROUP BY a.d) q)""".stripMargin
+    val sqlEdges = Seq(
+      ("events_customer", ("evu", "cust"),
+        "events JOIN customer ON user_id = c_custkey"),
+      ("events_orders", ("evu", "ordc"),
+        "events JOIN orders ON user_id = o_custkey"),
+      ("orders_customer", ("ordc", "cust"),
+        "orders JOIN customer ON o_custkey = c_custkey"),
+      ("orders_lineitem", ("ordo", "line"),
+        "orders JOIN lineitem ON o_orderkey = l_orderkey"))
+    val rows = sqlEdges.map { case (nm, (l, r), join) =>
+      s"""SELECT '$nm' AS edge, ${edgeEst(l, r)} AS est,
+         |  (SELECT CAST(count(*) AS HUGEINT) FROM $join) AS actual""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH dd AS (SELECT unnest(generate_series(0, ${CmDepth - 1})) AS d),
+       |$hctes,
+       |$sctes,
+       |u AS ($rows)
+       |SELECT edge, CAST(est AS BIGINT) AS est_rows,
+       |  CAST(actual AS BIGINT) AS actual_rows,
+       |  CASE WHEN actual = 0 THEN NULL
+       |       ELSE CAST((1000000 * (est - actual)) // actual AS BIGINT)
+       |  END AS err_ppm,
+       |  CASE WHEN est <= $CatalogBroadcastRowBound
+       |       THEN 'under_bound' ELSE 'over_bound' END AS est_verdict,
+       |  CASE WHEN actual <= $CatalogBroadcastRowBound
+       |       THEN 'under_bound' ELSE 'over_bound' END AS true_verdict,
+       |  CAST(CASE WHEN (est <= $CatalogBroadcastRowBound)
+       |                 = (actual <= $CatalogBroadcastRowBound)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS verdict_agrees
+       |FROM u ORDER BY edge""".stripMargin
+  }
+
   /** Stage (once per JVM × corpus snapshot) and return the catalog dir:
     * one pass per relation, persisted as a 5-row parquet of
     * (rel, n, 4096-long sketch). */
@@ -1821,6 +1885,50 @@ object TextAnalysis {
         .withColumn("n_broadcast_in_plan", lit(nBhj.toLong))
         .withColumn("planned_by", lit("rule-deep"))
         .orderBy(col("stage"))
+    },
+
+    GraftQuery(
+      "q353_estimator_calibration",
+      "Cost-model REGRESSION harness for the CatalogJoinHints estimator (r16 worklist 6a — q341's calibration doctrine applied to the RULE itself, because the classic CBO failure mode is silent estimate drift: sketches age, key distributions shift, and a planner that still trusts last month's numbers broadcasts the wrong side without anyone noticing): every cataloged join EDGE is scored est-vs-actual in one auditable frame — est_rows is the SAME CM inner product the optimizer rule stamps decisions from (CatalogJoinHints.innerProductEst over the persisted catalog, single-sourced so the audit cannot diverge from the planner), actual_rows is the executed join count, err_ppm the signed relative error (always >= 0: an unscaled CM estimate plus the h60-mod-P key fold are both one-sided over-counts — a NEGATIVE err_ppm here would mean the estimator's never-under-estimate contract itself broke), and the bound-verdict pair says whether est and truth land the SAME side of the broadcast bound — the only bit the planner actually consumes, so verdict_agrees=0 IS the regression. The DuckDB oracle rebuilds every sketch, estimate, count and verdict from the raw tables in HUGEINT: estimator code, staged catalog and decision math are all inside the gate. Scale shape: the estimates cost 5 catalog rows; the actuals are the audit's price — four count-only equi-joins a 100 TB deployment runs as a scheduled audit job (never inline at plan time), exactly how production CBOs re-calibrate.",
+      calibrationSql) { (s, d) =>
+      import graft.plans.CatalogJoinHints
+      val dir = statsCatalogDir(s, d)
+      val st = CatalogJoinHints.stats(s, dir)
+      val bound = CatalogBroadcastRowBound
+      def keyFrame(rel: String): DataFrame = rel match {
+        case "events.user_id" =>
+          Tables.events(s, d).select(col("user_id").as("k"))
+        case "orders.o_custkey" =>
+          Tables.orders(s, d).select(col("o_custkey").as("k"))
+        case "orders.o_orderkey" =>
+          Tables.orders(s, d).select(col("o_orderkey").as("k"))
+        case "lineitem.l_orderkey" =>
+          Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+        case "customer.c_custkey" =>
+          Tables.customer(s, d).select(col("c_custkey").as("k"))
+      }
+      calibrationEdges.map { case (nm, ka, kb) =>
+        val est = CatalogJoinHints.innerProductEst(st, ka, kb)
+        val actual = keyFrame(ka)
+          .join(keyFrame(kb).withColumnRenamed("k", "k2"),
+            col("k") === col("k2"))
+          .agg(count(lit(1)).as("actual_rows"))
+        s.range(1).select(lit(nm).as("edge"), lit(est).as("est_rows"))
+          .crossJoin(broadcast(actual))
+      }.reduce(_ unionAll _)
+        .withColumn("err_ppm",
+          when(col("actual_rows") === 0, lit(null).cast("long"))
+            .otherwise(expr(
+              """CAST((1000000 * (CAST(est_rows AS DECIMAL(38,0))
+                |  - actual_rows)) div actual_rows AS BIGINT)""".stripMargin)))
+        .withColumn("est_verdict",
+          when(col("est_rows") <= bound, "under_bound").otherwise("over_bound"))
+        .withColumn("true_verdict",
+          when(col("actual_rows") <= bound, "under_bound")
+            .otherwise("over_bound"))
+        .withColumn("verdict_agrees",
+          (col("est_verdict") === col("true_verdict")).cast("long"))
+        .orderBy(col("edge"))
     },
 
     GraftQuery(

@@ -27,8 +27,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *   - build side = the smaller estimate (ties prefer the right side,
   *     q346's `<=` order); at or under `graft.catalog.broadcastRowBound`
   *     rows it gets a BROADCAST strategy hint, above it SHUFFLE_MERGE —
-  *     ENFORCED either way, so Spark's size-threshold auto-broadcast
-  *     cannot silently second-guess the catalog's shuffle verdict.
+  *     ENFORCED, so Spark's size-threshold auto-broadcast cannot
+  *     silently second-guess the catalog's shuffle verdict. Exception
+  *     (r16 ADVICE): when the build side's estimate passed through a
+  *     recursive contraction factor it is no longer a proven upper
+  *     bound, so only the SHUFFLE_MERGE direction is enforced; an
+  *     under-bound SCALED estimate stamps nothing and the engine's own
+  *     runtime size check keeps the broadcast decision.
   *
   * Opt-in is per-ATTRIBUTE, not per-session: the rule fires only on join
   * keys carrying the [[CatalogJoinHints.KeyMeta]] /
@@ -67,14 +72,29 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
         .getConfString("graft.catalog.broadcastRowBound", DefaultBound.toString)
         .toLong
       (estRows(l), estRows(r)) match {
-        case (Some(nl), Some(nr)) =>
+        case (Some((nl, sl)), Some((nr, sr))) =>
           val buildRight = nr <= nl
           val n = math.min(nl, nr)
-          val hi = HintInfo(strategy =
-            Some(if (n <= bound) BROADCAST else SHUFFLE_MERGE))
-          j.copy(hint =
-            if (buildRight) JoinHint(None, Some(hi))
-            else JoinHint(Some(hi), None))
+          val buildScaled = if (buildRight) sr else sl
+          // Enforcement asymmetry for SCALED estimates (r16 ADVICE): a
+          // leaf count or an unscaled CM inner product is a guaranteed
+          // over-estimate, so `n <= bound` proves the build side small and
+          // an ENFORCED BROADCAST is safe. An estimate that passed through
+          // a recursive contraction factor (childEst/|owner|) assumes key
+          // independence and can UNDER-estimate under correlated keys —
+          // enforcing BROADCAST off it could broadcast an arbitrarily
+          // large intermediate. For those, only the SHUFFLE_MERGE verdict
+          // is enforced (always memory-safe); an under-bound scaled
+          // estimate stamps NOTHING and leaves the broadcast decision to
+          // the engine's own runtime size check.
+          if (n <= bound && buildScaled) j
+          else {
+            val hi = HintInfo(strategy =
+              Some(if (n <= bound) BROADCAST else SHUFFLE_MERGE))
+            j.copy(hint =
+              if (buildRight) JoinHint(None, Some(hi))
+              else JoinHint(Some(hi), None))
+          }
         case _ => j
       }
   }
@@ -139,9 +159,15 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
     * left-then-right order. The scaling assumes the join key and the
     * upward key are independently distributed (the classic CBO
     * assumption); everything stays in BigInt and saturates at
-    * Long.MaxValue, which preserves every ≤-bound verdict. */
-  private def estRows(p: LogicalPlan): Option[Long] =
-    estimate(p).map(toLongSat)
+    * Long.MaxValue, which preserves every ≤-bound verdict.
+    *
+    * The returned Boolean is the SCALED flag: false for a leaf count or
+    * an inner product whose side factors are all identity (both are
+    * guaranteed over-estimates), true once any contraction factor has
+    * been applied (no longer a proven upper bound — see the enforcement
+    * asymmetry in [[apply]]). */
+  private def estRows(p: LogicalPlan): Option[(Long, Boolean)] =
+    estimate(p).map { case (v, s) => (toLongSat(v), s) }
 
   @scala.annotation.tailrec
   private def strip(q: LogicalPlan): LogicalPlan = q match {
@@ -150,22 +176,23 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
     case _ => q
   }
 
-  private def estimate(p: LogicalPlan): Option[BigInt] =
+  private def estimate(p: LogicalPlan): Option[(BigInt, Boolean)] =
     strip(p) match {
       case j @ Join(_, _, Inner, Some(cond), _) =>
         markedKeys(j, cond).flatMap { case (kl, kr, dir) =>
           val st = stats(SparkSession.active, dir)
           val raw = innerProductBig(st, kl, kr)
           for {
-            fl <- sideFactor(j.left, kl, st)
-            fr <- sideFactor(j.right, kr, st)
-          } yield fr(fl(raw))
+            (fl, sl) <- sideFactor(j.left, kl, st)
+            (fr, sr) <- sideFactor(j.right, kr, st)
+          } yield (fr(fl(raw)), sl || sr)
         }
       case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
         // read p.output (the marked projection), not the leaf's unmarked schema
         p.output.collectFirst {
           case a: AttributeReference if keyOf(a).isDefined && dirOf(a).isDefined =>
-            BigInt(stats(SparkSession.active, dirOf(a).get)(keyOf(a).get)._1)
+            (BigInt(stats(SparkSession.active, dirOf(a).get)(keyOf(a).get)._1),
+              false)
         }
       case _ => None
     }
@@ -173,15 +200,20 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
   /** How a join child rescales the base-sketch inner product taken over
     * its key `k`: a leaf (the sketch's own frame) contributes identity; a
     * nested marked join contributes ×(childEst / |owner(k)|) as one
-    * BigInt floor-division; anything else poisons the whole estimate. */
+    * BigInt floor-division; anything else poisons the whole estimate.
+    * Second tuple element: whether the factor makes the estimate SCALED
+    * (identity keeps the proven-upper-bound property, a contraction
+    * factor forfeits it). */
   private def sideFactor(side: LogicalPlan, k: String,
                          st: Map[String, (Long, Array[Long])])
-      : Option[BigInt => BigInt] =
+      : Option[(BigInt => BigInt, Boolean)] =
     strip(side) match {
       case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
-        Some(identity)
+        Some((identity, false))
       case _: Join =>
-        estimate(side).map(n => (x: BigInt) => x * n / BigInt(st(k)._1))
+        estimate(side).map { case (n, _) =>
+          ((x: BigInt) => x * n / BigInt(st(k)._1), true)
+        }
       case _ => None
     }
 }

@@ -39,7 +39,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * own manifests) — no extra metastore to keep consistent, and concurrent
   * writers are already serialized by the sink's optimistic manifest swap.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -180,9 +181,117 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (ident.namespace().sameElements(FnNs) && ident.name() == "cents")
       GraftCatalog.CentsUnbound
     else throw new NoSuchFunctionException(ident)
+
+  // ---- procedures (Spark 4 v2 `CALL` statement) -----------------------
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(FnNs))
+      Array(Identifier.of(FnNs, "optimize_cluster"))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
+    if (ident.namespace().sameElements(FnNs) &&
+        ident.name() == "optimize_cluster")
+      new GraftCatalog.OptimizeClusterProcedure(this)
+    else throw new NoSuchFunctionException(ident)
+
+  /** Resolved table directory for a `ns1.ns2.table` path RELATIVE to this
+    * catalog — the procedure's table argument resolver. */
+  private[sources] def tableDir(path: String): Path = {
+    val parts = path.split("\\.")
+    val ident = Identifier.of(parts.init, parts.last)
+    val dir = dirOf(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    dir
+  }
 }
 
 object GraftCatalog {
+
+  /** `CALL <cat>.sys.optimize_cluster(tbl => 'ns.t', by_x => 'c1',
+    * by_y => 'c2' [, files => N] [, bits => B])` — the sink's
+    * OPTIMIZE-CLUSTER maintenance operation (q350's
+    * [[FormSinkSource.compactClustered]]) exposed through Spark 4's v2
+    * stored-procedure surface, the way every lakehouse table service
+    * ships `OPTIMIZE ... ZORDER BY` as a SQL verb: the named table's
+    * snapshot is re-laid-out as `files` files range-partitioned + sorted
+    * by the Hilbert index of the two named (zero-padded numeric string)
+    * columns and published as ONE atomic truncate commit.
+    *
+    * `bits` defaults to 0 = DERIVE FROM THE DATA: one aggregate over the
+    * table reads both coordinates' max and sizes the curve to the actual
+    * domain (the r16 ADVICE bit-aliasing fix as the default contract —
+    * a fixed budget silently wraps keys past 2^bits and degrades the
+    * skipping the operation exists to buy; floor 8, cap 31 per the
+    * kernel). Result row: (version, files_before, files_after,
+    * cluster_bits) — layout facts, surfaced for auditing, consumed by
+    * FormSinkSpec and the q354 census. */
+  final class OptimizeClusterProcedure(cat: GraftCatalog)
+      extends procedures.UnboundProcedure
+      with procedures.BoundProcedure {
+    import org.apache.spark.sql.types._
+    override def name(): String = "optimize_cluster"
+    override def description(): String =
+      "re-lay a form-sink table clustered by the Hilbert index of two columns"
+    override def bind(inputType: StructType): procedures.BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[procedures.ProcedureParameter] = Array(
+      procedures.ProcedureParameter.in("tbl", StringType)
+        .comment("table path relative to this catalog, e.g. 'ns.table'")
+        .build(),
+      procedures.ProcedureParameter.in("by_x", StringType).build(),
+      procedures.ProcedureParameter.in("by_y", StringType).build(),
+      procedures.ProcedureParameter.in("files", IntegerType)
+        .defaultValue("16").build(),
+      procedures.ProcedureParameter.in("bits", IntegerType)
+        .defaultValue("0")
+        .comment("Hilbert bits; 0 = derive from the coordinate domain")
+        .build())
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val dir = cat.tableDir(input.getUTF8String(0).toString).toString
+      val byX = input.getUTF8String(1).toString
+      val byY = input.getUTF8String(2).toString
+      val files = input.getInt(3)
+      val bitsIn = input.getInt(4)
+      require(files >= 1, s"files must be >= 1, got $files")
+      require(bitsIn >= 0 && bitsIn <= 31,
+        s"bits must be in [0, 31] (0 = derive), got $bitsIn")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val before = FormSinkSource.snapshotInfo(dir)._2.size
+      val bits =
+        if (bitsIn > 0) bitsIn
+        else {
+          import org.apache.spark.sql.functions.{col, greatest, max}
+          val m = spark.read.format(FormSinkSource.Format)
+            .option("path", dir).load()
+            .agg(max(greatest(col(byX).cast("long"), col(byY).cast("long"))))
+            .head()
+          val top = if (m.isNullAt(0)) 0L else m.getLong(0)
+          math.min(31, math.max(8,
+            64 - java.lang.Long.numberOfLeadingZeros(top)))
+        }
+      val version = FormSinkSource.compactClustered(spark, dir,
+        df => graft.functions.GraftFunctions.hilbertIndex(
+          df(byX).cast("long"), df(byY).cast("long"), bits),
+        files)
+      val after = FormSinkSource.snapshotInfo(dir)._2.size
+      val schema = StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("files_before", IntegerType, nullable = false),
+        StructField("files_after", IntegerType, nullable = false),
+        StructField("cluster_bits", IntegerType, nullable = false)))
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](version, before, after, bits))
+      val scan: org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = schema
+          override def rows()
+              : Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+        }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+  }
 
   /** floor(x*100) money-cents — the library's integer-money doctrine as a
     * catalog-resolved SQL function (ColumnOps.cents' SQL twin). */

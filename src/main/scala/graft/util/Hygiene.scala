@@ -157,6 +157,43 @@ object Sizing {
         try r.getRecordCount finally r.close()
       }.sum
     }).longValue()
+
+  private val colMaxes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Max of an integral column from parquet FOOTER statistics — no Spark
+    * job runs (the [[parquetRowCount]] doctrine applied to column stats).
+    * Sizing decisions that depend on a coordinate DOMAIN (e.g. the q350
+    * Hilbert bit budget — the r16 ADVICE bit-aliasing fix) read it here
+    * at query-construction time. Returns 0 when no row group carries
+    * stats for the column (callers floor their derived budget). */
+  def parquetColumnMaxLong(d: String, table: String, column: String): Long =
+    colMaxes.computeIfAbsent(
+      Scratch.sourceKey(d, table) + "/" + table + "#" + column, _ => {
+        import scala.jdk.CollectionConverters._
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+        val fs = p.getFileSystem(conf)
+        val parts =
+          if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).map(_.getPath)
+              .filter(_.getName.endsWith(".parquet")).toSeq
+          else Seq(p)
+        parts.flatMap { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+          try r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+            .filter(c => c.getPath.toDotString == column &&
+              c.getStatistics != null && !c.getStatistics.isEmpty)
+            .map { c =>
+              c.getStatistics.genericGetMax match {
+                case n: Number => n.longValue()
+                case _ => 0L
+              }
+            }.toSeq
+          finally r.close()
+        }.maxOption.map(Long.box).getOrElse(java.lang.Long.valueOf(0L))
+      }).longValue()
 }
 
 /** Size-gated broadcast hints for operators whose small side is small BY

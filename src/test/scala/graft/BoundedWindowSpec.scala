@@ -105,6 +105,54 @@ class BoundedWindowSpec extends SparkSpec {
     assert(bounded === naive)
   }
 
+  test("boundedSessionIds ≡ naive lag+running-sum pair (q152's fused shape)") {
+    // the naive reference IS q152's oracle stated over the fixture: gap
+    // lag then running sum of the start markers, one window pair
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = fixture
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 600, 1)
+          .otherwise(0))
+      .select(col("event_id"), sum(col("new_s")).over(wRun).as("sid"))
+      .orderBy(col("event_id")).collect().toSeq
+    val fused = ColumnOps.boundedSessionIds(fixture, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), date_trunc("hour", col("ts")),
+        col("ts"),
+        (t, p) => p.isNull || t.cast("long") - p.cast("long") > 600, "sid")
+      .select(col("event_id"), col("sid"))
+      .orderBy(col("event_id")).collect().toSeq
+    assert(fused === naive)
+    // row preservation through the null-safe carry re-join (NULL-ts rows
+    // form the NULL chunk and must survive)
+    assert(fused.size === fixture.count())
+  }
+
+  test("boundedSessionIds with a tight gap: every chunk boundary decides") {
+    // 1-second gap ⇒ nearly every row starts a session — the carry path
+    // (first-row-of-chunk indicator + base) is exercised at every chunk
+    // boundary rather than only at sparse session starts
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = fixture
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1, 1)
+          .otherwise(0))
+      .select(col("event_id"), sum(col("new_s")).over(wRun).as("sid"))
+      .orderBy(col("event_id")).collect().toSeq
+    val fused = ColumnOps.boundedSessionIds(fixture, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), date_trunc("hour", col("ts")),
+        col("ts"),
+        (t, p) => p.isNull || t.cast("long") - p.cast("long") > 1, "sid")
+      .select(col("event_id"), col("sid"))
+      .orderBy(col("event_id")).collect().toSeq
+    assert(fused === naive)
+  }
+
   test("NULL-chunk rows are kept, not dropped (null-safe carry re-join)") {
     val out = ColumnOps.boundedLagLead(fixture, Seq("user_id"),
       Seq(col("ts"), col("event_id")), date_trunc("hour", col("ts")),

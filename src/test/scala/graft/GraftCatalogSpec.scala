@@ -163,4 +163,44 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(err.getMessage.toLowerCase.contains("cents"), err.getMessage)
   }
+
+  test("ProcedureCatalog: CALL sys.optimize_cluster re-lays the table; bits derive from the domain") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.oc")
+    spark.sql("""CREATE TABLE graftcat.oc.grid (
+      vendor STRING, description STRING, picker_erk STRING,
+      charge_code STRING, po_number STRING)""")
+    // a 0..99 × 0..99 grid scattered across 8 arrival-order files
+    spark.range(2500).selectExpr(
+        "'v' AS vendor",
+        "format_string('%09d', id % 100) AS description",
+        "format_string('%09d', id div 100 % 100) AS picker_erk",
+        "'1' AS charge_code", "concat('U', id) AS po_number")
+      .repartition(8)
+      .writeTo("graftcat.oc.grid").append()
+    val before = spark.sql("SELECT * FROM graftcat.oc.grid").collect().toSet
+    val call = spark.sql("""CALL graftcat.sys.optimize_cluster(
+      tbl => 'oc.grid', by_x => 'description', by_y => 'picker_erk',
+      files => 4)""").collect()
+    assert(call.length === 1)
+    assert(call(0).getInt(1) === 8, "files_before must see the 8 task files")
+    assert(call(0).getInt(2) <= 4, "clustered rewrite must respect files=4")
+    // bits => 0 (default) derives from the 0..99 domain: max coord 99
+    // needs 7 bits, floored at the kernel-meaningful 8 — NOT a fixed 18
+    assert(call(0).getInt(3) === 8, s"derived bits: ${call(0).getInt(3)}")
+    // content survives the truncate-rewrite byte-exactly
+    val after = spark.sql("SELECT * FROM graftcat.oc.grid").collect().toSet
+    assert(after === before)
+    // explicit bits override is honored
+    val call2 = spark.sql("""CALL graftcat.sys.optimize_cluster(
+      tbl => 'oc.grid', by_x => 'description', by_y => 'picker_erk',
+      files => 4, bits => 12)""").collect()
+    assert(call2(0).getInt(3) === 12)
+    // unknown table fails at the procedure, not with a silent no-op
+    intercept[Exception] {
+      spark.sql("""CALL graftcat.sys.optimize_cluster(
+        tbl => 'oc.nope', by_x => 'a', by_y => 'b')""").collect()
+    }
+    spark.sql("DROP TABLE graftcat.oc.grid")
+  }
 }

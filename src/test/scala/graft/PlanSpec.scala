@@ -732,6 +732,56 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("graft.catalog.broadcastRowBound")
   }
 
+  test("CatalogJoinHints never ENFORCES broadcast off a SCALED estimate (r16 ADVICE)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, JoinHint, SHUFFLE_MERGE}
+    import graft.plans.CatalogJoinHints
+    graft.plans.GraftPlans.install(spark)
+    // synthetic catalog: every sketch holds value 10 in cell 0 of each
+    // depth row, so every marked pair's CM inner product is exactly 100;
+    // relation counts make the DEPTH-2 side the build side of the top
+    // join with a SCALED estimate (100·100/1000 = 10 rows)
+    val dir = graft.util.Scratch.dir("plan-spec-scaled-cat").toString
+    import spark.implicits._
+    val sk = Seq.tabulate(4096)(i => if (i % 1024 == 0) 10L else 0L)
+    Seq(("a.k1", 1000L, sk), ("b.k1", 1000L, sk), ("b.k2", 1000L, sk),
+        ("c.k2", 1000L, sk), ("c.k3", 1000L, sk), ("d.k3", 2000L, sk))
+      .toDF("rel", "n", "sk").coalesce(1).write.mode("overwrite").parquet(dir)
+    def mark(df: org.apache.spark.sql.DataFrame, cs: (String, String)*) =
+      df.select(cs.map { case (c, key) =>
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(CatalogJoinHints.KeyMeta, key)
+          .putString(CatalogJoinHints.DirMeta, dir).build()
+        col(c).as(c, md)
+      }: _*)
+    val a = mark(spark.range(10).select(col("id").as("ak")), "ak" -> "a.k1")
+    val b = mark(spark.range(10).select(col("id").as("bk1"), col("id").as("bk2")),
+      "bk1" -> "b.k1", "bk2" -> "b.k2")
+    val c3 = mark(spark.range(10).select(col("id").as("ck2"), col("id").as("ck3")),
+      "ck2" -> "c.k2", "ck3" -> "c.k3")
+    val dd = mark(spark.range(10).select(col("id").as("dk")), "dk" -> "d.k3")
+    def topHint(): JoinHint = {
+      val q = a.join(b, col("ak") === col("bk1"))
+        .join(c3, col("bk2") === col("ck2"))
+        .join(dd, col("ck3") === col("dk"))
+        .agg(count(lit(1)))
+      q.queryExecution.optimizedPlan.collectFirst {
+        case j: LJoin => j.hint // pre-order: first Join is the top one
+      }.get
+    }
+    // build side = the depth-2 intermediate, SCALED est 10 ≤ default
+    // bound: the rule must stamp NOTHING (engine's size check decides)
+    assert(topHint() == JoinHint.NONE,
+      "a scaled under-bound estimate must not enforce a broadcast")
+    // same build side past the bound: SHUFFLE_MERGE stays ENFORCED — the
+    // memory-safe direction survives the asymmetry
+    spark.conf.set("graft.catalog.broadcastRowBound", "1")
+    try {
+      val h = topHint()
+      assert(h.leftHint.flatMap(_.strategy).contains(SHUFFLE_MERGE),
+        s"over-bound scaled estimate must still enforce the shuffle verdict: $h")
+    } finally spark.conf.unset("graft.catalog.broadcastRowBound")
+  }
+
   test("CatalogJoinHints fires only on marked columns — zero blast radius") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     graft.plans.GraftPlans.install(spark)

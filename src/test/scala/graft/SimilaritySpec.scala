@@ -96,4 +96,46 @@ class SimilaritySpec extends SparkSpec {
       Multimodal.decodeWavBatch(Seq(Multimodal.MediaRecord(43L, "audio", broken)))
     }
   }
+
+  test("q352 codec: AVI demuxer walks the chunk tree — JUNK and audio chunks skip") {
+    // a spec-compliant AVI is not obliged to lay hdrl/movi adjacent or to
+    // carry only video chunks (r16 ADVICE): splice a JUNK chunk between
+    // hdrl and movi and an audio '01wb' chunk into the movi list, fix up
+    // the RIFF and movi LIST sizes, and the walk must land on the same
+    // frame features as the canonical layout
+    import java.nio.{ByteBuffer, ByteOrder}
+    val id = 5L
+    val base = Multimodal.encodeAvi(id)
+    val expected = Multimodal.decodeAviBatch(
+      Seq(Multimodal.MediaRecord(id, "video", base))).head
+    val bb = ByteBuffer.wrap(base).order(ByteOrder.LITTLE_ENDIAN)
+    val hdrlSize = bb.getInt(16) // LIST size at RIFF(12) + 'LIST'(4)
+    val moviListOff = 12 + 8 + hdrlSize
+    def chunk(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(tag.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      b.array()
+    }
+    val junk = chunk("JUNK", Array.fill[Byte](4)(0x7f))
+    // even-sized payloads: no RIFF pad bytes to account for in the splice
+    val audio = chunk("01wb", Array.fill[Byte](6)(0x55))
+    val pre = base.slice(0, moviListOff)
+    val moviHeader = base.slice(moviListOff, moviListOff + 12) // LIST sz movi
+    val rest = base.slice(moviListOff + 12, base.length)
+    val out = pre ++ junk ++ moviHeader ++ audio ++ rest
+    val ob = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    ob.putInt(4, ob.getInt(4) + junk.length + audio.length) // RIFF size
+    ob.putInt(pre.length + junk.length + 4, // movi LIST size
+      bb.getInt(moviListOff + 4) + audio.length)
+    val got = Multimodal.decodeAviBatch(
+      Seq(Multimodal.MediaRecord(id, "video", out))).head
+    assert(got === expected)
+    // a movi chunk whose declared size overruns the list must reject,
+    // never read past the buffer
+    val trunc = out.slice(0, out.length - 40)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAviBatch(Seq(Multimodal.MediaRecord(id, "video", trunc)))
+    }
+  }
 }
