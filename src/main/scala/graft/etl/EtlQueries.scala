@@ -480,7 +480,7 @@ object EtlQueries {
 
     GraftQuery(
       "q350_sink_clustered_compaction",
-      "OPTIMIZE-CLUSTER on the transactional sink — q349's Hilbert kernel wired into the table's maintenance path (r15 worklist 6c, the q235/q349 marriage): lineitem's (orderkey, partkey) coordinates land in the sink as zero-padded fixed-width strings (string min/max stats then ORDER like the numbers — the q116 po_number trick), one 8-file arrival-order append, then FormSinkSource.compactClustered re-lays the snapshot out as 16 files range-partitioned + sorted by the codegen'd Hilbert index of the two coordinates and publishes ONE atomic truncate commit. Arrival order scatters the 2-D space across every file (a box predicate's min/max straddles all 8); the clustered layout gives each file a tight Hilbert run, so the same manifest-stats skipping q235 proved now PRUNES most files for a 2-D box (FormSinkSpec pins the skipping census before/after via FormSinkSource.skippingCensus — the measured point of the operation; census numbers stay out of the oracle because they are layout, not answer). The ANSWER is layout-invariant: the box aggregate reads back through the clustered table and must equal the oracle's read of the original lineitem — content surviving a distributed truncate-rewrite byte-exactly IS the correctness claim.",
+      "OPTIMIZE-CLUSTER on the transactional sink — q349's Hilbert kernel wired into the table's maintenance path (r15 worklist 6c, the q235/q349 marriage): lineitem's (orderkey, partkey) coordinates land in the sink as zero-padded fixed-width strings (string min/max stats then ORDER like the numbers — the q116 po_number trick), one 8-file arrival-order append, then FormSinkSource.compactClustered re-lays the snapshot out as input-scaled ~1M-row files (the write width scales with the table like every other exchange — a fixed file count would cap the rewrite's serialization at that many tasks forever) range-partitioned + sorted by the codegen'd Hilbert index of the two coordinates and publishes ONE atomic truncate commit. Arrival order scatters the 2-D space across every file (a box predicate's min/max straddles all 8); the clustered layout gives each file a tight Hilbert run, so the same manifest-stats skipping q235 proved now PRUNES most files for a 2-D box (FormSinkSpec pins the skipping census before/after via FormSinkSource.skippingCensus — the measured point of the operation; census numbers stay out of the oracle because they are layout, not answer). The ANSWER is layout-invariant: the box aggregate reads back through the clustered table and must equal the oracle's read of the original lineitem — content surviving a distributed truncate-rewrite byte-exactly IS the correctness claim.",
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem
@@ -505,10 +505,16 @@ object EtlQueries {
       val bits = math.min(31, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(
         math.max(graft.util.Sizing.parquetColumnMaxLong(d, "lineitem", "l_orderkey"),
           graft.util.Sizing.parquetColumnMaxLong(d, "lineitem", "l_partkey")))))
+      // rewrite width input-scaled (r17: the fixed 16-file layout capped
+      // the JSONL serialization at 16 tasks forever — measured 14.1x at
+      // the second decade, the Sizing fixed-width trap on the WRITE side;
+      // ~1M rows per output file keeps every core writing at any SF while
+      // per-file ranges stay tight enough for the box-skip census)
       graft.sources.FormSinkSource.compactClustered(s, dir,
         df => graft.functions.GraftFunctions.hilbertIndex(
           df("description").cast("long"), df("picker_erk").cast("long"), bits),
-        files = 16)
+        files = graft.util.Sizing.exchangePartitions(s,
+          graft.util.Sizing.parquetRowCount(d, "lineitem"), 1000000L))
       s.read.format(sinkFmt).option("path", dir).load()
         .filter(col("description").between("000001000", "000001999") &&
           col("picker_erk").between("000000100", "000000299"))
@@ -518,7 +524,7 @@ object EtlQueries {
 
     GraftQuery(
       "q354_catalog_optimize_cluster",
-      "q350's OPTIMIZE-CLUSTER exposed as a SQL VERB — `CALL <cat>.sys.optimize_cluster(tbl => ..., by_x => ..., by_y => ...)` through Spark 4's v2 stored-procedure surface (the r16 worklist 6b marriage of the Hilbert re-layout to the GraftCatalog SQL path, the way Delta/Iceberg ship `OPTIMIZE ... ZORDER BY`): the table is created, seeded and maintained ENTIRELY by name — CREATE TABLE, one INSERT INTO arrival-order append (REPARTITION(8) hint scatters the 2-D space across every file), then the CALL re-lays the snapshot as 16 Hilbert-clustered files in one atomic truncate commit, with the bit budget DERIVED FROM THE DATA by default (bits => 0 reads both coordinates' max and sizes the curve to the actual domain — the r16 ADVICE aliasing fix as the procedure's default contract, so a 6M-key table at sf1 gets 23 bits where a fixed 18 would silently wrap). The CALL's result row (version, files_before, files_after, cluster_bits) is asserted in-query — a procedure that stops re-laying fails loudly — and the ANSWER is the layout-invariant box aggregate read back through the same named table: content surviving DDL→DML→CALL→scan byte-exactly is the correctness claim, q350's doctrine one API tier up.",
+      "q350's OPTIMIZE-CLUSTER exposed as a SQL VERB — `CALL <cat>.sys.optimize_cluster(tbl => ..., by_x => ..., by_y => ...)` through Spark 4's v2 stored-procedure surface (the r16 worklist 6b marriage of the Hilbert re-layout to the GraftCatalog SQL path, the way Delta/Iceberg ship `OPTIMIZE ... ZORDER BY`): the table is created, seeded and maintained ENTIRELY by name — CREATE TABLE, one INSERT INTO arrival-order append (REPARTITION(8) hint scatters the 2-D space across every file), then the CALL re-lays the snapshot Hilbert-clustered in one atomic truncate commit, with BOTH budgets DERIVED FROM THE DATA by default: bits => 0 reads both coordinates' max and sizes the curve to the actual domain (the r16 ADVICE aliasing fix as the procedure's default contract, so a 6M-key table at sf1 gets 23 bits where a fixed 18 would silently wrap), and files => 0 sizes the rewrite width from the manifest's committed row count (~1M rows/file — a fixed count caps the rewrite's serialization at that many tasks forever, the Sizing trap on the write side). The CALL's result row (version, files_before, files_after, cluster_bits) is asserted in-query — a procedure that stops re-laying fails loudly — and the ANSWER is the layout-invariant box aggregate read back through the same named table: content surviving DDL→DML→CALL→scan byte-exactly is the correctness claim, q350's doctrine one API tier up.",
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem
@@ -543,11 +549,17 @@ object EtlQueries {
           concat_ws('-', l_orderkey, l_partkey, l_linenumber) AS po_number
         FROM graft_q354_lineitem""")
       val call = s.sql("""CALL graft_q354.sys.optimize_cluster(
-        tbl => 'opt.lineq', by_x => 'description', by_y => 'picker_erk',
-        files => 16)""").collect()
+        tbl => 'opt.lineq', by_x => 'description', by_y => 'picker_erk')""")
+        .collect()
       require(call.length == 1, s"CALL returned ${call.length} rows")
       val (after, bits) = (call(0).getInt(2), call(0).getInt(3))
-      require(after <= 16, s"clustered rewrite produced $after files")
+      // files omitted => derived from the committed row count (~1M/file);
+      // the table is seeded 1:1 from lineitem, so the expected width is
+      // the same Sizing computation over the parquet footer
+      val expect = graft.util.Sizing.exchangePartitions(s,
+        graft.util.Sizing.parquetRowCount(d, "lineitem"), 1000000L)
+      require(after >= 1 && after <= expect,
+        s"clustered rewrite produced $after files, expected <= $expect")
       require(bits >= 8 && bits <= 31, s"derived bit budget $bits out of range")
       s.sql("""SELECT count(*) AS n_rows,
         sum(CAST(charge_code AS BIGINT)) AS sum_qty

@@ -331,6 +331,17 @@ object FormSinkSource {
     currentManifest(path)._1
   }
 
+  /** Committed row count from MANIFEST stats (no data IO) — sizes layout
+    * operations (the r17 q350/q354 fix: a fixed 16-file rewrite caps the
+    * write at 16 tasks forever, which is exactly the fixed-width trap
+    * `Sizing` exists to close; rows come free because every commit
+    * records per-file stats). 0 when any file lacks stats (pre-stats
+    * history) — callers floor their derived width. */
+  def committedRows(path: String): Long = {
+    val (_, files, stats) = currentManifestFull(path)
+    files.flatMap(stats.get).map(_.rows).sum
+  }
+
   /** Advisory skipping census: how many committed files a conjunction of
     * pushable filters would open vs skip — (mayOpen, total). The same
     * [[mayMatch]] the scan planner runs, surfaced so layout operations

@@ -242,7 +242,9 @@ object GraftCatalog {
       procedures.ProcedureParameter.in("by_x", StringType).build(),
       procedures.ProcedureParameter.in("by_y", StringType).build(),
       procedures.ProcedureParameter.in("files", IntegerType)
-        .defaultValue("16").build(),
+        .defaultValue("0")
+        .comment("output file count; 0 = derive from the committed row count")
+        .build(),
       procedures.ProcedureParameter.in("bits", IntegerType)
         .defaultValue("0")
         .comment("Hilbert bits; 0 = derive from the coordinate domain")
@@ -252,12 +254,21 @@ object GraftCatalog {
       val dir = cat.tableDir(input.getUTF8String(0).toString).toString
       val byX = input.getUTF8String(1).toString
       val byY = input.getUTF8String(2).toString
-      val files = input.getInt(3)
+      val filesIn = input.getInt(3)
       val bitsIn = input.getInt(4)
-      require(files >= 1, s"files must be >= 1, got $files")
+      require(filesIn >= 0, s"files must be >= 0 (0 = derive), got $filesIn")
       require(bitsIn >= 0 && bitsIn <= 31,
         s"bits must be in [0, 31] (0 = derive), got $bitsIn")
       val spark = org.apache.spark.sql.SparkSession.active
+      // files = 0 derives an INPUT-SCALED rewrite width from the manifest's
+      // committed row count (~1M rows per output file, floored at the
+      // cluster parallelism): a fixed count caps the rewrite's
+      // serialization at that many tasks forever — the Sizing fixed-width
+      // trap on the write side (measured 14.1x/decade at 16 files)
+      val files =
+        if (filesIn > 0) filesIn
+        else graft.util.Sizing.exchangePartitions(spark,
+          FormSinkSource.committedRows(dir), 1000000L)
       val before = FormSinkSource.snapshotInfo(dir)._2.size
       val bits =
         if (bitsIn > 0) bitsIn
