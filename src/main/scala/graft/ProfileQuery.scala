@@ -61,7 +61,15 @@ object ProfileQuery {
     val t0 = System.nanoTime()
     val rows = SparkEntry.queries(name)(spark, sfDir).collect().length
     val totalSec = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(2000) // drain the listener bus before reading `done`
+    // drain the listener bus before reading `done`: a fixed sleep dropped
+    // late JobEnd events on a loaded box (r17 ADVICE) — wait until every
+    // queued event is DELIVERED, bounded, and warn instead of silently
+    // emitting a partial profile
+    val drained =
+      org.apache.spark.graft.BusDrain.waitUntilEmpty(spark.sparkContext, 60000L)
+    if (!drained || !inflight.isEmpty)
+      System.err.println(s"WARN: profile may be incomplete — " +
+        s"drained=$drained, ${inflight.size} jobs still in flight at emit")
     def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val jobsJson = {
       import scala.jdk.CollectionConverters._

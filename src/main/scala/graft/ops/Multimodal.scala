@@ -300,17 +300,30 @@ object Multimodal {
       var orientation = -1; var dt: String = null; var order: String = null
       var done = false
       while (!done) {
-        require(pos + 4 <= b.length, s"doc ${rec.doc_id}: truncated marker")
+        require(pos + 2 <= b.length, s"doc ${rec.doc_id}: truncated marker")
         require(u8(pos) == 0xff, s"doc ${rec.doc_id}: marker sync lost")
-        val marker = u8(pos + 1)
-        val len = be16(pos + 2) // includes the length field itself
-        require(len >= 2 && pos + 2 + len <= b.length,
+        // a run of 0xFF bytes before the marker byte is legal FILL (JPEG
+        // B.1.1.2 — real camera writers pad with them); skip to the last
+        // 0xFF of the run so `base+1` is the marker byte proper (r17 ADVICE)
+        var base = pos
+        while (base + 1 < b.length && u8(base + 1) == 0xff) base += 1
+        require(base + 2 <= b.length, s"doc ${rec.doc_id}: truncated marker")
+        val marker = u8(base + 1)
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+          // TEM / RSTn: STANDALONE markers carry no length field — a
+          // length-prefixed read here would desync the whole walk
+          pos = base + 2
+        } else {
+        require(base + 4 <= b.length, s"doc ${rec.doc_id}: truncated marker")
+        val len = be16(base + 2) // includes the length field itself
+        require(len >= 2 && base + 2 + len <= b.length,
           s"doc ${rec.doc_id}: segment overruns the file")
+        val pos0 = base // segment-relative offsets below read from here
         if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) { // SOF
-          height = be16(pos + 5); width = be16(pos + 7)
+          height = be16(pos0 + 5); width = be16(pos0 + 7)
         } else if (marker == 0xe1 && len >= 8 &&
-            new String(b, pos + 4, 4, "US-ASCII") == "Exif") {
-          val t0 = pos + 10 // TIFF header start (after "Exif\0\0")
+            new String(b, pos0 + 4, 4, "US-ASCII") == "Exif") {
+          val t0 = pos0 + 10 // TIFF header start (after "Exif\0\0")
           val bo = new String(b, t0, 2, "US-ASCII")
           require(bo == "II" || bo == "MM",
             s"doc ${rec.doc_id}: bad TIFF byte order '$bo'")
@@ -342,7 +355,8 @@ object Multimodal {
             e += 1
           }
         } else if (marker == 0xda) done = true // SOS: entropy data follows
-        if (!done) pos += 2 + len
+        if (!done) pos = base + 2 + len
+        }
       }
       require(width > 0 && height > 0, s"doc ${rec.doc_id}: no SOF marker")
       require(order != null, s"doc ${rec.doc_id}: no EXIF APP1 segment")

@@ -339,7 +339,12 @@ object FormSinkSource {
     * history) — callers floor their derived width. */
   def committedRows(path: String): Long = {
     val (_, files, stats) = currentManifestFull(path)
-    files.flatMap(stats.get).map(_.rows).sum
+    // all-or-nothing (r17 ADVICE): summing only the files that HAVE stats
+    // would report a confident-looking undercount for a partial-stats
+    // history and undersize the derived rewrite width — the documented
+    // floor-at-zero is the honest "unknown"
+    if (files.exists(f => !stats.contains(f))) 0L
+    else files.map(stats(_).rows).sum
   }
 
   /** Advisory skipping census: how many committed files a conjunction of
