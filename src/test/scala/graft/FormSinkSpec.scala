@@ -39,6 +39,40 @@ class FormSinkSpec extends SparkSpec {
       new java.io.File(s"$dir/_staging").listFiles().isEmpty)
   }
 
+  test("codec tiers mix in one table: jsonl era + parquet era, one manifest protocol") {
+    val dir = tmp()
+    // era 1: the original row-JSON tier (reference parity / old history)
+    spark.conf.set("spark.graft.sink.format", "jsonl")
+    try feed(1, 50).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    finally spark.conf.unset("spark.graft.sink.format")
+    // era 2: the columnar default
+    feed(51, 100).write.format(FormSinkSource.Format)
+      .mode(SaveMode.Append).option("path", dir).save()
+    val (_, names) = FormSinkSource.snapshotInfo(dir)
+    assert(names.exists(_.endsWith(".jsonl")) &&
+      names.exists(_.endsWith(".parquet")),
+      s"expected one file per era, got $names")
+    val read = () => spark.read.format(FormSinkSource.Format)
+      .option("path", dir).load()
+    // both eras round-trip through one scan...
+    assert(read().count() === feed(1, 100).count())
+    assert(read().orderBy("po_number").collect().toSeq ===
+      feed(1, 100).orderBy("po_number").collect().toSeq)
+    // ...manifest-stats skipping engages across codecs (same FileStats)...
+    val hi = read().filter(col("po_number") >= "U000000051D").count()
+    val (scanned, total) = FormSinkSource.lastScanFileCensus
+    assert(total === 2 && scanned === 1,
+      s"cross-codec skip census $scanned/$total")
+    assert(hi === feed(51, 100).count())
+    // ...and a compaction migrates the jsonl era to the active format
+    FormSinkSource.compact(dir)
+    val (_, after) = FormSinkSource.snapshotInfo(dir)
+    assert(after.size === 1 && after.head.endsWith(".parquet"), after)
+    assert(read().orderBy("po_number").collect().toSeq ===
+      feed(1, 100).orderBy("po_number").collect().toSeq)
+  }
+
   test("second append is additive; overwrite truncates first") {
     val dir = tmp()
     val a = feed(1, 100)
@@ -186,7 +220,11 @@ class FormSinkSpec extends SparkSpec {
     val dim = Tables.orders(spark, sf)
       .filter(col("o_orderkey").between(250, 254))
       .select(expr("printf('U%09dD', o_orderkey)").as("po_number"))
-    val joined = sink.join(dim, "po_number")
+    // pin dim as the build side: the test exercises the runtime-filter
+    // MECHANISM (build keys → In filter → file skips), not the engine's
+    // build-side size pick — with the columnar tier this 300-row sink
+    // reports a few KB and would itself become the broadcast side
+    val joined = sink.join(broadcast(dim), "po_number")
     val rows = joined.collect()
     assert(rows.length === 5)
     // the scan saw the build side's keys as a runtime In filter and opened
