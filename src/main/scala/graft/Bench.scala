@@ -74,6 +74,13 @@ object Bench {
         case Some(v) => spark.conf.set(providerKey, v)
         case None    => spark.conf.unset(providerKey)
       }
+      // pre-stage the streaming band's three-file corpus (one-time ~30s at
+      // sf10) OUTSIDE the timed window: the first selected file-stream
+      // query would otherwise pay fixture IO inside its measured reps
+      // (r17 verdict item 5)
+      if (selected.exists { case (n, _) =>
+          graft.streaming.StreamingOps.FileStreamQueries.contains(n) })
+        graft.streaming.StreamingOps.preStageEvents(spark, sfDir)
     } catch { case _: Throwable => () }
     // cache hygiene between runs: clearCache drops the CacheManager entries
     // too (a bare RDD-unpersist leaves stale InMemoryRelations that later

@@ -716,7 +716,48 @@ object GraphOps {
     val lab0: org.apache.spark.sql.DataFrame =
       eU.select(col("u").as("node")).distinct()
         .withColumn("lab", col("node")).localCheckpoint()
-    private val bcast = lab0.count() <= lpaBroadcastNodes(session)
+    /** One sizing action yields BOTH gate inputs: the node count (the
+      * broadcast gate) and the max node id (the dense-id gate below). */
+    private val (nNodes, maxNodeId) = {
+      val r = lab0.agg(count(lit(1)), coalesce(max(col("node")), lit(-1L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    private val bcast = nNodes <= lpaBroadcastNodes(session)
+    /** PRIMITIVE-ARRAY tier gate (r17 verdict item 4): under the broadcast
+      * gate AND a dense node-id domain, the per-round label frame ships as
+      * one `Broadcast[Array[Long]]` indexed by node id — the round then
+      * has NO join at all: `groupBy(u).agg(labelMode(lookup(v)))` runs as
+      * one whole-stage-codegen aggregate over the u-partitioned edge
+      * cache, the label resolved by a codegen'd array index
+      * ([[org.apache.spark.sql.graft.LabelArrayLookup]]). The profiled
+      * sf10 constant this removes: 10-14 s/round building + probing a
+      * 2M-entry UnsafeRow broadcast hash relation. The id bound (default
+      * 2× the node gate → a ≤64 MB long array, the same budget the
+      * broadcast gate was sized to) keeps sparse id spaces on the
+      * broadcast-JOIN tier — correctness never depends on density, only
+      * the constant does. Override `graft.lpa.denseIdBound` to pin a tier
+      * in specs. */
+    private val arrayMode = bcast && maxNodeId >= 0 &&
+      maxNodeId < session.conf.getOption("graft.lpa.denseIdBound")
+        .map(_.toLong).getOrElse(2L * lpaBroadcastNodes(session))
+
+    /** The assignment as a node-id-indexed long array (unassigned slots
+      * -1; never probed — see [[org.apache.spark.sql.graft.LabelArrayLookup]]'s
+      * by-construction note). One O(V) collect per round, exactly what the
+      * engine's own broadcast build does, minus the hash relation. */
+    private def labelArray(lab: org.apache.spark.sql.DataFrame): Array[Long] = {
+      val arr = Array.fill[Long](maxNodeId.toInt + 1)(-1L)
+      lab.select(col("node"), col("lab")).collect()
+        .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      arr
+    }
+    /** lookup(c) under a per-round broadcast of [[labelArray]]. */
+    private def lookupCol(
+        bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+        c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      org.apache.spark.sql.graft.GraftShim.column(
+        org.apache.spark.sql.graft.LabelArrayLookup(
+          org.apache.spark.sql.graft.GraftShim.expression(c), bc))
     /** Edge frame persisted pre-partitioned: on u when the rounds run
       * zero-exchange (the groupBy(u) inherits it through the broadcast
       * join), on v for the shuffle fallback (the per-round join reuses
@@ -739,10 +780,22 @@ object GraphOps {
       val side = lab.select(col("node").as(nodeAs), col("lab").as(labAs))
       if (bcast) broadcast(side) else side
     }
-    /** One synchronous LPA round (see class doc). */
+    /** One synchronous LPA round (see class doc). Array tier: no join —
+      * the label resolves via a broadcast primitive-array index inside the
+      * aggregate's own stage; the broadcast is destroyed as soon as the
+      * eager localCheckpoint has materialized the round (the checkpoint
+      * cut the lineage, so nothing can re-evaluate against it). */
     def round(lab: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame =
-      e.join(labSide(lab, "vn", "vl"), col("v") === col("vn"))
+      if (arrayMode) {
+        val bc = session.sparkContext.broadcast(labelArray(lab))
+        try e.groupBy(col("u"))
+          .agg(graft.functions.GraftFunctions
+            .labelMode(lookupCol(bc, col("v"))).as("lab"))
+          .withColumnRenamed("u", "node")
+          .localCheckpoint()
+        finally bc.destroy()
+      } else e.join(labSide(lab, "vn", "vl"), col("v") === col("vn"))
         .groupBy(col("u"))
         .agg(graft.functions.GraftFunctions.labelMode(col("vl")).as("lab"))
         .withColumnRenamed("u", "node")
@@ -761,6 +814,30 @@ object GraphOps {
       e.groupBy(col("u")).agg(min(col("v")).as("lab"))
         .withColumnRenamed("u", "node")
         .localCheckpoint()
+    /** Per-(node, label) degree + same-label endpoint count in ONE pass
+      * over the O(E) cache — modularity's two ingredients, tiered exactly
+      * like [[round]]: array mode resolves BOTH endpoints' labels by
+      * broadcast array index (zero joins, zero exchanges over the
+      * u-partitioned cache); the join tiers below are unchanged. The
+      * array broadcast is reclaimed by the context cleaner once the frame
+      * is unreferenced — the frame is LAZY here (the caller aggregates it
+      * under its own action), so an eager destroy would break execution. */
+    def perNodeDegSame(lab: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      if (arrayMode) {
+        val bc = session.sparkContext.broadcast(labelArray(lab))
+        e.select(col("u"), lookupCol(bc, col("u")).as("la"),
+            lookupCol(bc, col("v")).as("lb"))
+          .groupBy(col("u"), col("la"))
+          .agg(count(lit(1)).as("deg"),
+            sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("same"))
+      } else e
+        .join(labSide(lab, "bu", "lb"), col("v") === col("bu"))
+        .join(labSide(lab, "au", "la"), col("u") === col("au"))
+        .groupBy(col("u"), col("la"))
+        .agg(count(lit(1)).as("deg"),
+          sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("same"))
+
     /** The fixed-round loop (q333/q335's entry). No short-circuit here:
       * labels at a fixpoint are idempotent under further rounds, so the
       * plain fixed-round loop lands on the same frame. */
@@ -802,16 +879,12 @@ object GraphOps {
     // (r16 — deg and sic were two separate full passes): per (u, la) the
     // degree AND the same-label endpoint count ride one aggregate; the
     // grouped frame is O(V) (la is constant per u), and everything below
-    // it is census-sized. v-side join first: in the shuffle fallback it
-    // reuses the edge frame's persisted v-partitioning, so only the
-    // u-side join exchanges the O(E) frame (once); under the gate both
-    // sides broadcast and the pass is exchange-free.
-    val perNode = graft.util.CacheOnce.persistForOneAction(e
-      .join(lpa.labSide(lab, "bu", "lb"), col("v") === col("bu"))
-      .join(lpa.labSide(lab, "au", "la"), col("u") === col("au"))
-      .groupBy(col("u"), col("la"))
-      .agg(count(lit(1)).as("deg"),
-        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("same")))
+    // it is census-sized. Tiered inside Lpa.perNodeDegSame: array mode is
+    // join-free (both labels by broadcast array index); the shuffle
+    // fallback's v-side join reuses the edge frame's persisted
+    // v-partitioning so only the u-side join exchanges the O(E) frame.
+    val perNode =
+      graft.util.CacheOnce.persistForOneAction(lpa.perNodeDegSame(lab))
     val sic = perNode.agg(sum(col("same")).cast(dec).as("sic"))
     val dc = perNode
       .groupBy(col("la")).agg(sum(col("deg")).cast(dec).as("dsum"))

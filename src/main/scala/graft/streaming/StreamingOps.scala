@@ -117,6 +117,34 @@ object StreamingOps {
   private val stagedDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Pre-stage the three-file corpus for `dir` OUTSIDE any timed window
+    * (r17 verdict item 5: the sf10 streaming-band rows carried ~30 s of
+    * one-time fixture staging inside shared-JVM chunks, overstating the
+    * operators' own growth). Bench calls this from its untimed warmup
+    * whenever a [[FileStreamQueries]] member is selected; the memo makes
+    * every in-query staging call a no-op afterwards. Harmless anywhere
+    * else — it produces exactly the frame the first query would have. */
+  def preStageEvents(spark: SparkSession, dir: String): Unit = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"))
+    stagedDirs.getOrElseUpdate(dir, stageBatches(spark, ev))
+  }
+
+  /** The registered queries that stream the staged three-file corpus —
+    * maintained next to [[twoBatchEventsStream]]'s call sites so Bench's
+    * warmup knows when pre-staging pays. */
+  val FileStreamQueries: Set[String] = Set(
+    "q59_stream_tumbling", "q60_stream_dedup", "q61_stream_sliding",
+    "q91_stream_tumbling_append", "q92_stream_sliding_append",
+    "q96_stream_session_append", "q116_stream_sink_ingest",
+    "q126_stream_static_join", "q133_stream_stream_outer_join",
+    "q197_stream_cdc_apply", "q217_stream_topk",
+    "q229_stream_transform_with_state", "q234_stream_dedup_watermark",
+    "q236_stream_chained_stateful", "q246_stream_tws_timers",
+    "q251_stream_tws_mapstate", "q254_stream_tws_liststate",
+    "q258_stream_native_sink")
+
   def twoBatchEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))

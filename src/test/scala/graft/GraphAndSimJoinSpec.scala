@@ -15,6 +15,28 @@ class GraphAndSimJoinSpec extends SparkSpec {
   private def q(name: String) =
     SparkEntry.registry.find(_.name == name).get.build(spark, sf)
 
+  // ---- LPA tiers ----------------------------------------------------------
+
+  test("LPA array tier ≡ broadcast-join tier, bit-identical (q326/q333/q335)") {
+    // the r17-item-4 lever: under the dense-id gate the round resolves
+    // labels by broadcast primitive-array index instead of a broadcast
+    // hash join — a CONSTANT optimization, so every output frame must be
+    // bit-identical across tiers. denseIdBound=0 forces the join tier
+    // (broadcastNodes stays default, so the join tier — not the shuffle
+    // fallback — is the control).
+    def runAll() = Seq("q326_label_propagation", "q333_lpa_modularity",
+      "q335_projected_community_quality")
+      .map(n => n -> q(n).collect().toSeq).toMap
+    val arrayTier = runAll() // default: dense ids at spec sf → array mode
+    spark.conf.set("graft.lpa.denseIdBound", "0")
+    try {
+      val joinTier = runAll()
+      arrayTier.foreach { case (n, rows) =>
+        assert(rows === joinTier(n), s"$n diverged across LPA tiers")
+      }
+    } finally spark.conf.unset("graft.lpa.denseIdBound")
+  }
+
   // ---- q125 ---------------------------------------------------------------
 
   test("q125: binned interval join ≡ naive theta join") {

@@ -11,6 +11,12 @@ class QueryRegistrySpec extends SparkSpec {
     assert(names.forall(_.matches("q\\d+[a-z0-9_]*")))
   }
 
+  test("FileStreamQueries names all exist in the registry (Bench pre-stage gate)") {
+    val names = SparkEntry.registry.map(_.name).toSet
+    val missing = graft.streaming.StreamingOps.FileStreamQueries.filterNot(names)
+    assert(missing.isEmpty, s"stale FileStreamQueries entries: $missing")
+  }
+
   test("every query has a doc string; oracles are non-empty SQL") {
     SparkEntry.registry.foreach { q =>
       assert(q.doc.trim.nonEmpty, q.name)
