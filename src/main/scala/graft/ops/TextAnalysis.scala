@@ -348,6 +348,68 @@ object TextAnalysis {
        |FROM u ORDER BY edge""".stripMargin
   }
 
+  /** q356's oracle: the max-frequency bound and the chained join-size
+    * UPPER bound recomputed from raw tables in HUGEINT — sketches, row
+    * maxes, min-over-depths, the least() chain and the never-under bits
+    * all inside the gate. Shares every fragment with [[calibrationSql]]. */
+  private def upperBoundSql: String = {
+    val p = Dedup.P
+    val rels = Seq(("evu", "events", "user_id"),
+      ("ordc", "orders", "o_custkey"), ("ordo", "orders", "o_orderkey"),
+      ("line", "lineitem", "l_orderkey"), ("cust", "customer", "c_custkey"))
+    val hctes = rels.map { case (nm, tbl, k) =>
+      s"""h_$nm AS MATERIALIZED (SELECT ${h60Sql(s"CAST($k AS VARCHAR)")} % $p AS hs
+         |  FROM $tbl)""".stripMargin
+    }.mkString(",\n")
+    val sctes = rels.map { case (nm, _, _) =>
+      s"""c_$nm AS MATERIALIZED (SELECT d,
+         |    (((2*d+1)*hs + (7919*d+13)) % $p) % $CmWidth AS c,
+         |    count(*) AS cnt FROM h_$nm CROSS JOIN dd GROUP BY 1, 2),
+         |n_$nm AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM h_$nm),
+         |mf_$nm AS (SELECT CAST(min(mx) AS HUGEINT) AS mf FROM (
+         |  SELECT d, max(cnt) AS mx FROM c_$nm GROUP BY d) q)""".stripMargin
+    }.mkString(",\n")
+    def edgeEst(l: String, r: String) =
+      s"""(SELECT CAST(min(ej) AS HUGEINT) FROM (
+         |   SELECT a.d, CAST(sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS HUGEINT) AS ej
+         |   FROM c_$l a JOIN c_$r b ON a.d = b.d AND a.c = b.c
+         |   GROUP BY a.d) q)""".stripMargin
+    val sqlEdges = Seq(
+      ("events_customer", ("evu", "cust"),
+        "events JOIN customer ON user_id = c_custkey"),
+      ("events_orders", ("evu", "ordc"),
+        "events JOIN orders ON user_id = o_custkey"),
+      ("orders_customer", ("ordc", "cust"),
+        "orders JOIN customer ON o_custkey = c_custkey"),
+      ("orders_lineitem", ("ordo", "line"),
+        "orders JOIN lineitem ON o_orderkey = l_orderkey"))
+    val rows = sqlEdges.map { case (nm, (l, r), join) =>
+      s"""SELECT '$nm' AS edge,
+         |  (SELECT n FROM n_$l) AS nl, (SELECT n FROM n_$r) AS nr,
+         |  (SELECT mf FROM mf_$l) AS mfl, (SELECT mf FROM mf_$r) AS mfr,
+         |  ${edgeEst(l, r)} AS est,
+         |  least((SELECT n FROM n_$l) * (SELECT mf FROM mf_$r),
+         |        (SELECT n FROM n_$r) * (SELECT mf FROM mf_$l)) AS upper,
+         |  (SELECT CAST(count(*) AS HUGEINT) FROM $join) AS actual""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH dd AS (SELECT unnest(generate_series(0, ${CmDepth - 1})) AS d),
+       |$hctes,
+       |$sctes,
+       |u AS ($rows)
+       |SELECT edge, CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       |  CAST(mfl AS BIGINT) AS maxf_left, CAST(mfr AS BIGINT) AS maxf_right,
+       |  CAST(est AS BIGINT) AS est_rows, CAST(upper AS BIGINT) AS upper_rows,
+       |  CAST(actual AS BIGINT) AS actual_rows,
+       |  CAST(CASE WHEN est >= actual THEN 1 ELSE 0 END AS BIGINT)
+       |    AS est_never_under,
+       |  CAST(CASE WHEN upper >= actual THEN 1 ELSE 0 END AS BIGINT)
+       |    AS upper_never_under,
+       |  CASE WHEN actual = 0 THEN NULL
+       |       ELSE CAST((1000000 * (upper - actual)) // actual AS BIGINT)
+       |  END AS upper_slack_ppm
+       |FROM u ORDER BY edge""".stripMargin
+  }
+
   /** Stage (once per JVM × corpus snapshot) and return the catalog dir:
     * one pass per relation, persisted as a 5-row parquet of
     * (rel, n, 4096-long sketch). */
@@ -2034,6 +2096,64 @@ object TextAnalysis {
             "under_bound").otherwise("over_bound"))
         .withColumn("verdict_agrees",
           (col("est_verdict") === col("true_verdict")).cast("long"))
+        .orderBy(col("edge"))
+    },
+
+    GraftQuery(
+      "q356_estimator_upper_bound",
+      "PROVEN join-size upper bounds from the SAME persisted sketches (r17 worklist 6b — the measured mitigation for the deep estimator's independence assumption): the recursive contraction factor (childEst ÷ |owner|) assumes the join key and the upward key are independently distributed, so a SCALED estimate can UNDER-count under correlated keys — which is exactly why the rule's r16 asymmetry refused to enforce broadcasts off it. This query registers the way out: for every key, min over CM depths of the row MAX bounds EVERY key's frequency (f(v) <= sketch[d][h_d(v)] <= max_c sketch[d][c] for all d — sound with no distributional assumption at all), and |A joinkey B| <= min(n_a x maxf_b, n_b x maxf_a) follows because each probe row matches at most maxf build rows, full stop. That bound CHAINS through scaled intermediates, so CatalogJoinHints now ENFORCES a broadcast whenever the chained upper bound clears the byte gate even on a scaled side (PlanSpec pins the three-rung ladder: proven-under -> enforce broadcast, estimated-under-but-unproven -> stamp nothing, over -> enforce shuffle). The audit frame scores all four cataloged edges: est (the CM inner product), upper (the frequency bound), exact actuals, both never-under bits — upper_never_under=0 would mean the SOUNDNESS argument itself broke, a strictly stronger alarm than q353's estimate drift — and the slack ppm that says how much the bound leaves on the table. The DuckDB oracle rebuilds sketches, row maxes, min-over-depths, the least() chain and every bit in HUGEINT. Scale shape: the bounds cost 5 catalog rows at plan time (maxf is a 4x1024 scan of already-staged sketches); the actuals are the audit's scheduled-job price, exactly q353's contract.",
+      upperBoundSql) { (s, d) =>
+      import graft.plans.CatalogJoinHints
+      val dir = statsCatalogDir(s, d)
+      val st = CatalogJoinHints.stats(s, dir)
+      def keyFrame(rel: String): DataFrame = rel match {
+        case "events.user_id" =>
+          Tables.events(s, d).select(col("user_id").as("k"))
+        case "orders.o_custkey" =>
+          Tables.orders(s, d).select(col("o_custkey").as("k"))
+        case "orders.o_orderkey" =>
+          Tables.orders(s, d).select(col("o_orderkey").as("k"))
+        case "lineitem.l_orderkey" =>
+          Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+        case "customer.c_custkey" =>
+          Tables.customer(s, d).select(col("c_custkey").as("k"))
+      }
+      calibrationEdges.map { case (nm, ka, kb) =>
+        val (na, nb) = (st(ka)._1, st(kb)._1)
+        val (mfa, mfb) = (CatalogJoinHints.maxFreqBound(st, ka),
+          CatalogJoinHints.maxFreqBound(st, kb))
+        val est = CatalogJoinHints.innerProductEst(st, ka, kb)
+        val upper = CatalogJoinHints.toLongSat(
+          (BigInt(na) * mfb).min(BigInt(nb) * mfa))
+        val actual = keyFrame(ka)
+          .join(keyFrame(kb).withColumnRenamed("k", "k2"),
+            col("k") === col("k2"))
+          .agg(count(lit(1)).as("actual_rows"))
+        s.range(1).select(lit(nm).as("edge"),
+            lit(na).as("n_left"), lit(nb).as("n_right"),
+            lit(mfa).as("maxf_left"), lit(mfb).as("maxf_right"),
+            lit(est).as("est_rows"), lit(upper).as("upper_rows"))
+          .crossJoin(broadcast(actual))
+      }.reduce(_ unionAll _)
+        .withColumn("est_never_under",
+          (col("est_rows") >= col("actual_rows")).cast("long"))
+        .withColumn("upper_never_under",
+          (col("upper_rows") >= col("actual_rows")).cast("long"))
+        // floor division, q353's r17-ADVICE doctrine: slack is one-sided
+        // by the soundness argument, but a broken bound must read as a
+        // clean negative, not an off-by-one oracle mismatch
+        .withColumn("upper_slack_ppm",
+          when(col("actual_rows") === 0, lit(null).cast("long"))
+            .otherwise(expr(
+              """CAST((1000000 * (CAST(upper_rows AS DECIMAL(38,0))
+                |    - actual_rows)) div actual_rows
+                |  + (CASE WHEN (1000000 * (CAST(upper_rows AS DECIMAL(38,0))
+                |        - actual_rows)) % actual_rows < 0
+                |     THEN -1 ELSE 0 END) AS BIGINT)""".stripMargin)))
+        .select(col("edge"), col("n_left"), col("n_right"),
+          col("maxf_left"), col("maxf_right"), col("est_rows"),
+          col("upper_rows"), col("actual_rows"), col("est_never_under"),
+          col("upper_never_under"), col("upper_slack_ppm"))
         .orderBy(col("edge"))
     },
 

@@ -91,30 +91,40 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
           DefaultByteBound.toString)
         .toLong)
       (estimate(l), estimate(r)) match {
-        case (Some((nl, wl, sl)), Some((nr, wr, sr))) =>
+        case (Some(el), Some(er)) =>
           // the decision currency is BYTES: rows × plan width, exact in
           // BigInt (a saturating Long product could wrap past the bound)
-          val bl = nl * wl
-          val br = nr * wr
+          val bl = el.rows * el.width
+          val br = er.rows * er.width
           val buildRight = br <= bl
+          val build = if (buildRight) er else el
           val bytes = bl.min(br)
-          val buildScaled = if (buildRight) sr else sl
-          // Enforcement asymmetry for SCALED estimates (r16 ADVICE): a
-          // leaf count or an unscaled CM inner product is a guaranteed
-          // over-estimate (and the width is one by construction), so
-          // `bytes <= bound` proves the build side small and an ENFORCED
-          // BROADCAST is safe. An estimate that passed through a
-          // recursive contraction factor (childEst/|owner|) assumes key
-          // independence and can UNDER-estimate under correlated keys —
-          // enforcing BROADCAST off it could broadcast an arbitrarily
-          // large intermediate. For those, only the SHUFFLE_MERGE verdict
-          // is enforced (always memory-safe); an under-bound scaled
-          // estimate stamps NOTHING and leaves the broadcast decision to
-          // the engine's own runtime size check.
-          if (bytes <= bound && buildScaled) j
+          // Decision ladder, safest evidence first:
+          //  1. PROVEN upper bound under the byte bound → ENFORCED
+          //     BROADCAST, scaled or not (r18, the independence-assumption
+          //     mitigation): `upper` chains the sketch-derived
+          //     max-frequency bound (maxFreqBound — sound for EVERY key by
+          //     the CM row-max argument) through the join tree, so it
+          //     holds even when correlated keys break the contraction
+          //     factor's independence assumption. For unscaled sides it is
+          //     additionally min'ed with the CM inner product (also a
+          //     proven over-estimate), so this subsumes the old
+          //     unscaled-under-bound branch.
+          //  2. best ESTIMATE under the bound but upper bound above it:
+          //     only a SCALED estimate can land here — stamp NOTHING (the
+          //     r16 asymmetry: never enforce a broadcast off an estimate
+          //     that can under-count) and let the engine's runtime size
+          //     check decide.
+          //  3. estimate over the bound → ENFORCED SHUFFLE_MERGE (always
+          //     memory-safe).
+          if (build.upper * build.width <= bound) {
+            val hi = HintInfo(strategy = Some(BROADCAST))
+            j.copy(hint =
+              if (buildRight) JoinHint(None, Some(hi))
+              else JoinHint(Some(hi), None))
+          } else if (bytes <= bound) j // scaled estimate, unproven: no stamp
           else {
-            val hi = HintInfo(strategy =
-              Some(if (bytes <= bound) BROADCAST else SHUFFLE_MERGE))
+            val hi = HintInfo(strategy = Some(SHUFFLE_MERGE))
             j.copy(hint =
               if (buildRight) JoinHint(None, Some(hi))
               else JoinHint(Some(hi), None))
@@ -185,13 +195,19 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
     * assumption); everything stays in BigInt and saturates at
     * Long.MaxValue, which preserves every ≤-bound verdict.
     *
-    * The returned Long is the side's WIDTH in bytes (see the class doc's
-    * byte-bound note): Σ `defaultSize` over a leaf side's projected
-    * output, children's sum for a join side. The returned Boolean is the
-    * SCALED flag: false for a leaf count or an inner product whose side
-    * factors are all identity (both are guaranteed over-estimates), true
-    * once any contraction factor has been applied (no longer a proven
-    * upper bound — see the enforcement asymmetry in [[apply]]). */
+    * The [[CatalogJoinHints.Est]] carries WIDTH in bytes (see the class
+    * doc's byte-bound note): Σ `defaultSize` over a leaf side's projected
+    * output, children's sum for a join side. The SCALED flag is false for
+    * a leaf count or an inner product whose side factors are all identity
+    * (both are guaranteed over-estimates), true once any contraction
+    * factor has been applied (no longer a proven upper bound — see the
+    * enforcement asymmetry in [[apply]]). `upper` is the PROVEN row upper
+    * bound regardless of scaling: a leaf's exact count; for a join,
+    * min(upper_L × maxf(k_R), upper_R × maxf(k_L)) — each probe row
+    * matches at most the build key's max frequency, and
+    * [[CatalogJoinHints.maxFreqBound]] bounds that soundly from the CM
+    * sketch — additionally min'ed with the CM inner product when the
+    * estimate is unscaled (also a proven over-count). */
   @scala.annotation.tailrec
   private def strip(q: LogicalPlan): LogicalPlan = q match {
     case Project(_, c) => strip(c)
@@ -199,23 +215,31 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
     case _ => q
   }
 
-  private def estimate(p: LogicalPlan): Option[(BigInt, Long, Boolean)] =
+  private def estimate(p: LogicalPlan): Option[Est] =
     strip(p) match {
       case j @ Join(_, _, Inner, Some(cond), _) =>
         markedKeys(j, cond).flatMap { case (kl, kr, dir) =>
           val st = stats(SparkSession.active, dir)
           val raw = innerProductBig(st, kl, kr)
           for {
-            (fl, wl, sl) <- sideFactor(j.left, kl, st)
-            (fr, wr, sr) <- sideFactor(j.right, kr, st)
-          } yield (fr(fl(raw)), wl + wr, sl || sr)
+            (fl, el) <- sideInfo(j.left, kl, st)
+            (fr, er) <- sideInfo(j.right, kr, st)
+          } yield {
+            val rows = fr(fl(raw))
+            val scaled = el.scaled || er.scaled
+            val upFreq = (el.upper * BigInt(maxFreqBound(st, kr)))
+              .min(er.upper * BigInt(maxFreqBound(st, kl)))
+            Est(rows, el.width + er.width, scaled,
+              if (scaled) upFreq else upFreq.min(rows))
+          }
         }
       case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
         // read p.output (the marked projection), not the leaf's unmarked schema
         p.output.collectFirst {
           case a: AttributeReference if keyOf(a).isDefined && dirOf(a).isDefined =>
-            (BigInt(stats(SparkSession.active, dirOf(a).get)(keyOf(a).get)._1),
-              planWidth(p.output), false)
+            val n = BigInt(
+              stats(SparkSession.active, dirOf(a).get)(keyOf(a).get)._1)
+            Est(n, planWidth(p.output), scaled = false, upper = n)
         }
       case _ => None
     }
@@ -224,20 +248,21 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
     * its key `k`: a leaf (the sketch's own frame) contributes identity; a
     * nested marked join contributes ×(childEst / |owner(k)|) as one
     * BigInt floor-division; anything else poisons the whole estimate.
-    * Second element: the child's WIDTH (leaf: its projected output's
-    * defaultSize sum — what a broadcast of it would carry; join: the
-    * nested estimate's own width). Third: whether the factor makes the
-    * estimate SCALED (identity keeps the proven-upper-bound property, a
-    * contraction factor forfeits it). */
-  private def sideFactor(side: LogicalPlan, k: String,
-                         st: Map[String, (Long, Array[Long])])
-      : Option[(BigInt => BigInt, Long, Boolean)] =
+    * Second element: the child's own [[CatalogJoinHints.Est]] (a nested
+    * join's is marked scaled — the factor forfeits the estimate's
+    * proven-upper-bound property, though its `upper` stays sound). */
+  private def sideInfo(side: LogicalPlan, k: String,
+                       st: Map[String, (Long, Array[Long])])
+      : Option[(BigInt => BigInt, Est)] =
     strip(side) match {
       case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
-        Some((identity, planWidth(side.output), false))
+        val n = BigInt(st(k)._1)
+        Some((identity,
+          Est(n, planWidth(side.output), scaled = false, upper = n)))
       case _: Join =>
-        estimate(side).map { case (n, w, _) =>
-          ((x: BigInt) => x * n / BigInt(st(k)._1), w, true)
+        estimate(side).map { e =>
+          (((x: BigInt) => x * e.rows / BigInt(st(k)._1)),
+            e.copy(scaled = true))
         }
       case _ => None
     }
@@ -250,6 +275,12 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
 }
 
 object CatalogJoinHints {
+  /** One join side's catalog estimate: best-estimate rows, plan width in
+    * bytes, whether a contraction factor made the estimate SCALED (no
+    * longer a proven over-count), and a PROVEN row upper bound that holds
+    * regardless (see the estimator doc). */
+  case class Est(rows: BigInt, width: Long, scaled: Boolean, upper: BigInt)
+
   /** Attribute-metadata keys: the catalog entry this column joins under
     * (e.g. `"orders.o_custkey"`) and the staged catalog's path. */
   val KeyMeta = "graft.catalog.key"
@@ -307,4 +338,30 @@ object CatalogJoinHints {
   }
 
   def toLongSat(b: BigInt): Long = b.min(BigInt(Long.MaxValue)).toLong
+
+  /** SOUND max-frequency bound for key `k` from its own CM sketch, no new
+    * statistic staged (r17 worklist 6b — the measured mitigation for the
+    * deep estimator's independence assumption): for ANY key value v and
+    * every depth d, f(v) ≤ sketch[d][h_d(v)] ≤ max_c sketch[d][c], so
+    * min over depths of the row MAX bounds every key's frequency. It is
+    * what makes a proven join-size upper bound chainable through scaled
+    * intermediates: |L ⋈_k R| ≤ |L| × maxf_R(k) needs no independence —
+    * each probe row matches at most maxf build rows, full stop. */
+  def maxFreqBound(st: Map[String, (Long, Array[Long])], k: String): Long = {
+    val sk = st(k)._2
+    var best = Long.MaxValue
+    var di = 0
+    while (di < CmDepth) {
+      var rowMax = 0L
+      var i = 0
+      while (i < CmWidth) {
+        val v = sk(di * CmWidth + i)
+        if (v > rowMax) rowMax = v
+        i += 1
+      }
+      if (rowMax < best) best = rowMax
+      di += 1
+    }
+    best
+  }
 }

@@ -799,12 +799,32 @@ class PlanSpec extends SparkSpec {
         case j: LJoin => j.hint // pre-order: first Join is the top one
       }.get
     }
-    // build side = the depth-2 intermediate, SCALED est 10 ≤ default
-    // bound: the rule must stamp NOTHING (engine's size check decides)
-    assert(topHint() == JoinHint.NONE,
-      "a scaled under-bound estimate must not enforce a broadcast")
-    // same build side past the bound: SHUFFLE_MERGE stays ENFORCED — the
-    // memory-safe direction survives the asymmetry
+    // The build side is the depth-2 intermediate: SCALED estimate 10 rows
+    // (400 bytes at width 40), PROVEN upper bound 1000 rows (40000 bytes
+    // — the sketch max-frequency chain min(upper_ab·maxf_c, n_c·maxf_b)).
+    // Three-bound ladder:
+    // 1. bound between estimate and upper (1000 B): the scaled estimate
+    //    is under but UNPROVEN — the rule must stamp NOTHING (the r16
+    //    asymmetry; engine's runtime size check decides)
+    spark.conf.set("graft.catalog.broadcastByteBound", "1000")
+    try {
+      assert(topHint() == JoinHint.NONE,
+        "a scaled under-bound estimate with an over-bound proven upper " +
+          "must not enforce a broadcast")
+    } finally spark.conf.unset("graft.catalog.broadcastByteBound")
+    // 2. default bound (32 MB), ABOVE the proven upper: the sketch
+    //    max-frequency bound holds without any independence assumption,
+    //    so the broadcast is now ENFORCED even off a scaled side (r18 —
+    //    the measured mitigation for the contraction factor's
+    //    independence assumption)
+    locally {
+      val h = topHint()
+      assert(h.leftHint.flatMap(_.strategy)
+        .contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST),
+        s"an under-bound PROVEN upper must enforce the broadcast: $h")
+    }
+    // 3. bound below everything: SHUFFLE_MERGE stays ENFORCED — the
+    //    memory-safe direction survives the asymmetry
     spark.conf.set("graft.catalog.broadcastByteBound", "1")
     try {
       val h = topHint()
