@@ -569,6 +569,62 @@ object EtlQueries {
     },
 
     GraftQuery(
+      "q357_sink_cluster_on_write",
+      "CLUSTER-ON-WRITE married to INCREMENTAL OPTIMIZE — the missing half of the q350/q354 story (r17 worklist 6a): nobody re-clusters 100 TB because 1 GB arrived, so maintenance must track the DELTA. Ingest keeps the layout at write time (every append is repartitionByRange + sortWithinPartitions on the cluster key, so each new file lands with a TIGHT manifest range — write-time clustering is just a sorted exchange the writer's inline stats make durable), and `CALL <cat>.sys.optimize_cluster_inc(tbl =>, by =>)` then rewrites ONLY the files whose ranges overlap another file's (a connected component of interval-overlap has a contiguous union, so range-disjoint files are PROVABLY untouched by manifest stats alone and carry byte-identical — never opened). The scenario is the steady state every lakehouse table service bins: a clustered 8-file base (all keys OUTSIDE a band), then a narrow clustered delta INSERT (the band), then the CALL — asserted in-query: exactly one overlap group, at least one base file carried, and a SECOND call reports zero groups (idempotence: disjoint layout, no version churn). The answer is the layout-invariant box aggregate straddling the band boundary read back through the named table, equal to the oracle's read of raw lineitem: content surviving clustered-ingest -> delta -> incremental-rewrite byte-exactly is the correctness claim, q350's doctrine on the incremental path.",
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 900 AND 2499""".stripMargin) { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_q357").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft_q357", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q357.root",
+          graft.util.Scratch.dir("graft-q357-catalog").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q357.co")
+      // fresh table per invocation: repeated bench reps must not compound
+      s.sql("DROP TABLE IF EXISTS graft_q357.co.lineq")
+      s.sql("""CREATE TABLE graft_q357.co.lineq (
+        vendor STRING, description STRING, picker_erk STRING,
+        charge_code STRING, po_number STRING)""")
+      val rows = Tables.lineitem(s, d).select(
+        lit("L").as("vendor"),
+        format_string("%09d", col("l_orderkey")).as("description"),
+        format_string("%09d", col("l_partkey")).as("picker_erk"),
+        col("l_quantity").cast("long").cast("string").as("charge_code"),
+        concat_ws("-", col("l_orderkey"), col("l_partkey"),
+          col("l_linenumber")).as("po_number"))
+      // cluster-on-write: a sorted range exchange per append — each task's
+      // file covers a tight, disjoint run of the cluster key, and the
+      // writer's inline min/max stats make the layout durable
+      def clusteredAppend(df: org.apache.spark.sql.DataFrame, parts: Int): Unit =
+        df.repartitionByRange(parts, col("description"))
+          .sortWithinPartitions(col("description"))
+          .writeTo("graft_q357.co.lineq").append()
+      val band = col("description").between("000001000", "000001999")
+      clusteredAppend(rows.filter(!band), 8) // the resident clustered base
+      clusteredAppend(rows.filter(band), 1)  // the narrow delta
+      val call = s.sql("""CALL graft_q357.sys.optimize_cluster_inc(
+        tbl => 'co.lineq', by => 'description')""").collect()
+      require(call.length == 1, s"CALL returned ${call.length} rows")
+      val (groups, rewritten, carried) =
+        (call(0).getInt(1), call(0).getInt(2), call(0).getInt(3))
+      // incrementality engaged: the delta merged with ONLY its straddling
+      // neighbors; most of the base never opened
+      require(groups == 1, s"expected exactly one overlap group, got $groups")
+      require(rewritten >= 2 && carried >= 1,
+        s"not incremental: rewrote $rewritten, carried $carried")
+      // idempotence: a second CALL finds a fully disjoint layout
+      val again = s.sql("""CALL graft_q357.sys.optimize_cluster_inc(
+        tbl => 'co.lineq', by => 'description')""").collect()(0)
+      require(again.getInt(1) == 0 && again.getInt(2) == 0,
+        s"second call not a no-op: $again")
+      s.sql("""SELECT count(*) AS n_rows,
+        sum(CAST(charge_code AS BIGINT)) AS sum_qty
+        FROM graft_q357.co.lineq
+        WHERE description BETWEEN '000000900' AND '000002499'""")
+    },
+
+    GraftQuery(
       "q109_sink_changefeed",
       "Incremental downstream consumption: after three manifest-swap commits (0..999, 1000..1999, 2000..2499), changesFromVersion=1/changesToVersion=2 reads EXACTLY the second commit's rows — each commit's delta is readable once by advancing the version cursor, the consumer-side twin of the producer's watermark increment (and what a remote mutable table cannot offer at all). Only the delta's files are opened; the feed rejects ranges spanning a truncate/compaction rewrite.",
       """WITH src AS (

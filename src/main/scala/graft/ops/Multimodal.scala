@@ -434,6 +434,187 @@ object Multimodal {
     buf.array()
   }
 
+  // ---- MJPEG-in-AVI (q358): compressed video, REAL per-frame decode ----
+
+  /** q358's frame pixels: SMOOTH linear planes (per-frame base + small
+    * x/y gradients, no mod-256 wrap) rather than q352's sawtooth — the
+    * witness bound must separate decode bugs from codec loss, and a
+    * wrapping pattern's step edges ring past any useful bound under
+    * 4:2:0 chroma subsampling, while a linear plane's DCT is two
+    * coefficients and its subsampled chroma is the same plane. Measured
+    * max abs channel error ~5-25 under the default JDK encoder. */
+  private def synthMR(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 41) % 128 + 2 * x + 3 * y).toInt
+  private def synthMG(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 17 + f * 29) % 128 + 3 * x + 2 * y).toInt
+  private def synthMB(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 23 + f * 37) % 128 + x + 4 * y).toInt
+
+  /** Encode a real MJPEG AVI: the same canonical RIFF/hdrl/movi layout as
+    * [[encodeAvi]], but the stream is `MJPG`-compressed — each movi chunk
+    * is `00dc` holding one COMPLETE JDK-encoded JPEG image (the MJPEG
+    * convention: every frame independently coded, no inter-frame state),
+    * so chunk sizes vary and every size field is computed from the actual
+    * encoded bytes. Frame pixels are the q352 synthetic RGB. */
+  def encodeMjpegAvi(id: Long): Array[Byte] = {
+    val frames = (0 until VidFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        VidW, VidH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < VidH) {
+        var x = 0
+        while (x < VidW) {
+          img.setRGB(x, y, (synthMR(id, f, x, y) << 16) |
+            (synthMG(id, f, x, y) << 8) | synthMB(id, f, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def pad(n: Int) = n + (n & 1) // RIFF chunks pad to even
+    val moviSize = 4 + frames.map(fr => 8 + pad(fr.length)).sum
+    val maxChunk = frames.map(_.length).max
+    val hdrlSize = 4 + (8 + 56) + (12 + (8 + 56) + (8 + 40))
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(t: String): Unit = buf.put(t.getBytes("US-ASCII"))
+    tag("RIFF"); buf.putInt(riffSize); tag("AVI ")
+    tag("LIST"); buf.putInt(hdrlSize); tag("hdrl")
+    tag("avih"); buf.putInt(56)
+    buf.putInt(1000000 / VidFps).putInt(maxChunk * VidFps).putInt(0)
+      .putInt(0x10)
+      .putInt(VidFrames).putInt(0).putInt(1).putInt(maxChunk)
+      .putInt(VidW).putInt(VidH).putInt(0).putInt(0).putInt(0).putInt(0)
+    tag("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); tag("strl")
+    tag("strh"); buf.putInt(56)
+    tag("vids"); tag("MJPG")
+    buf.putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(VidFps)
+      .putInt(0).putInt(VidFrames).putInt(maxChunk)
+      .putInt(-1).putInt(maxChunk)
+    buf.putShort(0).putShort(0).putShort(VidW.toShort).putShort(VidH.toShort)
+    tag("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(VidW).putInt(VidH)
+      .putShort(1).putShort(24).putInt(0x47504A4D /* 'MJPG' fourcc */)
+      .putInt(maxChunk).putInt(0).putInt(0).putInt(0).putInt(0)
+    tag("LIST"); buf.putInt(moviSize); tag("movi")
+    frames.foreach { fr =>
+      tag("00dc"); buf.putInt(fr.length); buf.put(fr)
+      if ((fr.length & 1) == 1) buf.put(0.toByte) // even padding
+    }
+    buf.array()
+  }
+
+  final case class MjpegFeatures(doc_id: Long, width: Int, height: Int,
+                                 n_frames: Long, n_sampled: Long,
+                                 recon_ok: Long)
+
+  /** REAL compressed-video decode: the q352 chunk-tree walk, but each
+    * sampled `00dc` chunk is handed WHOLE to the JDK's JPEG decoder (one
+    * independent image per frame — the MJPEG contract). JPEG is lossy, so
+    * pixel values are not the oracle surface (the q355 doctrine); what IS
+    * gated: geometry decoded from the actual bitstream vs avih, frame and
+    * sample counts from the walk, and `recon_ok` — an in-result
+    * error-bound WITNESS bit (q309/q320's integer-witness doctrine):
+    * every sampled frame's per-pixel max abs channel error vs the
+    * synthetic source must clear 48/255 (the sawtooth pattern's ringing
+    * measures ~20-35 under the JDK encoder's default quality; a decoder
+    * that dropped a frame, mis-ordered channels or mis-windowed the chunk
+    * reads ~85 = the mean |a-b| of independent uniforms). */
+  def decodeMjpegAviBatch(batch: Seq[MediaRecord]): Seq[MjpegFeatures] =
+    batch.map { rec =>
+      val buf = java.nio.ByteBuffer.wrap(rec.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      require(tag() == "RIFF", s"doc ${rec.doc_id}: not RIFF"); buf.getInt
+      require(tag() == "AVI ", s"doc ${rec.doc_id}: not AVI")
+      require(tag() == "LIST", s"doc ${rec.doc_id}: missing hdrl LIST")
+      val hdrlSize = buf.getInt
+      val hdrlEnd = buf.position() + hdrlSize
+      require(tag() == "hdrl", s"doc ${rec.doc_id}: not hdrl")
+      require(tag() == "avih", s"doc ${rec.doc_id}: missing avih")
+      buf.getInt
+      buf.getInt; buf.getInt; buf.getInt; buf.getInt
+      buf.getInt // dwTotalFrames (advisory; the walk is ground truth)
+      buf.getInt; buf.getInt; buf.getInt
+      val w = buf.getInt; val h = buf.getInt
+      buf.getInt; buf.getInt; buf.getInt; buf.getInt
+      require(tag() == "LIST", s"doc ${rec.doc_id}: missing strl LIST")
+      buf.getInt
+      require(tag() == "strl", s"doc ${rec.doc_id}: not strl")
+      require(tag() == "strh", s"doc ${rec.doc_id}: missing strh")
+      val strhSize = buf.getInt
+      require(tag() == "vids", s"doc ${rec.doc_id}: first stream not video")
+      buf.position(buf.position() + strhSize - 4)
+      require(tag() == "strf", s"doc ${rec.doc_id}: missing strf")
+      buf.getInt
+      buf.getInt // biSize
+      require(buf.getInt == w && buf.getInt == h,
+        s"doc ${rec.doc_id}: strf geometry disagrees with avih")
+      buf.getShort; buf.getShort
+      require(buf.getInt == 0x47504A4D,
+        s"doc ${rec.doc_id}: stream is not MJPG-compressed")
+      buf.position(hdrlEnd)
+      var moviEnd = -1
+      while (moviEnd < 0) {
+        require(buf.remaining() >= 8, s"doc ${rec.doc_id}: no movi LIST")
+        val t = tag(); val sz = buf.getInt
+        require(sz >= 0 && buf.position() + sz <= buf.limit(),
+          s"doc ${rec.doc_id}: chunk '$t' overruns the file")
+        if (t == "LIST") {
+          val listEnd = buf.position() + sz
+          if (tag() == "movi") moviEnd = listEnd
+          else buf.position(listEnd + (sz & 1))
+        } else buf.position(buf.position() + sz + (sz & 1))
+      }
+      var f = 0
+      var sampled = 0L
+      var worst = 0
+      while (buf.position() < moviEnd) {
+        require(moviEnd - buf.position() >= 8,
+          s"doc ${rec.doc_id}: truncated movi chunk header")
+        val t = tag()
+        val sz = buf.getInt
+        val start = buf.position()
+        require(sz >= 0 && start + sz <= moviEnd,
+          s"doc ${rec.doc_id}: movi chunk '$t' overruns the list")
+        if (t == "00dc") {
+          if (f % VidSampleEvery == 0) {
+            sampled += 1
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(rec.payload, start, sz))
+            require(img != null, s"doc ${rec.doc_id}: frame $f did not decode")
+            require(img.getWidth == w && img.getHeight == h,
+              s"doc ${rec.doc_id}: frame $f decoded ${img.getWidth}x${img.getHeight}, container says ${w}x$h")
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val er = math.abs(((p >> 16) & 0xff) - synthMR(rec.doc_id, f, x, y))
+                val eg = math.abs(((p >> 8) & 0xff) - synthMG(rec.doc_id, f, x, y))
+                val eb = math.abs((p & 0xff) - synthMB(rec.doc_id, f, x, y))
+                val e = math.max(er, math.max(eg, eb))
+                if (e > worst) worst = e
+                x += 1
+              }
+              y += 1
+            }
+          }
+          f += 1
+        } else if (t == "00db") f += 1
+        buf.position(start + sz + (sz & 1))
+      }
+      MjpegFeatures(rec.doc_id, w, h, f.toLong, sampled,
+        if (worst <= 48) 1L else 0L)
+    }
+
   final case class VideoFeatures(doc_id: Long, width: Int, height: Int,
                                  n_frames: Long, n_sampled: Long,
                                  sum_r: Long, sum_g: Long, sum_b: Long)
@@ -677,6 +858,23 @@ object Multimodal {
         .mapPartitions(_.grouped(DecodeBatchSize).flatMap(extractJpegMetaBatch))
         .toDF()
         .withColumn("orientation", col("orientation").cast("long"))
+        .orderBy(col("doc_id"))
+    },
+
+    GraftQuery(
+      "q358_mjpeg_avi_decode",
+      s"COMPRESSED video, really decoded — q352's demuxer already counted '00dc' chunks; this closes the loop with the codec (r17 worklist 6c): each doc encodes $VidFrames ${VidW}×$VidH frames through the JDK's actual JPEG codec into a real MJPEG AVI ('MJPG' fourcc in strh AND strf biCompression, one complete independently-coded JPEG per '00dc' chunk, all RIFF sizes computed from the actual encoded byte lengths since compressed chunks vary), then the decode stage walks the chunk tree (never offsets), validates the container declares MJPG, and hands every ${VidSampleEvery}-th chunk WHOLE to the JPEG decoder. Lossy pixels are not the oracle surface (the q355 doctrine); gated instead: geometry decoded from the BITSTREAM cross-checked against the container header, frame/sample counts from the walk, and recon_ok — an in-result error-bound WITNESS (q309/q320's integer-witness doctrine): every sampled frame's max abs channel error vs the SMOOTH-gradient synthetic source must clear 48/255 (frames are linear planes, chosen so the bound is meaningful under 4:2:0 chroma subsampling — a sawtooth's step edges ring past any useful bound; measured ~5-25 under default JDK quality, while a dropped frame, swapped channel order or mis-windowed chunk slice reads 60-128+) — so the bit fails on real decode bugs while tolerating quantization. The scale contract is q142's: batched iterator-of-batches mapPartitions, 64 rows per codec call, binary payloads never materialized twice.",
+      s"""SELECT doc_id, $VidW AS width, $VidH AS height,
+         |  CAST($VidFrames AS BIGINT) AS n_frames,
+         |  CAST(${VidFrames / VidSampleEvery} AS BIGINT) AS n_sampled,
+         |  CAST(1 AS BIGINT) AS recon_ok
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val records = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaRecord(id, "video", encodeMjpegAvi(id))))
+      records
+        .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeMjpegAviBatch))
+        .toDF()
         .orderBy(col("doc_id"))
     },
 

@@ -365,6 +365,124 @@ object FormSinkSource {
     currentManifest(path)._1
   }
 
+  /** INCREMENTAL OPTIMIZE-CLUSTER — the write-time-clustering story's
+    * compaction half (r17 worklist 6a; Delta/Iceberg ship it as the
+    * OPTIMIZE bin-packing tier): instead of re-laying the WHOLE table
+    * (q350/q354's full rewrite), only the files whose `sortCol` manifest
+    * ranges OVERLAP another file's range are rewritten — merged, sorted
+    * by `sortCol` and re-split at ~`rowsPerFile` — while every
+    * range-disjoint file carries into the new manifest BYTE-IDENTICAL
+    * (never opened). One atomic swap covers all groups. With
+    * cluster-on-write ingest (appends pre-sorted by the cluster key, so
+    * each new file lands with a tight range), steady state is "delta
+    * overlaps one or two resident files": the maintenance cost tracks the
+    * DELTA, not the table — the missing half of the OPTIMIZE story at
+    * 100 TB, where nobody re-clusters 100 TB because 1 GB arrived.
+    *
+    * Overlap math: a connected component of interval-overlap has a
+    * CONTIGUOUS union, so a carried file intersecting a group's span
+    * would overlap some member — contradiction; disjointness of carried
+    * files from every group is therefore provable from the manifest
+    * stats alone. A file with no stats (pre-stats history) has an
+    * unknown range and conservatively joins every group; a file whose
+    * `sortCol` was all-null overlaps nothing and carries.
+    *
+    * This is the DRIVER tier, like [[compact]]: the group is delta-sized
+    * by construction, and `spark.graft.sink.maxIncrementalRows` (default
+    * 10M) fails loud past that contract — a group that has grown
+    * table-sized is what the distributed full OPTIMIZE is for. Returns
+    * None on losing the manifest race (created files removed; caller
+    * retries), else (newVersion, groupsRewritten, filesRewritten,
+    * filesCarried) — (version, 0, 0, n) when already fully disjoint
+    * (idempotent: no version churn). */
+  def compactClusteredIncremental(path: String, sortCol: String,
+      rowsPerFile: Long = 1000000L): Option[(Long, Int, Int, Int)] = {
+    require(schema.fieldNames.contains(sortCol), s"unknown column $sortCol")
+    require(rowsPerFile > 0, s"rowsPerFile must be positive, got $rowsPerFile")
+    val (version, files, stats) = currentManifestFull(path)
+    def bin(x: String) = UTF8String.fromString(x)
+    // (file, range): None range = all-null column (overlaps nothing);
+    // missing stats = unknown (overlaps everything)
+    val unknown = files.filterNot(stats.contains)
+    val known = files.filter(stats.contains).map { f =>
+      val s = stats(f)
+      f -> (for { mn <- s.mins.get(sortCol); mx <- s.maxs.get(sortCol) }
+        yield (bin(mn), bin(mx)))
+    }
+    // all-null-column files fall out of `bounded` and thus carry over
+    val bounded = known.collect { case (f, Some(r)) => f -> r }
+      .sortBy(_._2._1)(Ordering.fromLessThan[UTF8String](_.compareTo(_) < 0))
+    // sweep bounded intervals into connected components
+    val comps = scala.collection.mutable.ArrayBuffer[
+      scala.collection.mutable.ArrayBuffer[String]]()
+    var curHi: UTF8String = null
+    bounded.foreach { case (f, (lo, hi)) =>
+      if (curHi == null || lo.compareTo(curHi) > 0) {
+        comps += scala.collection.mutable.ArrayBuffer(f)
+        curHi = hi
+      } else {
+        comps.last += f
+        if (hi.compareTo(curHi) > 0) curHi = hi
+      }
+    }
+    // unknown-range files conservatively merge EVERYTHING bounded into
+    // one group (their span could touch any of it)
+    val groups: Seq[Seq[String]] =
+      if (unknown.nonEmpty) Seq(bounded.map(_._1) ++ unknown)
+      else comps.filter(_.size >= 2).map(_.toSeq).toSeq
+    if (groups.isEmpty) return Some((version, 0, 0, files.size))
+    val groupSet = groups.flatten.toSet
+    val carried = files.filterNot(groupSet.contains)
+    val cap = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.conf.get("spark.graft.sink.maxIncrementalRows", "10000000").toLong)
+      .getOrElse(10000000L)
+    val sortIdx = schema.fieldNames.indexOf(sortCol)
+    val created = scala.collection.mutable.ArrayBuffer[Path]()
+    val newEntries = scala.collection.mutable.ArrayBuffer[(String, FileStats)]()
+    try {
+      groups.foreach { members =>
+        val rows = scala.collection.mutable.ArrayBuffer[Array[UTF8String]]()
+        members.foreach { f =>
+          SinkCodec.foreachRow(dataDir(path).resolve(f),
+            schema.fieldNames.toSeq)(rows += _)
+          require(rows.size <= cap,
+            s"incremental cluster group exceeds $cap rows " +
+              "(spark.graft.sink.maxIncrementalRows); a table-sized group " +
+              "is the distributed full OPTIMIZE's job (compactClustered)")
+        }
+        // nulls-first total order on the cluster key — deterministic and
+        // the same order the range stats compare in
+        val sorted = rows.sortWith { (a, b) =>
+          val (x, y) = (a(sortIdx), b(sortIdx))
+          if (x == null) y != null
+          else if (y == null) false
+          else x.compareTo(y) < 0
+        }
+        sorted.grouped(math.min(rowsPerFile, Int.MaxValue).toInt)
+          .foreach { chunk =>
+            val name = s"clustered-$version-${java.util.UUID.randomUUID()}" +
+              SinkCodec.activeExtension()
+            val p = dataDir(path).resolve(name)
+            val cw = new CellsFileWriter(p)
+            val fs =
+              try { chunk.foreach(cw.add); cw.finish() }
+              catch { case e: Throwable => cw.abort(); throw e }
+            created += p
+            newEntries += name -> fs
+          }
+      }
+    } catch {
+      case e: Throwable => created.foreach(Files.deleteIfExists(_)); throw e
+    }
+    val visible = carried ++ newEntries.map(_._1)
+    val newStats =
+      carried.flatMap(f => stats.get(f).map(f -> _)).toMap ++ newEntries.toMap
+    if (tryPublishManifest(path, version + 1, visible, newStats,
+        currentEpochs(path)))
+      Some((version + 1, groups.size, groupSet.size, carried.size))
+    else { created.foreach(Files.deleteIfExists(_)); None } // lost the race
+  }
+
   /** Committed row count from MANIFEST stats (no data IO) — sizes layout
     * operations (the r17 q350/q354 fix: a fixed 16-file rewrite caps the
     * write at 16 tasks forever, which is exactly the fixed-width trap

@@ -186,13 +186,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(FnNs))
-      Array(Identifier.of(FnNs, "optimize_cluster"))
+      Array(Identifier.of(FnNs, "optimize_cluster"),
+        Identifier.of(FnNs, "optimize_cluster_inc"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
     if (ident.namespace().sameElements(FnNs) &&
         ident.name() == "optimize_cluster")
       new GraftCatalog.OptimizeClusterProcedure(this)
+    else if (ident.namespace().sameElements(FnNs) &&
+        ident.name() == "optimize_cluster_inc")
+      new GraftCatalog.OptimizeClusterIncProcedure(this)
     else throw new NoSuchFunctionException(ident)
 
   /** Resolved table directory for a `ns1.ns2.table` path RELATIVE to this
@@ -294,6 +298,67 @@ object GraftCatalog {
         StructField("cluster_bits", IntegerType, nullable = false)))
       val row = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(Array[Any](version, before, after, bits))
+      val scan: org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = schema
+          override def rows()
+              : Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+        }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  /** `CALL <cat>.sys.optimize_cluster_inc(tbl => 'ns.t', by => 'c'
+    * [, rows_per_file => N])` — [[FormSinkSource.compactClusteredIncremental]]
+    * as a SQL verb, the INCREMENTAL tier of the OPTIMIZE story: only the
+    * files whose `by`-column manifest ranges overlap another file's range
+    * are rewritten (merged + sorted + re-split); range-disjoint files
+    * carry byte-identical. With cluster-on-write ingest the groups are
+    * delta-sized, so the verb's cost tracks the delta, not the table.
+    * Retries past concurrent commits like the sink's own mutations.
+    * Result row: (version, groups_rewritten, files_rewritten,
+    * files_carried, files_after) — groups_rewritten = 0 means the layout
+    * was already fully disjoint (idempotent; no version churn). */
+  final class OptimizeClusterIncProcedure(cat: GraftCatalog)
+      extends procedures.UnboundProcedure
+      with procedures.BoundProcedure {
+    import org.apache.spark.sql.types._
+    override def name(): String = "optimize_cluster_inc"
+    override def description(): String =
+      "incrementally re-cluster a form-sink table: rewrite only range-overlapping files"
+    override def bind(inputType: StructType): procedures.BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[procedures.ProcedureParameter] = Array(
+      procedures.ProcedureParameter.in("tbl", StringType)
+        .comment("table path relative to this catalog, e.g. 'ns.table'")
+        .build(),
+      procedures.ProcedureParameter.in("by", StringType)
+        .comment("cluster column (the sort key appends are clustered on)")
+        .build(),
+      procedures.ProcedureParameter.in("rows_per_file", IntegerType)
+        .defaultValue("0")
+        .comment("rewrite chunk size; 0 = the 1M-row default")
+        .build())
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val dir = cat.tableDir(input.getUTF8String(0).toString).toString
+      val by = input.getUTF8String(1).toString
+      val rpfIn = input.getInt(2)
+      require(rpfIn >= 0, s"rows_per_file must be >= 0 (0 = default), got $rpfIn")
+      val rpf = if (rpfIn > 0) rpfIn.toLong else 1000000L
+      var res: Option[(Long, Int, Int, Int)] = None
+      while (res.isEmpty) // optimistic retry past concurrent commits
+        res = FormSinkSource.compactClusteredIncremental(dir, by, rpf)
+      val (version, groups, rewritten, carried) = res.get
+      val after = FormSinkSource.snapshotInfo(dir)._2.size
+      val schema = StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("groups_rewritten", IntegerType, nullable = false),
+        StructField("files_rewritten", IntegerType, nullable = false),
+        StructField("files_carried", IntegerType, nullable = false),
+        StructField("files_after", IntegerType, nullable = false)))
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](version, groups, rewritten, carried, after))
       val scan: org.apache.spark.sql.connector.read.Scan =
         new org.apache.spark.sql.connector.read.LocalScan {
           override def readSchema(): StructType = schema

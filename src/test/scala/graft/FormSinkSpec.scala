@@ -73,6 +73,66 @@ class FormSinkSpec extends SparkSpec {
       feed(1, 100).orderBy("po_number").collect().toSeq)
   }
 
+  test("incremental clustering rewrites ONLY overlapping files; disjoint carry byte-identical") {
+    val dir = tmp()
+    def clusteredAppend(lo: Int, hi: Int, parts: Int): Unit =
+      feed(lo, hi).repartitionByRange(parts, col("po_number"))
+        .sortWithinPartitions(col("po_number"))
+        .write.format(FormSinkSource.Format)
+        .mode(SaveMode.Append).option("path", dir).save()
+    // clustered base: 4 disjoint po ranges; then a narrow delta inside it
+    clusteredAppend(1, 400, 4)
+    clusteredAppend(90, 110, 1)
+    val (_, before) = FormSinkSource.snapshotInfo(dir)
+    assert(before.size === 5)
+    val Some((v, groups, rewritten, carried)) =
+      FormSinkSource.compactClusteredIncremental(dir, "po_number")
+    // the delta straddles the 90..100 boundary region: 1 group, most of
+    // the base never opened
+    assert(groups === 1 && rewritten >= 2 && carried >= 2,
+      s"v=$v groups=$groups rewritten=$rewritten carried=$carried")
+    val (_, after) = FormSinkSource.snapshotInfo(dir)
+    // carried files are the SAME manifest entries (never rewritten)
+    assert(before.toSet.intersect(after.toSet).size === carried)
+    // conservation + order-insensitive content equality
+    val back = spark.read.format(FormSinkSource.Format).option("path", dir)
+      .load().orderBy("po_number", "vendor").collect().toSeq
+    val expected = feed(1, 400).unionAll(feed(90, 110))
+      .orderBy("po_number", "vendor").collect().toSeq
+    assert(back === expected)
+    // idempotence: a disjoint layout is a no-op, no version churn
+    assert(FormSinkSource.compactClusteredIncremental(dir, "po_number")
+      === Some((v, 0, 0, after.size)))
+    // a pre-stats-era file (no manifest stats) conservatively joins one
+    // rewrite-everything group — unknown ranges must never silently carry
+    val legacyDir = tmp()
+    clusteredAppend2(legacyDir)
+    val Some((_, g2, rw2, c2)) =
+      FormSinkSource.compactClusteredIncremental(legacyDir, "po_number")
+    assert(g2 === 1 && c2 === 0 && rw2 >= 2, s"$g2 $rw2 $c2")
+  }
+
+  /** Two disjoint clustered commits, then one file's stats STRIPPED from
+    * the newest manifest in place (what a pre-stats-era manifest looks
+    * like — versioned JSON on disk, edited directly like the crash tests
+    * plant orphans directly). */
+  private def clusteredAppend2(dir: String): Unit = {
+    def app(lo: Int, hi: Int): Unit =
+      feed(lo, hi).repartition(1).write.format(FormSinkSource.Format)
+        .mode(SaveMode.Append).option("path", dir).save()
+    app(1, 100); app(101, 200)
+    val (v, names) = FormSinkSource.snapshotInfo(dir)
+    val mf = java.nio.file.Paths.get(dir, "_manifests",
+      f"manifest-v$v%010d.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readAllBytes(mf))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.get("stats")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .remove(names.head)
+    Files.write(mf, mapper.writeValueAsBytes(root))
+  }
+
   test("second append is additive; overwrite truncates first") {
     val dir = tmp()
     val a = feed(1, 100)
