@@ -76,6 +76,9 @@ object ExplainDump {
     "q353_estimator_calibration", // est-vs-actual CBO audit, 4 count joins
     "q354_catalog_optimize_cluster", // CALL-procedure clustered re-layout
     "q355_jpeg_exif_extract",    // marker-stream parse, batched partition map
+    "q356_estimator_upper_bound", // sketch maxf bounds, 4 count joins audit
+    "q357_sink_cluster_on_write", // sorted-exchange ingest + incremental CALL
+    "q358_mjpeg_avi_decode",     // chunk-tree demux + per-frame JPEG decode
     "q208_triangle_count")       // pair-sized p-exchange, capped wedge join
 
   def main(args: Array[String]): Unit = {

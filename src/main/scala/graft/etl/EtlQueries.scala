@@ -586,7 +586,7 @@ object EtlQueries {
       s.sql("""CREATE TABLE graft_q357.co.lineq (
         vendor STRING, description STRING, picker_erk STRING,
         charge_code STRING, po_number STRING)""")
-      val rows = Tables.lineitem(s, d).select(
+      def shape(df: org.apache.spark.sql.DataFrame) = df.select(
         lit("L").as("vendor"),
         format_string("%09d", col("l_orderkey")).as("description"),
         format_string("%09d", col("l_partkey")).as("picker_erk"),
@@ -600,9 +600,25 @@ object EtlQueries {
         df.repartitionByRange(parts, col("description"))
           .sortWithinPartitions(col("description"))
           .writeTo("graft_q357.co.lineq").append()
-      val band = col("description").between("000001000", "000001999")
-      clusteredAppend(rows.filter(!band), 8) // the resident clustered base
-      clusteredAppend(rows.filter(band), 1)  // the narrow delta
+      // the delta is the band's EVEN orderkeys; the base keeps the odd
+      // ones (plus everything outside) — parity interleaving makes the
+      // overlap a CONSTRUCTION guarantee, not a range-boundary accident:
+      // whatever file boundaries the base's sorted exchange samples, the
+      // base file holding an in-band odd key sits inside the delta's
+      // [min even, max even] span (a band-edge-aligned boundary could
+      // otherwise leave a pure hole-delta overlapping nothing)
+      val li = Tables.lineitem(s, d)
+      val deltaPred = col("l_orderkey").between(900, 1999) &&
+        col("l_orderkey") % 2 === 0
+      // base width input-scaled (~1M rows/file, floor 8): the incremental
+      // group is delta + its straddling base FILES, and the driver-tier
+      // rewrite's contract is delta-sized groups — a fixed-8 base at the
+      // second decade would hand it a 7.5M-row neighbor (the Sizing
+      // fixed-width trap, q350's lesson applied to the demo itself)
+      val baseParts = math.max(8, graft.util.Sizing.exchangePartitions(s,
+        graft.util.Sizing.parquetRowCount(d, "lineitem"), 1000000L))
+      clusteredAppend(shape(li.filter(!deltaPred)), baseParts)
+      clusteredAppend(shape(li.filter(deltaPred)), 1) // the narrow delta
       val call = s.sql("""CALL graft_q357.sys.optimize_cluster_inc(
         tbl => 'co.lineq', by => 'description')""").collect()
       require(call.length == 1, s"CALL returned ${call.length} rows")
