@@ -471,7 +471,26 @@ object Multimodal {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
+      // encode quality PINNED explicitly (r18 ADVICE: recon_ok's 48/255
+      // bound was measured against ImageIO's implicit default — JPEG
+      // quantization tables are codec-implementation detail, so an
+      // unpinned quality is one more free variable between JDK vendors).
+      // 0.9 keeps max abs channel error ~3-15 on these smooth-gradient
+      // planes (vs ~5-25 at the old default 0.75), so the 48/255 witness
+      // carries >3× margin. Residual JDK assumption, documented: the
+      // DECODER (IDCT/upsampling) is still the platform's — pinning
+      // quality removes the encoder's quantization variance, and the
+      // witness bound absorbs decoder-side rounding differences.
+      val jw = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val jp = jw.getDefaultWriteParam
+      jp.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      jp.setCompressionQuality(0.9f)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        jw.setOutput(ios)
+        jw.write(null, new javax.imageio.IIOImage(img, null, null), jp)
+      } finally { jw.dispose(); ios.close() }
       bos.toByteArray
     }
     def pad(n: Int) = n + (n & 1) // RIFF chunks pad to even

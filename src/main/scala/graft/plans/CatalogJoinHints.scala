@@ -203,11 +203,15 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
     * factor has been applied (no longer a proven upper bound — see the
     * enforcement asymmetry in [[apply]]). `upper` is the PROVEN row upper
     * bound regardless of scaling: a leaf's exact count; for a join,
-    * min(upper_L × maxf(k_R), upper_R × maxf(k_L)) — each probe row
-    * matches at most the build key's max frequency, and
-    * [[CatalogJoinHints.maxFreqBound]] bounds that soundly from the CM
-    * sketch — additionally min'ed with the CM inner product when the
-    * estimate is unscaled (also a proven over-count). */
+    * min over the PROVABLE directions of upper_side × maxf-in-the-OTHER-
+    * side of its join key — each probe row matches at most the build
+    * key's max frequency IN THE BUILD SIDE, which [[maxfIn]] bounds
+    * soundly from the CM sketches: directly for a leaf, chained as a
+    * product of per-level maxf bounds through a nested join (a base
+    * relation's maxf alone is NOT a bound for an intermediate — join
+    * fan-out amplifies per-key frequency, the r18 ADVICE high fix) —
+    * additionally min'ed with the CM inner product when the estimate is
+    * unscaled (also a proven over-count). */
   @scala.annotation.tailrec
   private def strip(q: LogicalPlan): LogicalPlan = q match {
     case Project(_, c) => strip(c)
@@ -225,10 +229,44 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
             (fl, el) <- sideInfo(j.left, kl, st)
             (fr, er) <- sideInfo(j.right, kr, st)
           } yield {
-            val rows = fr(fl(raw))
+            val cmRows = fr(fl(raw))
             val scaled = el.scaled || er.scaled
-            val upFreq = (el.upper * BigInt(maxFreqBound(st, kr)))
-              .min(er.upper * BigInt(maxFreqBound(st, kl)))
+            // n_distinct refinement (r18 worklist 6a): the contraction
+            // factor assumes the join key and the upward key are
+            // independently distributed, so a SCALED CM estimate can
+            // UNDER-count under correlated keys. When the catalog carries
+            // per-key KMV distinct counts (v2 staging, q359), take the
+            // MAX with the classic containment estimate
+            // rows_L × rows_R / max(d_L, d_R) — a side's distinct support
+            // is capped by min(its base key's n_distinct, its own rows).
+            // max() can only RAISE a scaled estimate, which can only move
+            // decisions toward the memory-safe direction (more enforced
+            // shuffles, never a new enforced broadcast — that rung keys
+            // off the PROVEN upper, untouched here). Unscaled estimates
+            // keep the pure CM lane: they are proven over-counts and the
+            // q346/q348/q353 oracles pin that math.
+            val nd = distincts(SparkSession.active, dir)
+            val rows =
+              if (!scaled) cmRows
+              else (for { dl <- nd.get(kl); dr <- nd.get(kr) } yield {
+                val dEff = BigInt(dl).min(el.rows)
+                  .max(BigInt(dr).min(er.rows)).max(BigInt(1))
+                cmRows.max(el.rows * er.rows / dEff)
+              }).getOrElse(cmRows)
+            // |L ⋈ R| ≤ |L| × maxf_R(kr) needs the key's max frequency IN
+            // THE SIDE, not in the key's base relation: join fan-out can
+            // amplify a key's per-value frequency in an intermediate past
+            // the base relation's maxf, so a base-sketch term against a
+            // non-leaf side is NOT a bound (r18 ADVICE high — the old min
+            // could pick an under-bound and branch 1 would then ENFORCE a
+            // broadcast of a huge intermediate). maxfIn chains the bound
+            // through a nested join's own tree instead; a direction whose
+            // chain can't be proven contributes no term.
+            val terms = Seq(
+              maxfIn(j.right, kr, st).map(el.upper * _),
+              maxfIn(j.left, kl, st).map(er.upper * _)).flatten
+            val upFreq =
+              if (terms.nonEmpty) terms.min else BigInt(Long.MaxValue)
             Est(rows, el.width + er.width, scaled,
               if (scaled) upFreq else upFreq.min(rows))
           }
@@ -267,6 +305,44 @@ case class CatalogJoinHints() extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
+  /** PROVEN upper bound on the frequency of ANY value of catalog key `k`
+    * WITHIN `side`'s output — the chainable term of the join-size bound
+    * (r18 ADVICE high). A leaf side is the key's own base relation, so
+    * [[CatalogJoinHints.maxFreqBound]] (the CM row-max argument) bounds it
+    * directly. A nested marked join amplifies frequency: a value v of `k`
+    * rides in through exactly one child (the carrier), and each carrier
+    * row matches at most the OTHER child's max join-key frequency — so
+    * maxf_J(k) ≤ maxf_carrier(k) × maxf_other(other's join key), each
+    * factor recursively chained. Any shape the chain can't trace returns
+    * None, which drops that DIRECTION's term from the join bound (the min
+    * over the remaining proven terms — or Long.MaxValue, which can never
+    * clear the byte gate — stays sound); it never poisons the row
+    * estimate itself. */
+  private def maxfIn(side: LogicalPlan, k: String,
+                     st: Map[String, (Long, Array[Long])]): Option[BigInt] =
+    strip(side) match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
+        Some(BigInt(maxFreqBound(st, k)))
+      case jj @ Join(_, _, Inner, Some(cond), _) =>
+        markedKeys(jj, cond).flatMap { case (kl, kr, _) =>
+          def carries(p: LogicalPlan): Boolean =
+            p.output.exists(a => a.isInstanceOf[AttributeReference] &&
+              keyOf(a.asInstanceOf[AttributeReference]).contains(k))
+          if (carries(jj.left))
+            for {
+              a <- maxfIn(jj.left, k, st)
+              b <- maxfIn(jj.right, kr, st)
+            } yield a * b
+          else if (carries(jj.right))
+            for {
+              a <- maxfIn(jj.right, k, st)
+              b <- maxfIn(jj.left, kl, st)
+            } yield a * b
+          else None
+        }
+      case _ => None
+    }
+
   /** Per-row width of a plan's output in Spark's own size model
     * (`dataType.defaultSize` — what `SizeInBytesOnlyStatsPlanVisitor`
     * charges per column): the byte bound's row-width term. */
@@ -299,6 +375,23 @@ object CatalogJoinHints {
 
   private val cache =
     TrieMap.empty[String, Map[String, (Long, Array[Long])]]
+  private val ndCache = TrieMap.empty[String, Map[String, Long]]
+
+  /** Per-key DISTINCT-COUNT statistics from a v2-staged catalog (q359's
+    * `nd` column: the KMV bottom-256 estimate over the key's h60-mod-P
+    * hash domain, derived at staging). A v1 catalog (no `nd` column)
+    * yields the empty map and the estimator behaves exactly as before —
+    * the statistic is additive, never a migration. Same memo discipline
+    * as [[stats]]: content-addressed path, one schema-bounded collect per
+    * JVM. */
+  def distincts(spark: SparkSession, dir: String): Map[String, Long] =
+    ndCache.getOrElseUpdate(dir, {
+      val df = spark.read.parquet(dir)
+      if (!df.schema.fieldNames.contains("nd")) Map.empty
+      else df.collect().map { r =>
+        r.getString(r.fieldIndex("rel")) -> r.getLong(r.fieldIndex("nd"))
+      }.toMap
+    })
 
   /** The catalog snapshot: rel.key → (row count, 4×1024 CM sketch).
     * One 5-row collect per staged path per JVM (size-bounded by schema). */

@@ -443,12 +443,18 @@ object FormSinkSource {
       groups.foreach { members =>
         val rows = scala.collection.mutable.ArrayBuffer[Array[UTF8String]]()
         members.foreach { f =>
+          // cap checked PER ROW, inside the read loop (r18 ADVICE medium):
+          // an after-the-file check would fully materialize a file-sized
+          // buffer on the driver heap before the require fires — the
+          // fail-loud contract must abort AT the cap, not past it
           SinkCodec.foreachRow(dataDir(path).resolve(f),
-            schema.fieldNames.toSeq)(rows += _)
-          require(rows.size <= cap,
-            s"incremental cluster group exceeds $cap rows " +
-              "(spark.graft.sink.maxIncrementalRows); a table-sized group " +
-              "is the distributed full OPTIMIZE's job (compactClustered)")
+            schema.fieldNames.toSeq) { r =>
+            rows += r
+            require(rows.size <= cap,
+              s"incremental cluster group exceeds $cap rows " +
+                "(spark.graft.sink.maxIncrementalRows); a table-sized group " +
+                "is the distributed full OPTIMIZE's job (compactClustered)")
+          }
         }
         // nulls-first total order on the cluster key — deterministic and
         // the same order the range stats compare in

@@ -346,10 +346,23 @@ object GraftCatalog {
       val rpfIn = input.getInt(2)
       require(rpfIn >= 0, s"rows_per_file must be >= 0 (0 = default), got $rpfIn")
       val rpf = if (rpfIn > 0) rpfIn.toLong else 1000000L
+      // optimistic retry past concurrent commits — BOUNDED (r18 ADVICE):
+      // each lost race re-reads and re-writes the full overlap group, so
+      // an unbounded loop under sustained concurrent commits could spin
+      // forever; past the bound the verb fails loud like the sink's other
+      // maintenance contracts, and the caller re-issues the CALL
+      val maxRetries = 20
       var res: Option[(Long, Int, Int, Int)] = None
-      while (res.isEmpty) // optimistic retry past concurrent commits
+      var attempt = 0
+      while (res.isEmpty && attempt < maxRetries) {
         res = FormSinkSource.compactClusteredIncremental(dir, by, rpf)
-      val (version, groups, rewritten, carried) = res.get
+        attempt += 1
+      }
+      val (version, groups, rewritten, carried) = res.getOrElse(
+        throw new IllegalStateException(
+          s"optimize_cluster_inc lost the manifest race $maxRetries times " +
+            s"on $dir — concurrent commit rate exceeds the verb's retry " +
+            "budget; re-issue the CALL when ingest quiesces"))
       val after = FormSinkSource.snapshotInfo(dir)._2.size
       val schema = StructType(Seq(
         StructField("version", LongType, nullable = false),

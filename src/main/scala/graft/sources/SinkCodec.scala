@@ -48,11 +48,18 @@ private[sources] object SinkCodec {
   /** Extension for NEW data files, from the active session's
     * `spark.graft.sink.format` (driver-side decision — task writers get
     * their file name, extension included, from the driver-constructed
-    * factory). Default columnar. */
+    * factory). Default columnar. FAILS LOUD when the calling thread has
+    * no active session (r18 ADVICE): a silent parquet default here would
+    * let driver-side maintenance invoked off-thread migrate a
+    * jsonl-pinned table to parquet against the session's configuration —
+    * mixed eras are legal, but only ever by the SESSION's choice. */
   def activeExtension(): String =
     org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.conf.get("spark.graft.sink.format", "parquet"))
-      .getOrElse("parquet") match {
+      .getOrElse(throw new IllegalStateException(
+        "no active SparkSession on this thread: the sink data-file format " +
+          "is session configuration (spark.graft.sink.format) — run " +
+          "maintenance from a session thread"))
+      .conf.get("spark.graft.sink.format", "parquet") match {
       case "parquet" => ParquetExt
       case "jsonl"   => JsonlExt
       case other => throw new IllegalArgumentException(

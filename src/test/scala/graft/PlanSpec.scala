@@ -833,6 +833,62 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("graft.catalog.broadcastByteBound")
   }
 
+  test("the proven bound chains maxf THROUGH intermediates — a base-relation maxf never under-bounds an amplified side (r18 ADVICE high)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, BROADCAST, JoinHint}
+    import graft.plans.CatalogJoinHints
+    graft.plans.GraftPlans.install(spark)
+    // The unsound shape: upper(I2 = (x⋈y)⋈z) used to take the term
+    // n_z × maxf_BASE(y.k2) = 500k×1 — but y.k2's frequency inside x⋈y is
+    // amplified up to maxf_x(k1) = 1000× by join fan-out, so the true
+    // |I2| can reach 5×10^8 rows while the old bound read 500k (20 MB at
+    // width 40, UNDER the 32 MB gate): at the top join the old rule then
+    // ENFORCED a broadcast of that potentially-huge intermediate. The
+    // chained bound multiplies maxf along the carrier path
+    // (maxf_y(k2) × maxf_x(k1) = 1000), reads 5×10^8 rows = 20 GB, and
+    // the rule must stamp NOTHING (scaled estimate under the byte bound,
+    // proven upper above it — the r16 asymmetry's middle rung).
+    val dir = graft.util.Scratch.dir("plan-spec-chain-cat").toString
+    import spark.implicits._
+    def sk(cells: Map[Int, Long]) =
+      Seq.tabulate(4096)(i => cells.getOrElse(i % 1024, 0L))
+    val even = (lo: Int, hi: Int, v: Long) => (lo until hi).map(_ -> v).toMap
+    Seq(
+      ("x.k1", 1000000L, sk(even(0, 1000, 1000L))),   // maxf 1000
+      ("y.k1", 1000L, sk(even(0, 1000, 1L))),         // maxf 1
+      ("y.k2", 1000L, sk(even(0, 1000, 1L))),         // maxf 1
+      ("z.k2", 500000L, sk(even(1000, 1010, 50000L))), // disjoint from y.k2
+      ("z.k3", 500000L, sk(even(0, 1000, 500L))),
+      ("w.k3", 10000000L, sk(even(0, 1000, 10000L))))
+      .toDF("rel", "n", "sk").coalesce(1).write.mode("overwrite").parquet(dir)
+    def mark(df: org.apache.spark.sql.DataFrame, cs: (String, String)*) =
+      df.select(cs.map { case (c, key) =>
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(CatalogJoinHints.KeyMeta, key)
+          .putString(CatalogJoinHints.DirMeta, dir).build()
+        col(c).as(c, md)
+      }: _*)
+    val x = mark(spark.range(10).select(col("id").as("xk1")), "xk1" -> "x.k1")
+    val y = mark(spark.range(10).select(col("id").as("yk1"), col("id").as("yk2")),
+      "yk1" -> "y.k1", "yk2" -> "y.k2")
+    val z = mark(spark.range(10).select(col("id").as("zk2"), col("id").as("zk3")),
+      "zk2" -> "z.k2", "zk3" -> "z.k3")
+    val w = mark(spark.range(10).select(col("id").as("wk3")), "wk3" -> "w.k3")
+    val q = x.join(y, col("xk1") === col("yk1"))
+      .join(z, col("yk2") === col("zk2"))
+      .join(w, col("zk3") === col("wk3"))
+      .agg(count(lit(1)))
+    val top = q.queryExecution.optimizedPlan.collectFirst {
+      case j: LJoin => j.hint // pre-order: first Join is the top one
+    }.get
+    assert(!top.leftHint.flatMap(_.strategy).contains(BROADCAST) &&
+      !top.rightHint.flatMap(_.strategy).contains(BROADCAST),
+      s"the amplified intermediate must not get an ENFORCED broadcast off " +
+        s"its children's base-relation maxf: $top")
+    assert(top == JoinHint.NONE,
+      s"scaled under-bound estimate + over-bound chained upper = middle " +
+        s"rung, stamp nothing: $top")
+  }
+
   test("CatalogJoinHints fires only on marked columns — zero blast radius") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     graft.plans.GraftPlans.install(spark)
