@@ -129,7 +129,9 @@ object Bench {
     // median). min-of-reps already excluded staging from the headline time;
     // this excludes it from the spread telemetry too.
     Seq("q184_binaryfile_source", "q305_persisted_lsh_index",
-      "q341_sketch_stats_catalog", "q346_catalog_planned_join").foreach { nm =>
+      "q341_sketch_stats_catalog", "q346_catalog_planned_join",
+      "q359_distinct_stats_catalog", "q361_stream_state_rebalance")
+      .foreach { nm =>
       selected.get(nm).foreach { fn =>
         // NonFatal only: an OOM/linkage error here must propagate — a
         // swallowed fatal leaves rep 1 silently re-measuring the staging

@@ -79,6 +79,9 @@ object ExplainDump {
     "q356_estimator_upper_bound", // sketch maxf bounds, 4 count joins audit
     "q357_sink_cluster_on_write", // sorted-exchange ingest + incremental CALL
     "q358_mjpeg_avi_decode",     // chunk-tree demux + per-frame JPEG decode
+    "q359_distinct_stats_catalog", // KMV nd stats + containment-vs-CM audit
+    "q360_sink_hilbert_cluster_inc", // persisted curve key, incremental pass
+    "q361_stream_state_rebalance", // statestore drain -> initial-state restart
     "q208_triangle_count")       // pair-sized p-exchange, capped wedge join
 
   def main(args: Array[String]): Unit = {

@@ -641,6 +641,101 @@ object EtlQueries {
     },
 
     GraftQuery(
+      "q360_sink_hilbert_cluster_inc",
+      "MULTI-COLUMN cluster-on-write + CURVE-PRESERVING incremental OPTIMIZE — the q357×q349 marriage (r18 worklist 6b): q357 clusters ingest on ONE sort column, q350/q354 cluster 2-D by Hilbert but only as a FULL rewrite; this unifies them with the pattern every production table format uses for exactly this reason — the curve key is PERSISTED in the table (the zero-padded Hilbert index of (description, picker_erk) rides the sink's free vendor cell, computed once at write time; the 5-string-column set is the reference's canonical schema, so the demo repurposes the free cell where a production format would add a generated column — the maintenance mechanics are identical), because incremental maintenance must group files from MANIFEST STATS ALONE and a 2-D box's min/max can NOT bound its Hilbert range (a box is many disjoint curve segments — deriving curve-key ranges from x/y stats is mathematically impossible, which is WHY Delta/Iceberg persist Z-values; at 100 TB you pay 8 bytes a row once, never a re-read). Ingest is then q357's sorted range exchange ON THE CURVE: every append lands files covering tight, disjoint Hilbert runs (equal keys never split across a range exchange, so file ranges only touch at the delta), each file's 2-D box is compact by curve locality, and `CALL sys.optimize_cluster_inc(by => 'hkey')` rewrites ONLY the curve-interval-overlap component — re-sorting the group BY hkey, so the rewrite PRESERVES the curve layout instead of degrading it to 1-D. Scenario asserted in-query: a clustered base (everything outside a mid-curve band plus the band's odd-parity hkeys), a narrow clustered delta (the band's EVEN hkeys — parity interleaving makes the straddle a construction guarantee, q357's argument lifted to the Hilbert domain), exactly one overlap group, base files carried byte-identical, and an idempotent second CALL. The answer is the layout-invariant 2-D box aggregate read back through the named table against the oracle's raw lineitem — and the box skip census (mayOpen << total under the same manifest-stats pruning, required in-query, out of the oracle because layout is not answer) is the measured point: 2-D locality SURVIVES the incremental pass.",
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 1999 AND l_partkey BETWEEN 100 AND 299""".stripMargin) { (s, d) =>
+      if (s.conf.getOption("spark.sql.catalog.graft_q360").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft_q360", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_q360.root",
+          graft.util.Scratch.dir("graft-q360-catalog").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q360.co")
+      // fresh table per invocation: repeated bench reps must not compound
+      s.sql("DROP TABLE IF EXISTS graft_q360.co.lineq")
+      s.sql("""CREATE TABLE graft_q360.co.lineq (
+        vendor STRING, description STRING, picker_erk STRING,
+        charge_code STRING, po_number STRING)""")
+      // curve budget sized to the actual key domain (q350's aliasing fix)
+      val bits = math.min(31, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(graft.util.Sizing.parquetColumnMaxLong(d, "lineitem", "l_orderkey"),
+          graft.util.Sizing.parquetColumnMaxLong(d, "lineitem", "l_partkey")))))
+      // the persisted curve key: %019d keeps string order = numeric order
+      // up to the kernel's 31-bit/62-bit ceiling (the q116 po_number trick)
+      def shape(df: org.apache.spark.sql.DataFrame) = df.select(
+        format_string("%019d", graft.functions.GraftFunctions.hilbertIndex(
+          col("l_orderkey").cast("long"), col("l_partkey").cast("long"),
+          bits)).as("vendor"), // the persisted curve key
+        format_string("%09d", col("l_orderkey")).as("description"),
+        format_string("%09d", col("l_partkey")).as("picker_erk"),
+        col("l_quantity").cast("long").cast("string").as("charge_code"),
+        concat_ws("-", col("l_orderkey"), col("l_partkey"),
+          col("l_linenumber")).as("po_number"))
+      def clusteredAppend(df: org.apache.spark.sql.DataFrame, parts: Int): Unit =
+        df.repartitionByRange(parts, col("vendor"))
+          .sortWithinPartitions(col("vendor"))
+          .writeTo("graft_q360.co.lineq").append()
+      // persisted across the three passes (band probe + two appends), then
+      // dropped: the shaped frame embeds the Hilbert kernel, and paying
+      // its codegen three times is the only alternative
+      val rows = shape(Tables.lineitem(s, d)).persist()
+      try {
+        // mid-curve band holding ~2% of the ROWS (49th-51st percentile of
+        // the curve key — quantiles, not the value span: real points
+        // occupy a corner of the 2^bits × 2^bits grid, so their Hilbert
+        // values cluster into runs with huge gaps and a mid-SPAN band can
+        // be empty): wide enough for a parity mix at sf0.001 (~120 rows),
+        // narrow enough that the incremental group stays delta-sized at
+        // sf10 (the driver-tier cap contract) — the delta is the band's
+        // EVEN curve keys, the base keeps the odd ones plus everything
+        // outside (q357's parity construction on the Hilbert domain)
+        val qs = rows.agg(expr(
+            "percentile_approx(CAST(vendor AS LONG), array(0.49, 0.51), 10000)")
+            .as("qs"))
+          .collect()(0).getSeq[Long](0)
+        val deltaPred = col("vendor").between(
+          f"${qs(0)}%019d", f"${qs(1)}%019d") &&
+          col("vendor").cast("long") % 2 === 0
+        val baseParts = math.max(8, graft.util.Sizing.exchangePartitions(s,
+          graft.util.Sizing.parquetRowCount(d, "lineitem"), 1000000L))
+        clusteredAppend(rows.filter(!deltaPred), baseParts)
+        clusteredAppend(rows.filter(deltaPred), 1) // the narrow delta
+      } finally rows.unpersist(blocking = false)
+      val call = s.sql("""CALL graft_q360.sys.optimize_cluster_inc(
+        tbl => 'co.lineq', by => 'vendor')""").collect()
+      require(call.length == 1, s"CALL returned ${call.length} rows")
+      val (groups, rewritten, carried) =
+        (call(0).getInt(1), call(0).getInt(2), call(0).getInt(3))
+      require(groups == 1, s"expected exactly one overlap group, got $groups")
+      require(rewritten >= 2 && carried >= 1,
+        s"not incremental: rewrote $rewritten, carried $carried")
+      val again = s.sql("""CALL graft_q360.sys.optimize_cluster_inc(
+        tbl => 'co.lineq', by => 'vendor')""").collect()(0)
+      require(again.getInt(1) == 0 && again.getInt(2) == 0,
+        s"second call not a no-op: $again")
+      // the measured point: 2-D box skipping off the per-column manifest
+      // stats still prunes after the incremental pass — curve locality
+      // survived (layout witness, out of the oracle by q350's doctrine)
+      val root = s.conf.get("spark.sql.catalog.graft_q360.root")
+      val dir = s"$root/co/lineq"
+      val (mayOpen, total) = graft.sources.FormSinkSource.skippingCensus(dir,
+        Seq(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("description", "000001000"),
+          org.apache.spark.sql.sources.LessThanOrEqual("description", "000001999"),
+          org.apache.spark.sql.sources.GreaterThanOrEqual("picker_erk", "000000100"),
+          org.apache.spark.sql.sources.LessThanOrEqual("picker_erk", "000000299")))
+      require(total < 8 || mayOpen < total,
+        s"Hilbert layout lost its 2-D pruning: box opens $mayOpen of $total")
+      s.sql("""SELECT count(*) AS n_rows,
+        sum(CAST(charge_code AS BIGINT)) AS sum_qty
+        FROM graft_q360.co.lineq
+        WHERE description BETWEEN '000001000' AND '000001999'
+          AND picker_erk BETWEEN '000000100' AND '000000299'""")
+    },
+
+    GraftQuery(
       "q109_sink_changefeed",
       "Incremental downstream consumption: after three manifest-swap commits (0..999, 1000..1999, 2000..2499), changesFromVersion=1/changesToVersion=2 reads EXACTLY the second commit's rows — each commit's delta is readable once by advancing the version cursor, the consumer-side twin of the producer's watermark increment (and what a remote mutable table cannot offer at all). Only the delta's files are opened; the feed rejects ranges spanning a truncate/compaction rewrite.",
       """WITH src AS (

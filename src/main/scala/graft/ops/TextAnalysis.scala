@@ -410,6 +410,71 @@ object TextAnalysis {
        |FROM u ORDER BY edge""".stripMargin
   }
 
+  /** q359's oracle: per-key KMV distinct counts (bottom-256 over the
+    * h60-mod-P hash domain — q313's estimator, bit-identical), the CM
+    * inner product (q353's fragments), the classic containment estimate
+    * n_l·n_r // greatest(d_l, d_r), exact actuals and both signed err
+    * ppms, all in HUGEINT with `//` floor division. */
+  private def distinctStatsSql: String = {
+    val p = Dedup.P
+    val eNum = (KmvK - 1).toLong * p
+    val rels = Seq(("evu", "events", "user_id"),
+      ("ordc", "orders", "o_custkey"), ("ordo", "orders", "o_orderkey"),
+      ("line", "lineitem", "l_orderkey"), ("cust", "customer", "c_custkey"))
+    val hctes = rels.map { case (nm, tbl, k) =>
+      s"""h_$nm AS MATERIALIZED (SELECT ${h60Sql(s"CAST($k AS VARCHAR)")} % $p AS hs
+         |  FROM $tbl)""".stripMargin
+    }.mkString(",\n")
+    val sctes = rels.map { case (nm, _, _) =>
+      s"""c_$nm AS MATERIALIZED (SELECT d,
+         |    (((2*d+1)*hs + (7919*d+13)) % $p) % $CmWidth AS c,
+         |    count(*) AS cnt FROM h_$nm CROSS JOIN dd GROUP BY 1, 2),
+         |n_$nm AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM h_$nm),
+         |kmv_$nm AS (SELECT count(*) AS k_used, max(hs) AS kth FROM (
+         |  SELECT DISTINCT hs FROM h_$nm ORDER BY hs LIMIT $KmvK) q),
+         |nd_$nm AS (SELECT CAST(CASE WHEN k_used < $KmvK THEN k_used
+         |    ELSE $eNum // kth END AS HUGEINT) AS nd FROM kmv_$nm)""".stripMargin
+    }.mkString(",\n")
+    def edgeEst(l: String, r: String) =
+      s"""(SELECT CAST(min(ej) AS HUGEINT) FROM (
+         |   SELECT a.d, CAST(sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS HUGEINT) AS ej
+         |   FROM c_$l a JOIN c_$r b ON a.d = b.d AND a.c = b.c
+         |   GROUP BY a.d) q)""".stripMargin
+    val sqlEdges = Seq(
+      ("events_customer", ("evu", "cust"),
+        "events JOIN customer ON user_id = c_custkey"),
+      ("events_orders", ("evu", "ordc"),
+        "events JOIN orders ON user_id = o_custkey"),
+      ("orders_customer", ("ordc", "cust"),
+        "orders JOIN customer ON o_custkey = c_custkey"),
+      ("orders_lineitem", ("ordo", "line"),
+        "orders JOIN lineitem ON o_orderkey = l_orderkey"))
+    val rows = sqlEdges.map { case (nm, (l, r), join) =>
+      s"""SELECT '$nm' AS edge,
+         |  (SELECT n FROM n_$l) AS nl, (SELECT n FROM n_$r) AS nr,
+         |  (SELECT nd FROM nd_$l) AS ndl, (SELECT nd FROM nd_$r) AS ndr,
+         |  ${edgeEst(l, r)} AS est_cm,
+         |  (SELECT CAST(count(*) AS HUGEINT) FROM $join) AS actual""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH dd AS (SELECT unnest(generate_series(0, ${CmDepth - 1})) AS d),
+       |$hctes,
+       |$sctes,
+       |u AS ($rows),
+       |v AS (SELECT *, (nl * nr) // greatest(ndl, ndr) AS est_cont FROM u)
+       |SELECT edge, CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       |  CAST(ndl AS BIGINT) AS nd_left, CAST(ndr AS BIGINT) AS nd_right,
+       |  CAST(est_cm AS BIGINT) AS est_cm_rows,
+       |  CAST(est_cont AS BIGINT) AS est_cont_rows,
+       |  CAST(actual AS BIGINT) AS actual_rows,
+       |  CASE WHEN actual = 0 THEN NULL
+       |       ELSE CAST((1000000 * (est_cm - actual)) // actual AS BIGINT)
+       |  END AS err_cm_ppm,
+       |  CASE WHEN actual = 0 THEN NULL
+       |       ELSE CAST((1000000 * (est_cont - actual)) // actual AS BIGINT)
+       |  END AS err_cont_ppm
+       |FROM v ORDER BY edge""".stripMargin
+  }
+
   /** Stage (once per JVM × corpus snapshot) and return the catalog dir:
     * one pass per relation, persisted as a 5-row parquet of
     * (rel, n, 4096-long sketch). */
@@ -426,6 +491,53 @@ object TextAnalysis {
             .countMin(col("hs"), as, bs, Dedup.P, CmWidth).as("sk"),
           count(lit(1)).as("n"))
           .select(lit(nm).as("rel"), col("n"), col("sk"))
+      }.reduce(_ unionAll _)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      dir
+    })
+  }
+
+  /** KMV sketch size for the v2 catalog's per-key distinct counts —
+    * q308/q313's k, single-sourced with q359's oracle literals. */
+  private val KmvK = 256
+  private val statsCatalogV2Dirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Catalog v2 (r18 worklist 6a): the SAME five rows as
+    * [[statsCatalogDir]] plus per-key DISTINCT-COUNT statistics — KMV
+    * bottom-256 over the key's h60-mod-P hash domain (kmv_k_used,
+    * kmv_kth surfaced for bit-identity; `nd` = the derived estimate
+    * (k−1)·P // kth, exact k_used below saturation). The CM sketch bounds
+    * FREQUENCY mass; nd bounds SUPPORT — the pair is what a containment
+    * join-size estimate needs and a frequency sketch alone cannot give.
+    * [[graft.plans.CatalogJoinHints.distincts]] reads `nd` when present;
+    * v1 catalogs stay valid (the column is additive). Staging cost: one
+    * extra distinct-shuffle + 2k-long bottom-k per relation, same memo
+    * discipline as v1. */
+  private def statsCatalogV2Dir(s: SparkSession, d: String): String = {
+    val as = Dedup.hashParams.take(CmDepth).map(_._1).toArray
+    val bs = Dedup.hashParams.take(CmDepth).map(_._2).toArray
+    val snap = Seq("customer", "events", "lineitem", "orders")
+      .map(t => graft.util.Scratch.sourceKey(d, t)).mkString("|")
+    statsCatalogV2Dirs.getOrElseUpdate(snap, {
+      val dir = graft.util.Scratch.dir("graft-stats-catalog-v2").toString
+      val eNum = (KmvK - 1).toLong * Dedup.P
+      statsRels(s, d).map { case (nm, df) =>
+        val h = statsHashed(df)
+        val base = h.agg(
+          graft.functions.GraftFunctions
+            .countMin(col("hs"), as, bs, Dedup.P, CmWidth).as("sk"),
+          count(lit(1)).as("n"))
+        val kmv = h.select(col("hs")).distinct()
+          .agg(graft.functions.GraftFunctions
+            .topKAgg(-col("hs"), col("hs"), KmvK).as("mins"))
+          .select(explode(col("mins")).as("m"))
+          .select(col("m.payload").as("hs"))
+          .agg(count(lit(1)).as("kmv_k_used"), max(col("hs")).as("kmv_kth"))
+        base.crossJoin(kmv).select(lit(nm).as("rel"), col("n"), col("sk"),
+          col("kmv_k_used"), col("kmv_kth"),
+          when(col("kmv_k_used") < KmvK, col("kmv_k_used"))
+            .otherwise(expr(s"${eNum}L div kmv_kth")).as("nd"))
       }.reduce(_ unionAll _)
         .coalesce(1).write.mode("overwrite").parquet(dir)
       dir
@@ -2154,6 +2266,61 @@ object TextAnalysis {
           col("maxf_left"), col("maxf_right"), col("est_rows"),
           col("upper_rows"), col("actual_rows"), col("est_never_under"),
           col("upper_never_under"), col("upper_slack_ppm"))
+        .orderBy(col("edge"))
+    },
+
+    GraftQuery(
+      "q359_distinct_stats_catalog",
+      "DISTINCT-COUNT statistics join the sketch catalog (r18 worklist 6a — the better-CALIBRATED counterpart to q356's sound worst-case bound): catalog v2 stages, next to each key's row count and CM sketch, a KMV bottom-256 over the key's h60-mod-P hash domain (q313's estimator — kmv_k_used/kmv_kth surfaced, nd = (k-1)*P // kth, exact below saturation), because a frequency sketch bounds MASS but says nothing about SUPPORT, and support is what the classic System-R containment estimate n_l*n_r/max(d_l,d_r) needs. The audit frame scores all four cataloged edges under BOTH estimators — est_cm (the CM inner product the rule stamps decisions from) and est_cont (the containment estimate from the new statistic) — against exact actuals with signed floor-division err ppms: CM is one-sided (never under; err_cm_ppm >= 0 is the q353 contract) while containment is unbiased-but-two-sided, and the pair tells the operator which lane to trust per edge. The RULE integration is live: CatalogJoinHints.distincts reads nd when the marked catalog carries it and raises a SCALED intermediate's estimate to max(CM-scaled, containment) — correlation between the join key and the upward key makes the contraction factor UNDER-count, and max() can only push decisions toward the memory-safe shuffle rung (the enforced-broadcast rung keys off the proven upper, untouched); PlanSpec pins the flip on a synthetic correlated catalog, and v1 catalogs (no nd column) plan exactly as before. The DuckDB oracle rebuilds hashes, KMV bottom-k, nd, both estimators and both ppms in HUGEINT. Scale shape: staging adds one distinct-shuffle + a 2k-long bottom-k per relation (KMV merges associatively — the 100 TB path is per-shard sketches merged, never a global distinct); the audit's actuals are the scheduled-job price, exactly q353's contract.",
+      distinctStatsSql) { (s, d) =>
+      import graft.plans.CatalogJoinHints
+      val dir = statsCatalogV2Dir(s, d)
+      val st = CatalogJoinHints.stats(s, dir)
+      val nd = CatalogJoinHints.distincts(s, dir)
+      def keyFrame(rel: String): DataFrame = rel match {
+        case "events.user_id" =>
+          Tables.events(s, d).select(col("user_id").as("k"))
+        case "orders.o_custkey" =>
+          Tables.orders(s, d).select(col("o_custkey").as("k"))
+        case "orders.o_orderkey" =>
+          Tables.orders(s, d).select(col("o_orderkey").as("k"))
+        case "customer.c_custkey" =>
+          Tables.customer(s, d).select(col("c_custkey").as("k"))
+        case "lineitem.l_orderkey" =>
+          Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+      }
+      // plain truncating div on BOTH lanes: measured this round, DuckDB's
+      // `//` on INTEGER operands truncates toward zero exactly like
+      // Spark's `div` (-7 // 2 = -3; the flooring behavior is double-only)
+      // — so the two-sided containment ppm needs no floor correction, and
+      // adding one would DIVERGE on negative errors
+      def ppm(estCol: String) =
+        when(col("actual_rows") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            s"""CAST((1000000 * (CAST($estCol AS DECIMAL(38,0))
+               |    - actual_rows)) div actual_rows AS BIGINT)""".stripMargin))
+      calibrationEdges.map { case (nm, ka, kb) =>
+        val (na, nb) = (st(ka)._1, st(kb)._1)
+        val (da, db) = (nd(ka), nd(kb))
+        val estCm = CatalogJoinHints.innerProductEst(st, ka, kb)
+        val estCont = CatalogJoinHints.toLongSat(
+          BigInt(na) * BigInt(nb) / BigInt(da.max(db)))
+        val actual = keyFrame(ka)
+          .join(keyFrame(kb).withColumnRenamed("k", "k2"),
+            col("k") === col("k2"))
+          .agg(count(lit(1)).as("actual_rows"))
+        s.range(1).select(lit(nm).as("edge"),
+            lit(na).as("n_left"), lit(nb).as("n_right"),
+            lit(da).as("nd_left"), lit(db).as("nd_right"),
+            lit(estCm).as("est_cm_rows"), lit(estCont).as("est_cont_rows"))
+          .crossJoin(broadcast(actual))
+      }.reduce(_ unionAll _)
+        .withColumn("err_cm_ppm", ppm("est_cm_rows"))
+        .withColumn("err_cont_ppm", ppm("est_cont_rows"))
+        .select(col("edge"), col("n_left"), col("n_right"),
+          col("nd_left"), col("nd_right"), col("est_cm_rows"),
+          col("est_cont_rows"), col("actual_rows"), col("err_cm_ppm"),
+          col("err_cont_ppm"))
         .orderBy(col("edge"))
     },
 

@@ -316,6 +316,35 @@ object StreamingOps {
     }
   }
 
+  /** q361's staged early/late corpus split, by source dir (same memo
+    * discipline as [[stagedDirs]] — fixture IO out of the timed reps). */
+  private val rebalanceDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** q361's processor: [[RunningTotalsProcessor]] plus the INITIAL-STATE
+    * hook — handleInitialState seeds each key's ValueState from the frame
+    * the restart was handed, before the first batch's rows fold in. */
+  class RunningTotalsRebalanceProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Long), (Long, Long, Long), RunningTotals] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[RunningTotals] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[RunningTotals](
+        "totals", Encoders.product[RunningTotals], TTLConfig.NONE)
+    override def handleInitialState(key: Long, initialState: RunningTotals,
+                                    timers: TimerValues): Unit =
+      totals.update(initialState)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var st = Option(totals.get()).getOrElse(RunningTotals(0L, 0L))
+      rows.foreach { case (_, c) => st = RunningTotals(st.n + 1, st.cents + c) }
+      totals.update(st)
+      Iterator.single((key, st.n, st.cents))
+    }
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -727,6 +756,92 @@ object StreamingOps {
         .select(col("key.event_type").as("event_type"),
           col("value.count").as("n"), col("value.sum").as("value_cents"))
         .orderBy(col("event_type"))
+    },
+
+    GraftQuery(
+      "q361_stream_state_rebalance",
+      "Streaming state REBALANCE across a restart (r18 worklist 6c — the inverse of q248's offline state READ): a stateful query's state-store partition count is frozen into the checkpoint at first batch, so a deployment whose corpus grows 10x between restarts is stuck with yesterday's parallelism — unless the state can MOVE. The Spark-native move, exercised end to end: (1) an UNDERSIZED run (2 state partitions, RocksDB) folds the early half of the events stream into per-user running totals via transformWithState; (2) the stopped checkpoint's state is drained OFFLINE through the statestore source (q248's surface, pointed at a named v2 state variable); (3) a FRESH query restarts 8x wider (16 state partitions, new checkpoint) over the late half, handing the drained frame to transformWithState's INITIAL-STATE overload — a StatefulProcessorWithInitialState seeds each key's ValueState in batch 0, the engine re-hashes every key across the NEW partition count by construction, and growth folds on top. Witnessed in-query: the drained stores' distinct partition_id census actually widens (old <= 2 < new), and the ANSWER is read from the REBALANCED store itself (statestore source again, no memory-sink mediation): per-user totals must equal the batch aggregate over ALL events exactly — early-only users survive the move untouched, late-only users are born wide, spanning users fold seamlessly. Scale shape: the drain and re-seed are one state-sized distributed read + shuffle — never a replay of the stream's history, which is exactly why a 100 TB/day deployment can afford the resize.",
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.Encoders
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      // the growth scenario split by event time: "history" (absorbed by
+      // the undersized deployment) and "growth" (arrives after the
+      // resize). Staged ONCE per corpus (the q96 staging-memo lesson —
+      // fixture IO must not ride the timed reps); the checkpoints below
+      // stay fresh per invocation because the rebalance IS the query.
+      val (earlyDir, lateDir) = rebalanceDirs.getOrElseUpdate(d, {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), cents(col("value")).as("cents"))
+        val mm = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          .collect()(0)
+        val mid = new java.sql.Timestamp(
+          (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2)
+        val e = graft.util.Scratch.dir("graft-q361-early").toString
+        val l = graft.util.Scratch.dir("graft-q361-late").toString
+        ev.filter(col("ts") <= mid).write.mode("overwrite").parquet(e)
+        ev.filter(col("ts") > mid).write.mode("overwrite").parquet(l)
+        (e, l)
+      })
+      val evSchema = s.read.parquet(earlyDir).schema
+      def keyed(dir: String) = s.readStream.schema(evSchema).parquet(dir)
+        .select(col("user_id"), col("cents")).as[(Long, Long)]
+        .groupByKey(_._1)
+      def runTo(df: DataFrame, name: String, parts: Int, ckpt: String): Unit = {
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        val q = try {
+          s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+          df.writeStream.format("memory").queryName(name)
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        q.awaitTermination()
+      }
+      def drained(ckpt: String): DataFrame =
+        s.read.format("statestore").option("path", ckpt)
+          .option("stateVarName", "totals").load()
+      val savedProvider = s.conf.getOption(ProviderKey)
+      try {
+        s.conf.set(ProviderKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // phase 1: the undersized deployment (2 state partitions)
+        val ck1 = graft.util.Scratch.dir("graft-q361-ck1").toString
+        runTo(keyed(earlyDir)
+          .transformWithState(new RunningTotalsProcessor(), TimeMode.None(),
+            OutputMode.Update(), Encoders.product[(Long, Long, Long)])
+          .toDF("user_id", "n_events", "sum_cents"),
+          s"q361_p1_${System.nanoTime()}", 2, ck1)
+        // offline drain: the stopped checkpoint's state is just data
+        val st1 = drained(ck1)
+        val p1 = st1.select(col("partition_id")).distinct().count()
+        val init = st1.select(col("key.value").as("u"),
+            col("value.n").as("n"), col("value.cents").as("c"))
+          .as[(Long, Long, Long)]
+          .map { case (u, n, c) => (u, RunningTotals(n, c)) }
+          .groupByKey(_._1).mapValues(_._2)
+        // phase 2: restart 8x wider, seeded by the drained state
+        val ck2 = graft.util.Scratch.dir("graft-q361-ck2").toString
+        runTo(keyed(lateDir)
+          .transformWithState(new RunningTotalsRebalanceProcessor(),
+            TimeMode.None(), OutputMode.Update(), init,
+            Encoders.product[(Long, Long, Long)],
+            Encoders.product[RunningTotals])
+          .toDF("user_id", "n_events", "sum_cents"),
+          s"q361_p2_${System.nanoTime()}", 16, ck2)
+        val st2 = drained(ck2)
+        val p2 = st2.select(col("partition_id")).distinct().count()
+        require(p1 <= 2 && p2 > p1,
+          s"state did not rebalance: $p1 partitions before, $p2 after")
+        // the answer is the REBALANCED store itself
+        st2.select(col("key.value").as("user_id"),
+            col("value.n").as("n_events"), col("value.cents").as("sum_cents"))
+          .orderBy(col("user_id"))
+      } finally savedProvider match {
+        case Some(v) => s.conf.set(ProviderKey, v)
+        case None    => s.conf.unset(ProviderKey)
+      }
     },
 
     GraftQuery(

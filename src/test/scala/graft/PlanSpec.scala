@@ -889,6 +889,57 @@ class PlanSpec extends SparkSpec {
         s"rung, stamp nothing: $top")
   }
 
+  test("v2 distinct-count stats raise a correlated SCALED estimate to the containment lane (q359 rule integration)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, JoinHint, SHUFFLE_MERGE}
+    import graft.plans.CatalogJoinHints
+    graft.plans.GraftPlans.install(spark)
+    // the scaled-ladder topology (a⋈b)⋈c ⋈ d, with the v2 `nd` column
+    // staged: the depth-2 intermediate's CM-scaled estimate is 10 rows
+    // (the independence assumption's under-count), but b.k2/c.k2 have
+    // only 10 distinct values, so the containment estimate is
+    // 100×1000/10 = 10000 rows — 400 KB at width 40, OVER a 1 KB bound.
+    // With v1 stats the rule stamped nothing here (rung 2); with the nd
+    // column the estimate rises and the memory-safe SHUFFLE verdict is
+    // enforced. The OTHER side (d, 2000×8 = 16 KB) is over the bound
+    // too, so min(bl, br) > bound → rung 3.
+    val dir = graft.util.Scratch.dir("plan-spec-nd-cat").toString
+    import spark.implicits._
+    val sk = Seq.tabulate(4096)(i => if (i % 1024 == 0) 10L else 0L)
+    Seq(("a.k1", 1000L, sk, 1000L), ("b.k1", 1000L, sk, 1000L),
+        ("b.k2", 1000L, sk, 10L), ("c.k2", 1000L, sk, 10L),
+        ("c.k3", 1000L, sk, 1000L), ("d.k3", 2000L, sk, 2000L))
+      .toDF("rel", "n", "sk", "nd").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    def mark(df: org.apache.spark.sql.DataFrame, cs: (String, String)*) =
+      df.select(cs.map { case (c, key) =>
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(CatalogJoinHints.KeyMeta, key)
+          .putString(CatalogJoinHints.DirMeta, dir).build()
+        col(c).as(c, md)
+      }: _*)
+    val a = mark(spark.range(10).select(col("id").as("ak")), "ak" -> "a.k1")
+    val b = mark(spark.range(10).select(col("id").as("bk1"), col("id").as("bk2")),
+      "bk1" -> "b.k1", "bk2" -> "b.k2")
+    val c3 = mark(spark.range(10).select(col("id").as("ck2"), col("id").as("ck3")),
+      "ck2" -> "c.k2", "ck3" -> "c.k3")
+    val dd = mark(spark.range(10).select(col("id").as("dk")), "dk" -> "d.k3")
+    spark.conf.set("graft.catalog.broadcastByteBound", "1000")
+    try {
+      val q = a.join(b, col("ak") === col("bk1"))
+        .join(c3, col("bk2") === col("ck2"))
+        .join(dd, col("ck3") === col("dk"))
+        .agg(count(lit(1)))
+      val top = q.queryExecution.optimizedPlan.collectFirst {
+        case j: LJoin => j.hint
+      }.get
+      assert(top != JoinHint.NONE &&
+        (top.leftHint.flatMap(_.strategy).contains(SHUFFLE_MERGE) ||
+          top.rightHint.flatMap(_.strategy).contains(SHUFFLE_MERGE)),
+        s"the containment lane must lift the correlated under-count over " +
+          s"the bound and enforce the shuffle verdict: $top")
+    } finally spark.conf.unset("graft.catalog.broadcastByteBound")
+  }
+
   test("CatalogJoinHints fires only on marked columns — zero blast radius") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     graft.plans.GraftPlans.install(spark)
