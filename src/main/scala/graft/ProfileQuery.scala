@@ -3,25 +3,29 @@ package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 
-/** Per-JOB wall-clock profile of ONE registered query — the per-stage
+/** Per-JOB wall-clock profile of registered queries — the per-stage
   * evidence surface for scale claims (r16 verdict item 2): every Spark job
-  * the query materializes (sizing counts, projection/dedup, per-round BSP
+  * a query materializes (sizing counts, projection/dedup, per-round BSP
   * checkpoints, census aggregates, the final collect) is timed with its
   * short call site, so "every remaining stage is data-proportional" can be
   * CHECKED stage by stage across scale factors instead of asserted from
   * the total. Dev/bench tooling, not part of the query surface.
   *
   * Env: `SPARK_GRAFT_SF_DIR` (corpus), `SPARK_GRAFT_CPUS`,
-  * `SPARK_GRAFT_PROFILE_QUERY` (registered query name). Emits ONE JSON
-  * line: `{"query":…,"sf":…,"total_sec":…,"rows":…,"jobs":[{"job":id,
+  * `SPARK_GRAFT_PROFILE_QUERY` (registered query name, or a comma-separated
+  * list — each profiled warm-then-timed in registration order, one JSON
+  * line each; a shared JVM matches Bench's shared-JVM methodology and
+  * amortizes startup over a sweep). Emits per query ONE JSON line:
+  * `{"query":…,"sf":…,"total_sec":…,"rows":…,"jobs":[{"job":id,
   * "site":…,"sec":…},…]}` — jobs in completion order.
   */
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val name = sys.env.getOrElse("SPARK_GRAFT_PROFILE_QUERY",
+    val names = sys.env.getOrElse("SPARK_GRAFT_PROFILE_QUERY",
       "q335_projected_community_quality")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,6 +38,22 @@ object ProfileQuery {
     // Bench warmup, minus streaming — graph queries never touch state)
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // streaming warmup + fixture pre-staging, matching Bench, when the
+    // sweep includes a streaming query (state-store/micro-batch first-touch
+    // must not be charged to the first profiled streaming query)
+    if (names.exists(_.contains("stream"))) {
+      try {
+        val q = spark.readStream.format("rate").option("numPartitions", "1")
+          .load().groupBy().count()
+          .writeStream.format("memory").queryName("profile_warmup")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination(15000) finally q.stop()
+        if (names.exists(graft.streaming.StreamingOps.FileStreamQueries.contains))
+          graft.streaming.StreamingOps.preStageEvents(spark, sfDir)
+      } catch { case _: Throwable => () }
+    }
 
     val inflight =
       new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
@@ -51,34 +71,45 @@ object ProfileQuery {
           done.add((je.jobId, site, (je.time - t0) / 1000.0))
         }
     })
-    // run 0, untimed: JIT + OS page cache over the corpus — the profiled
-    // run then matches the bench legs' min-of-reps conditions, so its
-    // per-job ratios measure the PLAN, not first-touch disk reads
-    SparkEntry.queries(name)(spark, sfDir).collect()
-    spark.catalog.clearCache()
-    graft.util.CacheOnce.sweepAll()
-    recording.set(true)
-    val t0 = System.nanoTime()
-    val rows = SparkEntry.queries(name)(spark, sfDir).collect().length
-    val totalSec = (System.nanoTime() - t0) / 1e9
-    // drain the listener bus before reading `done`: a fixed sleep dropped
-    // late JobEnd events on a loaded box (r17 ADVICE) — wait until every
-    // queued event is DELIVERED, bounded, and warn instead of silently
-    // emitting a partial profile
-    val drained =
-      org.apache.spark.graft.BusDrain.waitUntilEmpty(spark.sparkContext, 60000L)
-    if (!drained || !inflight.isEmpty)
-      System.err.println(s"WARN: profile may be incomplete — " +
-        s"drained=$drained, ${inflight.size} jobs still in flight at emit")
-    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val jobsJson = {
-      import scala.jdk.CollectionConverters._
-      done.asScala.toSeq.sortBy(_._1).map { case (id, site, sec) =>
-        f"""{"job":$id,"site":"${esc(site)}","sec":$sec%.3f}"""
-      }.mkString("[", ",", "]")
+    def sweep(): Unit = {
+      graft.util.CacheOnce.sweepAll()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
     }
-    println(f"""{"query":"${esc(name)}","sf":"${esc(sfDir)}",""" +
-      f""""total_sec":$totalSec%.3f,"rows":$rows,"jobs":$jobsJson}""")
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    for (name <- names) {
+      // run 0, untimed: JIT + OS page cache over the corpus — the profiled
+      // run then matches the bench legs' min-of-reps conditions, so its
+      // per-job ratios measure the PLAN, not first-touch disk reads
+      SparkEntry.queries(name)(spark, sfDir).collect()
+      sweep()
+      done.clear()
+      recording.set(true)
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, sfDir).collect().length
+      val totalSec = (System.nanoTime() - t0) / 1e9
+      // drain the listener bus before reading `done`: a fixed sleep dropped
+      // late JobEnd events on a loaded box (r17 ADVICE) — wait until every
+      // queued event is DELIVERED, bounded, and warn instead of silently
+      // emitting a partial profile
+      val drained =
+        org.apache.spark.graft.BusDrain.waitUntilEmpty(spark.sparkContext, 60000L)
+      if (!drained || !inflight.isEmpty)
+        System.err.println(s"WARN: profile may be incomplete — " +
+          s"drained=$drained, ${inflight.size} jobs still in flight at emit")
+      recording.set(false)
+      val jobsJson = {
+        import scala.jdk.CollectionConverters._
+        done.asScala.toSeq.sortBy(_._1).map { case (id, site, sec) =>
+          f"""{"job":$id,"site":"${esc(site)}","sec":$sec%.3f}"""
+        }.mkString("[", ",", "]")
+      }
+      println(f"""{"query":"${esc(name)}","sf":"${esc(sfDir)}",""" +
+        f""""total_sec":$totalSec%.3f,"rows":$rows,"jobs":$jobsJson}""")
+      inflight.clear()
+      sweep()
+    }
     spark.stop()
   }
 }
