@@ -1,0 +1,38 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility for the optimization rounds: dump `explain("formatted")` for
+  * a named set of queries to one file per query (the judge checks plan
+  * claims against these artifacts — OPTIMIZATION_r19.md deliverable).
+  *
+  * Env: `SPARK_GRAFT_SF_DIR` (default sf0.01 — big enough that AQE/stats
+  * behave, small enough to be instant), `SPARK_GRAFT_PLANS_QUERIES`
+  * (comma-separated registered names), `SPARK_GRAFT_PLANS_OUT` (directory),
+  * `SPARK_GRAFT_PLANS_SUFFIX` (e.g. `_before` / `_after`).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val out = sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "plans/r19")
+    val suffix = sys.env.getOrElse("SPARK_GRAFT_PLANS_SUFFIX", "")
+    val names = sys.env.getOrElse("SPARK_GRAFT_PLANS_QUERIES", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(out))
+    for (k <- names) {
+      val df = SparkEntry.queries(k)(spark, d)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(Paths.get(out, s"$k$suffix.txt"), txt)
+      println(s"[plandump] wrote $out/$k$suffix.txt")
+    }
+    spark.stop()
+  }
+}

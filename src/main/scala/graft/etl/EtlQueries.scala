@@ -487,14 +487,22 @@ object EtlQueries {
         |WHERE l_orderkey BETWEEN 1000 AND 1999 AND l_partkey BETWEEN 100 AND 299""".stripMargin) { (s, d) =>
       val dir = graft.util.Scratch.dir("graft-q350-sink").toString
       val sinkFmt = graft.sources.FormSinkSource.Format
-      Tables.lineitem(s, d).select(
+      // scatter FIRST, format after: the exchange ships the four numeric
+      // source columns and the %09d/concat kernel runs on all 8 writer
+      // tasks instead of the one-row-group scan task (guide §2.3/§2.5 —
+      // measured: the ingest stage was a single 2.4 s job on the sf0.1
+      // board with the projection below the exchange)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_linenumber"))
+        .repartition(8) // arrival-order files: every one straddles the box
+        .select(
           lit("L").as("vendor"),
           format_string("%09d", col("l_orderkey")).as("description"),
           format_string("%09d", col("l_partkey")).as("picker_erk"),
           col("l_quantity").cast("long").cast("string").as("charge_code"),
           concat_ws("-", col("l_orderkey"), col("l_partkey"),
             col("l_linenumber")).as("po_number"))
-        .repartition(8) // arrival-order files: every one straddles the box
         .write.format(sinkFmt).mode(SaveMode.Append).option("path", dir).save()
       // Hilbert bit budget from the ACTUAL coordinate domain (r16 ADVICE:
       // a fixed 18-bit budget silently wraps orderkeys past 2^18=262144 —
@@ -541,13 +549,20 @@ object EtlQueries {
         vendor STRING, description STRING, picker_erk STRING,
         charge_code STRING, po_number STRING)""")
       Tables.lineitem(s, d).createOrReplaceTempView("graft_q354_lineitem")
+      // the REPARTITION hint sits on the INNER select of raw columns so the
+      // exchange ships numerics and the format kernel runs on all 8 writer
+      // tasks, not the one-row-group scan task (guide §2.3/§2.5 — measured
+      // 2.1 s in one job on the sf0.1 board with the hint on the outer
+      // projection)
       s.sql("""INSERT INTO graft_q354.opt.lineq
-        SELECT /*+ REPARTITION(8) */ 'L' AS vendor,
+        SELECT 'L' AS vendor,
           format_string('%09d', l_orderkey) AS description,
           format_string('%09d', l_partkey) AS picker_erk,
           CAST(CAST(l_quantity AS BIGINT) AS STRING) AS charge_code,
           concat_ws('-', l_orderkey, l_partkey, l_linenumber) AS po_number
-        FROM graft_q354_lineitem""")
+        FROM (SELECT /*+ REPARTITION(8) */
+            l_orderkey, l_partkey, l_quantity, l_linenumber
+          FROM graft_q354_lineitem) t""")
       val call = s.sql("""CALL graft_q354.sys.optimize_cluster(
         tbl => 'opt.lineq', by_x => 'description', by_y => 'picker_erk')""")
         .collect()
@@ -595,10 +610,18 @@ object EtlQueries {
           col("l_linenumber")).as("po_number"))
       // cluster-on-write: a sorted range exchange per append — each task's
       // file covers a tight, disjoint run of the cluster key, and the
-      // writer's inline min/max stats make the layout durable
+      // writer's inline min/max stats make the layout durable. The range
+      // exchange keys on the RAW l_orderkey (its %09d format is order-
+      // isomorphic for 9-digit keys) and the format kernel runs AFTER it,
+      // on the writer tasks, so the exchange ships numerics and the
+      // one-row-group scan task never serializes the formatting
+      // (guide §2.3/§2.5 — measured: two ~1.4 s single-task append jobs
+      // on the sf0.1 board with shape below the exchange)
       def clusteredAppend(df: org.apache.spark.sql.DataFrame, parts: Int): Unit =
-        df.repartitionByRange(parts, col("description"))
-          .sortWithinPartitions(col("description"))
+        shape(df.select(col("l_orderkey"), col("l_partkey"),
+            col("l_quantity"), col("l_linenumber"))
+            .repartitionByRange(parts, col("l_orderkey"))
+            .sortWithinPartitions(col("l_orderkey")))
           .writeTo("graft_q357.co.lineq").append()
       // the delta is the band's EVEN orderkeys; the base keeps the odd
       // ones (plus everything outside) — parity interleaving makes the
@@ -617,8 +640,8 @@ object EtlQueries {
       // fixed-width trap, q350's lesson applied to the demo itself)
       val baseParts = math.max(8, graft.util.Sizing.exchangePartitions(s,
         graft.util.Sizing.parquetRowCount(d, "lineitem"), 1000000L))
-      clusteredAppend(shape(li.filter(!deltaPred)), baseParts)
-      clusteredAppend(shape(li.filter(deltaPred)), 1) // the narrow delta
+      clusteredAppend(li.filter(!deltaPred), baseParts)
+      clusteredAppend(li.filter(deltaPred), 1) // the narrow delta
       val call = s.sql("""CALL graft_q357.sys.optimize_cluster_inc(
         tbl => 'co.lineq', by => 'description')""").collect()
       require(call.length == 1, s"CALL returned ${call.length} rows")
@@ -679,8 +702,15 @@ object EtlQueries {
           .writeTo("graft_q360.co.lineq").append()
       // persisted across the three passes (band probe + two appends), then
       // dropped: the shaped frame embeds the Hilbert kernel, and paying
-      // its codegen three times is the only alternative
-      val rows = shape(Tables.lineitem(s, d)).persist()
+      // its codegen three times is the only alternative. The kernel +
+      // %019d formatting is spread off the one-row-group scan (guide §2.5:
+      // measured 3.5 s in one task on the sf0.1 board) — the exchange
+      // ships four numeric source columns, never the formatted strings
+      val rows = shape(graft.util.Sizing.spreadKernel(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+          col("l_quantity"), col("l_linenumber")),
+        graft.util.Sizing.parquetRowCount(d, "lineitem"),
+        perTask = 100000L)).persist()
       try {
         // mid-curve band holding ~2% of the ROWS (49th-51st percentile of
         // the curve key — quantiles, not the value span: real points

@@ -1415,7 +1415,14 @@ object Analytics {
       // query builders stay lazy (the eager-work-per-construction class)
       val nb = items.agg(countDistinct(col("l_orderkey")).as("nb"))
       val isup = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("s"))
-      val f = items.join(isup.filter(col("s") >= 2), "l_partkey")
+      // size-gated broadcast of the item-support side (|parts|-bounded, a
+      // contract-small dimension at the gated tiers): the map-side join
+      // keeps the cached items frame un-exchanged on its way into the
+      // basket self-join; past the 64 MB gate it degrades to the shuffle
+      // join unchanged (guide §3.1)
+      val f = items.join(
+        graft.util.Broadcasts.broadcastIfSmall(isup.filter(col("s") >= 2)),
+        "l_partkey")
       val a = f.select(col("l_orderkey"), col("l_partkey").as("part_a"),
         col("s").as("sa"))
       val b = f.select(col("l_orderkey"), col("l_partkey").as("part_b"),

@@ -69,8 +69,18 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
       .withColumn("hs", pmod(h60(col("sh")), lit(P)))
 
+  /** Corpus documents with the tokenize/shingle kernel's input spread off
+    * the one-row-group scan (guide §2.5 — the driver corpora are one
+    * parquet file each, so the explode+h60 map stage otherwise runs in a
+    * single task; the exchange ships (doc_id, text), trivial next to the
+    * per-token work it parallelizes). */
+  private def spreadDocs(s: SparkSession, d: String): DataFrame =
+    graft.util.Sizing.spreadKernel(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      graft.util.Sizing.parquetRowCount(d, "documents"), perTask = 2000L)
+
   private def shingleHashes(s: SparkSession, d: String): DataFrame =
-    shingleHashesOf(Tables.documents(s, d))
+    shingleHashesOf(spreadDocs(s, d))
 
   /** MinHash signature frame: doc_id, mh00..mh31 (exact longs), via the
     * native [[org.apache.spark.sql.graft.MinHashAgg]] TypedImperativeAggregate
@@ -79,7 +89,7 @@ object Dedup {
     * the min×32 twin [[minhashSignaturesMinX32]] (~0.45s both at sf0.1),
     * which MinHashAggSpec pins bit-identical. */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    minhashSignaturesOf(Tables.documents(s, d))
+    minhashSignaturesOf(spreadDocs(s, d))
 
   /** [[minhashSignatures]] over an arbitrary documents slice (see
     * [[shingleHashesOf]]). */
@@ -280,7 +290,7 @@ object Dedup {
       // CacheOnce: unpersisted after the consuming action completes, so
       // repeated ad-hoc invocation doesn't accumulate cached frames
       val sh = graft.util.CacheOnce.persistForOneAction(
-        Tables.documents(s, d)
+        spreadDocs(s, d)
           .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh")))
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val pairs = sh.as("a")
@@ -381,7 +391,7 @@ object Dedup {
            |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
            |FROM s ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
-      val tf = Tables.documents(s, d)
+      val tf = spreadDocs(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
         .withColumn("hv", h60(col("tok")))
@@ -461,7 +471,7 @@ object Dedup {
       // parity with the oracle's list_distinct over transformed values);
       // persisted: feeds the df-count, the prefix tier AND the verify sets
       val toks = graft.util.CacheOnce.persistForOneAction(
-        Tables.documents(s, d)
+        spreadDocs(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
           .select(col("doc_id"), h60(col("tok")).as("h")).distinct())
       // global rarity = doc frequency per fingerprint (one shuffle by h);
@@ -542,7 +552,7 @@ object Dedup {
          |FROM dir WHERE containment_ppm >= 600000
          |ORDER BY containment_ppm DESC, doc_small, doc_host LIMIT 50""".stripMargin) { (s, d) =>
       val sh = graft.util.CacheOnce.persistForOneAction(
-        Tables.documents(s, d)
+        spreadDocs(s, d)
           .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh")))
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val pairs = sh.as("a")
@@ -916,7 +926,7 @@ object Dedup {
       // doctrine: longs shuffle, never token strings; cross-doc fp
       // collisions perturb both engines identically) — one action, 3 uses
       val wtok = graft.util.CacheOnce.persistForOneAction(
-        Tables.documents(s, d)
+        spreadDocs(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
           .select(col("doc_id"), h60(col("tok")).as("fp"))
           .groupBy(col("doc_id"), col("fp"))

@@ -38,6 +38,17 @@ object Multimodal {
   /** Arrow-like batch size of the partition map (mapInPandas analog). */
   val DecodeBatchSize = 64
 
+  /** The corpus id column, spread for a per-row-expensive codec stage: the
+    * one-file-one-row-group driver corpora feed a bare scan's downstream
+    * kernel from a SINGLE task (guide §2.5 / §6 — maxPartitionBytes cannot
+    * split a row group), so the encode/decode tier ran serial however many
+    * cores the session had. The exchange ships bare ids and its width is
+    * scale-adaptive (rows/2k with the parallelism floor). */
+  private def codecIds(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.util.Sizing.spreadKernel(
+      Tables.documents(s, d).select(org.apache.spark.sql.functions.col("doc_id")),
+      graft.util.Sizing.parquetRowCount(d, "documents"), perTask = 2000L)
+
   /** q184's staged PNG directories by source dir: the staged files are a
     * pure function of the doc_id slice, so one JVM stages each corpus ONCE
     * and every later run (bench reps 2..n) goes straight to the binaryFile
@@ -457,42 +468,51 @@ object Multimodal {
     * so chunk sizes vary and every size field is computed from the actual
     * encoded bytes. Frame pixels are the q352 synthetic RGB. */
   def encodeMjpegAvi(id: Long): Array[Byte] = {
-    val frames = (0 until VidFrames).map { f =>
-      val img = new java.awt.image.BufferedImage(
-        VidW, VidH, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < VidH) {
-        var x = 0
-        while (x < VidW) {
-          img.setRGB(x, y, (synthMR(id, f, x, y) << 16) |
-            (synthMG(id, f, x, y) << 8) | synthMB(id, f, x, y))
-          x += 1
+    // encode quality PINNED explicitly (r18 ADVICE: recon_ok's 48/255
+    // bound was measured against ImageIO's implicit default — JPEG
+    // quantization tables are codec-implementation detail, so an
+    // unpinned quality is one more free variable between JDK vendors).
+    // 0.9 keeps max abs channel error ~3-15 on these smooth-gradient
+    // planes (vs ~5-25 at the old default 0.75), so the 48/255 witness
+    // carries >3× margin. Residual JDK assumption, documented: the
+    // DECODER (IDCT/upsampling) is still the platform's — pinning
+    // quality removes the encoder's quantization variance, and the
+    // witness bound absorbs decoder-side rounding differences.
+    // The writer is created ONCE per call and reused across the frames
+    // (setOutput resets it; instantiating writer+params per 16×12 frame
+    // dominated the encode), and pixels land straight in the raster's int
+    // buffer — bit-identical to setRGB here because every synth channel
+    // value is < 256 (max 194) so nothing bleeds across channel fields.
+    val jw = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val jp = jw.getDefaultWriteParam
+    jp.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    jp.setCompressionQuality(0.9f)
+    val frames = try {
+      (0 until VidFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          VidW, VidH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val px = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferInt].getData
+        var y = 0
+        while (y < VidH) {
+          var x = 0
+          while (x < VidW) {
+            px(y * VidW + x) = (synthMR(id, f, x, y) << 16) |
+              (synthMG(id, f, x, y) << 8) | synthMB(id, f, x, y)
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try {
+          jw.setOutput(ios)
+          jw.write(null, new javax.imageio.IIOImage(img, null, null), jp)
+        } finally ios.close()
+        bos.toByteArray
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      // encode quality PINNED explicitly (r18 ADVICE: recon_ok's 48/255
-      // bound was measured against ImageIO's implicit default — JPEG
-      // quantization tables are codec-implementation detail, so an
-      // unpinned quality is one more free variable between JDK vendors).
-      // 0.9 keeps max abs channel error ~3-15 on these smooth-gradient
-      // planes (vs ~5-25 at the old default 0.75), so the 48/255 witness
-      // carries >3× margin. Residual JDK assumption, documented: the
-      // DECODER (IDCT/upsampling) is still the platform's — pinning
-      // quality removes the encoder's quantization variance, and the
-      // witness bound absorbs decoder-side rounding differences.
-      val jw = javax.imageio.ImageIO
-        .getImageWritersByFormatName("jpg").next()
-      val jp = jw.getDefaultWriteParam
-      jp.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-      jp.setCompressionQuality(0.9f)
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      try {
-        jw.setOutput(ios)
-        jw.write(null, new javax.imageio.IIOImage(img, null, null), jp)
-      } finally { jw.dispose(); ios.close() }
-      bos.toByteArray
-    }
+    } finally jw.dispose()
     def pad(n: Int) = n + (n & 1) // RIFF chunks pad to even
     val moviSize = 4 + frames.map(fr => 8 + pad(fr.length)).sum
     val maxChunk = frames.map(_.length).max
@@ -755,11 +775,15 @@ object Multimodal {
          |  CAST(sum((doc_id * 23 + x * 5 + y * 19) % 256) AS BIGINT) AS sum_b
          |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val records = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      // spread ids + persist the tiny feature frame for its one action:
+      // the orderBy's range sampler otherwise re-runs the codec lineage
+      // twice (see codecIds; guide §2.5 / §1.4)
+      val records = codecIds(s, d).as[Long]
         .mapPartitions(_.map(id => MediaRecord(id, "image", encodePng(id))))
-      records
-        .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodePngBatch))
-        .toDF()
+      graft.util.CacheOnce.persistForOneAction(
+        records
+          .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodePngBatch))
+          .toDF())
         .orderBy(col("doc_id"))
     },
 
@@ -853,6 +877,10 @@ object Multimodal {
          |  CAST(sum((doc_id * 23 + f * 37 + x * 5 + y * 19) % 256) AS BIGINT) AS sum_b
          |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
+      // measured: the spread+persist combo the heavier codec queries use
+      // (q142/q358) REGRESSED this one (+0.14 s sf0.1) — the uncompressed
+      // demux is too cheap to pay the exchange + cache overhead; left on
+      // the bare scan deliberately
       val records = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => MediaRecord(id, "video", encodeAvi(id))))
       records
@@ -871,6 +899,10 @@ object Multimodal {
          |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
+      // measured: the spread+persist combo the heavier codec queries use
+      // (q142/q358) REGRESSED this one (+0.15 s sf0.1) — the marker-stream
+      // parse is too cheap to pay the exchange + cache overhead; left on
+      // the bare scan deliberately
       val records = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => MediaRecord(id, "image", encodeJpegExif(id))))
       records
@@ -889,11 +921,17 @@ object Multimodal {
          |  CAST(1 AS BIGINT) AS recon_ok
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val records = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      // spread the codec stage off the one-row-group scan (guide §2.5: the
+      // exchange ships bare ids), and persist the tiny feature frame for
+      // the one downstream action — the global orderBy's range sampler
+      // otherwise re-runs the whole encode+decode lineage a second time
+      // (measured: two ~2 s codec passes per run on the sf0.1 board)
+      val records = codecIds(s, d).as[Long]
         .mapPartitions(_.map(id => MediaRecord(id, "video", encodeMjpegAvi(id))))
-      records
-        .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeMjpegAviBatch))
-        .toDF()
+      graft.util.CacheOnce.persistForOneAction(
+        records
+          .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeMjpegAviBatch))
+          .toDF())
         .orderBy(col("doc_id"))
     },
 
@@ -912,13 +950,19 @@ object Multimodal {
          |  CAST(sum(fp % 1000000007) % 1000000007 AS BIGINT) AS fp_sum_mod
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val records = Tables.documents(s, d)
-        .select(col("doc_id"), lit("video").as("media_type"),
-          encode(col("text"), "UTF-8").as("payload"))
+      // spread + persist-for-one-action: see codecIds / q142's note (the
+      // payload here is the text column itself, so the exchange ships it —
+      // still tiny relative to the per-row frame walk it parallelizes)
+      val records = graft.util.Sizing.spreadKernel(
+        Tables.documents(s, d)
+          .select(col("doc_id"), lit("video").as("media_type"),
+            encode(col("text"), "UTF-8").as("payload")),
+        graft.util.Sizing.parquetRowCount(d, "documents"), perTask = 2000L)
         .as[MediaRecord]
-      records
-        .mapPartitions(_.grouped(DecodeBatchSize).flatMap(frameSampleBatch))
-        .toDF()
+      graft.util.CacheOnce.persistForOneAction(
+        records
+          .mapPartitions(_.grouped(DecodeBatchSize).flatMap(frameSampleBatch))
+          .toDF())
         .orderBy(col("doc_id"))
     },
 

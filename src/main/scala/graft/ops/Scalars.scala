@@ -272,8 +272,12 @@ object Scalars {
       // deterministic 1/8 key slice: each XPath value costs a per-row XML
       // parse (javax.xml pull parse — no codegen), so the demo bounds its
       // input instead of DOM-parsing the whole fact table
-      Tables.orders(s, d)
-        .filter(col("o_orderkey") % 8 === 0)
+      graft.util.Sizing.spreadKernel(
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") % 8 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority")),
+        graft.util.Sizing.parquetRowCount(d, "orders") / 8, perTask = 10000L)
         .select(x.as("xml"))
         .select(
           expr("xpath_long(xml, '/ROW/k')").as("k"),

@@ -608,7 +608,13 @@ object TextAnalysis {
         """concat('HTTPS://Shop.Example.COM:443/p/', o_orderkey % 50,
           |  CASE WHEN o_orderkey % 2 = 0 THEN '?b=1&a=2' ELSE '?a=2&b=1' END,
           |  '&utm_s=', o_orderkey, '#frag')""".stripMargin)
-      Tables.orders(s, d)
+      // the regex surgery below is ~30µs/row — spread it off the one-row-
+      // group scan (guide §2.5; measured 4.2 s in one task on the sf0.1
+      // board, ~0.4 s spread)
+      graft.util.Sizing.spreadKernel(
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_orderkey")),
+        graft.util.Sizing.parquetRowCount(d, "orders"), perTask = 200000L)
         .select(col("o_orderpriority").as("prio"), col("o_orderkey").as("k"),
           raw.as("url"))
         .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))

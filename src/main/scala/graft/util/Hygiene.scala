@@ -133,6 +133,28 @@ object Sizing {
     }
   }
 
+  /** Spread a per-row-EXPENSIVE stage (codec encode/decode, XML parse,
+    * regex surgery, curve-key formatting) across the session's cores.
+    *
+    * Why this exists (optimization guide §2.5 input skew / §6 split size):
+    * each driver table arrives as ONE parquet file ≈ one row group, and a
+    * row group is indivisible — `spark.sql.files.maxPartitionBytes` cannot
+    * split it, so a bare scan feeds any downstream kernel from a SINGLE
+    * task no matter how many cores the session has. Measured on the sf0.1
+    * board: q228's four-XPath stage ran 9.5 s in one task; q263's regex
+    * surgery 4.2 s. An explicit round-robin exchange of the NARROW
+    * pre-kernel rows is the robust fix; callers project to just the kernel
+    * inputs first so the exchange ships ids, not payloads (guide §2.3).
+    *
+    * Scale-adaptive, not a local-mode constant: width = rows/perTask with
+    * the session-parallelism floor ([[exchangePartitions]]), so at big SFs
+    * — where the scan already yields many tasks — the same exchange acts
+    * as a cheap rebalance against uneven input files instead of a bottleneck
+    * tuned for local[32]. */
+  def spreadKernel(df: DataFrame, rows: Long,
+                   perTask: Long = 50000L): DataFrame =
+    df.repartition(exchangePartitions(df.sparkSession, rows, perTask))
+
   private val rowCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
