@@ -73,14 +73,19 @@ object Dedup {
     * the one-row-group scan (guide §2.5 — the driver corpora are one
     * parquet file each, so the explode+h60 map stage otherwise runs in a
     * single task; the exchange ships (doc_id, text), trivial next to the
-    * per-token work it parallelizes). */
+    * per-token work it parallelizes). Measured boundary (sf0.1 legs):
+    * the spread pays only where the serial kernel is 3-gram-shingle-sized
+    * or heavier (q38 −0.4 s, q214 −0.8 s); token-only pipelines LOST
+    * ~0.3-0.5 s to the extra stage (q41/q127 reverted, and the shared
+    * shingleHashes/minhashSignatures funnel stays unspread because its
+    * consumers are iteration-dominated, measured q83/q339 regressions). */
   private def spreadDocs(s: SparkSession, d: String): DataFrame =
     graft.util.Sizing.spreadKernel(
       Tables.documents(s, d).select(col("doc_id"), col("text")),
       graft.util.Sizing.parquetRowCount(d, "documents"), perTask = 2000L)
 
   private def shingleHashes(s: SparkSession, d: String): DataFrame =
-    shingleHashesOf(spreadDocs(s, d))
+    shingleHashesOf(Tables.documents(s, d))
 
   /** MinHash signature frame: doc_id, mh00..mh31 (exact longs), via the
     * native [[org.apache.spark.sql.graft.MinHashAgg]] TypedImperativeAggregate
@@ -89,7 +94,7 @@ object Dedup {
     * the min×32 twin [[minhashSignaturesMinX32]] (~0.45s both at sf0.1),
     * which MinHashAggSpec pins bit-identical. */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    minhashSignaturesOf(spreadDocs(s, d))
+    minhashSignaturesOf(Tables.documents(s, d))
 
   /** [[minhashSignatures]] over an arbitrary documents slice (see
     * [[shingleHashesOf]]). */
@@ -391,7 +396,7 @@ object Dedup {
            |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
            |FROM s ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
-      val tf = spreadDocs(s, d)
+      val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
         .withColumn("hv", h60(col("tok")))
@@ -471,7 +476,7 @@ object Dedup {
       // parity with the oracle's list_distinct over transformed values);
       // persisted: feeds the df-count, the prefix tier AND the verify sets
       val toks = graft.util.CacheOnce.persistForOneAction(
-        spreadDocs(s, d)
+        Tables.documents(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
           .select(col("doc_id"), h60(col("tok")).as("h")).distinct())
       // global rarity = doc frequency per fingerprint (one shuffle by h);
@@ -926,7 +931,7 @@ object Dedup {
       // doctrine: longs shuffle, never token strings; cross-doc fp
       // collisions perturb both engines identically) — one action, 3 uses
       val wtok = graft.util.CacheOnce.persistForOneAction(
-        spreadDocs(s, d)
+        Tables.documents(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
           .select(col("doc_id"), h60(col("tok")).as("fp"))
           .groupBy(col("doc_id"), col("fp"))

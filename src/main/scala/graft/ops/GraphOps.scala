@@ -51,6 +51,29 @@ object GraphOps {
     * graph's diameter at every test SF; unreached nodes stay unlabeled. */
   val BfsRounds = 4
 
+  /** The q326 zero-exchange gate pair, shared by the q130/q176 array
+    * tiers: under [[lpaBroadcastNodes]] AND a dense id domain, a per-round
+    * O(V) vector (labels, ranks, distances) ships as one
+    * `Broadcast[Array[Long]]` resolved by a codegen array index inside the
+    * round's own aggregate over destination-partitioned cached edges —
+    * nothing O(E) crosses the wire after the one-time repartition. Past
+    * either gate the callers keep their original one-shuffle-per-round BSP
+    * loop (the shape that holds at any scale). */
+  private def arrayTier(s: org.apache.spark.sql.SparkSession,
+                        nNodes: Long, maxId: Long): Boolean =
+    nNodes > 0 && nNodes <= lpaBroadcastNodes(s) && maxId >= 0 &&
+      maxId < s.conf.getOption("graft.lpa.denseIdBound").map(_.toLong)
+        .getOrElse(2L * lpaBroadcastNodes(s))
+
+  /** `arr(c)` under a broadcast primitive long array ([[org.apache.spark.sql.graft.LabelArrayLookup]]
+    * — generic long-array index, named for its first adopter). */
+  private def arrayLookup(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.GraftShim.column(
+      org.apache.spark.sql.graft.LabelArrayLookup(
+        org.apache.spark.sql.graft.GraftShim.expression(c), bc))
+
   /** k-core peel rounds (q310) — fixed so engine and oracle agree whether
     * or not the fixpoint is reached; production loops to a zero-delta. */
   val KCoreRounds = 6
@@ -134,31 +157,90 @@ object GraphOps {
       "q130_pagerank",
       s"All-integer PageRank ($Iters rounds, damping 0.85, mass 1e12 units) over the undirected part↔supplier co-occurrence graph from lineitem: each round is one rank⋈edges equi-join + one groupBy(dst) long-sum — O(E) shuffle of 8-byte values, the BSP shape that holds at any graph scale. Every contribution is a long floor-division, so ranks are exact integers: no float summation order to diverge between engines, partitionings or cluster sizes. Top-20 hubs with a total (rank, id) order.",
       pagerankSql) { (s, d) =>
-      // the edge list and degree frame feed every round — materialize once
+      // the edge list feeds every round — materialize once, hash-partitioned
+      // ON THE DESTINATION: the per-round contribution aggregate groups by v
+      // and inherits the cached partitioning (guide §2.4 — one exchange at
+      // construction instead of one per round). Plain persist, not
+      // persistForOneAction: the array tier below runs one action per round
+      // and the harness's inter-query sweep reclaims the cache (q326's Lpa
+      // contract).
       val ed = Tables.lineitem(s, d)
         .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
         .distinct()
-      val edges = graft.util.CacheOnce.persistForOneAction(
-        ed.unionAll(ed.select(col("v").as("u"), col("u").as("v"))))
-      val deg = graft.util.CacheOnce.persistForOneAction(
-        edges.groupBy(col("u")).agg(count(lit(1)).as("deg")))
-      // |V| stays a 1-row frame cross-joined in (never a driver round trip)
-      val nn = deg.agg(count(lit(1)).as("n"))
-      // the rank frame carries (u, deg, r): out-degree rides along instead
-      // of re-joining `deg` every round — one join per iteration, not two
-      var r = deg.crossJoin(broadcast(nn))
-        .selectExpr("u", "deg", "1000000000000 div n AS r")
-      for (_ <- 1 to Iters) {
-        val contrib = edges.join(r, "u")
-          .selectExpr("v AS u", "(r * 85) div (100 * deg) AS c")
-          .groupBy(col("u")).agg(sum(col("c")).as("c"))
-        r = deg.crossJoin(broadcast(nn))
-          .join(contrib, Seq("u"), "left")
-          .selectExpr("u", "deg", "(150000000000 div n) + coalesce(c, 0) AS r")
+      val nEdge = graft.util.Sizing.exchangePartitions(s,
+        2L * graft.util.Sizing.parquetRowCount(d, "lineitem"))
+      val edges = ed.unionAll(ed.select(col("v").as("u"), col("u").as("v")))
+        .repartition(nEdge, col("v")).persist()
+      // in-degree == out-degree on the symmetrized frame: grouping by v is
+      // exchange-free over the v-partitioned cache and yields the identical
+      // degree census the original groupBy(u) computed
+      val degF = edges.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .select(col("v").as("u"), col("deg"))
+      // one plan-time sizing head(): node count (broadcast gate) + max id
+      // (dense-id gate) — the q326 Lpa gate pair
+      val gate = degF.agg(count(lit(1)), coalesce(max(col("u")), lit(-1L))).head()
+      val (nNodes, maxId) = (gate.getLong(0), gate.getLong(1))
+      if (arrayTier(s, nNodes, maxId)) {
+        // ZERO-EXCHANGE round (the q326 array tier generalized from labels
+        // to rank mass): the O(V) per-node contribution vector rides a
+        // Broadcast[Array[Long]] resolved by a codegen array index inside
+        // the round's own aggregate — nothing O(E) crosses the wire after
+        // the one-time repartition, and the O(V) collect per round is
+        // exactly what the engine's own broadcast build would do, minus
+        // the V-entry UnsafeRow hash relation. Arithmetic is the same
+        // all-positive long floor-division chain, so ranks are
+        // bit-identical to the join/aggregate fallback below.
+        val deg = new Array[Long](maxId.toInt + 1)
+        degF.collect().foreach(r => deg(r.getLong(0).toInt) = r.getLong(1))
+        val base0 = 1000000000000L / nNodes
+        val base = 150000000000L / nNodes
+        var rank = Array.tabulate(maxId.toInt + 1)(i =>
+          if (deg(i) > 0) base0 else 0L)
+        for (_ <- 1 to Iters) {
+          val contrib = new Array[Long](maxId.toInt + 1)
+          var j = 0
+          while (j <= maxId.toInt) {
+            if (deg(j) > 0) contrib(j) = rank(j) * 85L / (100L * deg(j))
+            j += 1
+          }
+          val bc = s.sparkContext.broadcast(contrib)
+          // every node of the symmetrized frame has an in-edge, so this
+          // covers the full node set — the fallback's left join + coalesce
+          // is defensive slack the construction makes unreachable
+          val sums =
+            try edges.groupBy(col("v"))
+              .agg(sum(arrayLookup(bc, col("u"))).as("c")).collect()
+            finally bc.destroy()
+          val next = new Array[Long](maxId.toInt + 1)
+          sums.foreach(r => next(r.getLong(0).toInt) = base + r.getLong(1))
+          rank = next
+        }
+        val top = (0 to maxId.toInt).iterator
+          .filter(deg(_) > 0)
+          .map(i => (i.toLong, rank(i))).toArray
+          .sortBy { case (u, r) => (-r, u) }
+          .take(20)
+        import s.implicits._
+        top.toSeq.toDF("node_id", "rank_e12")
+      } else {
+        // past-gate fallback: the original one-shuffle-per-round BSP loop
+        // (rank frame carries (u, deg, r) so each round is one join + one
+        // aggregate), lazy end to end
+        val nn = degF.agg(count(lit(1)).as("n"))
+        var r = degF.crossJoin(broadcast(nn))
+          .selectExpr("u", "deg", "1000000000000 div n AS r")
+        for (_ <- 1 to Iters) {
+          val contrib = edges.join(r, "u")
+            .selectExpr("v AS u", "(r * 85) div (100 * deg) AS c")
+            .groupBy(col("u")).agg(sum(col("c")).as("c"))
+          r = degF.crossJoin(broadcast(nn))
+            .join(contrib, Seq("u"), "left")
+            .selectExpr("u", "deg", "(150000000000 div n) + coalesce(c, 0) AS r")
+        }
+        r.orderBy(col("r").desc, col("u"))
+          .limit(20)
+          .select(col("u").as("node_id"), col("r").as("rank_e12"))
       }
-      r.orderBy(col("r").desc, col("u"))
-        .limit(20)
-        .select(col("u").as("node_id"), col("r").as("rank_e12"))
     },
 
     GraftQuery(
@@ -168,24 +250,70 @@ object GraphOps {
       val ed = Tables.lineitem(s, d)
         .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
         .distinct()
-      val edges = graft.util.CacheOnce.persistForOneAction(
-        ed.unionAll(ed.select(col("v").as("u"), col("u").as("v"))))
-      val nodes = edges.select(col("u")).distinct()
-      // seed = min node id, kept as a 1-row FRAME (no driver round trip)
-      var dist = nodes.agg(min(col("u")).as("u")).select(col("u"), lit(0L).as("d"))
-      for (_ <- 1 to BfsRounds) {
-        val hop = edges.join(dist.withColumnRenamed("u", "fu"),
-            col("u") === col("fu"))
-          .select(col("v").as("u"), (col("d") + 1).as("d"))
-        // eager localCheckpoint per round: keeps the lineage (and codegen
-        // stack depth) constant however many rounds run
-        dist = dist.unionAll(hop)
-          .groupBy(col("u")).agg(min(col("d")).as("d"))
-          .localCheckpoint()
+      // destination-partitioned persisted edges + the q326 gate pair, as in
+      // q130: under the gate each round is ONE zero-exchange aggregate over
+      // the cache with the O(V) distance vector broadcast as a primitive
+      // array; past it, the original union+min-agg BSP loop runs unchanged
+      val nEdge = graft.util.Sizing.exchangePartitions(s,
+        2L * graft.util.Sizing.parquetRowCount(d, "lineitem"))
+      val edges = ed.unionAll(ed.select(col("v").as("u"), col("u").as("v")))
+        .repartition(nEdge, col("v")).persist()
+      val degF = edges.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .select(col("v").as("u"), col("deg"))
+      val gate = degF.agg(count(lit(1)), coalesce(max(col("u")), lit(-1L))).head()
+      val (nNodes, maxId) = (gate.getLong(0), gate.getLong(1))
+      if (arrayTier(s, nNodes, maxId)) {
+        // dist'(v) = min(dist(v), 1 + min over in-neighbors u of dist(u)) —
+        // identical to the fallback's union+min-agg round because the
+        // unreached sentinel is larger than any reachable distance, so it
+        // never wins a min against a real frontier value
+        val Inf = Long.MaxValue / 4
+        val deg = new Array[Long](maxId.toInt + 1)
+        degF.collect().foreach(r => deg(r.getLong(0).toInt) = r.getLong(1))
+        var dist = Array.tabulate(maxId.toInt + 1)(i =>
+          if (deg(i) > 0) Inf else 0L)
+        // seed = min node id (first assigned slot of the dense domain)
+        dist((0 to maxId.toInt).find(deg(_) > 0).get) = 0L
+        for (_ <- 1 to BfsRounds) {
+          val bc = s.sparkContext.broadcast(dist)
+          val mins =
+            try edges.groupBy(col("v"))
+              .agg(min(arrayLookup(bc, col("u"))).as("md")).collect()
+            finally bc.destroy()
+          val next = dist.clone()
+          mins.foreach { r =>
+            val v = r.getLong(0).toInt
+            val cand = r.getLong(1) + 1
+            if (cand < next(v)) next(v) = cand
+          }
+          dist = next
+        }
+        val hist = (0 to maxId.toInt).iterator
+          .filter(i => deg(i) > 0 && dist(i) < Inf)
+          .map(dist(_)).toSeq
+          .groupBy(identity).toSeq
+          .map { case (dd, vs) => (dd, vs.size.toLong) }
+          .sortBy(_._1)
+        import s.implicits._
+        hist.toDF("dist", "n_nodes").orderBy(col("dist"))
+      } else {
+        // seed = min node id, kept as a 1-row FRAME (no driver round trip)
+        val nodes = edges.select(col("u")).distinct()
+        var dist = nodes.agg(min(col("u")).as("u")).select(col("u"), lit(0L).as("d"))
+        for (_ <- 1 to BfsRounds) {
+          val hop = edges.join(dist.withColumnRenamed("u", "fu"),
+              col("u") === col("fu"))
+            .select(col("v").as("u"), (col("d") + 1).as("d"))
+          // eager localCheckpoint per round: keeps the lineage (and codegen
+          // stack depth) constant however many rounds run
+          dist = dist.unionAll(hop)
+            .groupBy(col("u")).agg(min(col("d")).as("d"))
+            .localCheckpoint()
+        }
+        dist.groupBy(col("d").as("dist"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("dist"))
       }
-      dist.groupBy(col("d").as("dist"))
-        .agg(count(lit(1)).as("n_nodes"))
-        .orderBy(col("dist"))
     },
 
     GraftQuery(
@@ -347,10 +475,73 @@ object GraphOps {
       val ed = Tables.lineitem(s, d)
         .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
         .distinct()
-      // one lineitem scan; every round re-reads the checkpointed blocks
-      var e = ed.unionAll(ed.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint()
-      val d0 = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      // destination-partitioned persisted edges + the q326 gate pair (the
+      // q130/q176 shape): peeling is MONOTONE, so round i's edge frame is
+      // the ORIGINAL frame filtered by the current survivor set — under the
+      // gate each round is one zero-exchange filter+aggregate over the
+      // cache with the survivor set broadcast as a primitive array, and
+      // nothing O(E) crosses the wire after the one-time repartition
+      val nEdge = graft.util.Sizing.exchangePartitions(s,
+        2L * graft.util.Sizing.parquetRowCount(d, "lineitem"))
+      val edges = ed.unionAll(ed.select(col("v").as("u"), col("u").as("v")))
+        .repartition(nEdge, col("v")).persist()
+      // in-degree == out-degree on the symmetric frame: groupBy(v) is
+      // exchange-free over the cache and equals the original groupBy(u)
+      val degF = edges.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .select(col("v").as("u"), col("deg"))
+      val gateR = degF.agg(count(lit(1)), coalesce(max(col("u")), lit(-1L))).head()
+      val (nNodes, maxId) = (gateR.getLong(0), gateR.getLong(1))
+      if (arrayTier(s, nNodes, maxId)) {
+        import s.implicits._
+        val deg0 = new Array[Long](maxId.toInt + 1)
+        degF.collect().foreach(r => deg0(r.getLong(0).toInt) = r.getLong(1))
+        // lower-median k by the same cumulative selection over the degree
+        // histogram, in exact integers (the frame below replicates it 1:1)
+        val histo = scala.collection.immutable.SortedMap.empty[Long, Long] ++
+          deg0.iterator.filter(_ > 0).toSeq.groupBy(identity)
+            .map { case (dg, xs) => dg -> xs.size.toLong }
+        var cum = 0L
+        var k = -1L
+        histo.foreach { case (dg, n) =>
+          cum += n; if (k < 0 && cum * 2 >= nNodes) k = dg
+        }
+        // survivor census over a degree array: (n_nodes, n_edges, sum_ids)
+        def censusOf(dg: Array[Long]): (Long, Long, Long) = {
+          var n = 0L; var e = 0L; var su = 0L; var i = 0
+          while (i < dg.length) {
+            if (dg(i) >= k) { n += 1; su += i }
+            e += dg(i) // Σ deg == directed edge count of the CURRENT frame
+            i += 1
+          }
+          (n, e, su)
+        }
+        val (n0, e0, s0) = censusOf(deg0)
+        val rows = scala.collection.mutable.ArrayBuffer((0, n0, e0, s0))
+        var surv = deg0.map(dg => if (dg >= k) 1L else 0L)
+        var converged = false
+        for (i <- 1 to KCoreRounds) {
+          if (converged) rows += rows.last.copy(_1 = i)
+          else {
+            val bc = s.sparkContext.broadcast(surv)
+            val cnt =
+              try edges.filter(arrayLookup(bc, col("u")) === 1L &&
+                  arrayLookup(bc, col("v")) === 1L)
+                .groupBy(col("v")).agg(count(lit(1)).as("deg")).collect()
+              finally bc.destroy()
+            val degI = new Array[Long](maxId.toInt + 1)
+            cnt.foreach(r => degI(r.getLong(0).toInt) = r.getLong(1))
+            val r = censusOf(degI)
+            surv = degI.map(dg => if (dg >= k) 1L else 0L)
+            converged =
+              (r._1, r._2, r._3) == (rows.last._2, rows.last._3, rows.last._4)
+            rows += ((i, r._1, r._2, r._3))
+          }
+        }
+        rows.toSeq.toDF("round", "n_nodes", "n_edges", "sum_nodes")
+          .orderBy(col("round"))
+      } else {
+      var e: org.apache.spark.sql.DataFrame = edges
+      val d0 = degF.select(col("u"), col("deg"))
       // lower-median degree by cumulative selection over the degree
       // histogram — a bounded-domain frame, never a node sort
       val h = d0.groupBy(col("deg")).agg(count(lit(1)).as("n"))
@@ -402,6 +593,7 @@ object GraphOps {
       import s.implicits._
       rows.toSeq.toDF("round", "n_nodes", "n_edges", "sum_nodes")
         .orderBy(col("round"))
+      }
     },
 
     GraftQuery(

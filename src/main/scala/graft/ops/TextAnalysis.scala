@@ -798,14 +798,21 @@ object TextAnalysis {
       // ONE codegen kernel pass per doc (org.apache.spark.sql.graft
       // .WinnowStats): no L-row gram explode, no per-doc window shuffle —
       // the oracle above keeps the explode→window-min formulation as the
-      // independent recomputation (KernelSpec differential-tests the twin)
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          graft.functions.GraftFunctions.winnowStats(
-            regexp_replace(trim(lower(col("text"))), "\\s+", " "), 5, 4).as("ws"))
-        .filter(col("ws").isNotNull)
-        .select(col("doc_id"), col("ws.n_grams").as("n_grams"),
-          col("ws.n_fps").as("n_fps"), col("ws.fp_checksum").as("fp_checksum"))
+      // independent recomputation (KernelSpec differential-tests the twin).
+      // The kernel rolls an md5 mix over every char position, so its input
+      // is spread off the one-row-group scan and the 4-longs-per-doc result
+      // is persisted for its one action — the orderBy's range sampler
+      // otherwise runs the whole kernel twice (guide §1.4/§2.5)
+      graft.util.CacheOnce.persistForOneAction(
+        graft.util.Sizing.spreadKernel(
+            Tables.documents(s, d).select(col("doc_id"), col("text")),
+            graft.util.Sizing.parquetRowCount(d, "documents"), perTask = 2000L)
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.winnowStats(
+              regexp_replace(trim(lower(col("text"))), "\\s+", " "), 5, 4).as("ws"))
+          .filter(col("ws").isNotNull)
+          .select(col("doc_id"), col("ws.n_grams").as("n_grams"),
+            col("ws.n_fps").as("n_fps"), col("ws.fp_checksum").as("fp_checksum")))
         .orderBy(col("doc_id"))
     },
 
@@ -1311,11 +1318,15 @@ object TextAnalysis {
       // char_gram_fingerprint inside the FileScan's DataFilters). id-sized,
       // so safe to cache at any corpus scale; CacheOnce unpersists after the
       // consuming action, so ad-hoc/repeated callers don't accumulate caches.
+      // the rolling 8-gram fingerprint hashes every char position (~L md5
+      // mixes per doc) — spread it off the one-row-group scan (guide §2.5)
       val fp = graft.util.CacheOnce.persistForOneAction(
-        docs.select(col("doc_id"),
-          graft.functions.GraftFunctions.charGramFingerprint(col("text"), 8)
-            .getField("fp_min").as("fp_min"),
-          length(col("text")).as("len")))
+        graft.util.Sizing.spreadKernel(docs.select(col("doc_id"), col("text")),
+            graft.util.Sizing.parquetRowCount(d, "documents"), perTask = 2000L)
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.charGramFingerprint(col("text"), 8)
+              .getField("fp_min").as("fp_min"),
+            length(col("text")).as("len")))
       // Candidate pruning before any text is touched: |len_a − len_b| is a
       // lower bound on edit distance, so the length guard is sound for the
       // dist ≤ 20 filter — it removed 91% of fingerprint collisions at

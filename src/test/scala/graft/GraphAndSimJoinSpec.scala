@@ -37,6 +37,25 @@ class GraphAndSimJoinSpec extends SparkSpec {
     } finally spark.conf.unset("graft.lpa.denseIdBound")
   }
 
+  test("q130/q176/q310 array tier ≡ BSP shuffle fallback, bit-identical") {
+    // r19 optimization: PageRank, BFS and k-core peeling adopted the q326
+    // zero-exchange round (per-round O(V) vector as a broadcast primitive
+    // array over destination-partitioned cached edges). The tier is a
+    // CONSTANT optimization — forcing the gate off (denseIdBound=0) must
+    // reproduce every row of all three queries exactly.
+    def runBoth() = Seq("q130_pagerank", "q176_bfs_distances",
+      "q310_kcore_peeling")
+      .map(n => n -> q(n).collect().toSeq).toMap
+    val arrayTier = runBoth() // default: dense ids at spec sf → array mode
+    spark.conf.set("graft.lpa.denseIdBound", "0")
+    try {
+      val fallback = runBoth()
+      arrayTier.foreach { case (n, rows) =>
+        assert(rows === fallback(n), s"$n diverged across tiers")
+      }
+    } finally spark.conf.unset("graft.lpa.denseIdBound")
+  }
+
   // ---- q125 ---------------------------------------------------------------
 
   test("q125: binned interval join ≡ naive theta join") {
