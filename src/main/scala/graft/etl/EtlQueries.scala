@@ -487,15 +487,20 @@ object EtlQueries {
         |WHERE l_orderkey BETWEEN 1000 AND 1999 AND l_partkey BETWEEN 100 AND 299""".stripMargin) { (s, d) =>
       val dir = graft.util.Scratch.dir("graft-q350-sink").toString
       val sinkFmt = graft.sources.FormSinkSource.Format
-      // scatter FIRST, format after: the exchange ships the four numeric
-      // source columns and the %09d/concat kernel runs on all 8 writer
-      // tasks instead of the one-row-group scan task (guide §2.3/§2.5 —
-      // measured: the ingest stage was a single 2.4 s job on the sf0.1
-      // board with the projection below the exchange)
-      Tables.lineitem(s, d)
+      // format WIDE, then scatter to the 8 arrival files — but ONLY when
+      // the scan is provably serial (one part file = one row group): there
+      // the %09d/concat kernel was a single 2.4 s job on the sf0.1 board
+      // and pinning it to the 8 writer tasks regressed sf1 by ~2.5 s.
+      // Multi-file corpora (sf1+ scaledata) keep the bare scan: the format
+      // already parallelizes across the scan's own tasks and the extra
+      // 60M-row exchange measured a net LOSS at sf10 (guide §2.3/§2.5)
+      val ingestSrc = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
           col("l_linenumber"))
-        .repartition(8) // arrival-order files: every one straddles the box
+      (if (graft.util.Sizing.parquetFileCount(d, "lineitem") == 1)
+        graft.util.Sizing.spreadKernel(ingestSrc,
+          graft.util.Sizing.parquetRowCount(d, "lineitem"), perTask = 200000L)
+      else ingestSrc)
         .select(
           lit("L").as("vendor"),
           format_string("%09d", col("l_orderkey")).as("description"),
@@ -503,6 +508,7 @@ object EtlQueries {
           col("l_quantity").cast("long").cast("string").as("charge_code"),
           concat_ws("-", col("l_orderkey"), col("l_partkey"),
             col("l_linenumber")).as("po_number"))
+        .repartition(8) // arrival-order files: every one straddles the box
         .write.format(sinkFmt).mode(SaveMode.Append).option("path", dir).save()
       // Hilbert bit budget from the ACTUAL coordinate domain (r16 ADVICE:
       // a fixed 18-bit budget silently wraps orderkeys past 2^18=262144 —
@@ -549,20 +555,28 @@ object EtlQueries {
         vendor STRING, description STRING, picker_erk STRING,
         charge_code STRING, po_number STRING)""")
       Tables.lineitem(s, d).createOrReplaceTempView("graft_q354_lineitem")
-      // the REPARTITION hint sits on the INNER select of raw columns so the
-      // exchange ships numerics and the format kernel runs on all 8 writer
-      // tasks, not the one-row-group scan task (guide §2.3/§2.5 — measured
-      // 2.1 s in one job on the sf0.1 board with the hint on the outer
-      // projection)
-      s.sql("""INSERT INTO graft_q354.opt.lineq
-        SELECT 'L' AS vendor,
-          format_string('%09d', l_orderkey) AS description,
-          format_string('%09d', l_partkey) AS picker_erk,
-          CAST(CAST(l_quantity AS BIGINT) AS STRING) AS charge_code,
-          concat_ws('-', l_orderkey, l_partkey, l_linenumber) AS po_number
-        FROM (SELECT /*+ REPARTITION(8) */
-            l_orderkey, l_partkey, l_quantity, l_linenumber
-          FROM graft_q354_lineitem) t""")
+      // format WIDE (inner REPARTITION at scale-adaptive width) ONLY when
+      // the scan is provably serial (one part file = one row group — the
+      // kernel was a single 2.1 s job on the sf0.1 board); multi-file
+      // corpora format across the scan's own tasks (q350's measured
+      // lesson). The outer REPARTITION(8) lays out the arrival-order files
+      val insInner =
+        if (graft.util.Sizing.parquetFileCount(d, "lineitem") == 1) {
+          val w = graft.util.Sizing.exchangePartitions(s,
+            graft.util.Sizing.parquetRowCount(d, "lineitem"), 200000L)
+          s"(SELECT /*+ REPARTITION($w) */ " +
+            "l_orderkey, l_partkey, l_quantity, l_linenumber " +
+            "FROM graft_q354_lineitem) t"
+        } else "graft_q354_lineitem"
+      s.sql(s"""INSERT INTO graft_q354.opt.lineq
+        SELECT /*+ REPARTITION(8) */ vendor, description, picker_erk,
+          charge_code, po_number
+        FROM (SELECT 'L' AS vendor,
+            format_string('%09d', l_orderkey) AS description,
+            format_string('%09d', l_partkey) AS picker_erk,
+            CAST(CAST(l_quantity AS BIGINT) AS STRING) AS charge_code,
+            concat_ws('-', l_orderkey, l_partkey, l_linenumber) AS po_number
+          FROM $insInner) f""")
       val call = s.sql("""CALL graft_q354.sys.optimize_cluster(
         tbl => 'opt.lineq', by_x => 'description', by_y => 'picker_erk')""")
         .collect()

@@ -464,18 +464,40 @@ object FormSinkSource {
           else if (y == null) false
           else x.compareTo(y) < 0
         }
-        sorted.grouped(math.min(rowsPerFile, Int.MaxValue).toInt)
-          .foreach { chunk =>
-            val name = s"clustered-$version-${java.util.UUID.randomUUID()}" +
-              SinkCodec.activeExtension()
-            val p = dataDir(path).resolve(name)
-            val cw = new CellsFileWriter(p)
-            val fs =
-              try { chunk.foreach(cw.add); cw.finish() }
-              catch { case e: Throwable => cw.abort(); throw e }
-            created += p
-            newEntries += name -> fs
+        // KEY-ALIGNED chunking: a plain row-count cut can split a run of
+        // EQUAL sort keys across two adjacent output files, whose closed
+        // min/max ranges then touch at the shared key — the very next
+        // incremental CALL would see them as an overlap group and rewrite
+        // them forever (idempotence violated; hit in practice at sf10,
+        // where the scaled corpus carries hundreds of rows per key and a
+        // >rowsPerFile group became two boundary-sharing files). Extend
+        // each chunk through the end of its last key's run so distinct
+        // output files never share a key; file sizes stay advisory.
+        val target = math.min(rowsPerFile, Int.MaxValue).toInt
+        var i = 0
+        while (i < sorted.length) {
+          var end = math.min(i + target, sorted.length)
+          def sameKey(a: Array[UTF8String], b: Array[UTF8String]): Boolean = {
+            val (x, y) = (a(sortIdx), b(sortIdx))
+            if (x == null || y == null) x == null && y == null
+            else x.compareTo(y) == 0
           }
+          while (end < sorted.length && sameKey(sorted(end - 1), sorted(end)))
+            end += 1
+          val name = s"clustered-$version-${java.util.UUID.randomUUID()}" +
+            SinkCodec.activeExtension()
+          val p = dataDir(path).resolve(name)
+          val cw = new CellsFileWriter(p)
+          val fs =
+            try {
+              var j = i
+              while (j < end) { cw.add(sorted(j)); j += 1 }
+              cw.finish()
+            } catch { case e: Throwable => cw.abort(); throw e }
+          created += p
+          newEntries += name -> fs
+          i = end
+        }
       }
     } catch {
       case e: Throwable => created.foreach(Files.deleteIfExists(_)); throw e

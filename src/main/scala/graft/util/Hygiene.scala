@@ -155,6 +155,23 @@ object Sizing {
                    perTask: Long = 50000L): DataFrame =
     df.repartition(exchangePartitions(df.sparkSession, rows, perTask))
 
+  private val fileCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+
+  /** Parquet part-file count of a driver table (memoized, footer-free —
+    * a directory listing). Gates [[spreadKernel]] at WIDE-payload call
+    * sites: for a one-file corpus the spread is the §2.5 fix, but where
+    * the scan already yields many tasks the extra exchange measured a net
+    * LOSS on heavy-row pipelines (q350's sf10 ingest), so those sites
+    * spread only when the scan is provably serial. */
+  def parquetFileCount(d: String, table: String): Int =
+    fileCounts.computeIfAbsent(Scratch.sourceKey(d, table) + "/" + table, _ => {
+      val p = java.nio.file.Paths.get(s"$d/$table.parquet")
+      if (java.nio.file.Files.isDirectory(p))
+        Scratch.listEntries(p).count(_.toString.endsWith(".parquet"))
+      else 1
+    }).intValue()
+
   private val rowCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 

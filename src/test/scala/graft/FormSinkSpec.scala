@@ -112,6 +112,36 @@ class FormSinkSpec extends SparkSpec {
     assert(g2 === 1 && c2 === 0 && rw2 >= 2, s"$g2 $rw2 $c2")
   }
 
+  test("incremental rewrite never splits a key run across files — second call stays a no-op") {
+    // r19 fix: a plain row-count chunk cut could split a run of EQUAL sort
+    // keys across two output files, whose closed ranges then touch at the
+    // shared key — the next CALL saw them as an overlap group forever
+    // (idempotence violated; hit at sf10 where the scaled corpus carries
+    // hundreds of rows per key). Four overlapping commits give every key
+    // ×4; rowsPerFile=30 is not a multiple of the run length, so an
+    // unaligned cut WOULD split a run.
+    val dir = tmp()
+    def app(): Unit =
+      feed(1, 50).repartitionByRange(1, col("po_number"))
+        .sortWithinPartitions(col("po_number"))
+        .write.format(FormSinkSource.Format)
+        .mode(SaveMode.Append).option("path", dir).save()
+    (1 to 4).foreach(_ => app())
+    val Some((v, g, rw, c)) =
+      FormSinkSource.compactClusteredIncremental(dir, "po_number",
+        rowsPerFile = 30)
+    assert(g === 1 && rw === 4 && c === 0, s"v=$v g=$g rw=$rw c=$c")
+    val (_, files) = FormSinkSource.snapshotInfo(dir)
+    assert(files.size > 1, "the cap must force multiple output files")
+    assert(FormSinkSource.compactClusteredIncremental(dir, "po_number",
+      rowsPerFile = 30) === Some((v, 0, 0, files.size)))
+    val back = spark.read.format(FormSinkSource.Format).option("path", dir)
+      .load()
+    assert(back.count() === 4 * feed(1, 50).count())
+    assert(back.select("po_number").distinct().count()
+      === feed(1, 50).count())
+  }
+
   /** Two disjoint clustered commits, then one file's stats STRIPPED from
     * the newest manifest in place (what a pre-stats-era manifest looks
     * like — versioned JSON on disk, edited directly like the crash tests
