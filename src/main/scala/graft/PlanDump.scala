@@ -20,10 +20,19 @@ object PlanDump {
     val suffix = sys.env.getOrElse("SPARK_GRAFT_PLANS_SUFFIX", "")
     val names = sys.env.getOrElse("SPARK_GRAFT_PLANS_QUERIES", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val spark = SparkSession.builder().master("local[8]")
+    val builder = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // same extra-conf pass-through as Bench: tier-forcing confs (e.g.
+    // graft.lpa.broadcastNodes=0) let the dumps show the fallback plans
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder.config(k.trim, v.trim)
+        case _                         => ()
+      }
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(out))
     for (k <- names) {

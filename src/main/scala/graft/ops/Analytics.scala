@@ -1408,9 +1408,18 @@ object Analytics {
         |  CAST((support * nb * 1000000) // (sa * sb) AS BIGINT) AS lift_ppm
         |FROM p, b WHERE support >= 2
         |ORDER BY support DESC, part_a, part_b""".stripMargin) { (s, d) =>
+      // the (o, p) frame hashes on the BASKET KEY alone (r20, the q335
+      // projection doctrine): HashPartitioning(o) satisfies the distinct's
+      // (o, p) clustering, and the cached frame then enters the per-basket
+      // pair stage already clustered — the r19 shape paid one (o, p)
+      // exchange for the distinct plus TWO more o-exchanges for the basket
+      // self-join's sides (guide §2.4)
+      val nAgg = graft.util.Sizing.exchangePartitions(s,
+        graft.util.Sizing.parquetRowCount(d, "lineitem"))
       val items = graft.util.CacheOnce.persistForOneAction(
         Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct())
+          .select(col("l_orderkey"), col("l_partkey"))
+          .repartition(nAgg, col("l_orderkey")).distinct())
       // basket count as a broadcast 1-row frame, NOT a driver-side count():
       // query builders stay lazy (the eager-work-per-construction class)
       val nb = items.agg(countDistinct(col("l_orderkey")).as("nb"))
@@ -1418,16 +1427,38 @@ object Analytics {
       // size-gated broadcast of the item-support side (|parts|-bounded, a
       // contract-small dimension at the gated tiers): the map-side join
       // keeps the cached items frame un-exchanged on its way into the
-      // basket self-join; past the 64 MB gate it degrades to the shuffle
-      // join unchanged (guide §3.1)
+      // per-basket pair stage; past the 64 MB gate it degrades to the
+      // shuffle join unchanged (guide §3.1)
       val f = items.join(
         graft.util.Broadcasts.broadcastIfSmall(isup.filter(col("s") >= 2)),
         "l_partkey")
-      val a = f.select(col("l_orderkey"), col("l_partkey").as("part_a"),
-        col("s").as("sa"))
-      val b = f.select(col("l_orderkey"), col("l_partkey").as("part_b"),
-        col("s").as("sb"))
-      a.join(b, Seq("l_orderkey")).filter(col("part_a") < col("part_b"))
+      // per-basket pair GENERATION instead of the o-keyed self-join (r20,
+      // the r17 q335 finding): one collect_list per basket (bounded at
+      // basket width ≤ 7 — items is distinct, so the list is exactly the
+      // basket's surviving item set) and a generator emit the sorted
+      // (a < b) pairs with their supports attached — the join's w²
+      // intermediate (both orders + the diagonal, filtered afterwards) is
+      // never materialized and the o-partitioned cache feeds the groupBy
+      // exchange-free. s is functionally dependent on p, so carrying it
+      // through the generator and max()-folding it in the census is
+      // bit-identical to the join form the oracle states.
+      val baskets = f.groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(struct(
+          col("l_partkey").as("p"), col("s").as("sv")))).as("ps"))
+      val pairT = "array<struct<pa:bigint,sa:bigint,pb:bigint,sb:bigint>>"
+      baskets
+        .select(explode(when(size(col("ps")) < 2, array().cast(pairT))
+          .otherwise(flatten(transform(
+            sequence(lit(0), size(col("ps")) - 2), i =>
+              transform(
+                slice(col("ps"), i + 2, size(col("ps")) - i - 1),
+                x => struct(
+                  element_at(col("ps"), i + 1).getField("p").as("pa"),
+                  element_at(col("ps"), i + 1).getField("sv").as("sa"),
+                  x.getField("p").as("pb"),
+                  x.getField("sv").as("sb"))))))).as("e"))
+        .select(col("e.pa").as("part_a"), col("e.pb").as("part_b"),
+          col("e.sa").as("sa"), col("e.sb").as("sb"))
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("support"), max(col("sa")).as("sa"),
           max(col("sb")).as("sb"))

@@ -158,9 +158,14 @@ object GraphOps {
       s"All-integer PageRank ($Iters rounds, damping 0.85, mass 1e12 units) over the undirected part↔supplier co-occurrence graph from lineitem: each round is one rank⋈edges equi-join + one groupBy(dst) long-sum — O(E) shuffle of 8-byte values, the BSP shape that holds at any graph scale. Every contribution is a long floor-division, so ranks are exact integers: no float summation order to diverge between engines, partitionings or cluster sizes. Top-20 hubs with a total (rank, id) order.",
       pagerankSql) { (s, d) =>
       // the edge list feeds every round — materialize once, hash-partitioned
-      // ON THE DESTINATION: the per-round contribution aggregate groups by v
-      // and inherits the cached partitioning (guide §2.4 — one exchange at
-      // construction instead of one per round). Plain persist, not
+      // ON THE SOURCE (r20, guide §2.4): u-partitioning serves BOTH tiers.
+      // The array-tier round groups by u and resolves v's contribution by
+      // broadcast array index (≡ the old groupBy(v)+lookup(u) because the
+      // frame is symmetric: it holds (a,b) iff (b,a)), so it stays
+      // exchange-free; and the FALLBACK's per-round rank⋈edges join on u now
+      // inherits the cached partitioning too, so past the gate only the O(V)
+      // rank frame moves per round — the r19 fallback re-shuffled O(E) edges
+      // every round against a v-partitioned cache. Plain persist, not
       // persistForOneAction: the array tier below runs one action per round
       // and the harness's inter-query sweep reclaims the cache (q326's Lpa
       // contract).
@@ -170,12 +175,13 @@ object GraphOps {
       val nEdge = graft.util.Sizing.exchangePartitions(s,
         2L * graft.util.Sizing.parquetRowCount(d, "lineitem"))
       val edges = ed.unionAll(ed.select(col("v").as("u"), col("u").as("v")))
-        .repartition(nEdge, col("v")).persist()
-      // in-degree == out-degree on the symmetrized frame: grouping by v is
-      // exchange-free over the v-partitioned cache and yields the identical
-      // degree census the original groupBy(u) computed
-      val degF = edges.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-        .select(col("v").as("u"), col("deg"))
+        .repartition(nEdge, col("u")).persist()
+      // in-degree == out-degree on the symmetrized frame: grouping by u is
+      // exchange-free over the u-partitioned cache and yields the identical
+      // degree census the original groupBy(v) computed. Persisted (O(V)):
+      // the gate head, the array tier's collect and the fallback's per-round
+      // rank rebuilds all re-aggregated it from the O(E) cache before (r20)
+      val degF = edges.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist()
       // one plan-time sizing head(): node count (broadcast gate) + max id
       // (dense-id gate) — the q326 Lpa gate pair
       val gate = degF.agg(count(lit(1)), coalesce(max(col("u")), lit(-1L))).head()
@@ -190,8 +196,12 @@ object GraphOps {
         // the V-entry UnsafeRow hash relation. Arithmetic is the same
         // all-positive long floor-division chain, so ranks are
         // bit-identical to the join/aggregate fallback below.
+        // (Primitive collects throughout — guide §5: the boxed Row path
+        // transiently allocated ~10× the 16 payload bytes per node on the
+        // driver, which at the 4M-node gate is hundreds of MB per round.)
         val deg = new Array[Long](maxId.toInt + 1)
-        degF.collect().foreach(r => deg(r.getLong(0).toInt) = r.getLong(1))
+        graft.util.DriverCollect.foreachLongPair(degF)((u, dg) =>
+          deg(u.toInt) = dg)
         val base0 = 1000000000000L / nNodes
         val base = 150000000000L / nNodes
         var rank = Array.tabulate(maxId.toInt + 1)(i =>
@@ -206,13 +216,15 @@ object GraphOps {
           val bc = s.sparkContext.broadcast(contrib)
           // every node of the symmetrized frame has an in-edge, so this
           // covers the full node set — the fallback's left join + coalesce
-          // is defensive slack the construction makes unreachable
-          val sums =
-            try edges.groupBy(col("v"))
-              .agg(sum(arrayLookup(bc, col("u"))).as("c")).collect()
-            finally bc.destroy()
+          // is defensive slack the construction makes unreachable. groupBy(u)
+          // with the contribution looked up on v ≡ the oracle's groupBy(v)
+          // with lookup(u): the symmetric frame makes the two row sets equal.
           val next = new Array[Long](maxId.toInt + 1)
-          sums.foreach(r => next(r.getLong(0).toInt) = base + r.getLong(1))
+          try graft.util.DriverCollect.foreachLongPair(
+            edges.groupBy(col("u"))
+              .agg(sum(arrayLookup(bc, col("v"))).as("c")))((v, c) =>
+            next(v.toInt) = base + c)
+          finally bc.destroy()
           rank = next
         }
         val top = (0 to maxId.toInt).iterator
@@ -220,21 +232,30 @@ object GraphOps {
           .map(i => (i.toLong, rank(i))).toArray
           .sortBy { case (u, r) => (-r, u) }
           .take(20)
+        // the result is a driver-side literal — nothing below references
+        // the caches, so reclaim them here (r19 verdict hygiene item)
+        degF.unpersist(false)
+        edges.unpersist(false)
         import s.implicits._
         top.toSeq.toDF("node_id", "rank_e12")
       } else {
-        // past-gate fallback: the original one-shuffle-per-round BSP loop
-        // (rank frame carries (u, deg, r) so each round is one join + one
-        // aggregate), lazy end to end
+        // past-gate fallback, CO-PARTITIONED (r20, guide §2.4/§3.1): the
+        // per-round rank⋈edges join keys on u, which the cache is now
+        // partitioned on — the O(E) edge side never re-exchanges, only the
+        // O(V) rank frame moves, and the SHUFFLE_HASH hint builds the hash
+        // table on that small side so the cached side is never sorted
+        // either (r19 shape: v-partitioned cache ⇒ every round exchanged
+        // AND sorted O(E) rows). The census groupBy then exchanges only
+        // map-side-combined partial sums.
         val nn = degF.agg(count(lit(1)).as("n"))
         var r = degF.crossJoin(broadcast(nn))
           .selectExpr("u", "deg", "1000000000000 div n AS r")
         for (_ <- 1 to Iters) {
-          val contrib = edges.join(r, "u")
+          val contrib = edges.join(r.hint("shuffle_hash"), "u")
             .selectExpr("v AS u", "(r * 85) div (100 * deg) AS c")
             .groupBy(col("u")).agg(sum(col("c")).as("c"))
           r = degF.crossJoin(broadcast(nn))
-            .join(contrib, Seq("u"), "left")
+            .join(contrib.hint("shuffle_hash"), Seq("u"), "left")
             .selectExpr("u", "deg", "(150000000000 div n) + coalesce(c, 0) AS r")
         }
         r.orderBy(col("r").desc, col("u"))
@@ -250,16 +271,19 @@ object GraphOps {
       val ed = Tables.lineitem(s, d)
         .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
         .distinct()
-      // destination-partitioned persisted edges + the q326 gate pair, as in
-      // q130: under the gate each round is ONE zero-exchange aggregate over
-      // the cache with the O(V) distance vector broadcast as a primitive
-      // array; past it, the original union+min-agg BSP loop runs unchanged
+      // source-partitioned persisted edges + the q326 gate pair, as in q130
+      // (r20): under the gate each round is ONE zero-exchange aggregate over
+      // the cache (groupBy(u) + lookup(v) ≡ the old groupBy(v) + lookup(u)
+      // on the symmetric frame); past it, the union+min-agg BSP loop's
+      // frontier join keys on u and now inherits the cached partitioning —
+      // only the O(V) distance frame moves per round
       val nEdge = graft.util.Sizing.exchangePartitions(s,
         2L * graft.util.Sizing.parquetRowCount(d, "lineitem"))
       val edges = ed.unionAll(ed.select(col("v").as("u"), col("u").as("v")))
-        .repartition(nEdge, col("v")).persist()
-      val degF = edges.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-        .select(col("v").as("u"), col("deg"))
+        .repartition(nEdge, col("u")).persist()
+      // persisted O(V): gate head + array-tier collect were two O(E) cache
+      // aggregates before (r20)
+      val degF = edges.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist()
       val gate = degF.agg(count(lit(1)), coalesce(max(col("u")), lit(-1L))).head()
       val (nNodes, maxId) = (gate.getLong(0), gate.getLong(1))
       if (arrayTier(s, nNodes, maxId)) {
@@ -269,23 +293,23 @@ object GraphOps {
         // never wins a min against a real frontier value
         val Inf = Long.MaxValue / 4
         val deg = new Array[Long](maxId.toInt + 1)
-        degF.collect().foreach(r => deg(r.getLong(0).toInt) = r.getLong(1))
+        graft.util.DriverCollect.foreachLongPair(degF)((u, dg) =>
+          deg(u.toInt) = dg)
         var dist = Array.tabulate(maxId.toInt + 1)(i =>
           if (deg(i) > 0) Inf else 0L)
         // seed = min node id (first assigned slot of the dense domain)
         dist((0 to maxId.toInt).find(deg(_) > 0).get) = 0L
         for (_ <- 1 to BfsRounds) {
           val bc = s.sparkContext.broadcast(dist)
-          val mins =
-            try edges.groupBy(col("v"))
-              .agg(min(arrayLookup(bc, col("u"))).as("md")).collect()
-            finally bc.destroy()
+          // groupBy(u) + lookup(v) ≡ groupBy(v) + lookup(u): symmetric frame
           val next = dist.clone()
-          mins.foreach { r =>
-            val v = r.getLong(0).toInt
-            val cand = r.getLong(1) + 1
-            if (cand < next(v)) next(v) = cand
-          }
+          try graft.util.DriverCollect.foreachLongPair(
+            edges.groupBy(col("u"))
+              .agg(min(arrayLookup(bc, col("v"))).as("md")))((v, md) => {
+            val cand = md + 1
+            if (cand < next(v.toInt)) next(v.toInt) = cand
+          })
+          finally bc.destroy()
           dist = next
         }
         val hist = (0 to maxId.toInt).iterator
@@ -294,14 +318,22 @@ object GraphOps {
           .groupBy(identity).toSeq
           .map { case (dd, vs) => (dd, vs.size.toLong) }
           .sortBy(_._1)
+        // driver-side literal result: reclaim the caches here
+        degF.unpersist(false)
+        edges.unpersist(false)
         import s.implicits._
         hist.toDF("dist", "n_nodes").orderBy(col("dist"))
       } else {
-        // seed = min node id, kept as a 1-row FRAME (no driver round trip)
-        val nodes = edges.select(col("u")).distinct()
-        var dist = nodes.agg(min(col("u")).as("u")).select(col("u"), lit(0L).as("d"))
+        // seed = min node id, kept as a 1-row FRAME (no driver round trip);
+        // the persisted degree frame IS the distinct node set (r20 — the
+        // distinct() here was a second O(E) pass over the edge cache)
+        var dist = degF.agg(min(col("u")).as("u")).select(col("u"), lit(0L).as("d"))
         for (_ <- 1 to BfsRounds) {
-          val hop = edges.join(dist.withColumnRenamed("u", "fu"),
+          // frontier join keys on u = the cache's partitioning (r20): the
+          // O(E) side never re-exchanges, the O(V) frontier ships to it and
+          // builds the hash side (shuffle_hash: no sort of the cached side)
+          val hop = edges.join(dist.withColumnRenamed("u", "fu")
+                .hint("shuffle_hash"),
               col("u") === col("fu"))
             .select(col("v").as("u"), (col("d") + 1).as("d"))
           // eager localCheckpoint per round: keeps the lineage (and codegen
@@ -310,6 +342,10 @@ object GraphOps {
             .groupBy(col("u")).agg(min(col("d")).as("d"))
             .localCheckpoint()
         }
+        // the final frame is checkpointed — its lineage no longer touches
+        // the caches, so reclaim them here
+        degF.unpersist(false)
+        edges.unpersist(false)
         dist.groupBy(col("d").as("dist"))
           .agg(count(lit(1)).as("n_nodes"))
           .orderBy(col("dist"))
@@ -475,26 +511,30 @@ object GraphOps {
       val ed = Tables.lineitem(s, d)
         .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
         .distinct()
-      // destination-partitioned persisted edges + the q326 gate pair (the
-      // q130/q176 shape): peeling is MONOTONE, so round i's edge frame is
-      // the ORIGINAL frame filtered by the current survivor set — under the
-      // gate each round is one zero-exchange filter+aggregate over the
+      // source-partitioned persisted edges + the q326 gate pair (the
+      // q130/q176 shape, r20): peeling is MONOTONE, so round i's edge frame
+      // is the ORIGINAL frame filtered by the current survivor set — under
+      // the gate each round is one zero-exchange filter+aggregate over the
       // cache with the survivor set broadcast as a primitive array, and
-      // nothing O(E) crosses the wire after the one-time repartition
+      // nothing O(E) crosses the wire after the one-time repartition; the
+      // fallback's first per-round semi-join keys on u and inherits the
+      // cache too (see the alternating-key loop below)
       val nEdge = graft.util.Sizing.exchangePartitions(s,
         2L * graft.util.Sizing.parquetRowCount(d, "lineitem"))
       val edges = ed.unionAll(ed.select(col("v").as("u"), col("u").as("v")))
-        .repartition(nEdge, col("v")).persist()
-      // in-degree == out-degree on the symmetric frame: groupBy(v) is
-      // exchange-free over the cache and equals the original groupBy(u)
-      val degF = edges.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-        .select(col("v").as("u"), col("deg"))
+        .repartition(nEdge, col("u")).persist()
+      // in-degree == out-degree on the symmetric frame: groupBy(u) is
+      // exchange-free over the cache and equals the original groupBy(v).
+      // Persisted O(V): gate head + array collect / fallback threshold were
+      // separate O(E) cache aggregates before (r20)
+      val degF = edges.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist()
       val gateR = degF.agg(count(lit(1)), coalesce(max(col("u")), lit(-1L))).head()
       val (nNodes, maxId) = (gateR.getLong(0), gateR.getLong(1))
       if (arrayTier(s, nNodes, maxId)) {
         import s.implicits._
         val deg0 = new Array[Long](maxId.toInt + 1)
-        degF.collect().foreach(r => deg0(r.getLong(0).toInt) = r.getLong(1))
+        graft.util.DriverCollect.foreachLongPair(degF)((u, dg) =>
+          deg0(u.toInt) = dg)
         // lower-median k by the same cumulative selection over the degree
         // histogram, in exact integers (the frame below replicates it 1:1)
         val histo = scala.collection.immutable.SortedMap.empty[Long, Long] ++
@@ -523,13 +563,16 @@ object GraphOps {
           if (converged) rows += rows.last.copy(_1 = i)
           else {
             val bc = s.sparkContext.broadcast(surv)
-            val cnt =
-              try edges.filter(arrayLookup(bc, col("u")) === 1L &&
-                  arrayLookup(bc, col("v")) === 1L)
-                .groupBy(col("v")).agg(count(lit(1)).as("deg")).collect()
-              finally bc.destroy()
+            // groupBy(u) over the u-partitioned cache (the filter condition
+            // is symmetric, so the filtered frame stays symmetric and the
+            // u-census equals the v-census); primitive collect per §5
             val degI = new Array[Long](maxId.toInt + 1)
-            cnt.foreach(r => degI(r.getLong(0).toInt) = r.getLong(1))
+            try graft.util.DriverCollect.foreachLongPair(
+              edges.filter(arrayLookup(bc, col("u")) === 1L &&
+                  arrayLookup(bc, col("v")) === 1L)
+                .groupBy(col("u")).agg(count(lit(1)).as("deg")))((u, dg) =>
+              degI(u.toInt) = dg)
+            finally bc.destroy()
             val r = censusOf(degI)
             surv = degI.map(dg => if (dg >= k) 1L else 0L)
             converged =
@@ -537,10 +580,27 @@ object GraphOps {
             rows += ((i, r._1, r._2, r._3))
           }
         }
+        // driver-side literal result: reclaim the caches here
+        degF.unpersist(false)
+        edges.unpersist(false)
         rows.toSeq.toDF("round", "n_nodes", "n_edges", "sum_nodes")
           .orderBy(col("round"))
       } else {
+      // past-gate fallback, ALTERNATING-KEY co-partition (r20, §2.4): the
+      // frame enters u-partitioned from the cache; each round's FIRST
+      // semi-join keys on the frame's current partitioning (exchange-free,
+      // survivor set ships as the SHUFFLE_HASH build side), the SECOND pays
+      // the round's single O(E) exchange and leaves the frame partitioned
+      // on the OTHER key — which the survivor-degree census (groupBy over a
+      // symmetric frame: u-census ≡ v-census) and the next round's first
+      // join then inherit. r19 shape: TWO O(E) exchanges per round plus a
+      // partial-map census exchange. Rounds persist() instead of
+      // localCheckpoint (a checkpointed frame loses its outputPartitioning
+      // — the Lpa finding); the census materializes each round eagerly and
+      // the previous round's cache is dropped right after.
       var e: org.apache.spark.sql.DataFrame = edges
+      var eOnU = true // which key the frame is currently partitioned on
+      var owned: Option[org.apache.spark.sql.DataFrame] = None
       val d0 = degF.select(col("u"), col("deg"))
       // lower-median degree by cumulative selection over the degree
       // histogram — a bounded-domain frame, never a node sort
@@ -549,10 +609,14 @@ object GraphOps {
       val wUp = org.apache.spark.sql.expressions.Window.orderBy(col("deg"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
+      // 1-row frame, checkpointed: every round's survivor rebuild embeds it
+      // under a broadcast, which would otherwise re-run the histogram
+      // selection against the degree cache once per round
       val kk = h.crossJoin(broadcast(t))
         .withColumn("cum", sum(col("n")).over(wUp))
         .filter(col("cum") * 2 >= col("total"))
         .agg(min(col("deg")).as("k"))
+        .localCheckpoint()
       var surv = d0.crossJoin(broadcast(kk))
         .filter(col("deg") >= col("k")).select(col("u"))
         .localCheckpoint()
@@ -577,19 +641,42 @@ object GraphOps {
       for (i <- 1 to KCoreRounds) {
         if (converged) rows += rows.last.copy(_1 = i)
         else {
-          e = e.join(surv.select(col("u").as("au")), col("u") === col("au"))
-            .join(surv.select(col("u").as("bu")), col("v") === col("bu"))
-            .select(col("u"), col("v"))
-            .localCheckpoint()
-          surv = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          val sa = surv.select(col("u").as("au")).hint("shuffle_hash")
+          val sb = surv.select(col("u").as("bu")).hint("shuffle_hash")
+          val filtered =
+            if (eOnU)
+              e.join(sa, col("u") === col("au"))
+                .join(sb, col("v") === col("bu"))
+            else
+              e.join(sb, col("v") === col("bu"))
+                .join(sa, col("u") === col("au"))
+          val eNew = filtered.select(col("u"), col("v")).persist()
+          // the edge census FIRST: it materializes (and finalizes) the
+          // cache, so the survivor census planned right after it SEES the
+          // cached partitioning (a cold AQE-wrapped cache reports unknown
+          // partitioning and the groupBy would re-exchange)
+          val er = eNew.agg(count(lit(1))).head().getLong(0)
+          eOnU = !eOnU // the second join's key is the frame's new layout
+          val gk = if (eOnU) "u" else "v"
+          surv = eNew.groupBy(col(gk)).agg(count(lit(1)).as("deg"))
             .crossJoin(broadcast(kk))
-            .filter(col("deg") >= col("k")).select(col("u"))
+            .filter(col("deg") >= col("k")).select(col(gk).as("u"))
             .localCheckpoint()
-          val r = censusOf(i, surv, e)
+          val sr = surv.agg(count(lit(1)), coalesce(sum(col("u")), lit(0L))).head()
+          val r = (i, sr.getLong(0), er, sr.getLong(1))
+          owned.foreach(_.unpersist(false))
+          owned = Some(eNew)
+          e = eNew
           converged = (r._2, r._3, r._4) == (rows.last._2, rows.last._3, rows.last._4)
           rows += r
         }
       }
+      // the census rows are plain driver tuples — nothing below references
+      // the round caches, so reclaim them here instead of leaking them to
+      // the harness sweep (r19 verdict hygiene item)
+      owned.foreach(_.unpersist(false))
+      degF.unpersist(false)
+      edges.unpersist(false)
       import s.implicits._
       rows.toSeq.toDF("round", "n_nodes", "n_edges", "sum_nodes")
         .orderBy(col("round"))
@@ -939,8 +1026,8 @@ object GraphOps {
       * engine's own broadcast build does, minus the hash relation. */
     private def labelArray(lab: org.apache.spark.sql.DataFrame): Array[Long] = {
       val arr = Array.fill[Long](maxNodeId.toInt + 1)(-1L)
-      lab.select(col("node"), col("lab")).collect()
-        .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      graft.util.DriverCollect.foreachLongPair(
+        lab.select(col("node"), col("lab")))((n, l) => arr(n.toInt) = l)
       arr
     }
     /** lookup(c) under a per-round broadcast of [[labelArray]]. */
