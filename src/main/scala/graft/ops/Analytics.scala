@@ -86,12 +86,16 @@ object Analytics {
         |  CAST(count(*) - count(v) AS BIGINT) AS n_interp,
         |  CAST(sum(filled) AS BIGINT) AS sum_filled
         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
-      val known = Tables.events(s, d)
-        .select(col("user_id"),
-          (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("h"),
-          cents(col("value")).as("c"))
-        .groupBy(col("user_id"), col("h"))
-        .agg(sum(col("c")).as("v"))
+      // persisted for the one action (r20, §1.4): the hourly census feeds
+      // BOTH the per-user bounds aggregate (grid) and the grid's left join
+      // back — without the cache the events scan + groupBy ran twice
+      val known = graft.util.CacheOnce.persistForOneAction(
+        Tables.events(s, d)
+          .select(col("user_id"),
+            (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("h"),
+            cents(col("value")).as("c"))
+          .groupBy(col("user_id"), col("h"))
+          .agg(sum(col("c")).as("v")))
       val grid = known.groupBy(col("user_id"))
         .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
         .select(col("user_id"), explode(sequence(col("lo"), col("hi"), lit(3600L))).as("h"))
@@ -445,11 +449,29 @@ object Analytics {
         |FROM p GROUP BY part_a, part_b
         |HAVING count(*) >= 3
         |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = li.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("part_b"))
-      a.join(b, col("l_orderkey") === col("ok_b") && col("part_a") < col("part_b"))
+      // per-basket pair GENERATION instead of the o-keyed self-join (r20 —
+      // the q321/q335 shape): hash on the basket key alone, dedup (o, p)
+      // inside collect_set (so the separate distinct disappears too), and
+      // emit the sorted (a < b) pairs from each bounded basket array — the
+      // join's w² intermediate is never materialized and the self-join's
+      // second o-exchange disappears (guide §2.4/§3)
+      val nAgg = graft.util.Sizing.exchangePartitions(s,
+        graft.util.Sizing.parquetRowCount(d, "lineitem"))
+      val baskets = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(nAgg, col("l_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      val pairT = "array<struct<pa:bigint,pb:bigint>>"
+      baskets
+        .select(explode(when(size(col("ps")) < 2, array().cast(pairT))
+          .otherwise(flatten(transform(
+            sequence(lit(0), size(col("ps")) - 2), i =>
+              transform(
+                slice(col("ps"), i + 2, size(col("ps")) - i - 1),
+                x => struct(element_at(col("ps"), i + 1).as("pa"),
+                  x.as("pb"))))))).as("e"))
+        .select(col("e.pa").as("part_a"), col("e.pb").as("part_b"))
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 3)

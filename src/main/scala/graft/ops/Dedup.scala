@@ -203,12 +203,17 @@ object Dedup {
            |FROM pairs GROUP BY decile ORDER BY decile""".stripMargin
       }) { (s, d) =>
       // (doc_id, 60-bit shingle fingerprint): longs shuffle, never shingle
-      // strings; feeds the pair census, the governor AND the signature tier
-      val sh = graft.util.CacheOnce.persistForOneAction(
+      // strings; feeds the pair census, the governor AND the signature tier.
+      // h60 moved INSIDE the cache (r20, §1.4): the census tier read
+      // h60(sh) and the signature tier read h60(sh) again, so the md5
+      // kernel ran twice over the full shingle census and the cache held
+      // shingle STRINGS — hashing before the persist runs it once and the
+      // cached rows shrink to two longs
+      val hh = graft.util.CacheOnce.persistForOneAction(
         Tables.documents(s, d)
           .select(col("doc_id"),
-            explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh")))
-      val hh = sh.select(col("doc_id"), h60(col("sh")).as("h"))
+            explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+          .select(col("doc_id"), h60(col("sh")).as("h")))
       val sz = hh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       // bucket safety cap (q44 doctrine, oracle-mirrored; the measured sf10
       // max occupancy is 28 so it never binds on THIS corpus — it exists
@@ -234,7 +239,7 @@ object Dedup {
         .filter(col("prn") <= 32).drop("prn")
       val as = hashParams.map(_._1).toArray
       val bs = hashParams.map(_._2).toArray
-      val sig = sh.withColumn("hs", pmod(h60(col("sh")), lit(P)))
+      val sig = hh.withColumn("hs", pmod(col("h"), lit(P)))
         .groupBy(col("doc_id"))
         .agg(graft.functions.GraftFunctions.minhashAgg(col("hs"), as, bs, P).as("sig"))
       val pairs = pc
@@ -950,11 +955,17 @@ object Dedup {
         .withColumn("hc", pmod(
           h60(concat(col("fp").cast("string"), lit("#"),
             col("c").cast("string"))), lit(P)))
-      val sig = exp.groupBy(col("doc_id"))
-        .agg(graft.functions.GraftFunctions.minhashAgg(col("hc"), as, bs, P)
-          .as("sig"))
-        .select((col("doc_id") +: hashParams.indices.map(i =>
-          col("sig").getItem(i).as(f"mh$i%02d"))): _*)
+      // persisted for the one final action: the signature frame feeds THREE
+      // plan branches (banding, the est join's a-side and b-side) and plans
+      // don't ReuseExchange across them — the r20 profile read the
+      // ObjectHashAggregate pair 8x in the physical plan, i.e. the whole
+      // replicated-census md5 expansion re-ran per branch (guide §1.4)
+      val sig = graft.util.CacheOnce.persistForOneAction(
+        exp.groupBy(col("doc_id"))
+          .agg(graft.functions.GraftFunctions.minhashAgg(col("hc"), as, bs, P)
+            .as("sig"))
+          .select((col("doc_id") +: hashParams.indices.map(i =>
+            col("sig").getItem(i).as(f"mh$i%02d"))): _*))
       // 4×8 banding (see the oracle note: denser unigram universe → higher
       // threshold) + the 256-member bucket governor (rank by doc_id,
       // oracle-mirrored): candidate volume per bucket bounded at 256²/2
@@ -971,11 +982,16 @@ object Dedup {
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("band"), col("key")).orderBy(col("doc_id"))))
         .filter(col("rn") <= 256).drop("rn")
-      val pairs = bk.select(col("doc_id").as("da"), col("band"), col("key"))
-        .join(bk.select(col("doc_id").as("db"), col("band"), col("key")),
-          Seq("band", "key"))
-        .filter(col("da") < col("db"))
-        .select(col("da"), col("db")).distinct()
+      // also one-action-persisted: the governed pair frame feeds BOTH the
+      // estimate branch and the exact-verify branch, and without the cache
+      // the banding window + bucket self-join + dedup ran twice (the r20
+      // before-plan shows the Window tier 4x: 2 bk sides x 2 branches)
+      val pairs = graft.util.CacheOnce.persistForOneAction(
+        bk.select(col("doc_id").as("da"), col("band"), col("key"))
+          .join(bk.select(col("doc_id").as("db"), col("band"), col("key")),
+            Seq("band", "key"))
+          .filter(col("da") < col("db"))
+          .select(col("da"), col("db")).distinct())
       val sa = sig.select((col("doc_id").as("da") +: (0 until 32).map(i =>
         col(f"mh$i%02d").as(f"a$i%02d"))): _*)
       val sb = sig.select((col("doc_id").as("db") +: (0 until 32).map(i =>

@@ -709,25 +709,67 @@ object GraphOps {
             coalesce(expr("bit_xor(x)"), lit(0L))).head()
         (round, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       }
-      val rows = scala.collection.mutable.ArrayBuffer(censusOf(0, lab))
-      var converged = false
-      for (i <- 1 to LpaRounds) {
-        if (converged) rows += rows.last.copy(_1 = i)
-        else {
-          // round 1 runs from the identity assignment — the min-neighbor
-          // degenerate form is bit-identical (see Lpa.roundIdentity)
-          lab = if (i == 1) lpa.roundIdentity else lpa.round(lab)
-          val r = censusOf(i, lab)
-          // identical full-assignment fingerprint across consecutive rounds
-          // is a true fixpoint (the synchronous update is a deterministic
-          // function of the assignment), so further rounds replay it
-          converged =
-            (r._2, r._3, r._4, r._5) == (rows.last._2, rows.last._3, rows.last._4, rows.last._5)
-          rows += r
+      val outRows = if (lpa.arrayTier) {
+        // array tier (r20): rounds run assignment-array → assignment-array
+        // (ONE job each), censuses computed driver-side from the same
+        // array, fixpoint by exact array equality. Round 0 is the identity
+        // assignment, whose census is (nodeCount, Σ node ids, 1) — already
+        // known from the gate aggregate, no job at all.
+        val rows = scala.collection.mutable.ArrayBuffer(
+          (0, lpa.nodeCount, lpa.nodeIdSum,
+            if (lpa.nodeCount == 0L) 0L else 1L))
+        var arr: Array[Long] = null
+        var converged = false
+        for (i <- 1 to LpaRounds) {
+          if (converged) rows += rows.last.copy(_1 = i)
+          else {
+            val next =
+              if (i == 1) lpa.roundIdentityArray else lpa.roundArray(arr)
+            // exact fixpoint: round 1 compares against the identity
+            // assignment (next(n) == n on every assigned slot), later
+            // rounds against the previous array
+            converged =
+              if (i == 1) {
+                var same = true
+                var n = 0
+                while (same && n < next.length) {
+                  if (next(n) != -1L && next(n) != n.toLong) same = false
+                  n += 1
+                }
+                same
+              } else java.util.Arrays.equals(next, arr)
+            arr = next
+            val c = censusOfArray(arr)
+            rows += ((i, c._1, c._2, c._3))
+          }
         }
+        rows.toSeq
+      } else {
+        val rows = scala.collection.mutable.ArrayBuffer(censusOf(0, lab))
+        var converged = false
+        for (i <- 1 to LpaRounds) {
+          if (converged) rows += rows.last.copy(_1 = i)
+          else {
+            // round 1 runs from the identity assignment — the min-neighbor
+            // degenerate form is bit-identical (see Lpa.roundIdentity)
+            lab = if (i == 1) lpa.roundIdentity else lpa.round(lab)
+            val r = censusOf(i, lab)
+            // identical full-assignment fingerprint across consecutive rounds
+            // is a true fixpoint (the synchronous update is a deterministic
+            // function of the assignment), so further rounds replay it
+            converged =
+              (r._2, r._3, r._4, r._5) == (rows.last._2, rows.last._3, rows.last._4, rows.last._5)
+            rows += r
+          }
+        }
+        rows.toSeq.map(t => (t._1, t._2, t._3, t._4))
       }
+      // the census rows are plain driver tuples — nothing below references
+      // the edge cache, so reclaim it here instead of leaking it to the
+      // harness sweep (the q310 hygiene precedent)
+      lpa.e.unpersist(false)
       import s.implicits._
-      rows.toSeq.map(t => (t._1, t._2, t._3, t._4))
+      outRows
         .toDF("round", "n_labels", "sum_labels", "max_comm")
         .orderBy(col("round"))
     },
@@ -736,8 +778,7 @@ object GraphOps {
       "q333_lpa_modularity",
       s"Newman modularity of the q326 label-propagation partition — the metric that says whether the communities MEAN anything (Q compares internal-edge mass to the degree-preserving random expectation), in EXACT integer arithmetic: Q = (2m·Σᵢc − Σ d_c²) / (4m²) where Σᵢc counts DIRECTED same-label edge endpoints (so the ÷2 for undirected internal edges cancels against 2m — no halving anywhere) and d_c is each community's degree mass; the single floor-division happens once, offset positive first because Q can be negative and Spark's `div` truncates toward zero while DuckDB's `//` floors — they agree only on non-negatives (Q ≥ −1 bounds the shift). On THIS graph the metric reads exactly −0.5, the floor of Q's range — the textbook signature of synchronous LPA's bipartite two-coloring oscillation (labels ping-pong between the part and supplier sides, so internal-edge mass is ZERO): catching that pathology is precisely why a structure finder ships with its measured quality number (q266's recall-eval doctrine applied to communities — a pipeline gates on Q and learns it must PROJECT a bipartite graph to one mode, q208's wedge tier, before community detection). Cost beyond the $LpaRounds LPA rounds: one O(E) two-sided label join + two census aggregates.",
       lpaModularitySql) { (s, d) =>
-      val (lpa, lab) = lpaGraph(s, d)
-      modularityOf(lpa, lab)
+      lpaModularity(lpaGraph(s, d))
     },
 
     GraftQuery(
@@ -783,14 +824,25 @@ object GraphOps {
         .select(col("e.u").as("u"), col("e.v").as("v"))
         .repartition(nDedup, col("u"), col("v")).distinct()
       val lpa = new Lpa(und)
-      val lab = lpa.labels
-      val nn = lab.agg(count(lit(1)).as("n_nodes"))
-      val mx = lab.groupBy(col("lab")).agg(count(lit(1)).as("c"))
-        .agg(max(col("c")).as("max_comm"))
-      modularityOf(lpa, lab)
-        .crossJoin(broadcast(nn)).crossJoin(broadcast(mx))
-        .select(col("n_nodes"), col("m"), col("n_communities"),
-          col("max_comm"), col("q_ppm"))
+      if (lpa.arrayTier) {
+        // the final-assignment census (n_nodes, max community size) falls
+        // out of the same driver array the rounds already produced — the
+        // two distributed aggregates (and their jobs) disappear
+        val arr = lpa.labelsArray
+        val (_, _, maxComm) = censusOfArray(arr)
+        modularityFrom(lpa, lpa.perNodeDegSameArr(arr))
+          .select(lit(lpa.nodeCount).as("n_nodes"), col("m"),
+            col("n_communities"), lit(maxComm).as("max_comm"), col("q_ppm"))
+      } else {
+        val lab = lpa.labels
+        val nn = lab.agg(count(lit(1)).as("n_nodes"))
+        val mx = lab.groupBy(col("lab")).agg(count(lit(1)).as("c"))
+          .agg(max(col("c")).as("max_comm"))
+        modularityFrom(lpa, lpa.perNodeDegSame(lab))
+          .crossJoin(broadcast(nn)).crossJoin(broadcast(mx))
+          .select(col("n_nodes"), col("m"), col("n_communities"),
+            col("max_comm"), col("q_ppm"))
+      }
     },
 
     GraftQuery(
@@ -995,12 +1047,21 @@ object GraphOps {
     val lab0: org.apache.spark.sql.DataFrame =
       eU.select(col("u").as("node")).distinct()
         .withColumn("lab", col("node")).localCheckpoint()
-    /** One sizing action yields BOTH gate inputs: the node count (the
-      * broadcast gate) and the max node id (the dense-id gate below). */
-    private val (nNodes, maxNodeId) = {
-      val r = lab0.agg(count(lit(1)), coalesce(max(col("node")), lit(-1L))).head()
-      (r.getLong(0), r.getLong(1))
+    /** One sizing action yields BOTH gate inputs — the node count (the
+      * broadcast gate) and the max node id (the dense-id gate below) — plus
+      * the node-id sum, which is the identity assignment's census
+      * `sum_labels` (r20: the array tier computes per-round censuses on the
+      * driver from the collected assignment, and round 0's needs only this
+      * sum — no extra job). */
+    private val (nNodes, maxNodeId, idSum) = {
+      val r = lab0.agg(count(lit(1)), coalesce(max(col("node")), lit(-1L)),
+        coalesce(sum(col("node")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
+    /** Node count / identity-assignment label sum, for driver-side round-0
+      * censuses in the array tier. */
+    val nodeCount: Long = nNodes
+    val nodeIdSum: Long = idSum
     private val bcast = nNodes <= lpaBroadcastNodes(session)
     /** PRIMITIVE-ARRAY tier gate (r17 verdict item 4): under the broadcast
       * gate AND a dense node-id domain, the per-round label frame ships as
@@ -1125,11 +1186,84 @@ object GraphOps {
       for (_ <- 2 to LpaRounds) lab = round(lab)
       lab
     }
+
+    // ---- array tier, assignment-in/assignment-out (r20) -------------------
+    // Under the array gate every round already ROUND-TRIPS the O(V)
+    // assignment through the driver (labelArray collect → broadcast), yet
+    // the r19 shape still materialized each round as a localCheckpointed
+    // DataFrame (one extra job) and ran the per-round census as a
+    // two-exchange groupBy (two more). At sf0.1 the LPA family is
+    // machinery-bound — q326 profiled 30 jobs for 2.8 s — so the rounds now
+    // run Array[Long] → Array[Long]: ONE job per round (the aggregate
+    // collects straight into the next assignment array), censuses computed
+    // on the driver from the same array, fixpoints detected by EXACT array
+    // equality (strictly stronger than the xor fingerprint it replaces —
+    // no collision caveat). Fallback tiers are untouched.
+    /** Whether the zero-exchange array tier is active (gate + dense ids). */
+    def arrayTier: Boolean = arrayMode
+
+    /** Round 1 from the identity assignment, collected (see
+      * [[roundIdentity]] for why min(v) is exact there). */
+    def roundIdentityArray: Array[Long] =
+      labelArray(e.groupBy(col("u")).agg(min(col("v")).as("lab"))
+        .withColumnRenamed("u", "node"))
+
+    /** One synchronous round, assignment in / assignment out — a single
+      * Spark job (aggregate + primitive collect), no intermediate frame. */
+    def roundArray(arr: Array[Long]): Array[Long] = {
+      val bc = session.sparkContext.broadcast(arr)
+      try labelArray(
+        e.groupBy(col("u"))
+          .agg(graft.functions.GraftFunctions
+            .labelMode(lookupCol(bc, col("v"))).as("lab"))
+          .withColumnRenamed("u", "node"))
+      finally bc.destroy()
+    }
+
+    /** [[labels]] in the array tier: one job per round. */
+    def labelsArray: Array[Long] = {
+      var arr = roundIdentityArray
+      for (_ <- 2 to LpaRounds) arr = roundArray(arr)
+      arr
+    }
+
+    /** [[perNodeDegSame]] fed by an assignment array directly — skips the
+      * redundant collect the frame-based overload would re-run. Lazy; the
+      * broadcast is reclaimed by the context cleaner (see the frame
+      * overload's note). */
+    def perNodeDegSameArr(arr: Array[Long])
+        : org.apache.spark.sql.DataFrame = {
+      val bc = session.sparkContext.broadcast(arr)
+      e.select(col("u"), lookupCol(bc, col("u")).as("la"),
+          lookupCol(bc, col("v")).as("lb"))
+        .groupBy(col("u"), col("la"))
+        .agg(count(lit(1)).as("deg"),
+          sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("same"))
+    }
   }
 
-  /** The bipartite LPA machinery + final labels (q326's census loop twin). */
+  /** Driver-side census of an assignment array: (n_labels, sum_labels,
+    * max_comm) — exact long arithmetic, same values as the distributed
+    * groupBy(lab) census it replaces in the array tier (V is gate-bounded
+    * at ≤4M, so the HashMap is a few MB at worst). */
+  private def censusOfArray(arr: Array[Long]): (Long, Long, Long) = {
+    val counts = new java.util.HashMap[java.lang.Long, Long]()
+    var sum = 0L
+    var i = 0
+    while (i < arr.length) {
+      val l = arr(i)
+      if (l != -1L) { sum += l; counts.merge(l, 1L, _ + _) }
+      i += 1
+    }
+    var maxC = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c > maxC) maxC = c }
+    (counts.size().toLong, sum, maxC)
+  }
+
+  /** The bipartite LPA machinery (q326's census loop twin). */
   private def lpaGraph(s: org.apache.spark.sql.SparkSession, d: String)
-      : (Lpa, org.apache.spark.sql.DataFrame) = {
+      : Lpa = {
     // corpus-sized dedup exchange (same fix family as q335's projection)
     val nDedup = graft.util.Sizing.exchangePartitions(
       s, graft.util.Sizing.parquetRowCount(d, "lineitem"))
@@ -1137,20 +1271,25 @@ object GraphOps {
       .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
       .repartition(nDedup, col("u"), col("v"))
       .distinct()
-    val lpa = new Lpa(ps)
-    (lpa, lpa.labels)
+    new Lpa(ps)
   }
+
+  /** Run the fixed LPA rounds on the tier-appropriate representation and
+    * evaluate modularity — array tier: one job per round, the final
+    * assignment feeds [[Lpa.perNodeDegSameArr]] with no extra collect. */
+  private def lpaModularity(lpa: Lpa): org.apache.spark.sql.DataFrame =
+    if (lpa.arrayTier) modularityFrom(lpa, lpa.perNodeDegSameArr(lpa.labelsArray))
+    else modularityFrom(lpa, lpa.perNodeDegSame(lpa.labels))
 
   /** (n_communities, m, q_ppm) 1-row modularity frame — Spark twin of
     * [[modularityCtesSql]]; edges directed-both-ways, `lab` (node, lab).
     * Under the broadcast gate both label joins are map-side and the degree
     * census inherits the u-partitioning — the whole metric is
     * exchange-free over the persisted edges. */
-  private def modularityOf(lpa: Lpa,
-                           lab: org.apache.spark.sql.DataFrame)
+  private def modularityFrom(lpa: Lpa,
+                             perNodeDegSame: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val dec = "decimal(38,0)"
-    val e = lpa.e
     // m = |undirected edges| — already counted once when the Lpa sized its
     // exchanges; re-deriving it as e.count/2 would be a full O(E) pass
     val m = lpa.e.sparkSession.range(1).select(lit(lpa.edgeCount).as("m"))
@@ -1158,12 +1297,12 @@ object GraphOps {
     // (r16 — deg and sic were two separate full passes): per (u, la) the
     // degree AND the same-label endpoint count ride one aggregate; the
     // grouped frame is O(V) (la is constant per u), and everything below
-    // it is census-sized. Tiered inside Lpa.perNodeDegSame: array mode is
-    // join-free (both labels by broadcast array index); the shuffle
+    // it is census-sized. Tiered inside Lpa.perNodeDegSame[Arr]: array mode
+    // is join-free (both labels by broadcast array index); the shuffle
     // fallback's v-side join reuses the edge frame's persisted
     // v-partitioning so only the u-side join exchanges the O(E) frame.
     val perNode =
-      graft.util.CacheOnce.persistForOneAction(lpa.perNodeDegSame(lab))
+      graft.util.CacheOnce.persistForOneAction(perNodeDegSame)
     val sic = perNode.agg(sum(col("same")).cast(dec).as("sic"))
     val dc = perNode
       .groupBy(col("la")).agg(sum(col("deg")).cast(dec).as("dsum"))

@@ -421,15 +421,19 @@ object Similarity {
       val n = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
       // (table, bucket) is joined as the single encoded code column
-      val bk = n.select(col("vec_id"),
-        explode(lshBucketCodes(col("embedding"))).as("code"))
-        // capped bucket (doc above): rank members deterministically, pair
-        // only the first 256 — the window runs over the id-only bucket
-        // index, partitioned by code, so it parallelizes across buckets
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("code")).orderBy(col("vec_id"))))
-        .filter(col("rn") <= 256)
-        .drop("rn")
+      // persisted for the one action (r20, §1.4): both self-join sides
+      // consume the bucket index, and without the cache the 16-table code
+      // explode + the capping window ran twice
+      val bk = graft.util.CacheOnce.persistForOneAction(
+        n.select(col("vec_id"),
+          explode(lshBucketCodes(col("embedding"))).as("code"))
+          // capped bucket (doc above): rank members deterministically, pair
+          // only the first 256 — the window runs over the id-only bucket
+          // index, partitioned by code, so it parallelizes across buckets
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("code")).orderBy(col("vec_id"))))
+          .filter(col("rn") <= 256)
+          .drop("rn"))
       // candidate generation on ids only (no vectors through the shuffle);
       // the bucket index is (corpus × tables) rows — it SCALES WITH THE
       // CORPUS, so no broadcast hint: AQE broadcasts it at small SF and
