@@ -86,16 +86,16 @@ object Analytics {
         |  CAST(count(*) - count(v) AS BIGINT) AS n_interp,
         |  CAST(sum(filled) AS BIGINT) AS sum_filled
         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
-      // persisted for the one action (r20, §1.4): the hourly census feeds
-      // BOTH the per-user bounds aggregate (grid) and the grid's left join
-      // back — without the cache the events scan + groupBy ran twice
-      val known = graft.util.CacheOnce.persistForOneAction(
-        Tables.events(s, d)
-          .select(col("user_id"),
-            (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("h"),
-            cents(col("value")).as("c"))
-          .groupBy(col("user_id"), col("h"))
-          .agg(sum(col("c")).as("v")))
+      // r20 note: persisting this census for the bounds+join double
+      // consumption was tried and REVERTED — solo min-of-3 read 3.30 s
+      // WITH the cache vs 2.81 s without (the lineage is one cheap
+      // scan+aggregate; cache materialization cost more than the recompute)
+      val known = Tables.events(s, d)
+        .select(col("user_id"),
+          (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("h"),
+          cents(col("value")).as("c"))
+        .groupBy(col("user_id"), col("h"))
+        .agg(sum(col("c")).as("v"))
       val grid = known.groupBy(col("user_id"))
         .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
         .select(col("user_id"), explode(sequence(col("lo"), col("hi"), lit(3600L))).as("h"))
@@ -449,29 +449,19 @@ object Analytics {
         |FROM p GROUP BY part_a, part_b
         |HAVING count(*) >= 3
         |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin) { (s, d) =>
-      // per-basket pair GENERATION instead of the o-keyed self-join (r20 —
-      // the q321/q335 shape): hash on the basket key alone, dedup (o, p)
-      // inside collect_set (so the separate distinct disappears too), and
-      // emit the sorted (a < b) pairs from each bounded basket array — the
-      // join's w² intermediate is never materialized and the self-join's
-      // second o-exchange disappears (guide §2.4/§3)
-      val nAgg = graft.util.Sizing.exchangePartitions(s,
-        graft.util.Sizing.parquetRowCount(d, "lineitem"))
-      val baskets = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey"))
-        .repartition(nAgg, col("l_orderkey"))
-        .groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      val pairT = "array<struct<pa:bigint,pb:bigint>>"
-      baskets
-        .select(explode(when(size(col("ps")) < 2, array().cast(pairT))
-          .otherwise(flatten(transform(
-            sequence(lit(0), size(col("ps")) - 2), i =>
-              transform(
-                slice(col("ps"), i + 2, size(col("ps")) - i - 1),
-                x => struct(element_at(col("ps"), i + 1).as("pa"),
-                  x.as("pb"))))))).as("e"))
-        .select(col("e.pa").as("part_a"), col("e.pb").as("part_b"))
+      // r20 note: two rewrites were tried here and REVERTED on sf1/sf10
+      // measurements — (1) a per-basket collect_set generator (the
+      // q321/q335 shape): ×1.66 at sf0.1 but −14% at sf1 and −39% at sf10
+      // (the codegen SMJ pair join + map-side partial census beat the
+      // allocation-heavy array emit at scale); (2) persisting the distinct
+      // (o,p) frame: −2× at sf1 un-partitioned, a wash o-partitioned.
+      // q321 keeps the o-partitioned cache because its support-prefilter
+      // join reuses it; here the plain shape measured best.
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = li.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("part_b"))
+      a.join(b, col("l_orderkey") === col("ok_b") && col("part_a") < col("part_b"))
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 3)
@@ -1454,33 +1444,21 @@ object Analytics {
       val f = items.join(
         graft.util.Broadcasts.broadcastIfSmall(isup.filter(col("s") >= 2)),
         "l_partkey")
-      // per-basket pair GENERATION instead of the o-keyed self-join (r20,
-      // the r17 q335 finding): one collect_list per basket (bounded at
-      // basket width ≤ 7 — items is distinct, so the list is exactly the
-      // basket's surviving item set) and a generator emit the sorted
-      // (a < b) pairs with their supports attached — the join's w²
-      // intermediate (both orders + the diagonal, filtered afterwards) is
-      // never materialized and the o-partitioned cache feeds the groupBy
-      // exchange-free. s is functionally dependent on p, so carrying it
-      // through the generator and max()-folding it in the census is
-      // bit-identical to the join form the oracle states.
-      val baskets = f.groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_list(struct(
-          col("l_partkey").as("p"), col("s").as("sv")))).as("ps"))
-      val pairT = "array<struct<pa:bigint,sa:bigint,pb:bigint,sb:bigint>>"
-      baskets
-        .select(explode(when(size(col("ps")) < 2, array().cast(pairT))
-          .otherwise(flatten(transform(
-            sequence(lit(0), size(col("ps")) - 2), i =>
-              transform(
-                slice(col("ps"), i + 2, size(col("ps")) - i - 1),
-                x => struct(
-                  element_at(col("ps"), i + 1).getField("p").as("pa"),
-                  element_at(col("ps"), i + 1).getField("sv").as("sa"),
-                  x.getField("p").as("pb"),
-                  x.getField("sv").as("sb"))))))).as("e"))
-        .select(col("e.pa").as("part_a"), col("e.pb").as("part_b"),
-          col("e.sa").as("sa"), col("e.sb").as("sb"))
+      // self-join pair stage over the o-partitioned cache (r20 final form):
+      // a per-basket collect_list GENERATOR was tried here and REVERTED —
+      // like q164's, it won at sf0.1 (fewer tiny exchanges) but lost big
+      // at sf1 (11.5 s vs 4.7 s for this form), where the codegen join +
+      // map-side partial census beat the allocation-heavy array emit. The
+      // kept wins vs the r19 shape (sf1 5.75 s → 4.74 s): the items cache
+      // is hash-partitioned on the basket key (ONE exchange serves the
+      // distinct AND both self-join sides — the broadcast support join
+      // preserves it, so the pair join adds NO exchange) and the support
+      // side broadcasts under the 64 MB gate.
+      val a = f.select(col("l_orderkey"), col("l_partkey").as("part_a"),
+        col("s").as("sa"))
+      val b = f.select(col("l_orderkey"), col("l_partkey").as("part_b"),
+        col("s").as("sb"))
+      a.join(b, Seq("l_orderkey")).filter(col("part_a") < col("part_b"))
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("support"), max(col("sa")).as("sa"),
           max(col("sb")).as("sb"))

@@ -117,13 +117,12 @@ object Clustering {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("isum"), col("n")))),
         x => (x("isum").cast("double") / (x("n").cast("double") * lit(1000000.0)))
           .cast("float")).as("c"))
-    // the learned codebook is K rows but its LINEAGE is the whole first
-    // Lloyd round (assignment scan + two aggregates); callers embed it
-    // both under the final assignment's broadcast and as a join side
-    // (q345: twice per subspace × 4 subspaces), and plans don't reuse the
-    // subtree — persist the K rows once per action (r20, guide §1.4)
-    val c1p = graft.util.CacheOnce.persistForOneAction(c1)
-    (assign(e, c1p), c1p)
+    // r20 note: persisting c1 (K rows whose lineage is the whole first
+    // Lloyd round, embedded twice per q345 subspace) was tried and
+    // REVERTED — sf0.1 read +9% on q345 but sf1 read −8% (and q112/q113
+    // flat): AQE's runtime stage reuse already dedupes the identical
+    // aggregate stages, and the cache hides stats from the recon joins.
+    (assign(e, c1), c1)
   }
 
   /** Two Lloyd rounds over the embeddings table → (vec_id, cid, dist2).

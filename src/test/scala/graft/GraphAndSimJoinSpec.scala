@@ -110,29 +110,6 @@ class GraphAndSimJoinSpec extends SparkSpec {
     assert(got.nonEmpty) // the fixture corpus does contain near-dup pairs
   }
 
-  // ---- q164 ---------------------------------------------------------------
-
-  test("q164: per-basket pair generation ≡ naive basket self-join") {
-    // r20: the o-keyed self-join was replaced by collect_set + a bounded
-    // per-basket pair generator (the q321/q335 shape) — same pair multiset
-    // by construction (items are distinct per basket either way), pinned
-    // here against the join form the oracle still states
-    val got = q("q164_frequent_pairs").collect().toSeq
-    val li = Tables.lineitem(spark, sf)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = li.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("part_b"))
-    val naive = a.join(b,
-        col("l_orderkey") === col("ok_b") && col("part_a") < col("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 3)
-      .orderBy(col("support").desc, col("part_a"), col("part_b"))
-      .limit(20).collect().toSeq
-    assert(got === naive)
-    assert(got.nonEmpty)
-  }
-
   // ---- q130 ---------------------------------------------------------------
 
   test("q130: Spark PageRank ≡ driver-side integer replica; mass conserved") {
