@@ -87,6 +87,108 @@ object PipelineOps {
     bandedPairs(bands, cap)
   }
 
+  // ---- driver components tier (r20) ----------------------------------------
+  // The component iterations (star contraction, min-label propagation) run
+  // over LSH candidate-edge graphs whose size is governed by the band
+  // bucket cap — at the measured SFs a few thousand to a few hundred
+  // thousand edges, where each distributed round is pure scheduling
+  // (2 localCheckpoints + a fingerprint aggregate per alternation; the
+  // q326 job-floor finding applied to this family). Under the gate below
+  // the edge set collects ONCE as a primitive long array (the LPA
+  // DriverCollect doctrine, guide §5) and the rounds run on the driver —
+  // bit-identical updates, EXACT set/assignment equality for the fixpoint
+  // test (strictly stronger than the xor fingerprint). Past the gate the
+  // distributed loops below run unchanged.
+
+  /** Collect an edge frame as encoded `(a << 32) | b` longs if it fits the
+    * driver tier: edge count within budget (default 2M ⇒ ≤64 MB of labels
+    * shipped back, the LPA broadcast budget) AND ids inside the 31-bit
+    * encode domain. `graft.components.driverEdgeBound=0` forces the
+    * distributed tier (specs pin tier equality with it). */
+  private def driverTierEdges(e: DataFrame, a: String, b: String)
+      : Option[Array[Long]] = {
+    val s = e.sparkSession
+    val bound = s.conf.getOption("graft.components.driverEdgeBound")
+      .map(_.toLong).getOrElse(2000000L)
+    if (bound <= 0L) None
+    else {
+      val r = e.agg(count(lit(1)),
+        coalesce(max(greatest(col(a), col(b))), lit(-1L)),
+        coalesce(min(least(col(a), col(b))), lit(0L))).head()
+      if (r.getLong(0) > bound || r.getLong(1) >= (1L << 31) ||
+        r.getLong(2) < 0L) None
+      else {
+        val bld = new scala.collection.mutable.ArrayBuilder.ofLong
+        graft.util.DriverCollect.foreachLongPair(e.select(col(a), col(b)))(
+          (x, y) => bld += ((x << 32) | y))
+        Some(bld.result())
+      }
+    }
+  }
+
+  /** Sort + adjacent-dedup of an encoded edge array — the driver twin of
+    * `.distinct()` on canonical pairs. */
+  private def sortedDistinct(arr: Array[Long]): Array[Long] = {
+    java.util.Arrays.sort(arr)
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    var i = 0
+    while (i < arr.length) {
+      if (i == 0 || arr(i) != arr(i - 1)) out += arr(i)
+      i += 1
+    }
+    out.result()
+  }
+
+  /** One Large-Star + Small-Star alternation on a sorted, deduplicated,
+    * CANONICAL (u > v) encoded edge array — the exact driver twin of the
+    * distributed round in [[largeSmallStarComponents]]: on a canonical
+    * frame, large-star emits exactly (u, m(v)) per edge (the larger
+    * endpoint hangs onto m of its smaller neighbor's star center; the
+    * v-as-neighbor-of-u row fails the v > u filter), and small-star's
+    * smaller-neighbor frame IS the canonical frame itself. */
+  private def starAlternation(e: Array[Long]): Array[Long] = {
+    val mask = 0xffffffffL
+    // min UNDIRECTED neighbor per node
+    val minN = new scala.collection.mutable.LongMap[Long]()
+    var i = 0
+    while (i < e.length) {
+      val u = e(i) >>> 32; val v = e(i) & mask
+      if (v < minN.getOrElse(u, Long.MaxValue)) minN(u) = v
+      if (u < minN.getOrElse(v, Long.MaxValue)) minN(v) = u
+      i += 1
+    }
+    // large-star: (u, min(minN(v), v)) per canonical edge — m ≤ v < u, so
+    // the u ≠ m filter never binds and orientation stays canonical
+    val bl = new scala.collection.mutable.ArrayBuilder.ofLong
+    i = 0
+    while (i < e.length) {
+      val u = e(i) >>> 32; val v = e(i) & mask
+      val m = math.min(minN(v), v)
+      bl += ((u << 32) | m)
+      i += 1
+    }
+    val eL = sortedDistinct(bl.result())
+    // small-star over eL: mS(x) = min smaller-neighbor of x; emit
+    // (y, mS(x)) for each (x, y) (skip y == mS(x)) plus (x, mS(x))
+    val mS = new scala.collection.mutable.LongMap[Long]()
+    i = 0
+    while (i < eL.length) {
+      val x = eL(i) >>> 32; val y = eL(i) & mask
+      if (y < mS.getOrElse(x, Long.MaxValue)) mS(x) = y
+      i += 1
+    }
+    val bs = new scala.collection.mutable.ArrayBuilder.ofLong
+    i = 0
+    while (i < eL.length) {
+      val x = eL(i) >>> 32; val y = eL(i) & mask
+      val m = mS(x)
+      if (y != m) bs += ((y << 32) | m)
+      i += 1
+    }
+    mS.foreach { case (x, m) => bs += ((x << 32) | m) }
+    sortedDistinct(bs.result())
+  }
+
   /** Connected components via ALTERNATING Large-Star / Small-Star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
     * 2014) — the O(log n)-round alternative to [[connectedComponents]]'s
@@ -116,6 +218,35 @@ object PipelineOps {
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    driverTierEdges(e, "u", "v") match {
+      case Some(enc0) =>
+        // driver tier (r20): identical alternations on the collected
+        // canonical edge array, fixpoint by EXACT edge-set equality
+        var enc = sortedDistinct(enc0)
+        var conv = false
+        var it = 0
+        while (!conv && it < maxIters) {
+          val next = starAlternation(enc)
+          conv = java.util.Arrays.equals(next, enc)
+          enc = next
+          it += 1
+        }
+        require(conv, s"star contraction did not converge in $maxIters rounds")
+        // star forest → labels: first (sorted) entry per u is min(v)
+        val stars = new scala.collection.mutable.LongMap[Long]()
+        var i = 0
+        while (i < enc.length) {
+          val u = enc(i) >>> 32
+          if (!stars.contains(u)) stars(u) = enc(i) & 0xffffffffL
+          i += 1
+        }
+        val s = nodes.sparkSession
+        import s.implicits._
+        val starsDf = stars.toSeq.toDF("node", "lab")
+        return nodes.join(broadcast(starsDf), Seq("node"), "left")
+          .select(col("node"), coalesce(col("lab"), col("node")).as("label"))
+      case None => ()
+    }
     def fingerprint(f: DataFrame): (Long, Long) = {
       val r = f.agg(count(lit(1)),
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
@@ -162,8 +293,49 @@ object PipelineOps {
     * (labels are monotone non-increasing with a fixed node set). */
   private[graft] def connectedComponents(nodes: DataFrame, edges: DataFrame,
                                          maxIters: Int = 20): DataFrame = {
+    val eDriver = edges.localCheckpoint()
+    driverTierEdges(eDriver, "src", "dst") match {
+      case Some(enc) =>
+        // driver tier (r20): the same synchronous min-label update on the
+        // collected edge array — only edge-touched nodes can ever change
+        // label, so the map covers exactly those; isolated nodes fall out
+        // of the coalesce below, as in the distributed frame. Fixpoint by
+        // exact assignment equality (≡ the sum test: labels are monotone
+        // non-increasing, so an unchanged sum IS an unchanged assignment).
+        val mask = 0xffffffffL
+        var labels = new scala.collection.mutable.LongMap[Long]()
+        var i = 0
+        while (i < enc.length) {
+          val sN = enc(i) >>> 32; val dN = enc(i) & mask
+          labels(sN) = sN; labels(dN) = dN
+          i += 1
+        }
+        var conv = false
+        var it = 0
+        while (!conv && it < maxIters) {
+          val next = labels.clone()
+          var changed = false
+          i = 0
+          while (i < enc.length) {
+            val sN = enc(i) >>> 32; val dN = enc(i) & mask
+            val cand = labels(dN)
+            if (cand < next(sN)) { next(sN) = cand; changed = true }
+            i += 1
+          }
+          conv = !changed
+          labels = next
+          it += 1
+        }
+        require(conv, s"connected components did not converge in $maxIters rounds")
+        val s = nodes.sparkSession
+        import s.implicits._
+        val labDf = labels.toSeq.toDF("node", "lab")
+        return nodes.join(broadcast(labDf), Seq("node"), "left")
+          .select(col("node"), coalesce(col("lab"), col("node")).as("label"))
+      case None => ()
+    }
     var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
-    val e = edges.localCheckpoint()
+    val e = eDriver
     var lastSum = labels.agg(sum(col("label"))).head.getLong(0)
     var converged = false
     var iter = 0

@@ -56,6 +56,27 @@ class GraphAndSimJoinSpec extends SparkSpec {
     } finally spark.conf.unset("graft.lpa.denseIdBound")
   }
 
+  // ---- components driver tier ----------------------------------------------
+
+  test("components driver tier ≡ distributed loops (q83/q131/q149/q339)") {
+    // r20: under the edge-count + 31-bit-id gate, star contraction and
+    // min-label propagation run their rounds on the driver over the
+    // collected edge array — a CONSTANT optimization, so every consumer's
+    // output must be bit-identical with the gate forced off
+    // (driverEdgeBound=0 → the distributed loops).
+    def runAll() = Seq("q83_dedup_components", "q131_canonical_selection",
+      "q149_leakage_free_split", "q339_star_contraction_components")
+      .map(n => n -> q(n).collect().toSeq).toMap
+    val driverTier = runAll() // default: fixture edges sit under the gate
+    spark.conf.set("graft.components.driverEdgeBound", "0")
+    try {
+      val distributed = runAll()
+      driverTier.foreach { case (n, rows) =>
+        assert(rows === distributed(n), s"$n diverged across components tiers")
+      }
+    } finally spark.conf.unset("graft.components.driverEdgeBound")
+  }
+
   // ---- q125 ---------------------------------------------------------------
 
   test("q125: binned interval join ≡ naive theta join") {
